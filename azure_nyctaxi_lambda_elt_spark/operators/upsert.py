@@ -1,0 +1,65 @@
+"""Upsert / idempotent-write operators.
+
+Reference parity:
+- merge_latest ≈ the Synapse MERGE upsert (update-then-insert) used by
+  the streaming lane (sql/streaming/staging/
+  usp_upsert_trip_clean_from_slice_streaming.sql): matched rows take
+  the update's values, unmatched updates insert. Expressed relationally
+  as union + latest-wins — identical result, and at 100 TB it's one
+  hash shuffle on the key instead of a row-by-row merge.
+- write_partition_overwrite ≈ the batch lane's idempotent
+  "DELETE WHERE ingest_date=@d then INSERT" partition wipe
+  (sql/batchELT/core/12_trip_clean.dedupe_load.sql:5-16), done natively
+  with dynamic partition overwrite so reruns/backfills replace exactly
+  the touched partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedupe import latest_wins
+
+
+def merge_latest(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column] | None = None,
+    priority_col: str = "__src_priority",
+) -> DataFrame:
+    """MERGE semantics: for each key, the updates row wins over the
+    existing row; within each side, later ``order_by`` rows win.
+
+    ``order_by`` columns (DESC recency, tiebreaks) are evaluated on the
+    unioned frame; the update-beats-existing rule is enforced with a
+    source-priority column ahead of them.
+    """
+    tagged = existing.withColumn(priority_col, F.lit(0)).unionByName(
+        updates.withColumn(priority_col, F.lit(1))
+    )
+    order = [F.col(priority_col).desc()] + list(order_by or [])
+    return latest_wins(tagged, keys, order).drop(priority_col)
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Idempotent partition-scoped write: replaces only the partitions
+    present in ``df`` (dynamic mode), leaving others intact — the exact
+    rerun/backfill contract of the reference's partition wipe+insert.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,586 @@
+"""Query catalog: the driver contract surface.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` and ``ORACLES[name]`` =
+equivalent DuckDB SQL over the same parquet views. Conventions that keep
+the value-hash compare exact (verified empirically in
+tests/test_oracle_parity.py):
+
+- aggregates over doubles go through exact DECIMAL casts, then one final
+  CAST TO DOUBLE (bit-identical in both engines);
+- every computed column is aliased identically on both sides;
+- window/rank outputs always carry a unique deterministic tiebreak;
+- session timezone pinned UTC before building any plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import hour_bucket, sha256_key, ts_iso, norm_str
+from ..operators.clean import Rule, split_good_bad
+from ..operators.dims import build_dim_date, build_dim_time
+from ..operators.dq import check_counts, run_metrics
+from ..operators.upsert import merge_latest
+from ..session import apply_engine_conf
+from ..sources.tables import load_table
+from . import trips_feed as tf
+from .oracle_trips import with_trips
+
+# ---------------------------------------------------------------------------
+# helpers
+
+EVENTS_START, EVENTS_END = "2024-01-01", "2024-01-31"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _dec(col: str | F.Column, spec: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(spec)
+
+
+def _revenue_expr() -> F.Column:
+    """Exact decimal revenue: extendedprice * (1 - discount)."""
+    return _dec("l_extendedprice", "decimal(12,2)") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,4)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A. batch ELT core
+
+def q_stg_typed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.typed_trips(tf.raw_trips(spark, sf_dir))
+
+
+def q_clean_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.clean_slice(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+
+
+def q_err_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    _, bad = tf.split_trips(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    return bad.withColumnRenamed("reject_reason", "reject_reason")
+
+
+def q_dedupe_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+
+
+def q_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.dim_vendor(tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir))))
+
+
+def q_dim_location_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.dim_location(tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir))))
+
+
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return build_dim_date(spark, EVENTS_START, EVENTS_END)
+
+
+def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return build_dim_time(spark)
+
+
+def q_surrogate_key_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    return clean.select(
+        "trip_uid",
+        sha256_key(
+            F.coalesce(norm_str(F.col("vendor_code")), F.lit("")),
+            ts_iso("pickup_ts_utc"),
+            ts_iso("dropoff_ts_utc"),
+            _dec("fare_amount", "decimal(18,2)"),
+            _dec("trip_distance_km", "decimal(18,3)"),
+            F.coalesce(norm_str(F.col("payment_type")), F.lit("")),
+        ).alias("trip_id"),
+    )
+
+
+def q_fact_build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.fact_trip(spark, sf_dir)
+
+
+def q_bi_view_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return tf.bi_view(spark, sf_dir)
+
+
+def q_upsert_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    existing = clean.where(F.dayofmonth("ingest_date") <= 15)
+    updates = (
+        clean.where(F.dayofmonth("ingest_date") >= 10)
+        .withColumn("fare_amount", (F.col("fare_amount") + 1).cast("decimal(9,2)"))
+        .withColumn("loaded_at", F.expr("loaded_at + INTERVAL 2 HOUR"))
+        .withColumn("source_file_name", F.concat(F.lit("corrected_"), F.col("source_file_name")))
+    )
+    return merge_latest(
+        existing,
+        updates,
+        ["trip_uid"],
+        [F.col("loaded_at").desc(), F.col("source_file_name").desc()],
+    )
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    clean = tf.trip_clean(typed)
+    stg_cnt = typed.agg(F.count("*").cast("bigint").alias("cnt")).select(
+        F.lit("row_count_stg").alias("check_name"), "cnt"
+    )
+    clean_cnt = clean.agg(F.count("*").cast("bigint").alias("cnt")).select(
+        F.lit("row_count_clean").alias("check_name"), "cnt"
+    )
+    dupes = (
+        clean.groupBy("trip_uid").count().where(F.col("count") > 1)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.lit("dupe_trip_uid_in_clean").alias("check_name"), "cnt")
+    )
+    domain = check_counts(
+        clean,
+        {
+            "null_vendor_in_clean": F.col("vendor_code").isNull(),
+            "negative_fare_in_clean": F.col("fare_amount") < 0,
+            "bad_time_order_in_clean": F.col("pickup_ts_utc") > F.col("dropoff_ts_utc"),
+        },
+    ).select("check_name", "cnt")
+    return stg_cnt.unionByName(clean_cnt).unionByName(dupes).unionByName(domain)
+
+
+def q_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    good, bad = tf.split_trips(typed)
+    clean = tf.trip_clean(typed)
+    return run_metrics("core", "trip_clean", typed, clean, bad, "ingest_date")
+
+
+def asa_rules() -> list[Rule]:
+    """The ASA DQ flags (infra/scripts/asa-wire.sh enriched CTE)."""
+    return [
+        Rule("missing_required",
+             F.col("pickup_ts").isNull() | F.col("dropoff_ts").isNull()),
+        Rule(
+            "negative_values",
+            (F.coalesce(F.col("trip_distance"), F.lit(0.0)) < 0)
+            | (F.coalesce(F.col("fare_amount"), F.lit(0.0)) < 0)
+            | (F.coalesce(F.col("tip_amount"), F.lit(0.0)) < 0),
+        ),
+        Rule("bad_duration",
+             (F.col("duration_min") < 0) | (F.col("duration_min") > 480)),
+    ]
+
+
+def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    _, dlq = split_good_bad(typed, asa_rules(), reason_col="reason")
+    return dlq.select(
+        F.col("trip_uid").alias("event_id"),
+        "pickup_ts",
+        "dropoff_ts",
+        "vendor_code",
+        "trip_distance",
+        "fare_amount",
+        "duration_min",
+        "reason",
+        "loaded_at",
+    )
+
+
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    missing = F.col("pickup_ts").isNull() | F.col("dropoff_ts").isNull()
+    negative = (
+        (F.coalesce(F.col("trip_distance"), F.lit(0.0)) < 0)
+        | (F.coalesce(F.col("fare_amount"), F.lit(0.0)) < 0)
+        | (F.coalesce(F.col("tip_amount"), F.lit(0.0)) < 0)
+    )
+    bad_dur = (F.col("duration_min") < 0) | (F.col("duration_min") > 480)
+    is_dlq = missing | negative | bad_dur
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return (
+        typed.groupBy(F.date_trunc("hour", F.col("loaded_at")).alias("hour_bucket"))
+        .agg(
+            one(~is_dlq).alias("good_rows"),
+            one(is_dlq).alias("dlq_rows"),
+            one(missing).alias("missing_required"),
+            one(~missing & negative).alias("negative_values"),
+            one(~missing & ~negative & bad_dur).alias("bad_duration"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. analytics / BI
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    cutoff = F.lit("1998-09-02").cast("timestamp_ntz")
+    qty = _dec("l_quantity", "decimal(12,2)")
+    price = _dec("l_extendedprice", "decimal(12,2)")
+    disc_price = price * (F.lit(1) - _dec("l_discount", "decimal(4,4)"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax", "decimal(4,4)"))
+    agg = (
+        l.where(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(disc_price).alias("_sd"),
+            F.sum(charge).alias("_sc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+    # NB: decimal sums are rescaled to 2dp BEFORE the double cast —
+    # DuckDB's high-scale decimal→double conversion is off by 1 ulp,
+    # so both engines cast from the same scale-2 decimal instead.
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.round(F.col("_sd"), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("_sc"), 2).cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        )
+    )
+
+
+def q_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(_revenue_expr()), 2).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+def q_revenue_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(_revenue_expr()), 2).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(wsum).cast("int")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4)))"
+
+ORACLES: dict[str, str] = {
+    "stg_typed_load": with_trips("SELECT * FROM typed_trips"),
+    "clean_slice": with_trips("SELECT * FROM clean_slice"),
+    "err_capture": with_trips("SELECT * FROM rejected_trips"),
+    "dedupe_latest_wins": with_trips("SELECT * FROM trip_clean"),
+    "dim_build": with_trips("SELECT * FROM dim_vendor"),
+    "dim_location_role": with_trips("SELECT * FROM dim_location"),
+    "dim_date": f"""
+        SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+               CAST(d AS DATE) AS date_value,
+               CAST(year(d) AS INT) AS year,
+               CAST(quarter(d) AS INT) AS quarter,
+               CAST(month(d) AS INT) AS month,
+               CAST(day(d) AS INT) AS day,
+               CAST(weekofyear(d) AS INT) AS iso_week,
+               CAST(isoyear(d) AS INT) AS iso_year,
+               isodow(d) IN (6, 7) AS is_weekend
+        FROM (SELECT CAST(g.d AS DATE) AS d
+              FROM generate_series(DATE '{EVENTS_START}',
+                   DATE '{EVENTS_END}', INTERVAL 1 DAY) g(d)) t
+    """,
+    "dim_time": """
+        SELECT CAST(i AS INT) AS time_key,
+               CAST(i // 3600 AS INT) AS hh24,
+               CAST((i % 3600) // 60 AS INT) AS mm,
+               CAST(i % 60 AS INT) AS ss,
+               lpad(CAST(i // 3600 AS VARCHAR), 2, '0') || ':00-' ||
+               lpad(CAST(i // 3600 AS VARCHAR), 2, '0') || ':59' AS hour_bucket,
+               (i // 3600 >= 22 OR i // 3600 <= 5) AS is_night
+        FROM range(0, 86400) t(i)
+    """,
+    "surrogate_key_sha256": with_trips("""
+        SELECT trip_uid,
+               sha256(
+                 COALESCE(UPPER(NULLIF(TRIM(vendor_code), '')), '') || '|' ||
+                 strftime(pickup_ts_utc, '%Y-%m-%dT%H:%M:%S.%f') || '|' ||
+                 strftime(dropoff_ts_utc, '%Y-%m-%dT%H:%M:%S.%f') || '|' ||
+                 CAST(CAST(fare_amount AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 CAST(CAST(trip_distance_km AS DECIMAL(18,3)) AS VARCHAR) || '|' ||
+                 COALESCE(UPPER(NULLIF(TRIM(payment_type), '')), '')
+               ) AS trip_id
+        FROM trip_clean
+    """),
+    "fact_build_star": with_trips("SELECT * FROM fact_trip"),
+    "bi_view_flat": with_trips("""
+        SELECT
+          CAST(year(t.pickup_ts_utc)*10000 + month(t.pickup_ts_utc)*100
+               + day(t.pickup_ts_utc) AS INT) AS pickup_date_key,
+          CAST(t.pickup_ts_utc AS DATE) AS pickup_date,
+          CAST(hour(t.pickup_ts_utc) AS INT) AS pickup_hour,
+          t.is_night_ride,
+          COALESCE(t.vendor_code, 'UNKNOWN') AS vendor_code,
+          COALESCE(t.payment_type, 'UNKNOWN') AS payment_type,
+          t.trip_distance_km,
+          t.fare_amount,
+          t.tip_amount,
+          CASE WHEN CAST(t.fare_amount AS DOUBLE) > 0
+               THEN round(t.tip_amount / CAST(t.fare_amount AS DOUBLE), 6) END AS tip_pct,
+          CASE WHEN t.trip_distance_km > 0
+               THEN round(CAST(t.fare_amount AS DOUBLE) / t.trip_distance_km, 6) END AS fare_per_km,
+          t.ingest_date,
+          t.source_file_name
+        FROM trip_clean t
+    """),
+    "upsert_merge_latest": with_trips("""
+        SELECT * EXCLUDE (pri, rn) FROM (
+          SELECT u.*, ROW_NUMBER() OVER (
+              PARTITION BY trip_uid
+              ORDER BY pri DESC, loaded_at DESC, source_file_name DESC) AS rn
+          FROM (
+            SELECT *, 0 AS pri FROM trip_clean WHERE day(ingest_date) <= 15
+            UNION ALL
+            SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+                   trip_distance_km,
+                   CAST(fare_amount + 1 AS DECIMAL(9,2)) AS fare_amount,
+                   payment_type, is_night_ride, tip_amount,
+                   pu_loc_id, do_loc_id, passenger_count, ingest_date,
+                   'corrected_' || source_file_name AS source_file_name,
+                   loaded_at + INTERVAL 2 HOUR AS loaded_at,
+                   1 AS pri
+            FROM trip_clean WHERE day(ingest_date) >= 10
+          ) u
+        ) z WHERE rn = 1
+    """),
+    "dq_checks": with_trips("""
+        SELECT 'row_count_stg' AS check_name, COUNT(*) AS cnt FROM typed_trips
+        UNION ALL
+        SELECT 'row_count_clean', COUNT(*) FROM trip_clean
+        UNION ALL
+        SELECT 'dupe_trip_uid_in_clean',
+               (SELECT COUNT(*) FROM (SELECT trip_uid FROM trip_clean
+                 GROUP BY trip_uid HAVING COUNT(*) > 1) d)
+        UNION ALL
+        SELECT 'null_vendor_in_clean', COUNT(*) FROM trip_clean WHERE vendor_code IS NULL
+        UNION ALL
+        SELECT 'negative_fare_in_clean', COUNT(*) FROM trip_clean WHERE fare_amount < 0
+        UNION ALL
+        SELECT 'bad_time_order_in_clean', COUNT(*) FROM trip_clean
+        WHERE pickup_ts_utc > dropoff_ts_utc
+    """),
+    "run_metrics": with_trips("""
+        SELECT 'core' AS layer, 'trip_clean' AS table_name, d.ingest_date,
+               COALESCE(i.c, 0) AS rows_in,
+               COALESCE(o.c, 0) AS rows_out,
+               COALESCE(e.c, 0) AS rows_err
+        FROM (SELECT DISTINCT ingest_date FROM typed_trips) d
+        LEFT JOIN (SELECT ingest_date, COUNT(*) AS c FROM typed_trips GROUP BY 1) i USING (ingest_date)
+        LEFT JOIN (SELECT ingest_date, COUNT(*) AS c FROM trip_clean GROUP BY 1) o USING (ingest_date)
+        LEFT JOIN (SELECT ingest_date, COUNT(*) AS c FROM rejected_trips GROUP BY 1) e USING (ingest_date)
+    """),
+    "dlq_routing": with_trips("""
+        SELECT trip_uid AS event_id, pickup_ts, dropoff_ts, vendor_code,
+               trip_distance, fare_amount, duration_min,
+               CASE
+                 WHEN pickup_ts IS NULL OR dropoff_ts IS NULL THEN 'missing_required'
+                 WHEN COALESCE(trip_distance, 0) < 0 OR COALESCE(fare_amount, 0) < 0
+                      OR COALESCE(tip_amount, 0) < 0 THEN 'negative_values'
+                 WHEN duration_min < 0 OR duration_min > 480 THEN 'bad_duration'
+               END AS reason,
+               loaded_at
+        FROM typed_trips
+        WHERE pickup_ts IS NULL OR dropoff_ts IS NULL
+           OR COALESCE(trip_distance, 0) < 0 OR COALESCE(fare_amount, 0) < 0
+           OR COALESCE(tip_amount, 0) < 0
+           OR duration_min < 0 OR duration_min > 480
+    """),
+    "quality_audit": with_trips("""
+        SELECT date_trunc('hour', loaded_at) AS hour_bucket,
+          SUM(CASE WHEN NOT (miss OR neg OR bad) THEN 1 ELSE 0 END) AS good_rows,
+          SUM(CASE WHEN miss OR neg OR bad THEN 1 ELSE 0 END) AS dlq_rows,
+          SUM(CASE WHEN miss THEN 1 ELSE 0 END) AS missing_required,
+          SUM(CASE WHEN NOT miss AND neg THEN 1 ELSE 0 END) AS negative_values,
+          SUM(CASE WHEN NOT miss AND NOT neg AND bad THEN 1 ELSE 0 END) AS bad_duration
+        FROM (
+          SELECT loaded_at,
+            (pickup_ts IS NULL OR dropoff_ts IS NULL) AS miss,
+            (COALESCE(trip_distance, 0) < 0 OR COALESCE(fare_amount, 0) < 0
+             OR COALESCE(tip_amount, 0) < 0) AS neg,
+            (duration_min < 0 OR duration_min > 480) AS bad
+          FROM typed_trips) t
+        GROUP BY 1
+    """),
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4))) * (1 + CAST(l_tax AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "hourly_trend": """
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM events GROUP BY 1
+    """,
+    "top_n_per_group": f"""
+        SELECT p_brand, p_partkey, revenue, rnk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INT) AS rnk
+          FROM (
+            SELECT p.p_brand, p.p_partkey, CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2) r
+        ) z WHERE rnk <= 3
+    """,
+    "revenue_by_dim": f"""
+        SELECT n.n_name, r.r_name,
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name, r.r_name
+    """,
+    "sessionize": """
+        SELECT user_id, CAST(session_id AS INT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM (
+          SELECT *, SUM(new_s) OVER (
+              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, event_id, ts, value,
+              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_s
+            FROM events) o
+        ) s
+        GROUP BY user_id, session_id
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stg_typed_load": q_stg_typed_load,
+    "clean_slice": q_clean_slice,
+    "err_capture": q_err_capture,
+    "dedupe_latest_wins": q_dedupe_latest_wins,
+    "dim_build": q_dim_build,
+    "dim_location_role": q_dim_location_role,
+    "dim_date": q_dim_date,
+    "dim_time": q_dim_time,
+    "surrogate_key_sha256": q_surrogate_key_sha256,
+    "fact_build_star": q_fact_build_star,
+    "bi_view_flat": q_bi_view_flat,
+    "upsert_merge_latest": q_upsert_merge_latest,
+    "dq_checks": q_dq_checks,
+    "run_metrics": q_run_metrics,
+    "dlq_routing": q_dlq_routing,
+    "quality_audit": q_quality_audit,
+    "pricing_summary": q_pricing_summary,
+    "hourly_trend": q_hourly_trend,
+    "top_n_per_group": q_top_n_per_group,
+    "revenue_by_dim": q_revenue_by_dim,
+    "sessionize": q_sessionize,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The end-to-end star-schema fact build — entry() target."""
+    apply_engine_conf(spark)
+    return tf.fact_trip(spark, sf_dir)

@@ -1,0 +1,291 @@
+"""The "trips feed": a deterministic dirty taxi-trip stream derived from
+the driver's `events` table, plus the full batch-ELT pipeline over it.
+
+The reference pipeline's raw input (NYC taxi CSV/JSON with nulls, bad
+casts, negative amounts, out-of-order timestamps, duplicate and
+late-arriving rows) is reproduced here as a PURE, deterministic
+derivation of `events` — so the DuckDB oracle can derive the identical
+feed and every stage stays hash-comparable.
+
+Stage parity map (reference file ↔ builder):
+- raw_trips        ↔ the raw landing zone (Ingest/upload_raw.sh)
+- typed_trips      ↔ stg.trip TRY_CAST staging (sql/batchELT/staging/stg_trip.sql)
+- clean + reject   ↔ core.trip_clean_slice CTAS + err.trip capture
+  (sql/batchELT/core/11_trip_clean.slice_ctas.sql, err/21_err_trip.capture.sql)
+- trip_clean       ↔ deterministic latest-wins dedupe
+  (sql/batchELT/core/12_trip_clean.dedupe_load.sql)
+- dims + fact      ↔ mdl star schema (mdl/load/10-14_dim_*.upsert.sql,
+  40_fact_trip.load.sql, err/seed_unknowns.sql)
+- bi_view          ↔ mdl.vw_fact_trip_bi
+
+Scale notes: every stage is narrow (projection/filter) except the
+dedupe window and dim distincts — exactly the two shuffles the
+reference pays via HASH(trip_id) distribution and dim REPLICATE-ing.
+Dims are broadcast into the fact build; the big side never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.columns import (
+    canonical_map,
+    date_key,
+    is_night_hour,
+    miles_to_km,
+    norm_str,
+    safe_ratio,
+    sha256_key,
+    time_key,
+    ts_iso,
+)
+from ..operators.clean import Rule, split_good_bad, typed_cast
+from ..operators.dedupe import latest_wins
+from ..operators.dims import build_dim, resolve_fk
+from ..sources.tables import load_table
+
+PAYMENT_MAP = {"1": "CARD", "2": "CASH", "3": "NO_CHARGE", "4": "DISPUTE"}
+
+
+def events_ts_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the nanosecond `ts` column converted to a proper
+    microsecond timestamp (the driver testdata writes TIMESTAMP(NANOS),
+    which Spark reads as long under `nanosAsLong`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+def raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dirty trip feed from events (+ late duplicates)."""
+    e = events_ts_fixed(spark, sf_dir)
+    eid, uid, val, ts = F.col("event_id"), F.col("user_id"), F.col("value"), F.col("ts")
+    fare = F.when(eid % 53 == 0, -val).otherwise(val)
+    base = e.select(
+        eid.alias("trip_uid"),
+        F.when(eid % 89 == 0, F.lit("  "))
+        .otherwise(F.concat(F.lit("v"), (uid % 5).cast("string")))
+        .alias("vendor_raw"),
+        F.when(eid % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(ts.cast("string"))
+        .alias("pickup_raw"),
+        ((eid % 600).cast("int") - 30).alias("duration_min"),
+        F.expr("CAST(ts + make_dt_interval(0, 0, CAST(event_id % 600 AS INT) - 30, 0) AS STRING)")
+        .alias("dropoff_raw"),
+        F.when(eid % 97 == 0, F.lit("N/A"))
+        .otherwise((val / 16.0).cast("string"))
+        .alias("distance_raw"),
+        fare.cast("string").alias("fare_raw"),
+        (1 + eid % 6).cast("string").alias("payment_src"),
+        (1 + eid % 4).cast("string").alias("pax_raw"),
+        (uid % 50).cast("int").alias("pu_loc_id"),
+        ((uid + 7) % 50).cast("int").alias("do_loc_id"),
+        (val * ((eid % 30).cast("double") / F.lit(100.0))).cast("string").alias("tip_raw"),
+        ts.cast("date").alias("ingest_date"),
+        F.concat(F.lit("events_"), ts.cast("date").cast("string"), F.lit(".parquet"))
+        .alias("source_file_name"),
+        ts.alias("loaded_at"),
+    )
+    # Late-arriving duplicates for 10% of trips: newer loaded_at, new
+    # source file, corrected fare (+5) — latest-wins must pick these.
+    late = (
+        e.where(eid % 10 == 0)
+        .select(
+            eid.alias("trip_uid"),
+            F.when(eid % 89 == 0, F.lit("  "))
+            .otherwise(F.concat(F.lit("v"), (uid % 5).cast("string")))
+            .alias("vendor_raw"),
+            F.when(eid % 101 == 0, F.lit(None).cast("string"))
+            .otherwise(ts.cast("string"))
+            .alias("pickup_raw"),
+            ((eid % 600).cast("int") - 30).alias("duration_min"),
+            F.expr("CAST(ts + make_dt_interval(0, 0, CAST(event_id % 600 AS INT) - 30, 0) AS STRING)")
+            .alias("dropoff_raw"),
+            F.when(eid % 97 == 0, F.lit("N/A"))
+            .otherwise((val / 16.0).cast("string"))
+            .alias("distance_raw"),
+            (fare + 5.0).cast("string").alias("fare_raw"),
+            (1 + eid % 6).cast("string").alias("payment_src"),
+            (1 + eid % 4).cast("string").alias("pax_raw"),
+            (uid % 50).cast("int").alias("pu_loc_id"),
+            ((uid + 7) % 50).cast("int").alias("do_loc_id"),
+            (val * ((eid % 30).cast("double") / F.lit(100.0))).cast("string").alias("tip_raw"),
+            ts.cast("date").alias("ingest_date"),
+            F.concat(F.lit("late_"), ts.cast("date").cast("string"), F.lit(".parquet"))
+            .alias("source_file_name"),
+            F.expr("ts + INTERVAL 1 HOUR").alias("loaded_at"),
+        )
+    )
+    return base.unionByName(late)
+
+
+def typed_trips(raw: DataFrame) -> DataFrame:
+    """stg.trip analog: TRY_CAST coercion + string normalization."""
+    typed = typed_cast(
+        raw,
+        {
+            "pickup_raw": "timestamp",
+            "dropoff_raw": "timestamp",
+            "distance_raw": "double",
+            "fare_raw": "double",
+            "tip_raw": "double",
+            "pax_raw": "int",
+        },
+    )
+    return typed.select(
+        "trip_uid",
+        norm_str("vendor_raw").alias("vendor_code"),
+        F.col("pickup_raw").alias("pickup_ts"),
+        F.col("dropoff_raw").alias("dropoff_ts"),
+        "duration_min",
+        F.col("distance_raw").alias("trip_distance"),
+        F.col("fare_raw").alias("fare_amount"),
+        F.col("tip_raw").alias("tip_amount"),
+        F.col("pax_raw").alias("passenger_count"),
+        "payment_src",
+        "pu_loc_id",
+        "do_loc_id",
+        "ingest_date",
+        "source_file_name",
+        "loaded_at",
+    )
+
+
+def trip_reject_rules() -> list[Rule]:
+    # order matters: first match wins (err/21_err_trip.capture.sql CASE)
+    return [
+        Rule("NEGATIVE_FARE", F.col("fare_amount") < 0),
+        Rule("NEGATIVE_DISTANCE", F.col("trip_distance") < 0),
+        Rule("PICKUP_AFTER_DROPOFF", F.col("pickup_ts") > F.col("dropoff_ts")),
+        Rule(
+            "OTHER_BAD_VALUES",
+            F.col("pickup_ts").isNull()
+            | F.col("dropoff_ts").isNull()
+            | F.col("trip_distance").isNull()
+            | F.col("fare_amount").isNull(),
+        ),
+    ]
+
+
+def split_trips(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, rejected-with-reason) — err.trip capture analog."""
+    return split_good_bad(typed, trip_reject_rules())
+
+
+def clean_slice(typed: DataFrame) -> DataFrame:
+    """core.trip_clean_slice analog (slice_ctas.sql SELECT list)."""
+    good, _ = split_trips(typed)
+    return good.select(
+        F.col("vendor_code"),
+        F.col("trip_uid"),
+        F.col("pickup_ts").alias("pickup_ts_utc"),
+        F.col("dropoff_ts").alias("dropoff_ts_utc"),
+        miles_to_km("trip_distance").alias("trip_distance_km"),
+        F.col("fare_amount").cast("decimal(9,2)").alias("fare_amount"),
+        canonical_map("payment_src", PAYMENT_MAP).alias("payment_type"),
+        is_night_hour("pickup_ts").alias("is_night_ride"),
+        F.col("tip_amount"),
+        "pu_loc_id",
+        "do_loc_id",
+        "passenger_count",
+        "ingest_date",
+        "source_file_name",
+        "loaded_at",
+    )
+
+
+def trip_clean(typed: DataFrame) -> DataFrame:
+    """core.trip_clean analog: slice + deterministic latest-wins dedupe."""
+    return latest_wins(
+        clean_slice(typed),
+        ["trip_uid"],
+        [F.col("loaded_at").desc(), F.col("source_file_name").desc()],
+    )
+
+
+def dim_vendor(clean: DataFrame) -> DataFrame:
+    return build_dim(clean, ["vendor_code"], "vendor_key", unknown_nk="UNKNOWN")
+
+
+def dim_payment(clean: DataFrame) -> DataFrame:
+    return build_dim(clean.withColumnRenamed("payment_type", "payment_type_nk"),
+                     ["payment_type_nk"], "payment_type_key", unknown_nk="UNKNOWN")
+
+
+def dim_location(clean: DataFrame) -> DataFrame:
+    """Union of PU/DO zone ids (mdl/load/14_dim_location.upsert.sql)."""
+    ids = (
+        clean.select(F.col("pu_loc_id").alias("location_id_nk"))
+        .unionByName(clean.select(F.col("do_loc_id").alias("location_id_nk")))
+    )
+    return build_dim(ids, ["location_id_nk"], "location_key", unknown_nk=-1)
+
+
+def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mdl.fact_trip analog — the flagship end-to-end plan."""
+    typed = typed_trips(raw_trips(spark, sf_dir))
+    clean = trip_clean(typed)
+
+    v = dim_vendor(clean)
+    p = dim_payment(clean)
+    loc = dim_location(clean)
+
+    f = resolve_fk(clean, v, [("vendor_code", "vendor_code")], "vendor_key")
+    f = resolve_fk(f, p, [("payment_type", "payment_type_nk")], "payment_type_key")
+    f = resolve_fk(f, loc.withColumnRenamed("location_key", "pu_location_key"),
+                   [("pu_loc_id", "location_id_nk")], "pu_location_key")
+    f = resolve_fk(f, loc.withColumnRenamed("location_key", "do_location_key"),
+                   [("do_loc_id", "location_id_nk")], "do_location_key")
+
+    return f.select(
+        sha256_key(
+            F.coalesce(norm_str(F.col("vendor_code")), F.lit("")),
+            ts_iso("pickup_ts_utc"),
+            ts_iso("dropoff_ts_utc"),
+            F.col("fare_amount").cast("decimal(18,2)"),
+            F.col("trip_distance_km").cast("decimal(18,3)"),
+            F.coalesce(norm_str(F.col("payment_type")), F.lit("")),
+        ).alias("trip_id"),
+        date_key("pickup_ts_utc").alias("pickup_date_key"),
+        time_key("pickup_ts_utc").alias("pickup_time_key"),
+        "vendor_key",
+        "payment_type_key",
+        "pu_location_key",
+        "do_location_key",
+        "trip_distance_km",
+        "fare_amount",
+        F.col("tip_amount"),
+        "is_night_ride",
+        "ingest_date",
+        "source_file_name",
+        "loaded_at",
+    )
+
+
+def bi_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mdl.vw_fact_trip_bi analog: flattened fact + ratio metrics."""
+    typed = typed_trips(raw_trips(spark, sf_dir))
+    clean = trip_clean(typed)
+    v = dim_vendor(clean)
+    p = dim_payment(clean)
+
+    f = resolve_fk(clean, v, [("vendor_code", "vendor_code")], "vendor_key")
+    f = resolve_fk(f, p, [("payment_type", "payment_type_nk")], "payment_type_key")
+    return f.select(
+        date_key("pickup_ts_utc").alias("pickup_date_key"),
+        F.col("pickup_ts_utc").cast("date").alias("pickup_date"),
+        F.hour("pickup_ts_utc").alias("pickup_hour"),
+        F.col("is_night_ride"),
+        F.coalesce(F.col("vendor_code"), F.lit("UNKNOWN")).alias("vendor_code"),
+        F.coalesce(F.col("payment_type"), F.lit("UNKNOWN")).alias("payment_type"),
+        F.col("trip_distance_km"),
+        F.col("fare_amount"),
+        F.col("tip_amount"),
+        safe_ratio(F.col("tip_amount"), F.col("fare_amount").cast("double")).alias("tip_pct"),
+        safe_ratio(F.col("fare_amount").cast("double"), F.col("trip_distance_km")).alias("fare_per_km"),
+        "ingest_date",
+        "source_file_name",
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB / 1000-executor target):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+  and dynamic join-strategy switching replace hand-tuned partition
+  counts when the real cluster sees real data volumes.
+- ``spark.sql.shuffle.partitions`` here is a local-mode default; on a
+  real cluster it should be ~2-3x total cores and AQE coalesces down.
+- Arrow enabled so the few Pandas-UDF paths (multimodal decode) get
+  columnar batch transfer instead of per-row pickling.
+- Session timezone pinned to UTC: the reference stores DATETIME2 "UTC"
+  naive timestamps; pinning makes hour/date extractions deterministic
+  and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "azure-nyctaxi-lambda-elt-spark") -> SparkSession:
+    """Build (or fetch) a local SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally supplied
+    session (the driver owns the session in `__spark_entry__`).
+
+    Only touches keys that are safe to set after session start.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
