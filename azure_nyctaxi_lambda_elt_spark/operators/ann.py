@@ -1,0 +1,152 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus; every arithmetic step is a built-in higher-order
+  function (zip_with / aggregate) evaluated JVM-side in double
+  precision, element-cast first so the DuckDB oracle reproduces the
+  exact float path.
+- ``lsh_bucket_topk`` — the 100 TB path: random-hyperplane signatures
+  bucket the corpus; a query only scans its own (multi-probed) buckets,
+  so the per-query cost is |bucket| · n_probes instead of |corpus|.
+  Hyperplanes are md5-derived (deterministic, no RNG state to ship).
+
+Scale notes: the corpus side is never shuffled for brute force (the
+query side broadcasts); for LSH the corpus shuffles ONCE on the bucket
+key and can be written bucketed-by-signature so repeated query batches
+join shuffle-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 6
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (oracle-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def vec_ssq(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_vec(vec_col).alias("e"),
+    ).withColumn("ssq", vec_ssq(F.col("e")))
+
+
+def cosine_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every row matching query_pred.
+
+    Rank orders by the ROUNDED similarity (6 dp) with vec_id tie-break
+    so the ordering is engine-independent.
+    """
+    from pyspark.sql import Window
+
+    corpus = _prep(embeddings, id_col, vec_col)
+    queries = corpus.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("ssq").alias("qssq"),
+    )
+    cos = F.round(
+        vec_dot(F.col("qe"), F.col("e"))
+        / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("ssq"))),
+        6,
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim from md5 —
+    reproducible across drivers/executors with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 0xFFFFFFFF * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature = integer whose bit p is sign(dot(vec, plane_p))."""
+    sig = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(w) for w in row])
+        bit = F.when(vec_dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig.cast("int")
+
+
+def lsh_bucket_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
+                    n_planes: int = N_PLANES, multiprobe: bool = True,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN: exact cosine only within the query's signature
+    bucket (plus all hamming-1 probe buckets when multiprobe)."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(n_planes)
+    corpus = _prep(embeddings, id_col, vec_col).withColumn(
+        "bucket", _bucket_bits(F.col("e"), planes))
+    queries = corpus.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("ssq").alias("qssq"), F.col("bucket").alias("qb"),
+    )
+    if multiprobe:
+        probes = F.array(F.col("qb"), *[
+            F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ])
+        queries = queries.withColumn("probe", F.explode(probes))
+    else:
+        queries = queries.withColumn("probe", F.col("qb"))
+    cos = F.round(
+        vec_dot(F.col("qe"), F.col("e"))
+        / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("ssq"))),
+        6,
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), F.col("bucket") == F.col("probe"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )

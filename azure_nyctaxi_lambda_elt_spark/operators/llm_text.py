@@ -1,0 +1,296 @@
+"""LLM-training-data text operators: dedup family + text analysis.
+
+All hot paths are built-in Column expressions (JVM-side, inside
+WholeStageCodegen) — no Python UDFs.  Hash primitives are md5/sha2 so the
+DuckDB oracle can reproduce them bit-for-bit.
+
+Scale notes (100 TB corpus):
+- Shingling explodes each doc into ~|text| rows; the per-shingle joins
+  below shuffle on the shingle/band key (high cardinality, well spread).
+- Exact-Jaccard self-join is quadratic per shared shingle — it is the
+  verification stage; at scale you run it only on MinHash-LSH candidate
+  pairs (``minhash_lsh_candidates``), never all-pairs.
+- MinHash banding shuffles only (band_id, signature) pairs — the classic
+  MMDS ch.3 scheme — so the candidate join touches a tiny fraction of
+  the corpus cross product.
+- SimHash reduces each doc to 64 bits; candidate generation joins on
+  16-bit band equality (4 bands → hamming ≤ 3 guaranteed recall within
+  a band scheme, wider via threshold on exact hamming).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling primitives
+
+def ws_tokens(col: Column | str) -> Column:
+    """Non-empty whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """lower + trim + collapse runs of whitespace — canonical form for
+    exact dedup (normalization-then-hash, the standard corpus-dedup
+    pre-step)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, " +", " ")))
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """Ordered word n-gram shingles (duplicates preserved; wrap with
+    array_distinct for set semantics)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(col: Column | str, n: int) -> Column:
+    """Ordered character n-gram shingles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, sg) — one row per DISTINCT word-n-gram shingle per doc."""
+    toks = ws_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(toks, n))).alias("sg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Normalize→md5 content hash; canonical winner = min doc id per
+    group (deterministic).  One shuffle on the hash (high-cardinality,
+    uniform — the ideal partitioning key at 100 TB)."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), h)
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.3) -> DataFrame:
+    """All pairs with word-n-gram set Jaccard ≥ threshold.
+
+    inter(i,j) via a self-join on the shingle key; |A∪B| = |A|+|B|−inter.
+    At 100 TB run this only on LSH candidates — see module docstring.
+    """
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sg"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sa.n_sg") + F.col("sb.n_sg") - F.col("n_inter")).cast("double"),
+        6,
+    ).alias("jaccard")
+    return (
+        inter.join(sa, F.col("doc_i") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_j") == F.col("sb.doc_id"))
+        .select("doc_i", "doc_j", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+
+N_PERMS = 12
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       n_perms: int = N_PERMS) -> DataFrame:
+    """One row per doc with mh0..mh{P-1} MinHash components.
+
+    'Permutation' i = ordering induced by md5(i || '|' || shingle); the
+    component is the lexicographic min of the 32-hex digest — exactly
+    reproducible in any engine with md5.  One shuffle (groupBy doc)."""
+    sh = doc_shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sg")))).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Banded-LSH candidate pairs: docs agreeing on ≥1 of the 4 bands
+    (3 rows each).  Only (band_id, band_sig) flows through the shuffle."""
+    sig = minhash_signatures(docs, n)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                                     for r in range(ROWS_PER_BAND)])).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ])
+    exploded = (
+        sig.select("doc_id", F.explode(bands).alias("bd"))
+        .select("doc_id", F.col("bd.band_id").alias("band_id"),
+                F.col("bd.band_sig").alias("band_sig"))
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_HAMMING_MAX = 8
+
+
+def simhash_halves(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (h_hi, h_lo as longs).
+
+    Token hash = md5 hex split into two 32-bit words; each bit
+    contributes +1/−1 per token occurrence; the sign of each bit-sum is
+    the signature bit (Charikar 2002).  All 64 bit-sums are computed in
+    ONE groupBy pass — a single shuffle on doc_id."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    aggs = []
+    for b in range(32):
+        bit_hi = F.shiftright(hi, b).bitwiseAND(F.lit(1))
+        bit_lo = F.shiftright(lo, b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit_hi == 1, 1).otherwise(-1)).alias(f"shi{b}"))
+        aggs.append(F.sum(F.when(bit_lo == 1, 1).otherwise(-1)).alias(f"slo{b}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    h_hi = reduce(add, [
+        F.when(F.col(f"shi{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(32)
+    ])
+    h_lo = reduce(add, [
+        F.when(F.col(f"slo{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(32)
+    ])
+    return sums.select("doc_id", h_hi.alias("h_hi"), h_lo.alias("h_lo"))
+
+
+def simhash_pairs(docs: DataFrame,
+                  max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates join on equality of one of four 16-bit bands (any pair
+    within hamming ≤ 3 must share a band; the threshold then prunes
+    exactly), so the shuffle carries (band_id, 16-bit value) keys."""
+    sig = simhash_halves(docs)
+    bands = F.array(
+        F.struct(F.lit(0).alias("band_id"),
+                 F.shiftright(F.col("h_hi"), 16).bitwiseAND(F.lit(0xFFFF)).alias("val")),
+        F.struct(F.lit(1).alias("band_id"),
+                 F.col("h_hi").bitwiseAND(F.lit(0xFFFF)).alias("val")),
+        F.struct(F.lit(2).alias("band_id"),
+                 F.shiftright(F.col("h_lo"), 16).bitwiseAND(F.lit(0xFFFF)).alias("val")),
+        F.struct(F.lit(3).alias("band_id"),
+                 F.col("h_lo").bitwiseAND(F.lit(0xFFFF)).alias("val")),
+    )
+    ex = (
+        sig.select("doc_id", "h_hi", "h_lo", F.explode(bands).alias("bd"))
+        .select("doc_id", "h_hi", "h_lo",
+                F.col("bd.band_id").alias("band_id"), F.col("bd.val").alias("val"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = (
+        F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+        + F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
+    )
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"),
+                ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality / tokens / fingerprint
+
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es": ("el", "la", "de", "y", "es", "no", "un", "con"),
+    "fr": ("le", "la", "les", "et", "est", "ne", "un", "avec"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+LANGS = tuple(sorted(STOPWORDS))
+
+
+def _in_list(t: Column, words: tuple[str, ...]) -> Column:
+    return t.isin(*words)
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over lowercase tokens."""
+    toks = ws_tokens(F.lower(text_col))
+    return {
+        lang: F.size(F.filter(toks, lambda t: _in_list(t, words))).cast("int")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_pick_sql(score_cols: dict[str, str]) -> str:
+    """Shared ANSI CASE that argmaxes scores with alphabetical-lang
+    tie-break — the SAME sql text runs under Spark (F.expr) and DuckDB,
+    so the decision is definitionally identical in both engines."""
+    langs = list(LANGS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = [score_cols[l] for l in langs[i + 1:]]
+        rest_expr = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        clauses.append(f"WHEN {score_cols[lang]} >= {rest_expr} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"

@@ -27,6 +27,7 @@ from ..operators.upsert import merge_latest
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
 from . import trips_feed as tf
+from .llm_catalog import LLM_ORACLES, LLM_QUERIES
 from .oracle_trips import with_trips
 
 # ---------------------------------------------------------------------------
@@ -577,7 +578,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_n_per_group": q_top_n_per_group,
     "revenue_by_dim": q_revenue_by_dim,
     "sessionize": q_sessionize,
+    **LLM_QUERIES,
 }
+ORACLES.update(LLM_ORACLES)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,310 @@
+"""Set D: LLM-training-data pipeline operators over the ``documents``
+and ``embeddings`` tables, with DuckDB oracle twins.
+
+Hash primitives (md5) and rounding conventions are chosen so the oracle
+reproduces every value bit-for-bit; see plans/catalog.py docstring for
+the shared conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import llm_text as lt
+from ..operators.ann import cosine_topk, lsh_bucket_topk
+from ..operators.multimodal import decode_media, with_media_payload
+from ..session import apply_engine_conf
+from ..sources.tables import load_table
+
+JACCARD_N = 3
+JACCARD_TAU = 0.3
+ANN_K = 5
+ANN_QUERY_MOD = 50  # queries = vec_id % 50 == 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return lt.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return lt.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_N, JACCARD_TAU)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return lt.minhash_lsh_candidates(_docs(spark, sf_dir), JACCARD_N)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return lt.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cosine_topk(_emb(spark, sf_dir),
+                       F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return lsh_bucket_topk(_emb(spark, sf_dir),
+                           F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    scores = lt.lang_scores(F.col("text"))
+    out = docs.select(
+        "doc_id", "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in lt.LANGS],
+    )
+    pick = lt.lang_pick_sql({lang: f"score_{lang}" for lang in lt.LANGS})
+    return out.withColumn("predicted_lang", F.expr(pick))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = F.size(lt.ws_tokens(text))
+    punct_cnt = n_chars - F.length(F.regexp_replace(text, "[.,;:!?]", ""))
+    digit_cnt = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    alpha_cnt = n_chars - F.length(F.regexp_replace(text, "[a-zA-Z]", ""))
+    stop_cnt = F.size(F.filter(
+        lt.ws_tokens(F.lower(text)),
+        lambda t: t.isin(*lt.STOPWORDS["en"]),
+    ))
+    out = docs.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(punct_cnt.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(digit_cnt.cast("double") / n_chars.cast("double"), 6).alias("digit_ratio"),
+        F.round(alpha_cnt.cast("double") / n_chars.cast("double"), 6).alias("alpha_ratio"),
+        F.round(stop_cnt.cast("double") / n_tokens.cast("double"), 6).alias("stop_ratio"),
+    )
+    score = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        * (F.lit(1.0) - F.col("punct_ratio"))
+        * (F.lit(1.0) - F.col("digit_ratio"))
+        * (F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), F.col("stop_ratio") * 5.0)),
+        6,
+    )
+    return out.withColumn("quality_score", score)
+
+
+TOKEN_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_chars = F.length(text)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        F.size(lt.ws_tokens(text)).cast("int").alias("n_ws_tokens"),
+        F.regexp_count(text, F.lit(TOKEN_PAT)).cast("int").alias("n_regex_tokens"),
+        F.ceil(n_chars / F.lit(4.0)).cast("int").alias("approx_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(lt.char_shingles(F.col("text"), 8))).alias("sg"),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.min(F.md5(F.col("sg"))).alias("fingerprint"),
+        )
+        .withColumn("fp_prefix", F.substring(F.col("fingerprint"), 1, 16))
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return decode_media(with_media_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sg
+  FROM toks, UNNEST([array_to_string(t[i:i+{JACCARD_N - 1}], ' ')
+                     FOR i IN generate_series(1, len(t) - {JACCARD_N - 1})]) u(sg)
+)
+"""
+
+
+def _stop_in(words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"t IN ({quoted})"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> {_stop_in(lt.STOPWORDS[lang])})) AS INT)"
+    )
+
+
+_MH_COLS = ",\n    ".join(
+    f"MIN(md5('{i}|' || sg)) AS mh{i}" for i in range(lt.N_PERMS)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_sig FROM mh".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh{b * lt.ROWS_PER_BAND + r}" for r in range(lt.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(lt.N_BANDS)
+)
+
+LLM_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT doc_id, content_hash,
+               MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_doc_id,
+               COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+        FROM (SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS content_hash
+              FROM documents) t
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_i, doc_j,
+               round(CAST(n_inter AS DOUBLE)
+                     / CAST(sa.n_sg + sb.n_sg - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_i
+        JOIN sz sb ON sb.doc_id = doc_j
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / CAST(sa.n_sg + sb.n_sg - n_inter AS DOUBLE), 6) >= {JACCARD_TAU}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY 1),
+        bands AS ({_BAND_SELECTS})
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "ann_cosine_topk": f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        n AS (SELECT vec_id, e, list_sum([x * x FOR x IN e]) AS ssq FROM v),
+        q AS (SELECT vec_id AS q_id, e AS qe, ssq AS qssq FROM n
+              WHERE vec_id % {ANN_QUERY_MOD} = 0),
+        p AS (
+          SELECT q_id, vec_id AS neighbor_id,
+                 round(list_sum([qe[i] * e[i] FOR i IN generate_series(1, len(e))])
+                       / (sqrt(qssq) * sqrt(ssq)), 6) AS cos_sim
+          FROM q JOIN n ON vec_id <> q_id)
+        SELECT q_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+        FROM p
+        QUALIFY rnk <= {ANN_K}
+    """,
+    "lang_id": (
+        "WITH s AS (SELECT doc_id, lang, "
+        + ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in lt.LANGS)
+        + " FROM documents) SELECT doc_id, lang, "
+        + ", ".join(f"score_{lang}" for lang in lt.LANGS)
+        + ", "
+        + lt.lang_pick_sql({lang: f"score_{lang}" for lang in lt.LANGS})
+        + " AS predicted_lang FROM s"
+    ),
+    "text_quality": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(length(text) AS INT) AS n_chars,
+                 CAST(len({_TOKS}) AS INT) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_cnt,
+                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digit_cnt,
+                 CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS INT) AS alpha_cnt,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                      t -> {_stop_in(lt.STOPWORDS["en"])})) AS INT) AS stop_cnt
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars, n_tokens,
+                 round(CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+                 round(CAST(digit_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+                 round(CAST(alpha_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio,
+                 round(CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio
+          FROM m)
+        SELECT *,
+               round(least(1.0, n_tokens / 100.0)
+                     * (1.0 - punct_ratio) * (1.0 - digit_ratio)
+                     * (0.5 + 0.5 * least(1.0, stop_ratio * 5.0)), 6) AS quality_score
+        FROM r
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_PAT}')) AS INT) AS n_regex_tokens,
+               CAST(ceil(length(text) / 4.0) AS INT) AS approx_bpe_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, sg
+          FROM documents,
+               UNNEST([substring(text, i, 8)
+                       FOR i IN generate_series(1, len(text) - 7)]) u(sg))
+        SELECT doc_id, COUNT(*) AS n_shingles, MIN(md5(sg)) AS fingerprint,
+               substring(MIN(md5(sg)), 1, 16) AS fp_prefix
+        FROM sh GROUP BY 1
+    """,
+}
+
+LLM_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}

@@ -1,0 +1,107 @@
+"""Unit semantics for the LLM-pipeline operators (set D) on tiny
+crafted frames — edge rows the sf tables don't guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  quick   brown fox jumps over the lazy dog"),  # = 1 after norm
+        (3, "the quick brown fox jumps over the lazy cat"),      # near-dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    from azure_nyctaxi_lambda_elt_spark.operators.llm_text import exact_dedup
+
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[1]["canonical_doc_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["is_duplicate"]
+    assert out[5]["canonical_doc_id"] == 1 and out[5]["is_duplicate"]
+    assert out[4]["group_size"] == 1 and not out[4]["is_duplicate"]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from azure_nyctaxi_lambda_elt_spark.operators.llm_text import ngram_jaccard_pairs
+
+    pairs = {(r["doc_i"], r["doc_j"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert pairs[(1, 5)] == 1.0          # exact dup
+    assert 0.3 <= pairs[(1, 3)] < 1.0    # near dup
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_catches_exact_and_near(docs):
+    from azure_nyctaxi_lambda_elt_spark.operators.llm_text import (
+        N_BANDS, minhash_lsh_candidates)
+
+    cand = {(r["doc_i"], r["doc_j"]): r["n_shared_bands"]
+            for r in minhash_lsh_candidates(docs).collect()}
+    assert cand[(1, 5)] == N_BANDS  # identical docs share every band
+    assert all(4 not in p for p in cand)
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    from azure_nyctaxi_lambda_elt_spark.operators.llm_text import simhash_pairs
+
+    pairs = {(r["doc_i"], r["doc_j"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 5)] == 0
+    assert pairs[(1, 2)] == 0  # simhash is token-multiset based; same tokens
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    from azure_nyctaxi_lambda_elt_spark.operators.ann import (
+        cosine_topk, lsh_bucket_topk)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pred = F.col("vec_id") % 50 == 0
+    brute = {(r["q_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, pred, 5).collect()}
+    bucketed = {(r["q_id"], r["neighbor_id"])
+                for r in lsh_bucket_topk(emb, pred, 5).collect()}
+    recall = len(brute & bucketed) / len(brute)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} too low"
+    assert len(bucketed) <= len(brute)  # at most k per query
+
+
+def test_multimodal_decode_deterministic(spark):
+    from azure_nyctaxi_lambda_elt_spark.operators.multimodal import (
+        decode_media, with_media_payload)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    a = decode_media(with_media_payload(docs)).collect()
+    b = decode_media(with_media_payload(docs)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    row = {r["doc_id"]: r for r in a}
+    for r in a:
+        assert r["media_type"] in ("image", "audio", "video")
+        assert r["byte_len"] > 0 and len(r["content_sha"]) == 64
+        if r["media_type"] == "image":
+            assert r["n_frames"] == 1 and r["width"] >= 64
+        if r["media_type"] == "audio":
+            assert r["sample_rate"] >= 8000 and r["width"] == 0
+
+
+def test_lang_id_deterministic_argmax(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.llm_catalog import q_lang_id
+
+    out = q_lang_id(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        scores = {l: r[f"score_{l}"] for l in ("de", "en", "es", "fr", "zh")}
+        best = max(scores.values())
+        # predicted lang must be the alphabetically-first argmax
+        winners = [l for l in sorted(scores) if scores[l] == best]
+        assert r["predicted_lang"] == winners[0]
