@@ -346,6 +346,81 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C. streaming lane + write paths
+#
+# Each streaming query runs its Structured-Streaming pipeline to
+# completion (availableNow trigger) against file sinks under /tmp, then
+# returns the sink read back.  Because every pre-sink transform is a
+# pure row function and the cross-batch merges are associative, three
+# of the four match the BATCH oracles value-for-value.
+
+_STREAM_TMP = "/tmp/spark_graft_stream"
+_WRITE_TMP = "/tmp/spark_graft_write"
+
+
+def _out_dir(base: str, name: str, sf_dir: str) -> str:
+    import os
+
+    return os.path.join(base, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
+
+
+def q_streaming_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_dlq_routing
+
+    apply_engine_conf(spark)
+    _, dlq = run_dlq_routing(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "dlq_routing", sf_dir))
+    return dlq
+
+
+def q_streaming_windowed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_windowed_audit
+
+    apply_engine_conf(spark)
+    return run_windowed_audit(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "windowed_audit", sf_dir))
+
+
+def q_streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_streaming_dedupe
+
+    apply_engine_conf(spark)
+    return run_streaming_dedupe(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "dedupe", sf_dir))
+
+
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_upsert
+
+    apply_engine_conf(spark)
+    return run_upsert(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "upsert", sf_dir))
+
+
+def q_idempotent_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write trip_clean partitioned by ingest_date, then rerun only the
+    day>=20 slice with corrected fares — dynamic partition overwrite
+    must replace exactly those partitions (core/12 step-1 wipe analog)."""
+    import shutil
+
+    from ..operators.upsert import write_partition_overwrite
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "ipl", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    write_partition_overwrite(clean, out, ["ingest_date"])
+    rerun = (
+        clean.where(F.dayofmonth("ingest_date") >= 20)
+        .withColumn("fare_amount", (F.col("fare_amount") + 10).cast("decimal(9,2)"))
+        .withColumn("source_file_name",
+                    F.concat(F.lit("rerun_"), F.col("source_file_name")))
+    )
+    write_partition_overwrite(rerun, out, ["ingest_date"])
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 
 _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4)))"
@@ -578,9 +653,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_n_per_group": q_top_n_per_group,
     "revenue_by_dim": q_revenue_by_dim,
     "sessionize": q_sessionize,
+    "streaming_dlq_routing": q_streaming_dlq_routing,
+    "streaming_windowed_audit": q_streaming_windowed_audit,
+    "streaming_dedupe": q_streaming_dedupe,
+    "streaming_upsert": q_streaming_upsert,
+    "idempotent_partition_load": q_idempotent_partition_load,
     **LLM_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
+# streaming pipelines reproduce the batch answers exactly (pure row
+# transforms + associative merges) → reuse the batch oracles;
+# streaming_dedupe is first-arrival-wins (order-dependent) → rows-only.
+ORACLES["streaming_dlq_routing"] = ORACLES["dlq_routing"]
+ORACLES["streaming_windowed_audit"] = ORACLES["quality_audit"]
+ORACLES["streaming_upsert"] = ORACLES["dedupe_latest_wins"]
+ORACLES["idempotent_partition_load"] = with_trips("""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km,
+           CASE WHEN day(ingest_date) >= 20
+                THEN CAST(fare_amount + 10 AS DECIMAL(9,2))
+                ELSE fare_amount END AS fare_amount,
+           payment_type, is_night_ride, tip_amount, pu_loc_id, do_loc_id,
+           passenger_count,
+           CASE WHEN day(ingest_date) >= 20
+                THEN 'rerun_' || source_file_name
+                ELSE source_file_name END AS source_file_name,
+           loaded_at, ingest_date
+    FROM trip_clean
+""")
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

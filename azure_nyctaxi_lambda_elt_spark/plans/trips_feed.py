@@ -61,7 +61,12 @@ def events_ts_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dirty trip feed from events (+ late duplicates)."""
-    e = events_ts_fixed(spark, sf_dir)
+    return raw_trips_from_events(events_ts_fixed(spark, sf_dir))
+
+
+def raw_trips_from_events(e: DataFrame) -> DataFrame:
+    """Feed derivation over any events frame — batch OR streaming (all
+    ops are narrow + self-union, both stream-legal)."""
     eid, uid, val, ts = F.col("event_id"), F.col("user_id"), F.col("value"), F.col("ts")
     fare = F.when(eid % 53 == 0, -val).otherwise(val)
     base = e.select(

@@ -1,0 +1,276 @@
+"""Structured-Streaming lane: the reference's Event Hubs → ASA →
+hourly-upsert pipeline re-expressed as readStream → narrow transforms →
+foreachBatch sinks.
+
+Reference parity:
+- events_stream + dq_route_stream ≈ the ASA job (infra/scripts/
+  asa-wire.sh): tolerant parse → DQ flags (missingRequired /
+  negativeValues / badDuration) → curated + DLQ sinks with reason.
+- run_windowed_audit ≈ stg.TripsStreaming_Quality_Audit (sql/streaming/
+  staging/0008_TripsStreaming_Quality_Audit.sql): per-hour good/dlq/
+  per-reason counts, maintained incrementally per micro-batch.
+- run_upsert ≈ the hourly MERGE lane (usp_upsert_trips_from_streaming /
+  usp_upsert_trip_clean_from_slice_streaming.sql): each micro-batch is
+  slice-built, deduped, and latest-wins-merged into the warehouse.
+
+Determinism contract (what makes these oracle-checkable): every
+transform before the sink is a pure function of the event row, and the
+cross-batch merge is latest-wins under a TOTAL order (loaded_at,
+source_file_name) — an associative/commutative reduction, so the final
+sink state is independent of micro-batch boundaries and equals the
+batch pipeline's answer over the same events.
+
+Scale notes: watermarks bound all streaming state; the windowed audit
+keys state by (hour bucket) only; the upsert's foreachBatch merge is a
+key-hash shuffle of batch ∪ touched-warehouse rows — with the warehouse
+partitioned by ingest_date only touched partitions are rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedupe import latest_wins
+from ..plans import trips_feed as tf
+
+ORDER_COLS = ("loaded_at", "source_file_name")
+
+
+def _order_by():
+    return [F.col(c).desc() for c in ORDER_COLS]
+
+
+def _stage_source_dir(sf_dir: str) -> str:
+    """FileStreamSource needs a DIRECTORY; the testdata table is a single
+    parquet file — stage it via symlink (zero-copy)."""
+    src = os.path.join("/tmp/spark_graft_stream/src",
+                       os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return src
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None,
+                  source_dir: str | None = None) -> DataFrame:
+    """File-source stream over the events table (the Event Hubs stand-in).
+
+    Schema comes from a batch peek (production would pin it); the
+    nanosecond `ts` long is fixed up exactly like the batch path.
+    ``source_dir`` overrides the staged single-file dir (tests use it to
+    feed multiple time-ordered files → real micro-batch sequencing).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = source_dir or _stage_source_dir(sf_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(path)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+def _dq_parts():
+    """The ASA DQ predicates (first-match-wins reason)."""
+    missing = F.col("pickup_ts").isNull() | F.col("dropoff_ts").isNull()
+    negative = (
+        (F.coalesce(F.col("trip_distance"), F.lit(0.0)) < 0)
+        | (F.coalesce(F.col("fare_amount"), F.lit(0.0)) < 0)
+        | (F.coalesce(F.col("tip_amount"), F.lit(0.0)) < 0)
+    )
+    bad_dur = (F.col("duration_min") < 0) | (F.col("duration_min") > 480)
+    return missing, negative, bad_dur
+
+
+def _flagged(events: DataFrame) -> DataFrame:
+    """typed parse + `reason` DQ flag column (NULL = curated)."""
+    typed = tf.typed_trips(tf.raw_trips_from_events(events))
+    missing, negative, bad_dur = _dq_parts()
+    reason = (
+        F.when(missing, "missing_required")
+        .when(negative, "negative_values")
+        .when(bad_dur, "bad_duration")
+    )
+    return typed.withColumn("reason", reason)
+
+
+_DLQ_COLS = ("pickup_ts", "dropoff_ts", "vendor_code", "trip_distance",
+             "fare_amount", "duration_min", "reason", "loaded_at")
+
+
+def _dlq_select(flagged: DataFrame) -> DataFrame:
+    return flagged.where(F.col("reason").isNotNull()).select(
+        F.col("trip_uid").alias("event_id"), *_DLQ_COLS)
+
+
+def dq_route_stream(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ASA query analog on a streaming frame: typed parse → (curated,
+    dlq-with-reason). All narrow ops — no streaming state."""
+    flagged = _flagged(events)
+    curated = flagged.where(F.col("reason").isNull()).drop("reason")
+    return curated, _dlq_select(flagged)
+
+
+def _reset(*dirs: str) -> None:
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_available_now(writer_builder) -> None:
+    q = writer_builder.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def run_dlq_routing(spark: SparkSession, sf_dir: str, out_dir: str,
+                    max_files_per_trigger: int | None = None,
+                    source_dir: str | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Run the routing stream to completion; returns (curated, dlq)
+    read back from the parquet sinks."""
+    curated_dir = os.path.join(out_dir, "curated")
+    dlq_dir = os.path.join(out_dir, "dlq")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(curated_dir, dlq_dir, ckpt)
+    flagged = _flagged(events_stream(spark, sf_dir, max_files_per_trigger, source_dir))
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        # one pass over the batch feeds BOTH sinks (the ASA job's
+        # 3-output SELECT analog)
+        batch.persist()
+        try:
+            batch.where(F.col("reason").isNull()).drop("reason").write.mode(
+                "append").parquet(curated_dir)
+            _dlq_select(batch).write.mode("append").parquet(dlq_dir)
+        finally:
+            batch.unpersist()
+
+    _run_available_now(
+        flagged.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(curated_dir), spark.read.parquet(dlq_dir)
+
+
+def run_windowed_audit(spark: SparkSession, sf_dir: str, out_dir: str,
+                       max_files_per_trigger: int | None = None,
+                       source_dir: str | None = None) -> DataFrame:
+    """Watermarked tumbling-hour quality audit, maintained by merging
+    each micro-batch's partial counts into the sink (update-mode
+    equivalent via foreachBatch sum-merge)."""
+    audit_dir = os.path.join(out_dir, "audit")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(audit_dir, ckpt)
+    typed = tf.typed_trips(tf.raw_trips_from_events(
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)))
+    missing = F.col("pickup_ts").isNull() | F.col("dropoff_ts").isNull()
+    negative = (
+        (F.coalesce(F.col("trip_distance"), F.lit(0.0)) < 0)
+        | (F.coalesce(F.col("fare_amount"), F.lit(0.0)) < 0)
+        | (F.coalesce(F.col("tip_amount"), F.lit(0.0)) < 0)
+    )
+    bad_dur = (F.col("duration_min") < 0) | (F.col("duration_min") > 480)
+    is_dlq = missing | negative | bad_dur
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    agg = (
+        typed.withWatermark("loaded_at", "2 hours")
+        .groupBy(F.window("loaded_at", "1 hour").alias("w"))
+        .agg(
+            one(~is_dlq).alias("good_rows"),
+            one(is_dlq).alias("dlq_rows"),
+            one(missing).alias("missing_required"),
+            one(~missing & negative).alias("negative_values"),
+            one(~missing & ~negative & bad_dur).alias("bad_duration"),
+        )
+        .select(F.col("w.start").alias("hour_bucket"), "good_rows", "dlq_rows",
+                "missing_required", "negative_values", "bad_duration")
+    )
+
+    def merge_counts(batch: DataFrame, batch_id: int) -> None:
+        # update-mode emissions are the COMPLETE current totals per
+        # window → merge is replace-by-key (latest emission wins)
+        spark_b = batch.sparkSession
+        try:
+            prev = spark_b.read.parquet(audit_dir)
+        except Exception:
+            prev = None
+        merged = batch if prev is None else (
+            prev.join(batch.select("hour_bucket"), "hour_bucket", "left_anti")
+            .unionByName(batch)
+        )
+        tmp = audit_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _reset(audit_dir)
+        os.rename(tmp, audit_dir)
+
+    _run_available_now(
+        agg.writeStream.outputMode("update").foreachBatch(merge_counts)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(audit_dir)
+
+
+def run_streaming_dedupe(spark: SparkSession, sf_dir: str, out_dir: str,
+                         max_files_per_trigger: int | None = None,
+                         source_dir: str | None = None) -> DataFrame:
+    """dropDuplicates on the business key with a watermark bounding the
+    dedup state — first arrival wins (the streaming-native contract;
+    the warehouse layer's latest-wins merge refines it)."""
+    dedup_dir = os.path.join(out_dir, "dedup")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(dedup_dir, ckpt)
+    typed = tf.typed_trips(tf.raw_trips_from_events(
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)))
+    wm = typed.withWatermark("loaded_at", "2 hours")
+    # dropDuplicatesWithinWatermark bounds the dedup state by the
+    # watermark horizon (the only viable contract at 100 TB/day);
+    # duplicates in this feed arrive ≤1 h late, inside the 2 h horizon.
+    try:
+        deduped = wm.dropDuplicatesWithinWatermark(["trip_uid"])
+    except AttributeError:
+        deduped = wm.dropDuplicates(["trip_uid"])
+    _run_available_now(
+        deduped.writeStream.format("parquet")
+        .option("path", dedup_dir)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(dedup_dir)
+
+
+def run_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
+               max_files_per_trigger: int | None = None,
+               source_dir: str | None = None) -> DataFrame:
+    """Hourly-upsert analog: per micro-batch, build the clean slice,
+    dedupe it, and latest-wins-merge into the warehouse parquet dir.
+
+    The merge order (loaded_at DESC, source_file_name DESC) is total, so
+    warehouse_final = latest_wins(all slice rows) regardless of how the
+    stream was batched — byte-identical to the batch trip_clean."""
+    wh_dir = os.path.join(out_dir, "warehouse")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(wh_dir, ckpt)
+    slice_stream = tf.clean_slice(tf.typed_trips(tf.raw_trips_from_events(
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir))))
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        incoming = latest_wins(batch, ["trip_uid"], _order_by())
+        try:
+            prev = spark_b.read.parquet(wh_dir)
+        except Exception:
+            prev = None
+        merged = incoming if prev is None else latest_wins(
+            prev.unionByName(incoming), ["trip_uid"], _order_by())
+        tmp = wh_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _reset(wh_dir)
+        os.rename(tmp, wh_dir)
+
+    _run_available_now(
+        slice_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(wh_dir)

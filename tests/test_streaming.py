@@ -1,0 +1,97 @@
+"""Streaming lane: multi-micro-batch runs over time-ordered file feeds
+must reproduce the batch pipeline exactly (the determinism contract in
+streaming/lane.py's docstring)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+OUT = "/tmp/spark_graft_stream_test"
+
+
+@pytest.fixture(scope="module")
+def feed_dir(request):
+    """events split into 3 time-ordered files → 3 micro-batches."""
+    import pyspark.sql
+
+    spark = request.getfixturevalue("spark")
+    src = os.path.join(OUT, "feed")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts")
+    n = ev.count()
+    rows_per = (n + 2) // 3
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(
+            pyspark.sql.Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())))
+    for i in range(3):
+        part = (
+            ranked.where((F.col("rn") > i * rows_per) & (F.col("rn") <= (i + 1) * rows_per))
+            .drop("rn").coalesce(1)
+        )
+        stage = os.path.join(OUT, f"stage{i}")
+        part.write.mode("overwrite").parquet(stage)
+        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.rename(pf, os.path.join(src, f"{i:03d}.parquet"))
+    return src
+
+
+def test_multibatch_upsert_equals_batch_trip_clean(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_upsert
+
+    got = run_upsert(spark, SF_SMOKE, os.path.join(OUT, "upsert"),
+                     max_files_per_trigger=1, source_dir=feed_dir)
+    want = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, SF_SMOKE)))
+    g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+    assert g == w  # byte-identical to the batch answer despite 3 batches
+
+
+def test_multibatch_audit_equals_batch_quality_audit(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import q_quality_audit
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_windowed_audit
+
+    got = run_windowed_audit(spark, SF_SMOKE, os.path.join(OUT, "audit"),
+                             max_files_per_trigger=1, source_dir=feed_dir)
+    want = q_quality_audit(spark, SF_SMOKE)
+    g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+    assert g == w
+
+
+def test_multibatch_dlq_routing_counts(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import q_dlq_routing
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_dlq_routing
+
+    curated, dlq = run_dlq_routing(spark, SF_SMOKE, os.path.join(OUT, "dlq"),
+                                   max_files_per_trigger=1, source_dir=feed_dir)
+    want_dlq = q_dlq_routing(spark, SF_SMOKE)
+    assert dlq.count() == want_dlq.count()
+    g = sorted(map(tuple, dlq.select(*sorted(dlq.columns)).collect()))
+    w = sorted(map(tuple, want_dlq.select(*sorted(want_dlq.columns)).collect()))
+    assert g == w
+    # routing is a partition: curated + dlq = every typed row
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    total = tf.typed_trips(tf.raw_trips(spark, SF_SMOKE)).count()
+    assert curated.count() + dlq.count() == total
+
+
+def test_multibatch_dedupe_one_row_per_key(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_streaming_dedupe
+
+    got = run_streaming_dedupe(spark, SF_SMOKE, os.path.join(OUT, "dedup"),
+                               max_files_per_trigger=1, source_dir=feed_dir)
+    typed = tf.typed_trips(tf.raw_trips(spark, SF_SMOKE))
+    assert got.count() == typed.select("trip_uid").distinct().count()
+    assert got.groupBy("trip_uid").count().where(F.col("count") > 1).count() == 0
