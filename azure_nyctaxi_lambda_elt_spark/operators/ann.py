@@ -89,6 +89,31 @@ def cosine_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     )
 
 
+def cosine_pairs(embeddings: DataFrame, tau: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs: all (i < j) with rounded cosine
+    ≥ tau — exact brute force.
+
+    At 100 TB this is the VERIFY stage over LSH candidates
+    (``lsh_bucket_topk``'s signature-equality join generates them);
+    all-pairs is only run directly at oracle scale."""
+    corpus = _prep(embeddings, id_col, vec_col)
+    a = corpus.select(F.col("vec_id").alias("id_i"), F.col("e").alias("ea"),
+                      F.col("ssq").alias("sa"))
+    b = corpus.select(F.col("vec_id").alias("id_j"), F.col("e").alias("eb"),
+                      F.col("ssq").alias("sb"))
+    cos = F.round(
+        vec_dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(F.col("sa")) * F.sqrt(F.col("sb"))),
+        6,
+    )
+    return (
+        a.join(b, F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= tau)
+    )
+
+
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim from md5 —
     reproducible across drivers/executors with no RNG state."""

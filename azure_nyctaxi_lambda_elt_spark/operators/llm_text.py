@@ -69,11 +69,19 @@ def char_shingles(col: Column | str, n: int) -> Column:
 
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """(doc_id, sg) — one row per DISTINCT word-n-gram shingle per doc."""
-    toks = ws_tokens(F.col(text_col))
-    return docs.select(
+    """(doc_id, sg) — one row per DISTINCT word-n-gram shingle per doc.
+
+    Tokenization is a SEPARATE projection: inlining it into the shingle
+    expression makes Spark re-evaluate split+filter once per reference
+    (measured 10x slower at sf0.1 — no common-subexpression elimination
+    inside interpreted higher-order functions)."""
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(toks, n))).alias("sg"),
+        ws_tokens(F.col(text_col)).alias("__t"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("__t"), n))).alias("sg"),
     )
 
 
@@ -197,16 +205,21 @@ def simhash_halves(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
+    # hash halves projected ONCE per token row; the 64 bit-sum aggs then
+    # reference plain columns (inlined, each agg would recompute md5+conv)
     h = F.md5(F.col("tok"))
-    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
     aggs = []
     for b in range(32):
-        bit_hi = F.shiftright(hi, b).bitwiseAND(F.lit(1))
-        bit_lo = F.shiftright(lo, b).bitwiseAND(F.lit(1))
+        bit_hi = F.shiftright(F.col("__hi"), b).bitwiseAND(F.lit(1))
+        bit_lo = F.shiftright(F.col("__lo"), b).bitwiseAND(F.lit(1))
         aggs.append(F.sum(F.when(bit_hi == 1, 1).otherwise(-1)).alias(f"shi{b}"))
         aggs.append(F.sum(F.when(bit_lo == 1, 1).otherwise(-1)).alias(f"slo{b}"))
-    sums = toks.groupBy("doc_id").agg(*aggs)
+    sums = hashed.groupBy("doc_id").agg(*aggs)
     h_hi = reduce(add, [
         F.when(F.col(f"shi{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(32)
@@ -274,11 +287,12 @@ def _in_list(t: Column, words: tuple[str, ...]) -> Column:
     return t.isin(*words)
 
 
-def lang_scores(text_col: Column) -> dict[str, Column]:
-    """Stopword-hit count per language over lowercase tokens."""
-    toks = ws_tokens(F.lower(text_col))
+def lang_scores(tokens_col: Column) -> dict[str, Column]:
+    """Stopword-hit count per language. ``tokens_col`` must be a
+    MATERIALIZED lowercase-token array column (project it first — the
+    five per-language filters would otherwise each re-tokenize)."""
     return {
-        lang: F.size(F.filter(toks, lambda t: _in_list(t, words))).cast("int")
+        lang: F.size(F.filter(tokens_col, lambda t: _in_list(t, words))).cast("int")
         for lang, words in STOPWORDS.items()
     }
 

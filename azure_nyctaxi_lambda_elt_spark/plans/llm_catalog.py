@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import llm_text as lt
-from ..operators.ann import cosine_topk, lsh_bucket_topk
+from ..operators.ann import cosine_pairs, cosine_topk, lsh_bucket_topk
 from ..operators.multimodal import decode_media, with_media_payload
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
@@ -66,11 +66,21 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
 
 
+COS_TAU = 0.45
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cosine_pairs(_emb(spark, sf_dir), COS_TAU)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = _docs(spark, sf_dir)
-    scores = lt.lang_scores(F.col("text"))
-    out = docs.select(
+    toks = docs.select(
+        "doc_id", "lang", lt.ws_tokens(F.lower(F.col("text"))).alias("__t"))
+    scores = lt.lang_scores(F.col("__t"))
+    out = toks.select(
         "doc_id", "lang",
         *[scores[lang].alias(f"score_{lang}") for lang in lt.LANGS],
     )
@@ -82,16 +92,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = _docs(spark, sf_dir)
     text = F.col("text")
+    # tokens materialized once (see doc_shingles docstring on HOF CSE)
+    staged = docs.select(
+        "doc_id", "text", lt.ws_tokens(F.lower(text)).alias("__t"))
     n_chars = F.length(text)
-    n_tokens = F.size(lt.ws_tokens(text))
+    n_tokens = F.size(F.col("__t"))
     punct_cnt = n_chars - F.length(F.regexp_replace(text, "[.,;:!?]", ""))
     digit_cnt = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
     alpha_cnt = n_chars - F.length(F.regexp_replace(text, "[a-zA-Z]", ""))
     stop_cnt = F.size(F.filter(
-        lt.ws_tokens(F.lower(text)),
+        F.col("__t"),
         lambda t: t.isin(*lt.STOPWORDS["en"]),
     ))
-    out = docs.select(
+    out = staged.select(
         "doc_id",
         n_chars.cast("int").alias("n_chars"),
         n_tokens.cast("int").alias("n_tokens"),
@@ -242,6 +255,17 @@ LLM_ORACLES: dict[str, str] = {
         FROM p
         QUALIFY rnk <= {ANN_K}
     """,
+    "dedup_embedding_cosine": f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        n AS (SELECT vec_id, e, list_sum([x * x FOR x IN e]) AS ssq FROM v)
+        SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+               round(list_sum([a.e[k] * b.e[k] FOR k IN generate_series(1, len(a.e))])
+                     / (sqrt(a.ssq) * sqrt(b.ssq)), 6) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum([a.e[k] * b.e[k] FOR k IN generate_series(1, len(a.e))])
+                    / (sqrt(a.ssq) * sqrt(b.ssq)), 6) >= {COS_TAU}
+    """,
     "lang_id": (
         "WITH s AS (SELECT doc_id, lang, "
         + ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in lt.LANGS)
@@ -300,6 +324,7 @@ LLM_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "lang_id": q_lang_id,

@@ -230,9 +230,17 @@ def dim_location(clean: DataFrame) -> DataFrame:
 
 
 def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mdl.fact_trip analog — the flagship end-to-end plan."""
+    """mdl.fact_trip analog — the flagship end-to-end plan.
+
+    `clean` is persisted: the reference MATERIALIZES core.trip_clean
+    before the star build, and without it Spark recomputes the
+    scan→clean→dedupe subtree once per dim build + FK join (28 scans /
+    50 windows in the unpersisted plan). At warehouse scale the same
+    role is played by the written trip_clean table (see
+    write_partition_overwrite); in-memory persist is the single-query
+    analog."""
     typed = typed_trips(raw_trips(spark, sf_dir))
-    clean = trip_clean(typed)
+    clean = trip_clean(typed).persist()
 
     v = dim_vendor(clean)
     p = dim_payment(clean)
@@ -273,7 +281,7 @@ def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bi_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mdl.vw_fact_trip_bi analog: flattened fact + ratio metrics."""
     typed = typed_trips(raw_trips(spark, sf_dir))
-    clean = trip_clean(typed)
+    clean = trip_clean(typed).persist()
     v = dim_vendor(clean)
     p = dim_payment(clean)
 

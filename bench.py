@@ -24,7 +24,22 @@ BENCH_QUERIES = [
     "top_n_per_group",
     "sessionize",
     "quality_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
 ]
+
+
+def _force(df) -> None:
+    """Force FULL plan execution.  count() lets Catalyst prune projected
+    expressions (a map-only query would measure ~nothing); the noop sink
+    evaluates every output column without write cost."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -35,13 +50,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing once (excluded from per-query timings)
-    QUERIES["hourly_trend"](spark, sf_dir).count()
+    # warm the JVM: run every bench plan once at the smallest SF so
+    # codegen compilation is excluded from the sf-scale timings
+    for name in BENCH_QUERIES:
+        _force(QUERIES[name](spark, "/root/testdata/sf0.001"))
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        spark.catalog.clearCache()  # isolate: no cross-query cache reuse
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()  # force full execution
+        _force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
