@@ -114,6 +114,77 @@ def cosine_pairs(embeddings: DataFrame, tau: float,
     )
 
 
+def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
+             n_centroids: int = 16, n_probes: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells,
+    probe only the query's ``n_probes`` nearest cells.
+
+    Centroids here are a deterministic sample (lowest ids) standing in
+    for a k-means codebook — the Spark-side structure (broadcast
+    codebook, one-pass cell assignment, cell-equality join, exact
+    re-rank) is the production shape; swap the codebook source for
+    pyspark.ml KMeans offline when available.
+
+    Scale notes: the index build is one broadcast pass over the corpus
+    (|corpus| x M dot products, no shuffle of the corpus); the query
+    join touches ~n_probes/M of the corpus and the cell id is the
+    natural bucketing key for the stored index."""
+    from pyspark.sql import Window
+
+    corpus = _prep(embeddings, id_col, vec_col)
+    cent = (
+        corpus.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"),
+                F.col("ssq").alias("cssq"))
+    )
+    cent_cos = F.round(
+        vec_dot(F.col("e"), F.col("ce"))
+        / (F.sqrt(F.col("ssq")) * F.sqrt(F.col("cssq"))),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__ccos").desc(), F.col("c_id").asc())
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", cent_cos)
+        .withColumn("__r", F.row_number().over(w_assign))
+        .where(F.col("__r") == 1)
+        .select("vec_id", "e", "ssq", F.col("c_id").alias("cell"))
+    )
+    queries = assigned.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("ssq").alias("qssq"),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("__ccos", F.round(
+            vec_dot(F.col("qe"), F.col("ce"))
+            / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("cssq"))), 6))
+        .withColumn("__r", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("__ccos").desc(), F.col("c_id").asc())))
+        .where(F.col("__r") <= n_probes)
+        .select("q_id", "qe", "qssq", F.col("c_id").alias("cell"))
+    )
+    cos = F.round(
+        vec_dot(F.col("qe"), F.col("e"))
+        / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("ssq"))),
+        6,
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim from md5 —
     reproducible across drivers/executors with no RNG state."""

@@ -397,6 +397,14 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "upsert", sf_dir))
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import run_streaming_sessionize
+
+    apply_engine_conf(spark)
+    return run_streaming_sessionize(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "sessionize", sf_dir))
+
+
 def q_idempotent_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write trip_clean partitioned by ingest_date, then rerun only the
     day>=20 slice with corrected fares — dynamic partition overwrite
@@ -657,6 +665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_audit": q_streaming_windowed_audit,
     "streaming_dedupe": q_streaming_dedupe,
     "streaming_upsert": q_streaming_upsert,
+    "streaming_sessionize": q_streaming_sessionize,
     "idempotent_partition_load": q_idempotent_partition_load,
     **LLM_QUERIES,
 }
@@ -667,6 +676,9 @@ ORACLES.update(LLM_ORACLES)
 ORACLES["streaming_dlq_routing"] = ORACLES["dlq_routing"]
 ORACLES["streaming_windowed_audit"] = ORACLES["quality_audit"]
 ORACLES["streaming_upsert"] = ORACLES["dedupe_latest_wins"]
+# the stateful sessionizer's sink state equals the batch window answer
+# (per-user ordered walk + replace-by-key emission) → same oracle
+ORACLES["streaming_sessionize"] = ORACLES["sessionize"]
 ORACLES["idempotent_partition_load"] = with_trips("""
     SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
            trip_distance_km,

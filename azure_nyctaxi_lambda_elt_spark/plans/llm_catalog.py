@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import llm_text as lt
-from ..operators.ann import cosine_pairs, cosine_topk, lsh_bucket_topk
+from ..operators.ann import (cosine_pairs, cosine_topk, ivf_topk,
+                             lsh_bucket_topk)
 from ..operators.multimodal import decode_media, with_media_payload
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
@@ -64,6 +65,12 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return lsh_bucket_topk(_emb(spark, sf_dir),
                            F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return ivf_topk(_emb(spark, sf_dir),
+                    F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
 
 
 COS_TAU = 0.45
@@ -327,6 +334,7 @@ LLM_QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,

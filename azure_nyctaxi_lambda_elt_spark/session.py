@@ -36,6 +36,11 @@ def get_spark(app_name: str = "azure-nyctaxi-lambda-elt-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table support (co-located joins): keep the embedded
+        # metastore + warehouse out of the repo working tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/spark_graft_derby")
     )
     return builder.getOrCreate()
 

@@ -75,6 +75,20 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert len(bucketed) <= len(brute)  # at most k per query
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from azure_nyctaxi_lambda_elt_spark.operators.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pred = F.col("vec_id") % 50 == 0
+    brute = {(r["q_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, pred, 5).collect()}
+    ivf = {(r["q_id"], r["neighbor_id"])
+           for r in ivf_topk(emb, pred, 5).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+    assert len(ivf) <= len(brute)
+
+
 def test_multimodal_decode_deterministic(spark):
     from azure_nyctaxi_lambda_elt_spark.operators.multimodal import (
         decode_media, with_media_payload)

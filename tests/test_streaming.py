@@ -86,6 +86,22 @@ def test_multibatch_dlq_routing_counts(spark, feed_dir):
     assert curated.count() + dlq.count() == total
 
 
+def test_multibatch_stateful_sessionize_equals_batch(spark, feed_dir):
+    """Open sessions must carry across micro-batch boundaries via
+    applyInPandasWithState and still reproduce the batch window answer."""
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import q_sessionize
+    from azure_nyctaxi_lambda_elt_spark.streaming.stateful import (
+        run_streaming_sessionize)
+
+    got = run_streaming_sessionize(
+        spark, SF_SMOKE, os.path.join(OUT, "sess"),
+        max_files_per_trigger=1, source_dir=feed_dir)
+    want = q_sessionize(spark, SF_SMOKE)
+    g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+    assert g == w
+
+
 def test_multibatch_dedupe_one_row_per_key(spark, feed_dir):
     from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
     from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_streaming_dedupe
