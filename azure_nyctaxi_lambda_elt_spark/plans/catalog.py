@@ -397,6 +397,15 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "upsert", sf_dir))
 
 
+def q_streaming_model_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.model_upsert import run_model_upsert
+
+    apply_engine_conf(spark)
+    out = run_model_upsert(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "model_upsert", sf_dir))
+    return out["fact"]
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_streaming_sessionize
 
@@ -666,6 +675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedupe": q_streaming_dedupe,
     "streaming_upsert": q_streaming_upsert,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_model_upsert": q_streaming_model_upsert,
     "idempotent_partition_load": q_idempotent_partition_load,
     **LLM_QUERIES,
 }
@@ -679,6 +689,9 @@ ORACLES["streaming_upsert"] = ORACLES["dedupe_latest_wins"]
 # the stateful sessionizer's sink state equals the batch window answer
 # (per-user ordered walk + replace-by-key emission) → same oracle
 ORACLES["streaming_sessionize"] = ORACLES["sessionize"]
+# single-batch run: append-only dim keys reduce to the dense_rank build,
+# so the maintained fact equals the batch star-schema answer
+ORACLES["streaming_model_upsert"] = ORACLES["fact_build_star"]
 ORACLES["idempotent_partition_load"] = with_trips("""
     SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
            trip_distance_km,

@@ -102,6 +102,47 @@ def test_multibatch_stateful_sessionize_equals_batch(spark, feed_dir):
     assert g == w
 
 
+def test_multibatch_model_upsert_invariants(spark, feed_dir):
+    """Full-model streaming upsert across 3 micro-batches: surrogate
+    keys are append-only stable, fact/dim referential integrity holds,
+    and the fact's trip_id set equals the batch star-schema answer."""
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import q_fact_build_star
+    from azure_nyctaxi_lambda_elt_spark.streaming.model_upsert import (
+        run_model_upsert)
+
+    out = run_model_upsert(spark, SF_SMOKE, os.path.join(OUT, "model"),
+                           max_files_per_trigger=1, source_dir=feed_dir)
+    fact, clean = out["fact"], out["clean"]
+    v, p, loc = out["dim_vendor"], out["dim_payment"], out["dim_location"]
+
+    # trip_id set identical to the batch pipeline's fact
+    want = q_fact_build_star(spark, SF_SMOKE)
+    assert {r[0] for r in fact.select("trip_id").collect()} == \
+           {r[0] for r in want.select("trip_id").collect()}
+
+    # referential integrity: every non-unknown fact key resolves to a
+    # dim member whose NK matches the clean row's NK
+    joined = (
+        fact.join(v, "vendor_key", "left")
+        .select("trip_id", "vendor_key", "vendor_code")
+    )
+    bad = joined.where(
+        (F.col("vendor_key") != -1) & F.col("vendor_code").isNull()).count()
+    assert bad == 0
+    assert loc.where(F.col("location_key") == -1).count() == 1  # unknown member
+    # keys are unique per dim
+    for dim, key in ((v, "vendor_key"), (p, "payment_type_key"),
+                     (loc, "location_key")):
+        n = dim.count()
+        assert dim.select(key).distinct().count() == n
+
+    # clean warehouse equals batch trip_clean (latest-wins associativity)
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    want_clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, SF_SMOKE)))
+    assert clean.count() == want_clean.count()
+
+
 def test_multibatch_dedupe_one_row_per_key(spark, feed_dir):
     from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
     from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_streaming_dedupe
