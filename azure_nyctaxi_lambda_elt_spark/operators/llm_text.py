@@ -114,7 +114,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     At 100 TB run this only on LSH candidates — see module docstring.
     """
     sh = doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sg"))
+    # |A| per doc computed narrowly from the array — no groupBy shuffle
+    sizes = shingle_arrays(docs, n).select(
+        "doc_id", F.size("sgs").cast("bigint").alias("n_sg"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sg") == F.col("b.sg"))
@@ -145,19 +147,40 @@ N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
 
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, sgs) with sgs = DISTINCT word-n-gram array, materialized
+    in its own projection (HOF CSE — see doc_shingles)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens(F.col(text_col)).alias("__t"),
+    )
+    return toks.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("__t"), n)).alias("sgs"))
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3,
                        n_perms: int = N_PERMS) -> DataFrame:
     """One row per doc with mh0..mh{P-1} MinHash components.
 
     'Permutation' i = ordering induced by md5(i || '|' || shingle); the
     component is the lexicographic min of the 32-hex digest — exactly
-    reproducible in any engine with md5.  One shuffle (groupBy doc)."""
-    sh = doc_shingles(docs, n)
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sg")))).alias(f"mh{i}")
+    reproducible in any engine with md5.  Computed NARROWLY as
+    array_min over the per-doc shingle array — no explode, no shuffle;
+    the only shuffle in the whole LSH pipeline is the tiny
+    (band, signature) candidate join."""
+    sh = shingle_arrays(docs, n)
+
+    def _perm(i: int):
+        # single-arg lambda: a 2-arg lambda would receive the ARRAY
+        # INDEX as its second argument and shadow the perm id
+        return lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("sgs"), _perm(i))).alias(f"mh{i}")
         for i in range(n_perms)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *cols)
 
 
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:

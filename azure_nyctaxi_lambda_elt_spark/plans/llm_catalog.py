@@ -148,20 +148,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully NARROW winnowing fingerprint: shingle array materialized
+    once per row, min-md5 via array_min — no explode, no shuffle at all
+    (min over duplicates equals min over distinct)."""
     apply_engine_conf(spark)
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
+    staged = docs.select(
+        "doc_id", F.array_distinct(lt.char_shingles(F.col("text"), 8)).alias("__sgs"))
+    return staged.select(
         "doc_id",
-        F.explode(F.array_distinct(lt.char_shingles(F.col("text"), 8))).alias("sg"),
-    )
-    return (
-        sh.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.min(F.md5(F.col("sg"))).alias("fingerprint"),
-        )
-        .withColumn("fp_prefix", F.substring(F.col("fingerprint"), 1, 16))
-    )
+        F.size("__sgs").cast("bigint").alias("n_shingles"),
+        F.array_min(F.transform(F.col("__sgs"), F.md5)).alias("fingerprint"),
+    ).withColumn("fp_prefix", F.substring(F.col("fingerprint"), 1, 16))
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
