@@ -185,8 +185,15 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on ≥1 of the 4 bands
-    (3 rows each).  Only (band_id, band_sig) flows through the shuffle."""
-    sig = minhash_signatures(docs, n)
+    (3 rows each).  Only (band_id, band_sig) flows through the shuffle.
+
+    The signature table is persisted: it feeds BOTH sides of the band
+    self-join, and without the materialization barrier the optimizer
+    pushes the join's isnotnull filters below the signature projection,
+    inlining (= recomputing) the whole narrow MinHash expression per
+    filter reference.  ~2 KB/doc — at 100 TB corpus scale this is the
+    classic write-signatures-then-join step."""
+    sig = minhash_signatures(docs, n).persist()
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -222,36 +229,44 @@ def simhash_halves(docs: DataFrame, id_col: str = "doc_id",
 
     Token hash = md5 hex split into two 32-bit words; each bit
     contributes +1/−1 per token occurrence; the sign of each bit-sum is
-    the signature bit (Charikar 2002).  All 64 bit-sums are computed in
-    ONE groupBy pass — a single shuffle on doc_id."""
+    the signature bit (Charikar 2002).
+
+    Computed NARROWLY: the 64 bit-sums fold over the per-doc token
+    array with a single aggregate/zip_with accumulator — no explode, no
+    shuffle, and a small generated-code footprint (the previous
+    64-separate-sum-aggregates formulation spent ~3 s per run in Janino
+    compilation alone).  Docs with zero tokens are dropped (parity with
+    the explode-based formulation)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
-    )
-    # hash halves projected ONCE per token row; the 64 bit-sum aggs then
-    # reference plain columns (inlined, each agg would recompute md5+conv)
-    h = F.md5(F.col("tok"))
+        ws_tokens(F.lower(F.col(text_col))).alias("__t"),
+    ).where(F.size("__t") > 0)
+    # md5 halves materialized once per token in their own projection,
+    # then one fold: acc[64] += (+1|-1) per bit of each token hash
     hashed = toks.select(
         "doc_id",
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("__hi"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("__lo"),
+        F.expr(
+            "transform(__t, t -> named_struct("
+            "'hi', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
+            "'lo', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)))"
+        ).alias("__h"),
     )
-    aggs = []
-    for b in range(32):
-        bit_hi = F.shiftright(F.col("__hi"), b).bitwiseAND(F.lit(1))
-        bit_lo = F.shiftright(F.col("__lo"), b).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(F.when(bit_hi == 1, 1).otherwise(-1)).alias(f"shi{b}"))
-        aggs.append(F.sum(F.when(bit_lo == 1, 1).otherwise(-1)).alias(f"slo{b}"))
-    sums = hashed.groupBy("doc_id").agg(*aggs)
-    h_hi = reduce(add, [
-        F.when(F.col(f"shi{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(32)
-    ])
-    h_lo = reduce(add, [
-        F.when(F.col(f"slo{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(32)
-    ])
-    return sums.select("doc_id", h_hi.alias("h_hi"), h_lo.alias("h_lo"))
+    sums = hashed.select(
+        "doc_id",
+        F.expr(
+            "aggregate(__h, array_repeat(0, 64), (acc, x) -> zip_with(acc, concat("
+            "transform(sequence(0, 31), b -> IF((shiftright(x.hi, b) & 1) = 1, 1, -1)), "
+            "transform(sequence(0, 31), b -> IF((shiftright(x.lo, b) & 1) = 1, 1, -1))"
+            "), (a, c) -> a + c))"
+        ).alias("__s"),
+    )
+    return sums.select(
+        "doc_id",
+        F.expr("aggregate(sequence(0, 31), 0L, "
+               "(a, b) -> a + IF(__s[b] > 0, shiftleft(1L, b), 0L))").alias("h_hi"),
+        F.expr("aggregate(sequence(0, 31), 0L, "
+               "(a, b) -> a + IF(__s[b + 32] > 0, shiftleft(1L, b), 0L))").alias("h_lo"),
+    )
 
 
 def simhash_pairs(docs: DataFrame,
@@ -260,8 +275,14 @@ def simhash_pairs(docs: DataFrame,
 
     Candidates join on equality of one of four 16-bit bands (any pair
     within hamming ≤ 3 must share a band; the threshold then prunes
-    exactly), so the shuffle carries (band_id, 16-bit value) keys."""
-    sig = simhash_halves(docs)
+    exactly), so the shuffle carries (band_id, 16-bit value) keys.
+
+    The 16-bytes/doc signature table is persisted: it feeds both sides
+    of the band self-join, and without the barrier the optimizer pushes
+    the join's isnotnull filters below the signature projection and
+    inlines the full 64-bit fold into each filter condition (measured
+    ~6x recompute of the md5 transform)."""
+    sig = simhash_halves(docs).persist()
     bands = F.array(
         F.struct(F.lit(0).alias("band_id"),
                  F.shiftright(F.col("h_hi"), 16).bitwiseAND(F.lit(0xFFFF)).alias("val")),
