@@ -1,0 +1,131 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+vocabulary building, PII redaction, document chunking, deterministic
+stratified sampling.
+
+All are built-in Column expressions (JVM-side, codegen) — no Python
+UDFs.  Hash/regex primitives are chosen to be bit-reproducible in the
+DuckDB oracle (md5 hex, RE2-compatible regex syntax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .llm_text import ws_tokens
+
+# ---------------------------------------------------------------------------
+# vocabulary (word-count, the canonical map-side-combine aggregation)
+
+VOCAB_TOP_K = 100
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOP_K,
+               text_col: str = "text") -> DataFrame:
+    """Top-k tokens by corpus term frequency (ties → token asc).
+
+    Scale shape: explode → partial-aggregated groupBy(token) — the
+    shuffle carries (token, partial_count), not token occurrences.
+    The ranking window runs on the AGGREGATED vocab (|V| rows, tiny
+    next to the corpus), so the single-partition window sort is cheap;
+    at web scale swap the window for orderBy().limit(k)
+    (TakeOrderedAndProject — no full sort)."""
+    ex = docs.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+        F.col("doc_id"),
+    )
+    agg = ex.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# Java-regex ∩ RE2 compatible (no lookaround/backrefs) so Spark and the
+# DuckDB oracle replace the exact same spans
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PAT = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email/phone spans with <EMAIL>/<PHONE> placeholders and
+    count matches per doc.  Pure per-row regexp — map-only, no
+    shuffle; at 100 TB this pipelines with the scan."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(EMAIL_PAT)).cast("int").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_PAT)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text, PHONE_PAT, "<PHONE>"),
+            EMAIL_PAT, "<EMAIL>",
+        ).alias("redacted_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunking
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(docs: DataFrame, chunk: int = CHUNK_TOKENS,
+               stride: int = CHUNK_STRIDE,
+               text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunks (size ``chunk``, step
+    ``stride``); trailing windows may be short.  Narrow transform +
+    one Generate — each task chunks its own partition's docs, no
+    shuffle.  The token array is materialized in its own projection
+    (HOF CSE — see llm_text.doc_shingles)."""
+    toks = docs.select(
+        "doc_id", ws_tokens(F.col(text_col)).alias("__t"))
+    # zero-token docs emit no chunks; also required because Spark's
+    # sequence(1, 0, step) raises where DuckDB's generate_series is empty
+    toks = toks.where(F.size("__t") > 0)
+    c = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(__t), {stride}), i -> named_struct("
+            f"'chunk_id', cast((i - 1) div {stride} as int), "
+            f"'start_tok', cast(i as int), "
+            f"'n_chunk_tokens', cast(size(slice(__t, i, {chunk})) as int), "
+            f"'chunk_text', array_join(slice(__t, i, {chunk}), ' ')))"
+        )).alias("c"),
+    )
+    return c.select("doc_id", "c.chunk_id", "c.start_tok",
+                    "c.n_chunk_tokens", "c.chunk_text")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      default_rate: float, strata_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum Bernoulli sample, deterministic in the row id.
+
+    keep ⟺ first 16 bits of md5(id) < floor(rate·2¹⁶), compared as
+    4-hex-digit strings (lexicographic = numeric for fixed width).
+    Reproducible across engines/runs — re-running the pipeline samples
+    the SAME rows (unlike rand()-based sampling), which is what you
+    want for auditable training-data cuts.  Map-only, no shuffle."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thr = None
+    for stratum, rate in rates.items():
+        hexthr = F.lit(format(int(rate * 65536), "04x"))
+        thr = (F.when(F.col(strata_col) == stratum, hexthr) if thr is None
+               else thr.when(F.col(strata_col) == stratum, hexthr))
+    thr = thr.otherwise(F.lit(format(int(default_rate * 65536), "04x")))
+    return (
+        docs.select(F.col(id_col), F.col(strata_col),
+                    key.alias("sample_key"), thr.alias("threshold"))
+        .where(F.col("sample_key") < F.col("threshold"))
+    )

@@ -1,0 +1,91 @@
+"""Distributed connected components — cluster-level dedup.
+
+Pair generators (MinHash-LSH, exact Jaccard, SimHash) emit near-dup
+EDGES; corpus dedup needs the transitive closure: every doc labeled
+with its duplicate-cluster id so one canonical doc per cluster
+survives.  This is the step after candidate generation in every
+large-scale dedup pipeline (e.g. the C4 / RefinedWeb recipes).
+
+Algorithm: iterative min-label propagation over the undirected edge
+set — label(v) ← min(label(v), min label among neighbors) until a
+fixpoint.  Rounds = graph diameter; near-dup graphs are overwhelmingly
+tiny star/clique components (diameter ≤ ~3), so 3-5 rounds converge.
+Each round is one shuffle of the EDGE table (sparse: |E| ≪ corpus
+after LSH banding) plus a groupBy on node id.  Convergence is detected
+with a sum(label) aggregate — labels only ever decrease, so an
+unchanged sum ⟺ fixpoint — which avoids a join-with-previous per
+round.  For adversarial long-chain graphs at extreme scale, switch to
+the large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) which converges in
+O(log²) rounds; the driver loop below is the same shape.
+
+The loop is DRIVER-SIDE CONTROL ONLY (one scalar aggregate per round);
+all data movement stays distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         src: str = "src", dst: str = "dst",
+                         id_col: str = "node",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, cluster_id) for every vertex; cluster_id = min node id in
+    the component (deterministic canonical representative).
+
+    ``edges``: one row per undirected edge (any orientation).
+    ``vertices``: one row per node (isolated nodes become singleton
+    clusters).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
+    lbl = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")).persist()
+    prev_sum = lbl.agg(F.sum("lbl")).collect()[0][0]
+
+    for _ in range(max_iter):
+        msgs = sym.join(lbl, sym["b"] == lbl["node"]).select(
+            F.col("a").alias("node"), F.col("lbl"))
+        nxt = (
+            lbl.union(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            # truncate lineage per round: without this the logical plan
+            # (and task binary) doubles every iteration
+            .localCheckpoint(eager=True)
+        )
+        new_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
+        lbl.unpersist()
+        lbl = nxt
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return lbl.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cluster-level dedup verdict per document.
+
+    ``pairs``: verified near-dup pairs (doc_i, doc_j).  Output one row
+    per doc: cluster_id (min doc_id in its component), cluster_size,
+    and is_canonical (the single survivor per cluster).
+    """
+    cc = connected_components(
+        pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")),
+        docs.select(F.col(id_col).alias("node")),
+    )
+    w = F.count("*").over(Window.partitionBy("cluster_id"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        w.cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -11,9 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import corpus as cp
 from ..operators import llm_text as lt
 from ..operators.ann import (cosine_pairs, cosine_topk, ivf_topk,
                              lsh_bucket_topk)
+from ..operators.graph import dedup_clusters
 from ..operators.multimodal import decode_media, with_media_payload
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
@@ -165,6 +167,61 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return decode_media(with_media_payload(_docs(spark, sf_dir)))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of verified near-dup pairs → one canonical
+    doc per duplicate cluster (operators/graph.py)."""
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU)
+    return dedup_clusters(docs, pairs)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.vocab_topk(_docs(spark, sf_dir))
+
+
+def _augmented_pii_text(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus carries no PII, so plant deterministic
+    email/phone spans (phone on even doc_ids only) — the SAME
+    expression is built in the oracle SQL."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" or +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.pii_redact(_augmented_pii_text(_docs(spark, sf_dir)))
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.doc_chunks(_docs(spark, sf_dir))
+
+
+SAMPLE_RATES = {"en": 0.5}
+SAMPLE_DEFAULT_RATE = 0.25
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES,
+                                SAMPLE_DEFAULT_RATE)
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +379,83 @@ LLM_ORACLES: dict[str, str] = {
                substring(MIN(md5(sg)), 1, 16) AS fp_prefix
         FROM sh GROUP BY 1
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_i, doc_j FROM inter
+          JOIN sz sa ON sa.doc_id = doc_i
+          JOIN sz sb ON sb.doc_id = doc_j
+          WHERE round(CAST(n_inter AS DOUBLE)
+                      / CAST(sa.n_sg + sb.n_sg - n_inter AS DOUBLE), 6)
+                >= {JACCARD_TAU}),
+        edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+                  UNION ALL SELECT doc_j AS a, doc_i AS b FROM pairs),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        labels AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY 1)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM labels
+    """,
+    "vocab_topk": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+          FROM documents),
+        ex AS (SELECT doc_id, u.token FROM toks, UNNEST(t) u(token)),
+        agg AS (SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+                FROM ex GROUP BY 1)
+        SELECT token, tf, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS INT) AS rnk
+        FROM agg
+        QUALIFY rnk <= {cp.VOCAB_TOP_K}
+    """,
+    "pii_redact": f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com'
+                 || CASE WHEN doc_id % 2 = 0
+                    THEN ' or +1-555-'
+                         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{cp.EMAIL_PAT}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{cp.PHONE_PAT}')) AS INT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(text, '{cp.PHONE_PAT}', '<PHONE>', 'g'),
+                 '{cp.EMAIL_PAT}', '<EMAIL>', 'g') AS redacted_text
+        FROM aug
+    """,
+    "doc_chunking": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               CAST((i - 1) // {cp.CHUNK_STRIDE} AS INT) AS chunk_id,
+               CAST(i AS INT) AS start_tok,
+               CAST(len(t[i:i + {cp.CHUNK_TOKENS - 1}]) AS INT) AS n_chunk_tokens,
+               array_to_string(t[i:i + {cp.CHUNK_TOKENS - 1}], ' ') AS chunk_text
+        FROM toks, UNNEST(generate_series(1, len(t), {cp.CHUNK_STRIDE})) u(i)
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,
+               CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END AS threshold
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+    """,
 }
 
 LLM_QUERIES = {
@@ -338,4 +472,9 @@ LLM_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "dedup_clusters": q_dedup_clusters,
+    "vocab_topk": q_vocab_topk,
+    "pii_redact": q_pii_redact,
+    "doc_chunking": q_doc_chunking,
+    "stratified_sample": q_stratified_sample,
 }

@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "lang_id",
     "token_count",
     "doc_fingerprint",
+    "dedup_clusters",
+    "vocab_topk",
+    "pii_redact",
+    "doc_chunking",
+    "stratified_sample",
 ]
 
 
