@@ -9,10 +9,10 @@ DuckDB oracle (md5 hex, RE2-compatible regex syntax).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .llm_text import ws_tokens
+from .llm_text import word_shingles, ws_tokens
 
 # ---------------------------------------------------------------------------
 # vocabulary (word-count, the canonical map-side-combine aggregation)
@@ -102,6 +102,114 @@ def doc_chunks(docs: DataFrame, chunk: int = CHUNK_TOKENS,
     )
     return c.select("doc_id", "c.chunk_id", "c.start_tok",
                     "c.n_chunk_tokens", "c.chunk_text")
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality filtering (Gopher-style)
+
+TOP_TOKEN_FRAC_MAX = 0.2
+DUP_2GRAM_FRAC_MAX = 0.5
+
+# max run length over the SORTED token array == max token multiplicity,
+# computed narrowly per row (no explode / groupBy(doc_id, token) shuffle)
+_MAX_RUN_EXPR = """
+aggregate(
+  array_sort(__t),
+  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+    'best', greatest(acc.best,
+                     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+  acc -> acc.best)
+"""
+
+
+def doc_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition metrics per doc — the Gopher/MassiveText-style
+    quality signals (Rae et al. 2021 §A1.1): most-frequent-token
+    fraction and duplicate word-n-gram fraction, plus a keep/drop flag.
+
+    Entirely NARROW: token array materialized once, max token
+    multiplicity via a sorted-run fold, n-gram dup fractions via
+    array_distinct — no shuffle at all; at 100 TB this is a map-only
+    pass that pipelines with the scan.  Zero-token docs are dropped.
+    """
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__t"),
+    ).where(F.size("__t") > 0)
+    staged = toks.select(
+        "doc_id",
+        F.size("__t").alias("__n"),
+        F.expr(_MAX_RUN_EXPR).alias("__maxrun"),
+        word_shingles(F.col("__t"), 2).alias("__g2"),
+        word_shingles(F.col("__t"), 3).alias("__g3"),
+    )
+
+    def dup_frac(g: str) -> Column:
+        n = F.size(g)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(g))).cast("double")
+                    / n.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    out = staged.select(
+        "doc_id",
+        F.col("__n").cast("int").alias("n_tokens"),
+        F.round(F.col("__maxrun").cast("double") / F.col("__n").cast("double"),
+                6).alias("top_token_frac"),
+        dup_frac("__g2").alias("dup_2gram_frac"),
+        dup_frac("__g3").alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_token_frac") > TOP_TOKEN_FRAC_MAX)
+        | (F.col("dup_2gram_frac") > DUP_2GRAM_FRAC_MAX),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct-count sketch (deterministic hash-threshold sampling)
+
+SKETCH_THR_HEX4 = "0800"  # keep hashes < 0x0800/0x10000 → p = 1/32
+SKETCH_SCALE = 0x10000 / 0x0800
+
+
+def distinct_token_estimate(docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """Distinct-token cardinality per lang: exact count next to a
+    deterministic hash-threshold sketch estimate.
+
+    The sketch: keep only tokens with md5 prefix < SKETCH_THR_HEX4
+    (a fixed p = 1/32 uniform sample OF THE HASH DOMAIN, so duplicates
+    agree everywhere), count distinct survivors, scale by 1/p — the
+    fixed-threshold variant of the KMV / adaptive-sampling distinct
+    sketch (Bar-Yossef et al. 2002).  Deterministic in the data (md5),
+    so the DuckDB oracle reproduces it exactly — unlike HLL, whose
+    register layout is engine-specific.
+
+    Scale shape: the survivor filter is map-side (1/32 of token
+    occurrences reach the shuffle); the exact column is the expensive
+    full distinct and exists here only to exhibit the sketch's error —
+    at 100 TB you compute survivors only.
+    """
+    toks = docs.select(
+        "lang",
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).distinct()
+    surv = F.substring(F.md5(F.col("token")), 1, 4) < SKETCH_THR_HEX4
+    agg = toks.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_distinct_exact"),
+        F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+    )
+    est = F.round(F.col("n_sampled") * F.lit(float(SKETCH_SCALE)), 1)
+    return agg.select(
+        "lang", "n_distinct_exact", "n_sampled",
+        est.alias("est_distinct"),
+        F.round(F.abs(est - F.col("n_distinct_exact"))
+                / F.col("n_distinct_exact"), 6).alias("rel_err"),
+    )
 
 
 # ---------------------------------------------------------------------------

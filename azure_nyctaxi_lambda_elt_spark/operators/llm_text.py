@@ -217,6 +217,38 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def lsh_jaccard_verified(docs: DataFrame, n: int = 3,
+                         threshold: float = 0.3) -> DataFrame:
+    """The PRODUCTION near-dup composition: MinHash-LSH candidate
+    generation followed by exact-Jaccard verification ON CANDIDATES
+    ONLY — never the all-pairs join.
+
+    Scale shape (this is the one you run at 100 TB):
+      1. candidate pairs via banded LSH — shuffle carries only
+         (band_id, band_sig);
+      2. the candidate table (tiny: |C| ≪ |D|²) hash-joins the per-doc
+         shingle-ARRAY table twice on doc_id;
+      3. Jaccard is computed NARROWLY per candidate row with
+         array_intersect — no shingle explode, no per-shingle shuffle.
+    Compare ``ngram_jaccard_pairs``, the brute-force verifier whose
+    per-shingle self-join is the quadratic path LSH exists to avoid.
+    Output keeps recall metadata (n_shared_bands) next to the verified
+    jaccard so downstream can audit the LSH filter.
+    """
+    cand = minhash_lsh_candidates(docs, n)
+    sgs = shingle_arrays(docs, n).persist()
+    a = sgs.select(F.col("doc_id").alias("doc_i"), F.col("sgs").alias("__sa"))
+    b = sgs.select(F.col("doc_id").alias("doc_j"), F.col("sgs").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    uni = F.size("__sa") + F.size("__sb") - inter
+    jac = F.round(inter.cast("double") / uni.cast("double"), 6)
+    return (
+        cand.join(a, "doc_i").join(b, "doc_j")
+        .select("doc_i", "doc_j", "n_shared_bands", jac.alias("jaccard"))
+        .withColumn("is_dup", F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -23,6 +23,7 @@ from ..functions.columns import hour_bucket, sha256_key, ts_iso, norm_str
 from ..operators.clean import Rule, split_good_bad
 from ..operators.dims import build_dim_date, build_dim_time
 from ..operators.dq import check_counts, run_metrics
+from ..operators.temporal import asof_join, range_join_buckets
 from ..operators.upsert import merge_latest
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
@@ -345,6 +346,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest prior-or-same-instant
+    click (operators/temporal.py — union-trick as-of join; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    left = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    right = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(left, right, "user_id", "ts",
+                    ["click_event_id", "click_ts", "click_value"],
+                    right_tiebreak="click_event_id")
+    return out.withColumn(
+        "micros_since_click",
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).cast("bigint"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per signup, activity (clicks+views) inside the 2-hour onboarding
+    window — bucketed interval join (operators/temporal.py)."""
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    iv = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    pts = e.where(F.col("event_type").isin("click", "view"))
+    return range_join_buckets(iv, pts, "user_id", "interval_id",
+                              "w_start", "w_end", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # C. streaming lane + write paths
 #
@@ -646,6 +686,40 @@ ORACLES: dict[str, str] = {
         ) s
         GROUP BY user_id, session_id
     """,
+    "asof_join": """
+        WITH l AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'),
+        r AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'click'
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        SELECT l.user_id, l.ts, l.event_id, l.value,
+               r.event_id AS asof_click_event_id,
+               r.ts AS asof_click_ts,
+               r.value AS asof_click_value,
+               CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS micros_since_click
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "range_join": """
+        WITH iv AS (
+          SELECT user_id, event_id AS interval_id, ts AS w_start,
+                 ts + INTERVAL 2 HOUR AS w_end
+          FROM events WHERE event_type = 'signup'),
+        pt AS (
+          SELECT user_id, ts, value FROM events
+          WHERE event_type IN ('click', 'view'))
+        SELECT iv.user_id, iv.interval_id, iv.w_start, iv.w_end,
+               COUNT(pt.ts) AS n_in_window,
+               CAST(COALESCE(SUM(CAST(pt.value AS DECIMAL(18,2))), 0)
+                    AS DOUBLE) AS value_in_window
+        FROM iv LEFT JOIN pt
+          ON pt.user_id = iv.user_id
+         AND pt.ts >= iv.w_start AND pt.ts < iv.w_end
+        GROUP BY iv.user_id, iv.interval_id, iv.w_start, iv.w_end
+    """,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -670,6 +744,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_n_per_group": q_top_n_per_group,
     "revenue_by_dim": q_revenue_by_dim,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "streaming_dlq_routing": q_streaming_dlq_routing,
     "streaming_windowed_audit": q_streaming_windowed_audit,
     "streaming_dedupe": q_streaming_dedupe,

@@ -214,6 +214,23 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.doc_chunks(_docs(spark, sf_dir))
 
 
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates → exact-Jaccard verify ON CANDIDATES ONLY
+    (the production composition — operators/llm_text.py)."""
+    apply_engine_conf(spark)
+    return lt.lsh_jaccard_verified(_docs(spark, sf_dir), JACCARD_N, JACCARD_TAU)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.doc_repetition(_docs(spark, sf_dir))
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.distinct_token_estimate(_docs(spark, sf_dir))
+
+
 SAMPLE_RATES = {"en": 0.5}
 SAMPLE_DEFAULT_RATE = 0.25
 
@@ -406,6 +423,91 @@ LLM_ORACLES: dict[str, str] = {
                doc_id = cluster_id AS is_canonical
         FROM labels
     """,
+    "dedup_lsh_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY 1),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                 COUNT(*) AS n_shared_bands
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                      AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT c.doc_i, c.doc_j, c.n_shared_bands,
+               round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / CAST(sa.n_sg + sb.n_sg - COALESCE(i.n_inter, 0)
+                            AS DOUBLE), 6) AS jaccard,
+               round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / CAST(sa.n_sg + sb.n_sg - COALESCE(i.n_inter, 0)
+                            AS DOUBLE), 6) >= {JACCARD_TAU} AS is_dup
+        FROM cand c
+        JOIN sz sa ON sa.doc_id = c.doc_i
+        JOIN sz sb ON sb.doc_id = c.doc_j
+        LEFT JOIN inter i ON i.doc_i = c.doc_i AND i.doc_j = c.doc_j
+    """,
+    "doc_repetition": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '') AS t
+          FROM documents),
+        nz AS (SELECT * FROM toks WHERE len(t) > 0),
+        mx AS (
+          SELECT doc_id, MAX(c) AS maxrun FROM (
+            SELECT doc_id, u.token, COUNT(*) AS c
+            FROM nz, UNNEST(t) u(token) GROUP BY 1, 2) tc
+          GROUP BY 1),
+        gg AS (
+          SELECT doc_id, len(t) AS n,
+                 [array_to_string(t[i:i+1], ' ')
+                  FOR i IN generate_series(1, len(t) - 1)] AS g2,
+                 [array_to_string(t[i:i+2], ' ')
+                  FOR i IN generate_series(1, len(t) - 2)] AS g3
+          FROM nz)
+        SELECT gg.doc_id,
+               CAST(n AS INT) AS n_tokens,
+               round(CAST(maxrun AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS top_token_frac,
+               CASE WHEN len(g2) > 0 THEN
+                 round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                       / CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END
+                 AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0 THEN
+                 round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                       / CAST(len(g3) AS DOUBLE), 6) ELSE 0.0 END
+                 AS dup_3gram_frac,
+               (round(CAST(maxrun AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  > {cp.TOP_TOKEN_FRAC_MAX}
+                OR (CASE WHEN len(g2) > 0 THEN
+                      round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                            / CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END)
+                   > {cp.DUP_2GRAM_FRAC_MAX}) AS is_repetitive
+        FROM gg JOIN mx ON mx.doc_id = gg.doc_id
+    """,
+    "distinct_sketch": f"""
+        WITH toks AS (
+          SELECT DISTINCT lang, u.token
+          FROM (SELECT lang, list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '') AS t
+                FROM documents) d, UNNEST(t) u(token)),
+        agg AS (
+          SELECT lang, COUNT(*) AS n_distinct_exact,
+                 SUM(CASE WHEN substring(md5(token), 1, 4)
+                          < '{cp.SKETCH_THR_HEX4}' THEN 1 ELSE 0 END)
+                   AS n_sampled
+          FROM toks GROUP BY 1)
+        SELECT lang, n_distinct_exact, n_sampled,
+               CAST(round(n_sampled * {cp.SKETCH_SCALE}, 1) AS DOUBLE)
+                 AS est_distinct,
+               round(abs(round(n_sampled * {cp.SKETCH_SCALE}, 1)
+                         - n_distinct_exact) / n_distinct_exact, 6) AS rel_err
+        FROM agg
+    """,
     "vocab_topk": f"""
         WITH toks AS (
           SELECT doc_id,
@@ -473,6 +575,9 @@ LLM_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "doc_repetition": q_doc_repetition,
+    "distinct_sketch": q_distinct_sketch,
     "vocab_topk": q_vocab_topk,
     "pii_redact": q_pii_redact,
     "doc_chunking": q_doc_chunking,

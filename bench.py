@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "token_count",
     "doc_fingerprint",
     "dedup_clusters",
+    "dedup_lsh_jaccard",
+    "doc_repetition",
+    "distinct_sketch",
+    "asof_join",
+    "range_join",
     "vocab_topk",
     "pii_redact",
     "doc_chunking",
