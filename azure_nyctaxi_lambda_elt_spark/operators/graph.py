@@ -40,13 +40,25 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     ``vertices``: one row per node (isolated nodes become singleton
     clusters).
     """
+    # symmetrize via explode, NOT self-union: a union would give the
+    # physical plan two copies of the (possibly expensive) edge-producing
+    # subtree — e.g. the whole near-dup pair pipeline — and evaluate it
+    # twice before the persist materializes
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )).alias("e"))
+        .select("e.a", "e.b")
         .persist()
     )
-    lbl = vertices.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")).persist()
+    # iterate ONLY over edge-touched nodes: isolated vertices are
+    # singletons by definition and re-enter via anti-join at the end.
+    # On a 100 TB corpus the near-dup subgraph is orders of magnitude
+    # smaller than the corpus — the per-round shuffles must be sized by
+    # |V(E)|, not |V|.
+    lbl = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")).persist()
     prev_sum = lbl.agg(F.sum("lbl")).collect()[0][0]
 
     for _ in range(max_iter):
@@ -66,8 +78,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    singles = vertices.select(F.col(id_col).alias("node")).join(
+        lbl.select("node"), "node", "left_anti")
+    out = lbl.unionByName(singles.select("node", F.col("node").alias("lbl")))
     sym.unpersist()
-    return lbl.select("node", F.col("lbl").alias("cluster_id"))
+    return out.select("node", F.col("lbl").alias("cluster_id"))
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,

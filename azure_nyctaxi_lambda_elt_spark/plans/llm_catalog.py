@@ -246,10 +246,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+# hg mirrors the Spark-side 60-bit md5-prefix shingle key (llm_text.
+# doc_shingles): intersection joins run on hg, so any hash collision
+# is reproduced identically in both engines
 _SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, sg
+  SELECT DISTINCT doc_id, sg,
+         CAST(concat('0x', substring(md5(sg), 1, 15)) AS BIGINT) AS hg
   FROM toks, UNNEST([array_to_string(t[i:i+{JACCARD_N - 1}], ' ')
                      FOR i IN generate_series(1, len(t) - {JACCARD_N - 1})]) u(sg)
 )
@@ -269,7 +273,9 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _MH_COLS = ",\n    ".join(
-    f"MIN(md5('{i}|' || sg)) AS mh{i}" for i in range(lt.N_PERMS)
+    f"MIN((CAST(concat('0x', substring(md5(sg), 1, 8)) AS BIGINT)"
+    f" * {a} + {b}) % 4294967296) AS mh{i}"
+    for i, (a, b) in enumerate(lt.MIX_CONSTS)
 )
 _BAND_SELECTS = "\n  UNION ALL ".join(
     "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_sig FROM mh".format(
@@ -296,7 +302,7 @@ LLM_ORACLES: dict[str, str] = {
         sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON a.hg = b.hg AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_i, doc_j,
                round(CAST(n_inter AS DOUBLE)
@@ -401,7 +407,7 @@ LLM_ORACLES: dict[str, str] = {
         sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON a.hg = b.hg AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
         pairs AS (
           SELECT doc_i, doc_j FROM inter
@@ -437,7 +443,7 @@ LLM_ORACLES: dict[str, str] = {
         sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON a.hg = b.hg AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT c.doc_i, c.doc_j, c.n_shared_bands,
                round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
