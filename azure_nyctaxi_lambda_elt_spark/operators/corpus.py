@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .llm_text import word_shingles, ws_tokens
+from .llm_text import normalized_text, word_shingles, ws_tokens
 
 # ---------------------------------------------------------------------------
 # vocabulary (word-count, the canonical map-side-combine aggregation)
@@ -209,6 +209,127 @@ def distinct_token_estimate(docs: DataFrame,
         est.alias("est_distinct"),
         F.round(F.abs(est - F.col("n_distinct_exact"))
                 / F.col("n_distinct_exact"), 6).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf (per-doc salient terms — classic corpus-selection signal)
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_K,
+               text_col: str = "text") -> DataFrame:
+    """Top-k tokens per doc by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smooth_idf convention).
+
+    Scale shape: tf is a partial-aggregated groupBy(doc_id, token); df
+    re-aggregates the ALREADY-REDUCED tf table (|doc·vocab| rows, far
+    smaller than token occurrences), and the df join keys on token —
+    vocab-sized, so AQE turns it into a broadcast at typical corpus
+    vocab sizes.  The ranking window partitions by doc_id — fully
+    parallel, no global sort.  N is resolved once on the driver (one
+    column-pruned count scan) and folded in as a literal."""
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(dfc, "token").select(
+        "doc_id", "token", "tf", "df",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics
+
+BIGRAM_TOP_K = 50
+
+
+def bigram_topk(docs: DataFrame, k: int = BIGRAM_TOP_K,
+                text_col: str = "text") -> DataFrame:
+    """Top-k word bigrams by corpus frequency (ties → bigram asc).
+    Same map-side-combine shape as vocab_topk; the bigram array is
+    built narrowly per row (word_shingles) before the explode."""
+    staged = docs.select(
+        "doc_id",
+        word_shingles(ws_tokens(F.lower(F.col(text_col))), 2).alias("__g2"))
+    ex = staged.select("doc_id", F.explode("__g2").alias("bigram"))
+    agg = ex.groupBy("bigram").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("bigram"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus shape profiling
+
+HIST_BUCKET_TOKENS = 50
+
+
+def doc_length_histogram(docs: DataFrame,
+                         bucket: int = HIST_BUCKET_TOKENS,
+                         text_col: str = "text") -> DataFrame:
+    """Token-length histogram per lang: doc counts + token mass per
+    fixed-width bucket.  The bucket id is computed map-side, so the
+    shuffle carries one partial row per (lang, bucket) per task —
+    constant-sized regardless of corpus size."""
+    staged = docs.select(
+        "lang", F.size(ws_tokens(F.lower(F.col(text_col)))).alias("__n"))
+    b = F.floor(F.col("__n") / F.lit(bucket)).cast("int")
+    return (
+        staged.groupBy("lang", b.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+            F.min("__n").cast("int").alias("min_tokens"),
+            F.max("__n").cast("int").alias("max_tokens"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * bucket).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+def benchmark_decontam(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flag corpus docs whose normalized content hash collides with a
+    held-out benchmark set (doc_id % 10 == 0 plays the benchmark role
+    here) — the standard eval-decontamination pass before training.
+
+    Scale shape: the benchmark side aggregates to one row per distinct
+    hash and is BROADCAST — benchmark suites are tiny next to a 100 TB
+    corpus, so the corpus side never shuffles; the whole op is a
+    map-side hash-probe that pipelines with the scan."""
+    norm_hash = F.md5(normalized_text(F.col(text_col)))
+    hashed = docs.select("doc_id", norm_hash.alias("content_hash"))
+    bench = (
+        hashed.where(F.col("doc_id") % 10 == 0)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("benchmark_doc_id"))
+    )
+    corpus = hashed.where(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "content_hash", "left")
+        .select(
+            "doc_id", "content_hash", "benchmark_doc_id",
+            F.col("benchmark_doc_id").isNotNull().alias("is_contaminated"),
+        )
     )
 
 

@@ -385,6 +385,217 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "w_start", "w_end", "ts", "value")
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide pivot of event counts per type (BI matrix view).
+    Explicit pivot values ⇒ single-pass pivot aggregation (no extra
+    distinct-values job, and the plan is static for Catalyst)."""
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    piv = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in EVENT_TYPES],
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the lineitem measures — narrow
+    per-row Expand, no shuffle."""
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    return l.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue with grouping_id — subtotal +
+    grand-total rows in one aggregation pass (Expand feeds a single
+    shuffle; no self-union of per-level aggs)."""
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue_expr()), 2).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue", "n_items", "gid",
+        )
+    )
+
+
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue.  The window sum runs over
+    EXACT decimals (associative ⇒ frame-order independent, so DuckDB's
+    segment-tree window agg can't diverge), cast to double only at the
+    end.  The sliding window runs on the aggregated daily table (~10³
+    rows/year), not the fact — at scale that's a single small post-agg
+    stage."""
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    daily = (
+        l.groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(F.sum(_revenue_expr()).alias("_rev"))
+    )
+    w = Window.orderBy("ship_date").rowsBetween(-6, 0)
+    return daily.select(
+        "ship_date",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("_rev").over(w), 2).cast("double").alias("rev_7d_sum"),
+        F.count("*").over(w).cast("int").alias("n_days_in_window"),
+        F.round(
+            F.sum("_rev").over(w).cast("double") / F.count("*").over(w), 2
+        ).alias("rev_7d_avg"),
+    )
+
+
+def q_mom_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue % change via lag over the monthly
+    rollup (exact decimal sums; % change in double at the end)."""
+    apply_engine_conf(spark)
+    l = _lineitem(spark, sf_dir)
+    monthly = (
+        l.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(F.sum(_revenue_expr()).alias("_rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "month",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(prev, 2).cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("_rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"), 6,
+        ).alias("pct_change"),
+    )
+
+
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 late lineitem, counted by
+    priority — LEFT SEMI join (dedups on the join, no post-join
+    distinct; the lineitem side is filtered before the shuffle)."""
+    apply_engine_conf(spark)
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    l = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    late = (
+        o["o_orderkey"] == l["l_orderkey"]
+    ) & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS"))
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+def q_cust_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders, profiled by nation — LEFT ANTI join
+    (the NOT-EXISTS plan; orders side reduced to its key column before
+    the shuffle)."""
+    apply_engine_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal", "decimal(12,2)")), 2)
+            .cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def q_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of event value per type, via
+    rank-position selection (value at row ⌈p·n⌉ in sort order) — the
+    same arithmetic on both engines, no interpolation, so raw data
+    values pass through bit-exact."""
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc())
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("event_type")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("cnt"),
+    )
+
+    def at(p: float):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")), F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        at(0.99).alias("p99"),
+    )
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build from an event stream: per user, collapse
+    consecutive same-type observations, then derive validity intervals
+    [valid_from, valid_to) + is_current + version.  Both window passes
+    share one hash partitioning on user_id ⇒ a single shuffle."""
+    apply_engine_conf(spark)
+    e = tf.events_ts_fixed(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    obs = e.select("user_id", "ts", "event_id", "event_type")
+    changes = (
+        obs.withColumn("_prev", F.lag("event_type").over(w))
+        .where(F.col("_prev").isNull() | (F.col("event_type") != F.col("_prev")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C. streaming lane + write paths
 #
@@ -720,6 +931,113 @@ ORACLES: dict[str, str] = {
          AND pt.ts >= iv.w_start AND pt.ts < iv.w_end
         GROUP BY iv.user_id, iv.interval_id, iv.w_start, iv.w_end
     """,
+    "pivot_event_type": """
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        FROM events GROUP BY 1
+    """,
+    "unpivot_metrics": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    "rollup_revenue": f"""
+        SELECT COALESCE(r.r_name, 'ALL') AS r_name,
+               COALESCE(n.n_name, 'ALL') AS n_name,
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items,
+               CAST(GROUPING(r.r_name, n.n_name) AS INT) AS gid
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "moving_avg_7d": f"""
+        WITH daily AS (
+          SELECT CAST(l_shipdate AS DATE) AS ship_date, SUM({_REV}) AS _rev
+          FROM lineitem GROUP BY 1)
+        SELECT ship_date,
+               CAST(round(_rev, 2) AS DOUBLE) AS revenue,
+               CAST(round(SUM(_rev) OVER w, 2) AS DOUBLE) AS rev_7d_sum,
+               CAST(COUNT(*) OVER w AS INT) AS n_days_in_window,
+               round(CAST(SUM(_rev) OVER w AS DOUBLE) / (COUNT(*) OVER w), 2)
+                 AS rev_7d_avg
+        FROM daily
+        WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "mom_pct_change": f"""
+        WITH monthly AS (
+          SELECT date_trunc('month', l_shipdate) AS month, SUM({_REV}) AS _rev
+          FROM lineitem GROUP BY 1)
+        SELECT month,
+               CAST(round(_rev, 2) AS DOUBLE) AS revenue,
+               CAST(round(lag(_rev) OVER (ORDER BY month), 2) AS DOUBLE)
+                 AS prev_revenue,
+               round((CAST(_rev AS DOUBLE)
+                      - CAST(lag(_rev) OVER (ORDER BY month) AS DOUBLE))
+                     / CAST(lag(_rev) OVER (ORDER BY month) AS DOUBLE), 6)
+                 AS pct_change
+        FROM monthly
+    """,
+    "order_priority_semi": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1
+    """,
+    "cust_no_orders_anti": """
+        SELECT n.n_name, COUNT(*) AS n_customers,
+               CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total_acctbal
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
+    "percentile_value": """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events)
+        SELECT event_type, MAX(cnt) AS n,
+               MAX(CASE WHEN rn = ceil(0.5 * cnt) THEN value END) AS p50,
+               MAX(CASE WHEN rn = ceil(0.9 * cnt) THEN value END) AS p90,
+               MAX(CASE WHEN rn = ceil(0.99 * cnt) THEN value END) AS p99
+        FROM ranked GROUP BY 1
+    """,
+    "scd2_dim": """
+        WITH chg AS (
+          SELECT user_id, ts, event_id, event_type FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS _prev
+            FROM events) t
+          WHERE _prev IS NULL OR event_type <> _prev)
+        SELECT user_id, event_type AS attr_value, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version
+        FROM chg
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -746,6 +1064,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "pivot_event_type": q_pivot_event_type,
+    "unpivot_metrics": q_unpivot_metrics,
+    "rollup_revenue": q_rollup_revenue,
+    "moving_avg_7d": q_moving_avg_7d,
+    "mom_pct_change": q_mom_pct_change,
+    "order_priority_semi": q_order_priority_semi,
+    "cust_no_orders_anti": q_cust_no_orders_anti,
+    "percentile_value": q_percentile_value,
+    "scd2_dim": q_scd2_dim,
     "streaming_dlq_routing": q_streaming_dlq_routing,
     "streaming_windowed_audit": q_streaming_windowed_audit,
     "streaming_dedupe": q_streaming_dedupe,

@@ -241,6 +241,26 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 SAMPLE_DEFAULT_RATE)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.tfidf_topk(_docs(spark, sf_dir))
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.bigram_topk(_docs(spark, sf_dir))
+
+
+def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.doc_length_histogram(_docs(spark, sf_dir))
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.benchmark_decontam(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -564,6 +584,71 @@ LLM_ORACLES: dict[str, str] = {
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
     """,
+    "tfidf_topk": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+          FROM documents),
+        ex AS (SELECT doc_id, u.token FROM toks, UNNEST(t) u(token)),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+        dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tf, df,
+               round(CAST(tf AS DOUBLE)
+                     * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY round(CAST(tf AS DOUBLE)
+                   * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) DESC,
+                   token ASC) AS INT) AS rnk
+        FROM tf JOIN dfc USING (token) CROSS JOIN n
+        QUALIFY rnk <= {cp.TFIDF_TOP_K}
+    """,
+    "bigram_topk": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+          FROM documents),
+        gg AS (
+          SELECT doc_id, [array_to_string(t[i:i+1], ' ')
+                          FOR i IN generate_series(1, len(t) - 1)] AS g2
+          FROM toks),
+        ex AS (SELECT doc_id, u.bigram FROM gg, UNNEST(g2) u(bigram)),
+        agg AS (SELECT bigram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+                FROM ex GROUP BY 1)
+        SELECT bigram, tf, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, bigram ASC) AS INT) AS rnk
+        FROM agg
+        QUALIFY rnk <= {cp.BIGRAM_TOP_K}
+    """,
+    "doc_len_histogram": f"""
+        WITH m AS (
+          SELECT lang,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '')) AS n
+          FROM documents)
+        SELECT lang,
+               CAST(floor(n / {cp.HIST_BUCKET_TOKENS}) AS INT) AS bucket,
+               COUNT(*) AS n_docs,
+               SUM(n) AS total_tokens,
+               CAST(MIN(n) AS INT) AS min_tokens,
+               CAST(MAX(n) AS INT) AS max_tokens,
+               CAST(floor(n / {cp.HIST_BUCKET_TOKENS})
+                    * {cp.HIST_BUCKET_TOKENS} AS INT) AS bucket_lo
+        FROM m GROUP BY 1, 2, 7
+    """,
+    "benchmark_decontam": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS content_hash
+          FROM documents),
+        b AS (SELECT content_hash, MIN(doc_id) AS benchmark_doc_id
+              FROM h WHERE doc_id % 10 = 0 GROUP BY 1)
+        SELECT c.doc_id, c.content_hash, b.benchmark_doc_id,
+               b.benchmark_doc_id IS NOT NULL AS is_contaminated
+        FROM h c LEFT JOIN b USING (content_hash)
+        WHERE c.doc_id % 10 <> 0
+    """,
 }
 
 LLM_QUERIES = {
@@ -588,4 +673,8 @@ LLM_QUERIES = {
     "pii_redact": q_pii_redact,
     "doc_chunking": q_doc_chunking,
     "stratified_sample": q_stratified_sample,
+    "tfidf_topk": q_tfidf_topk,
+    "bigram_topk": q_bigram_topk,
+    "doc_len_histogram": q_doc_len_histogram,
+    "benchmark_decontam": q_benchmark_decontam,
 }
