@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .llm_text import normalized_text, word_shingles, ws_tokens
+from .llm_text import (doc_shingles, normalized_text, shingle_arrays,
+                       word_shingles, ws_tokens)
 
 # ---------------------------------------------------------------------------
 # vocabulary (word-count, the canonical map-side-combine aggregation)
@@ -330,6 +331,81 @@ def benchmark_decontam(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_id", "content_hash", "benchmark_doc_id",
             F.col("benchmark_doc_id").isNotNull().alias("is_contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram overlap decontamination (GPT-3 appendix-C style)
+
+DECONTAM_N = 5
+DECONTAM_TAU = 0.1
+
+
+def ngram_decontam(docs: DataFrame, n: int = DECONTAM_N,
+                   tau: float = DECONTAM_TAU) -> DataFrame:
+    """Fuzzy eval-set decontamination: corpus docs sharing ≥ tau of
+    their distinct word-n-grams with any benchmark doc (doc_id % 10 == 0
+    plays the benchmark role).  Complements benchmark_decontam (exact
+    hash): this catches partial containment — quoted spans, truncated
+    copies — the way GPT-3's 13-gram overlap filter did.
+
+    Scale shape: both sides reduce to DISTINCT 60-bit shingle hashes
+    (doc_shingles); the benchmark side is BROADCAST (benchmark suites
+    are ~10⁵ docs vs a 100 TB corpus), so the corpus side never
+    shuffles for the probe — only the per-pair overlap count aggregates,
+    and that output is bounded by true near-matches, not the corpus."""
+    sh = doc_shingles(docs, n)
+    bench = (
+        sh.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("benchmark_doc_id"), "hg")
+    )
+    corp = sh.where(F.col("doc_id") % 10 != 0)
+    sizes = (
+        shingle_arrays(docs, n)
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.size("sgs").cast("bigint").alias("n_grams"))
+    )
+    shared = (
+        corp.join(F.broadcast(bench), "hg")
+        .groupBy("doc_id", "benchmark_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    frac = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"), 6)
+    return (
+        shared.join(sizes, "doc_id")
+        .withColumn("overlap_frac", frac)
+        .where(F.col("overlap_frac") >= tau)
+        .select("doc_id", "benchmark_doc_id", "n_overlap", "n_grams",
+                "overlap_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source cap (domain balancing)
+
+SOURCE_CAP = 10
+
+
+def per_source_cap(docs: DataFrame, cap: int = SOURCE_CAP,
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cap each source/domain at ``cap`` docs, picked by deterministic
+    md5 priority (the per-domain cap every web-corpus pipeline applies
+    so no single domain dominates the mixture).  Reproducible across
+    runs — same corpus → same kept set.
+
+    Scale shape: one hash-partitioned window on source.  A skewed
+    giant domain concentrates on one task; for pathological skew
+    pre-filter with an approximate per-source count and a salted
+    two-level top-k before the exact window."""
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(
+        key.asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.col(source_col), key.alias("samp_key"))
+        .withColumn("samp_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("samp_rank") <= cap)
     )
 
 

@@ -657,6 +657,14 @@ def q_streaming_model_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["fact"]
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_stream_stream_join
+
+    apply_engine_conf(spark)
+    return run_stream_stream_join(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "ss_join", sf_dir))
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_streaming_sessionize
 
@@ -1076,6 +1084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dlq_routing": q_streaming_dlq_routing,
     "streaming_windowed_audit": q_streaming_windowed_audit,
     "streaming_dedupe": q_streaming_dedupe,
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_upsert": q_streaming_upsert,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_model_upsert": q_streaming_model_upsert,
@@ -1089,6 +1098,21 @@ ORACLES.update(LLM_ORACLES)
 ORACLES["streaming_dlq_routing"] = ORACLES["dlq_routing"]
 ORACLES["streaming_windowed_audit"] = ORACLES["quality_audit"]
 ORACLES["streaming_upsert"] = ORACLES["dedupe_latest_wins"]
+# stream-stream inner join emits exactly the matching-pair set
+# (batching-independent) → the batch interval join is a FULL oracle
+ORACLES["streaming_interval_join"] = """
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS click_event_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
 # the stateful sessionizer's sink state equals the batch window answer
 # (per-user ordered walk + replace-by-key emission) → same oracle
 ORACLES["streaming_sessionize"] = ORACLES["sessionize"]

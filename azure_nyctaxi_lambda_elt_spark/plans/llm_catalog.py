@@ -261,6 +261,16 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.benchmark_decontam(_docs(spark, sf_dir))
 
 
+def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.ngram_decontam(_docs(spark, sf_dir))
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.per_source_cap(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -637,6 +647,37 @@ LLM_ORACLES: dict[str, str] = {
                     * {cp.HIST_BUCKET_TOKENS} AS INT) AS bucket_lo
         FROM m GROUP BY 1, 2, 7
     """,
+    "ngram_decontam": f"""
+        WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sg,
+                 CAST(concat('0x', substring(md5(sg), 1, 15)) AS BIGINT) AS hg
+          FROM toks, UNNEST([array_to_string(t[i:i+{cp.DECONTAM_N - 1}], ' ')
+                             FOR i IN generate_series(1, len(t) - {cp.DECONTAM_N - 1})]) u(sg)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+               WHERE doc_id % 10 <> 0 GROUP BY 1),
+        shared AS (
+          SELECT c.doc_id, b.doc_id AS benchmark_doc_id, COUNT(*) AS n_overlap
+          FROM sh c JOIN sh b ON c.hg = b.hg
+          WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+          GROUP BY 1, 2)
+        SELECT s.doc_id, s.benchmark_doc_id, s.n_overlap, z.n_grams,
+               round(CAST(s.n_overlap AS DOUBLE)
+                     / CAST(z.n_grams AS DOUBLE), 6) AS overlap_frac
+        FROM shared s JOIN sz z ON z.doc_id = s.doc_id
+        WHERE round(CAST(s.n_overlap AS DOUBLE)
+                    / CAST(z.n_grams AS DOUBLE), 6) >= {cp.DECONTAM_TAU}
+    """.replace("{toks}", _TOKS),
+    "per_source_cap": f"""
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS samp_key,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                 AS INT) AS samp_rank
+        FROM documents
+        QUALIFY samp_rank <= {cp.SOURCE_CAP}
+    """,
     "benchmark_decontam": """
         WITH h AS (
           SELECT doc_id,
@@ -677,4 +718,6 @@ LLM_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "doc_len_histogram": q_doc_len_histogram,
     "benchmark_decontam": q_benchmark_decontam,
+    "ngram_decontam": q_ngram_decontam,
+    "per_source_cap": q_per_source_cap,
 }

@@ -241,6 +241,53 @@ def run_streaming_dedupe(spark: SparkSession, sf_dir: str, out_dir: str,
     return spark.read.parquet(dedup_dir)
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str, out_dir: str,
+                           max_files_per_trigger: int | None = None,
+                           source_dir: str | None = None) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched to
+    the same user's clicks in the preceding hour (click attribution).
+
+    Watermarks on BOTH sides + the time-range join condition bound the
+    buffered state to ~2 h of events per side — the only viable
+    stream-join contract at scale (an unbounded-state join OOMs).  An
+    inner join emits exactly the set of matching pairs regardless of
+    micro-batch boundaries, so the sink equals the batch join — FULL
+    oracle parity."""
+    join_dir = os.path.join(out_dir, "joined")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(join_dir, ckpt)
+    clicks = (
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_event_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("""
+            user_id = c_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts < click_ts + INTERVAL 1 HOUR
+        """),
+    ).drop("c_user_id")
+    _run_available_now(
+        joined.writeStream.format("parquet")
+        .option("path", join_dir)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(join_dir)
+
+
 def run_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
                max_files_per_trigger: int | None = None,
                source_dir: str | None = None) -> DataFrame:

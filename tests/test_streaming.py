@@ -152,3 +152,26 @@ def test_multibatch_dedupe_one_row_per_key(spark, feed_dir):
     typed = tf.typed_trips(tf.raw_trips(spark, SF_SMOKE))
     assert got.count() == typed.select("trip_uid").distinct().count()
     assert got.groupBy("trip_uid").count().where(F.col("count") > 1).count() == 0
+
+
+def test_multibatch_interval_join_equals_batch(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_stream_stream_join
+
+    got = run_stream_stream_join(spark, SF_SMOKE, os.path.join(OUT, "ssjoin"),
+                                 max_files_per_trigger=1, source_dir=feed_dir)
+    e = tf.events_ts_fixed(spark, SF_SMOKE)
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value"))
+    want = p.join(
+        c, (F.col("user_id") == F.col("cu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).drop("cu")
+    g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+    assert g == w  # match set identical despite 3 micro-batches
