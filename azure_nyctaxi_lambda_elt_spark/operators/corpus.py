@@ -410,6 +410,107 @@ def per_source_cap(docs: DataFrame, cap: int = SOURCE_CAP,
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4-style line dedup at chunk granularity)
+
+PARA_TOKENS = 16
+
+
+def paragraph_dedup(docs: DataFrame, para: int = PARA_TOKENS,
+                    text_col: str = "text") -> DataFrame:
+    """Exact dedup at sub-document granularity: non-overlapping
+    ``para``-token windows, hashed, first occurrence wins (C4 does this
+    per line; the synthetic corpus has no newlines so fixed token
+    windows play the paragraph role).
+
+    The (doc, chunk) winner is encoded as ONE sortable bigint
+    (doc_id·2²⁰ + chunk_id) so canonical selection is a single MIN
+    window over the chunk hash — one shuffle on a high-cardinality,
+    uniformly-distributed key (the reference's HASH-distribution
+    pattern, core/12_trip_clean.dedupe_load.sql's latest-wins analog
+    flipped to first-wins)."""
+    chunks = doc_chunks(docs, chunk=para, stride=para, text_col=text_col)
+    pos_key = (F.col("doc_id") * F.lit(1 << 20)
+               + F.col("chunk_id")).cast("bigint")
+    staged = chunks.select(
+        "doc_id", "chunk_id",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+        pos_key.alias("__pk"),
+    )
+    w = Window.partitionBy("chunk_hash")
+    out = staged.select(
+        "doc_id", "chunk_id", "chunk_hash",
+        F.min("__pk").over(w).alias("__canon"),
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+        F.col("__pk").alias("__pk"),
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_hash", "group_size",
+        F.floor(F.col("__canon") / F.lit(1 << 20)).cast("bigint")
+            .alias("canonical_doc_id"),
+        (F.col("__canon") % F.lit(1 << 20)).cast("int")
+            .alias("canonical_chunk_id"),
+        (F.col("__pk") != F.col("__canon")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heuristic document quality filter (Gopher/C4-style rules)
+
+FILTER_MIN_TOKENS = 20
+FILTER_MAX_TOKENS = 100_000
+FILTER_MWL_MIN = 3.0
+FILTER_MWL_MAX = 10.0
+FILTER_SYMBOL_RATIO_MAX = 0.1
+FILTER_MIN_STOPWORDS = 2
+SYMBOL_PAT = "[#@*^~|<>{}]"
+
+
+def heuristic_filter(docs: DataFrame, stopwords: tuple[str, ...],
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) rule-based quality flags:
+    token-count bounds, mean-word-length band, symbol-to-char ratio,
+    distinct-stopword floor, terminal punctuation — plus the composite
+    ``keep`` verdict.  The reference's domain-filter pass
+    (core/11_trip_clean.slice_ctas.sql WHERE block) re-expressed for
+    text corpora.
+
+    Entirely NARROW (token array materialized once, per-row folds) —
+    a map-only pass that pipelines with the scan at 100 TB."""
+    text = F.col(text_col)
+    staged = docs.select(
+        "doc_id", text.alias("__txt"),
+        ws_tokens(F.lower(text)).alias("__t"),
+    ).where(F.size("__t") > 0)
+    n = F.size("__t")
+    tok_chars = F.aggregate(
+        F.transform("__t", F.length), F.lit(0), lambda a, x: a + x)
+    mwl = F.round(tok_chars.cast("double") / n.cast("double"), 6)
+    sym_ratio = F.round(
+        F.regexp_count(F.col("__txt"), F.lit(SYMBOL_PAT)).cast("double")
+        / F.length("__txt").cast("double"), 6)
+    n_stop = F.size(F.array_intersect(
+        "__t", F.array(*[F.lit(s) for s in stopwords])))
+    term = F.col("__txt").rlike("[.!?]$")
+    m = staged.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.cast("int").alias("n_stop_distinct"),
+        term.alias("has_terminal_punct"),
+    )
+    keep = (
+        (F.col("n_tokens") >= FILTER_MIN_TOKENS)
+        & (F.col("n_tokens") <= FILTER_MAX_TOKENS)
+        & (F.col("mean_word_len") >= FILTER_MWL_MIN)
+        & (F.col("mean_word_len") <= FILTER_MWL_MAX)
+        & (F.col("symbol_ratio") < FILTER_SYMBOL_RATIO_MAX)
+        & (F.col("n_stop_distinct") >= FILTER_MIN_STOPWORDS)
+    )
+    return m.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
 # deterministic stratified sampling
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float],

@@ -28,6 +28,7 @@ from ..operators.upsert import merge_latest
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
 from . import trips_feed as tf
+from .ext_catalog import EXT_ORACLES, EXT_QUERIES
 from .llm_catalog import LLM_ORACLES, LLM_QUERIES
 from .oracle_trips import with_trips
 
@@ -1090,8 +1091,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_model_upsert": q_streaming_model_upsert,
     "idempotent_partition_load": q_idempotent_partition_load,
     **LLM_QUERIES,
+    **EXT_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
+ORACLES.update(EXT_ORACLES)
 # streaming pipelines reproduce the batch answers exactly (pure row
 # transforms + associative merges) → reuse the batch oracles;
 # streaming_dedupe is first-arrival-wins (order-dependent) → rows-only.

@@ -1,0 +1,441 @@
+"""Extension set E: wider analytics shapes (CUBE, funnel, retention,
+ntile, exact-decimal correlation, snapshot diff, JSON extraction) and
+two more corpus passes (paragraph dedup, heuristic quality filter) plus
+iterative k-means over embeddings.
+
+Same oracle conventions as plans/catalog.py: exact DECIMAL
+intermediates, identical final-double formulas (same parenthesization
+on both sides ⇒ bit-identical IEEE results), round(…, 6), identical
+aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import corpus as cp
+from ..operators.clustering import kmeans_assign
+from ..operators.llm_text import STOPWORDS
+from ..session import apply_engine_conf
+from . import trips_feed as tf
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _dec(col: str | F.Column, spec: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(spec)
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE subtotals over (returnflag, linestatus) with grouping_id —
+    all 2² grouping sets in ONE aggregation pass (single shuffle; the
+    Expand adds rows map-side).  Reference parity: the BI rollup views
+    over vw_fact_trip_bi."""
+    apply_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice", "decimal(12,2)") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,4)"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(_dec("l_quantity", "decimal(12,2)")).alias("sum_qty"),
+            F.sum(rev).alias("sum_revenue"),
+        )
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel signup → click → purchase per user, each
+    stage's timestamp constrained to follow the previous stage.
+
+    Spark-first shape: ONE shuffle (groupBy user) collecting the per-
+    stage timestamp arrays, then the sequential min-after constraints
+    run as narrow array HOFs — no self-joins, no re-shuffles.  Per-user
+    state is bounded by that user's click/purchase counts (same bounded-
+    key-state argument as sessionization).  Reference parity: the
+    streaming lane's per-key ordered walk (usp_upsert_* producer-ts
+    logic) generalized to multi-stage order."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            .alias("t_signup"),
+        F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            .alias("__clicks"),
+        F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            .alias("__purchases"),
+    )
+    t_click = F.array_min(F.filter(
+        "__clicks", lambda c: c >= F.col("t_signup")))
+    staged = per_user.where(F.col("t_signup").isNotNull()).select(
+        "user_id", "t_signup", t_click.alias("t_click"), "__purchases")
+    t_purchase = F.array_min(F.filter(
+        "__purchases", lambda p: p >= F.col("t_click")))
+    out = staged.select(
+        "user_id", "t_signup", "t_click", t_purchase.alias("t_purchase"))
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return out.withColumn("funnel_stage", stage.cast("int"))
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted once per (cohort, week-offset) they were active in.
+
+    Scale shape: first-ts aggregation shuffles on user once; the
+    activity join re-uses the same user hash partitioning (co-located),
+    and the final agg reduces to |cohorts × offsets| rows."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
+    j = ev.select("user_id", "ts").join(firsts, "user_id")
+    cohort = F.date_trunc("week", F.col("__first_ts"))
+    offset = F.floor(
+        F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))),
+                   F.to_date(cohort)) / 7)
+    active = j.select(
+        "user_id",
+        # DATE-typed cohort key (DuckDB's date_trunc('week') yields DATE)
+        F.to_date(cohort).alias("cohort_week"),
+        offset.cast("int").alias("week_offset"),
+    ).distinct()
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via NTILE(4) over a fully-tiebroken
+    order.  The window runs on the AGGREGATED per-customer table (tiny
+    next to orders); at web scale replace with approx-quantile cut
+    points + a map-side bucket assignment."""
+    apply_engine_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice", "decimal(12,2)")).alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey", "spend",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dispersion + value↔hour correlation, computed
+    from EXACT decimal moment sums (n, Σx, Σx², Σy, Σy², Σxy) with one
+    final double formula — deterministic regardless of partitioning /
+    accumulation order, unlike float stddev/corr aggregates (the same
+    trick the decimal revenue sums use; moments are associative, so the
+    shuffle carries 6 numbers per group per task)."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    v = _dec("value", "decimal(18,6)")
+    h = F.hour("ts").cast("decimal(4,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(v).alias("__sx"),
+        F.sum(v * v).alias("__sxx"),
+        F.sum(h).alias("__sy"),
+        F.sum(h * h).alias("__syy"),
+        F.sum(v * h).alias("__sxy"),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_num = n * sxx - sx * sx
+    cov_num = n * sxy - sx * sy
+    hvar_num = n * syy - sy * sy
+    return m.select(
+        "event_type", "n_events",
+        F.round(sx / n, 6).alias("avg_value"),
+        F.when(F.col("n_events") > 1,
+               F.round(F.sqrt(var_num / (n * (n - F.lit(1.0)))), 6))
+            .alias("stddev_value"),
+        F.round(sy / n, 6).alias("avg_hour"),
+        F.when((var_num > 0) & (hvar_num > 0),
+               F.round(cov_num / F.sqrt(var_num * hvar_num), 6))
+            .alias("corr_value_hour"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style table diff between two deterministic snapshots of
+    orders (old = keys % 11 ≠ 0; new = keys % 13 ≠ 0 with price bumped
+    on keys % 7 = 0) → added / removed / changed rows.
+
+    Scale shape: one full-outer sort-merge join on the key — both
+    sides hash-partition identically, and unchanged rows (the vast
+    majority at 100 TB) are filtered before any downstream work.
+    Reference parity: the MERGE source/target matching in
+    usp_upsert_trip_clean_from_slice_streaming.sql, surfaced as a diff
+    instead of applied."""
+    apply_engine_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    price = _dec("o_totalprice", "decimal(12,2)")
+    old = (
+        orders.where(F.col("o_orderkey") % 11 != 0)
+        .select("o_orderkey", price.alias("old_price"))
+    )
+    new = (
+        orders.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, price + F.lit(5))
+            .otherwise(price).cast("decimal(13,2)").alias("new_price"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price").cast("decimal(13,2)")
+              != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type") != "unchanged")
+        .select("o_orderkey", "old_price", "new_price", "change_type")
+    )
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSON property extraction + rollup — the ASA lane's
+    schema-on-read JSON parse (infra/scripts/asa-wire.sh) as a batch
+    op.  get_json_object is JVM-side (Jayway path eval inside codegen);
+    the aggregation reduces map-side to |event_type| rows."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    staged = ev.select("event_type", "user_id", k.alias("__k"))
+    return staged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("__k").cast("bigint").alias("sum_k"),
+        F.min("__k").cast("int").alias("min_k"),
+        F.max("__k").cast("int").alias("max_k"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return cp.heuristic_filter(
+        load_table(spark, sf_dir, "documents"), STOPWORDS["en"])
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+EXT_ORACLES: dict[str, str] = {
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n_rows,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,4)))) AS sum_revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "funnel_conversion": """
+        WITH s AS (
+          SELECT user_id, MIN(ts) AS t_signup FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s.t_signup GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+               CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                         WHEN c.t_click IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS funnel_stage
+        FROM s
+        LEFT JOIN c ON c.user_id = s.user_id
+        LEFT JOIN p ON p.user_id = s.user_id
+    """,
+    "retention_cohort": """
+        WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+                   FROM events GROUP BY 1),
+        act AS (
+          SELECT DISTINCT e.user_id,
+                 CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+                 CAST(floor(date_diff('day',
+                        CAST(date_trunc('week', f.first_ts) AS DATE),
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                      AS INT) AS week_offset
+          FROM events e JOIN f ON f.user_id = e.user_id)
+        SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        FROM act GROUP BY 1, 2
+    """,
+    "ntile_quartiles": """
+        WITH spend AS (
+          SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, spend,
+               CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey ASC)
+                    AS INT) AS quartile
+        FROM spend
+    """,
+    "corr_stats": """
+        WITH m AS (
+          SELECT event_type,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+                 SUM(CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6))) AS sxx,
+                 SUM(CAST(hour(ts) AS DECIMAL(4,0))) AS sy,
+                 SUM(CAST(hour(ts) AS DECIMAL(4,0))
+                     * CAST(hour(ts) AS DECIMAL(4,0))) AS syy,
+                 SUM(CAST(value AS DECIMAL(18,6))
+                     * CAST(hour(ts) AS DECIMAL(4,0))) AS sxy
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT event_type, n_events,
+                 CAST(n_events AS DOUBLE) AS n,
+                 CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+                 CAST(sy AS DOUBLE) AS sy, CAST(syy AS DOUBLE) AS syy,
+                 CAST(sxy AS DOUBLE) AS sxy
+          FROM m)
+        SELECT event_type, n_events,
+               round(sx / n, 6) AS avg_value,
+               CASE WHEN n_events > 1 THEN
+                 round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6)
+               END AS stddev_value,
+               round(sy / n, 6) AS avg_hour,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0 THEN
+                 round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS corr_value_hour
+        FROM d
+    """,
+    "snapshot_diff": """
+        WITH old AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS old_price
+          FROM orders WHERE o_orderkey % 11 <> 0),
+        new AS (
+          SELECT o_orderkey,
+                 CAST(CASE WHEN o_orderkey % 7 = 0
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) + 5
+                      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+                      AS DECIMAL(13,2)) AS new_price
+          FROM orders WHERE o_orderkey % 13 <> 0)
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               old_price, new_price,
+               CASE WHEN old_price IS NULL THEN 'added'
+                    WHEN new_price IS NULL THEN 'removed'
+                    WHEN CAST(old_price AS DECIMAL(13,2)) <> new_price
+                      THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+        WHERE CASE WHEN old_price IS NULL THEN 'added'
+                   WHEN new_price IS NULL THEN 'removed'
+                   WHEN CAST(old_price AS DECIMAL(13,2)) <> new_price
+                     THEN 'changed'
+                   ELSE 'unchanged' END <> 'unchanged'
+    """,
+    "json_extract_props": """
+        SELECT event_type, COUNT(*) AS n_events,
+               SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+                 AS min_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+                 AS max_k,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "paragraph_dedup": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 CAST((i - 1) // {cp.PARA_TOKENS} AS INT) AS chunk_id,
+                 md5(array_to_string(t[i:i + {cp.PARA_TOKENS - 1}], ' '))
+                   AS chunk_hash,
+                 doc_id * {1 << 20}
+                   + CAST((i - 1) // {cp.PARA_TOKENS} AS BIGINT) AS pk
+          FROM toks, UNNEST(generate_series(1, len(t), {cp.PARA_TOKENS})) u(i)
+          WHERE len(t) > 0)
+        SELECT doc_id, chunk_id, chunk_hash,
+               COUNT(*) OVER (PARTITION BY chunk_hash) AS group_size,
+               CAST(MIN(pk) OVER (PARTITION BY chunk_hash) // {1 << 20}
+                    AS BIGINT) AS canonical_doc_id,
+               CAST(MIN(pk) OVER (PARTITION BY chunk_hash) % {1 << 20}
+                    AS INT) AS canonical_chunk_id,
+               pk <> MIN(pk) OVER (PARTITION BY chunk_hash) AS is_duplicate
+        FROM ch
+    """,
+    "heuristic_filter": f"""
+        WITH staged AS (
+          SELECT doc_id, text AS txt,
+                 list_filter(string_split(lower(text), ' '),
+                             t -> t <> '') AS t
+          FROM documents),
+        nz AS (SELECT * FROM staged WHERE len(t) > 0),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(t) AS INT) AS n_tokens,
+                 round(CAST(list_sum([length(x) FOR x IN t]) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
+                 round(CAST(len(regexp_extract_all(txt, '{cp.SYMBOL_PAT}'))
+                            AS DOUBLE)
+                       / CAST(length(txt) AS DOUBLE), 6) AS symbol_ratio,
+                 CAST(len(list_distinct(list_filter(t,
+                      x -> x IN ({_STOP_EN})))) AS INT) AS n_stop_distinct,
+                 regexp_matches(txt, '[.!?]$') AS has_terminal_punct
+          FROM nz)
+        SELECT *,
+               (n_tokens >= {cp.FILTER_MIN_TOKENS}
+                AND n_tokens <= {cp.FILTER_MAX_TOKENS}
+                AND mean_word_len >= {cp.FILTER_MWL_MIN}
+                AND mean_word_len <= {cp.FILTER_MWL_MAX}
+                AND symbol_ratio < {cp.FILTER_SYMBOL_RATIO_MAX}
+                AND n_stop_distinct >= {cp.FILTER_MIN_STOPWORDS}) AS keep
+        FROM m
+    """,
+    # kmeans_embeddings: iterative (non-SQL-expressible) → rows-only +
+    # tests/test_ext_ops.py numpy-reference assignment parity
+}
+
+EXT_QUERIES = {
+    "cube_revenue": q_cube_revenue,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohort": q_retention_cohort,
+    "ntile_quartiles": q_ntile_quartiles,
+    "corr_stats": q_corr_stats,
+    "snapshot_diff": q_snapshot_diff,
+    "json_extract_props": q_json_extract_props,
+    "paragraph_dedup": q_paragraph_dedup,
+    "heuristic_filter": q_heuristic_filter,
+    "kmeans_embeddings": q_kmeans_embeddings,
+}
