@@ -30,6 +30,7 @@ from ..sources.tables import load_table
 from . import trips_feed as tf
 from .ext_catalog import EXT_ORACLES, EXT_QUERIES
 from .llm_catalog import LLM_ORACLES, LLM_QUERIES
+from .warehouse_catalog import WAREHOUSE_ORACLES, WAREHOUSE_QUERIES
 from .oracle_trips import with_trips
 
 # ---------------------------------------------------------------------------
@@ -1092,9 +1093,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idempotent_partition_load": q_idempotent_partition_load,
     **LLM_QUERIES,
     **EXT_QUERIES,
+    **WAREHOUSE_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
 ORACLES.update(EXT_ORACLES)
+ORACLES.update(WAREHOUSE_ORACLES)
 # streaming pipelines reproduce the batch answers exactly (pure row
 # transforms + associative merges) → reuse the batch oracles;
 # streaming_dedupe is first-arrival-wins (order-dependent) → rows-only.
