@@ -93,6 +93,57 @@ def kmeans_assign(emb: DataFrame, k: int = KMEANS_K,
         pts.unpersist()
 
 
+def semantic_dedup(emb: DataFrame, tau: float, k: int = KMEANS_K,
+                   iters: int = KMEANS_ITERS) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then mark as duplicates only points with cosine ≥ tau to a
+    LOWER-id point in the SAME cluster (the lowest id of each
+    similarity neighborhood survives — deterministic keeper).
+
+    This is the scale path for embedding dedup: the quadratic cosine
+    pass runs per-cluster (Σ|cell|² work, |corpus|²/k in expectation),
+    never all-pairs over the corpus.  Spark shape: the pairwise stage
+    is a self-equi-join ON cluster_id — a hash-partitioned join whose
+    shuffle moves each vector k-ways-balanced once, with the cosine +
+    threshold evaluated inside codegen post-join; the keeper selection
+    is a groupBy(min) on the surviving pairs only.
+
+    Returns (vec_id, cluster_id, is_dup, dup_of): dup_of = the lowest
+    lower-id in-cluster neighbor above tau, NULL for keepers."""
+    from .ann import vec_dot
+
+    assign = kmeans_assign(emb, k, iters).select("vec_id", "cluster_id")
+    pts = _points(emb).withColumn(
+        "__ssq", F.aggregate(F.transform("__e", lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    vecs = (pts.join(assign, "vec_id")
+            .select("vec_id", "cluster_id", "__e", "__ssq")
+            .persist())
+    a = vecs.select(F.col("cluster_id").alias("__ca"),
+                    F.col("vec_id").alias("id_i"),
+                    F.col("__e").alias("__ea"), F.col("__ssq").alias("__sa"))
+    b = vecs.select(F.col("cluster_id").alias("__cb"),
+                    F.col("vec_id").alias("id_j"),
+                    F.col("__e").alias("__eb"), F.col("__ssq").alias("__sb"))
+    cos = F.round(
+        vec_dot(F.col("__ea"), F.col("__eb"))
+        / (F.sqrt(F.col("__sa")) * F.sqrt(F.col("__sb"))), 6)
+    dups = (
+        a.join(b, (F.col("__ca") == F.col("__cb"))
+               & (F.col("id_i") < F.col("id_j")))
+        .where(cos >= F.lit(tau))
+        .groupBy(F.col("id_j").alias("vec_id"))
+        .agg(F.min("id_i").alias("dup_of")))
+    return (
+        vecs.select("vec_id", "cluster_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of").cast("bigint").alias("dup_of")))
+
+
 def kmeans_summary(emb: DataFrame, k: int = KMEANS_K,
                    iters: int = KMEANS_ITERS) -> DataFrame:
     """Cluster cardinality + mean distance — the compact judge-visible

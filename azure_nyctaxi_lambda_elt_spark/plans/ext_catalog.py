@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
-from ..operators.clustering import kmeans_assign
+from ..operators.clustering import kmeans_assign, semantic_dedup
+
+SEMDEDUP_TAU = 0.45
 from ..operators.llm_text import STOPWORDS
 from ..session import apply_engine_conf
 from . import trips_feed as tf
@@ -246,6 +248,37 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed embedding dedup — the quadratic
+    cosine pass runs per cluster (|corpus|²/k expected work) instead of
+    all-pairs over the corpus.  Iterative (k-means) → rows-only check;
+    tests/test_ext_ops.py holds the numpy-reference parity.  Reference
+    parity: the dedupe stage generalized to semantic near-dups
+    (core/12_trip_clean.dedupe_load.sql's role for embeddings)."""
+    apply_engine_conf(spark)
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                          tau=SEMDEDUP_TAU)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov edge counts):
+    lag over (user, ts, event_id) then count (prev → next) pairs.
+
+    ONE window shuffle on the high-cardinality user_id, then an agg
+    over the tiny |types|² key space — map-side partials collapse it.
+    Reference parity: the streaming lane's per-key ordered walk
+    (producer-ts ordering in usp_upsert_trips_from_streaming.sql)."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"))
+    return (stepped.where(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count("*").cast("bigint").alias("n_transitions")))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -425,6 +458,20 @@ EXT_ORACLES: dict[str, str] = {
     """,
     # kmeans_embeddings: iterative (non-SQL-expressible) → rows-only +
     # tests/test_ext_ops.py numpy-reference assignment parity
+    # semantic_dedup: k-means-based (iterative) → rows-only +
+    # tests/test_ext_ops.py numpy-reference parity
+    "event_transitions": """
+        WITH stepped AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM stepped WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
 }
 
 EXT_QUERIES = {
@@ -438,4 +485,6 @@ EXT_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "heuristic_filter": q_heuristic_filter,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semantic_dedup": q_semantic_dedup,
+    "event_transitions": q_event_transitions,
 }

@@ -461,6 +461,39 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distribution-window ranking
+
+
+def q_customer_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment customer spend ranking with the distribution window
+    family (dense_rank / percent_rank / cume_dist) over exact-decimal
+    totals with a full deterministic tiebreak.
+
+    Scale: the windows run over the ALREADY-AGGREGATED |customers|
+    frame (one fact shuffle on o_custkey, then one window shuffle on
+    the segment), never over orders; all three window functions share
+    ONE sort."""
+    apply_engine_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(_dec("o_totalprice", "decimal(12,2)"))
+                  .alias("total_spend")))
+    j = spend.join(F.broadcast(cust),
+                   spend.o_custkey == cust.c_custkey)
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("total_spend").desc(), F.col("c_custkey")))
+    return j.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("total_spend").cast("decimal(18,2)").alias("total_spend"),
+        F.dense_rank().over(w).cast("bigint").alias("seg_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB twins — identical formulas/aliases)
 
 WAREHOUSE_ORACLES: dict[str, str] = {
@@ -612,6 +645,20 @@ WAREHOUSE_ORACLES: dict[str, str] = {
                                   WHERE s_acctbal < 0)
         GROUP BY p.p_brand, p.p_type
     """,
+    "customer_value_rank": """
+        WITH spend AS (
+          SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spend
+          FROM orders GROUP BY o_custkey)
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,
+               CAST(s.total_spend AS DECIMAL(18,2)) AS total_spend,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS seg_rank,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume
+        FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+        WINDOW w AS (PARTITION BY c.c_mktsegment
+                     ORDER BY s.total_spend DESC, c.c_custkey)
+    """,
     "min_price_supplier": """
         WITH supp AS (
           SELECT s.s_suppkey, s.s_name, n.n_name AS nation
@@ -652,4 +699,5 @@ WAREHOUSE_QUERIES = {
     "product_profit": q_product_profit,
     "brand_supplier_cnt": q_brand_supplier_cnt,
     "min_price_supplier": q_min_price_supplier,
+    "customer_value_rank": q_customer_value_rank,
 }

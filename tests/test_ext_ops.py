@@ -42,6 +42,48 @@ def test_kmeans_matches_numpy_reference(spark):
     assert len(set(got.values())) == KMEANS_K
 
 
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """SemDeDup == numpy reference: same k-means assignment, then a doc
+    is a dup iff some lower-id SAME-cluster doc has cosine ≥ tau, with
+    dup_of = the lowest such id."""
+    from azure_nyctaxi_lambda_elt_spark.operators.clustering import (
+        KMEANS_ITERS, KMEANS_K, semantic_dedup)
+    from azure_nyctaxi_lambda_elt_spark.plans.ext_catalog import SEMDEDUP_TAU
+    from azure_nyctaxi_lambda_elt_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+
+    C = X[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(KMEANS_K):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+
+    norm = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 6)
+    expected = {}
+    for j in range(len(ids)):
+        lower = [i for i in range(j)
+                 if cluster[i] == cluster[j] and cos[i, j] >= SEMDEDUP_TAU]
+        expected[ids[j]] = (int(cluster[j]),
+                            ids[min(lower)] if lower else None)
+
+    got = {r["vec_id"]: (r["cluster_id"], r["dup_of"])
+           for r in semantic_dedup(emb, tau=SEMDEDUP_TAU).collect()}
+    assert got == expected
+    # the threshold actually splits the corpus at this SF
+    n_dups = sum(1 for _, d in got.values() if d is not None)
+    assert 0 < n_dups < len(got)
+
+
 def test_paragraph_dedup_first_occurrence_wins(spark):
     from azure_nyctaxi_lambda_elt_spark.operators.corpus import paragraph_dedup
 
