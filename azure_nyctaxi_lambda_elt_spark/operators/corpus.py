@@ -535,3 +535,73 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
                     key.alias("sample_key"), thr.alias("threshold"))
         .where(F.col("sample_key") < F.col("threshold"))
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+def dataset_split(docs: DataFrame, id_col: str = "doc_id",
+                  train_pct: int = SPLIT_TRAIN_PCT,
+                  val_pct: int = SPLIT_VAL_PCT) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(doc_id) mod 100 →
+    percentage bucket → split label.  Map-only (no shuffle, no RNG
+    state): the assignment is a pure function of the id, so it is
+    stable under re-runs, backfills, and engine changes — the property
+    a training pipeline needs so a doc never migrates between splits
+    between pipeline runs.  Reference parity: the deterministic
+    SHA-256 trip_id derivation (mdl/load/40_fact_trip.load.sql) — same
+    content-addressed-identity idea applied to split assignment."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("split_bucket"),
+        F.when(bucket < train_pct, "train")
+         .when(bucket < train_pct + val_pct, "val")
+         .otherwise("test").alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+PACK_SEQ_TOKENS = 256
+
+
+def sequence_packing(docs: DataFrame, seq_tokens: int = PACK_SEQ_TOKENS,
+                     group_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences by
+    cumulative-sum binning within each source group: docs in id order,
+    bin = floor((cumsum_before) / seq_tokens).
+
+    Spark-first shape: token counts are narrow; the running cumsum is
+    ONE window shuffle partitioned by the source group (packing is
+    per-domain, so no global total order — the degenerate
+    single-partition global cumsum is exactly what this avoids at
+    100 TB); bin stats are a map-side-combined groupBy over the already
+    co-partitioned (group, bin) keys.  Greedy first-fit-decreasing
+    packs tighter but is inherently sequential; cumsum binning is the
+    streaming-friendly deterministic strategy (overflow docs spill into
+    the next bin, fill_ratio reports the realized packing
+    efficiency)."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: t != "")).cast("bigint").alias("n_tok"))
+    w = (Window.partitionBy("grp").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = toks.select(
+        "grp", "doc_id", "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))
+                / F.lit(seq_tokens)).cast("bigint").alias("bin_id"))
+    return (binned.groupBy(F.col("grp").alias("source"), "bin_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tokens"),
+                 F.round(F.sum("n_tok").cast("double")
+                         / F.lit(float(seq_tokens)), 6).alias("fill_ratio")))

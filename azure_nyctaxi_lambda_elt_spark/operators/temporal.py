@@ -133,3 +133,46 @@ def range_join_buckets(intervals: DataFrame, points: DataFrame,
             .alias("value_in_window"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gap filling (LOCF)
+
+
+def gap_fill_locf(daily: DataFrame, key_col: str, date_col: str,
+                  value_col: str) -> DataFrame:
+    """Dense per-key daily series with last-observation-carried-forward
+    fill — the hypertable `time_bucket_gapfill + locf` shape.
+
+    ``daily`` is an already-aggregated (key, date, value) frame.  The
+    date grid spans the GLOBAL min/max date (one broadcast one-row
+    aggregate — no per-key grid skew) and is generated NARROWLY per key
+    via sequence+explode from the key's first observation (no date-dim
+    cross join, no shuffle to build the grid).  The fill itself is one
+    window per key ordered by date with `last(..., ignorenulls=True)`
+    — O(1) running state per key, the same bounded-state argument as
+    sessionization.
+
+    Leading days before a key's first observation are not emitted
+    (nothing to carry forward) — matching the SQL oracle's
+    per-key MIN(date) anchor."""
+    bounds = daily.agg(
+        F.max(F.col(date_col).cast("date")).alias("__dmax"))
+    per_key = (daily.groupBy(key_col)
+               .agg(F.min(F.col(date_col).cast("date")).alias("__dmin")))
+    grid = (per_key.crossJoin(F.broadcast(bounds))
+            .select(key_col,
+                    F.explode(F.sequence("__dmin", "__dmax"))
+                    .alias("__day")))
+    obs = daily.select(
+        key_col,
+        F.col(date_col).cast("date").alias("__day"),
+        F.col(value_col).alias("__v"))
+    w = (Window.partitionBy(key_col).orderBy("__day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(obs, [key_col, "__day"], "left")
+            .select(
+                key_col,
+                F.col("__day").alias("day"),
+                F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+                F.col("__v").isNull().alias("was_gap")))

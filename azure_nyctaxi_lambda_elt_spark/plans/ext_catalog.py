@@ -260,6 +260,77 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           tau=SEMDEDUP_TAU)
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue series per event type with LOCF gap fill
+    (time_bucket_gapfill + locf hypertable shape): per-key date grid
+    generated narrowly via sequence+explode, fill = one bounded-state
+    window per key.  Reference parity: the BI layer's daily trend
+    serving over a continuous calendar (mdl/dim_date.table.sql gives
+    the dense grid; this op fuses grid + fill)."""
+    apply_engine_conf(spark)
+    from ..operators.temporal import gap_fill_locf
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    daily = (ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_dec("value", "decimal(18,2)")).cast("double")
+             .alias("total_value")))
+    return gap_fill_locf(daily, "event_type", "day", "total_value")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split over documents —
+    map-only, no RNG state, stable across re-runs/backfills."""
+    apply_engine_conf(spark)
+    return cp.dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget training-sequence packing via per-source
+    cumsum binning — one window shuffle per domain group, no global
+    total order."""
+    apply_engine_conf(spark)
+    return cp.sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the pathologically-skewed
+    event_type key (|types| ≈ 5 over the whole feed — every key is
+    hot): partial agg on (key, salt16) spreads each hot key over 16
+    reducers, final combine sees ≤ 16 rows per key.  The result is
+    identical to the plain groupBy (exact decimal sums are associative)
+    — which is exactly what the full oracle checks."""
+    apply_engine_conf(spark)
+    from ..operators.skew import salted_sum_count
+    ev = tf.events_ts_fixed(spark, sf_dir).select(
+        "event_type", "event_id",
+        _dec("value", "decimal(18,2)").alias("value_dec"))
+    out = salted_sum_count(ev, ["event_type"], ["value_dec"], "event_id")
+    return out.select(
+        "event_type",
+        F.col("sum_value_dec").cast("decimal(20,2)").alias("total_value"),
+        "row_count")
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe replicated join: events (big, hot user keys) against a
+    per-user first-seen-day table too big to assume broadcastable —
+    the small side is replicated 16× against a deterministic salt on
+    the big side, so no reducer owns a whole hot key.  Salting must not
+    change the answer (count of events landing on their user's
+    first-seen day, per type) — the full oracle is the plain join."""
+    apply_engine_conf(spark)
+    from ..operators.skew import salted_join
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    first_day = (ev.groupBy("user_id")
+                 .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    j = salted_join(ev.select("user_id", "event_id", "event_type",
+                              F.col("ts").cast("date").alias("day")),
+                    first_day, "user_id", "event_id")
+    return (j.where(F.col("day") == F.col("first_day"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_first_day_events")))
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (Markov edge counts):
     lag over (user, ts, event_id) then count (prev → next) pairs.
@@ -460,6 +531,82 @@ EXT_ORACLES: dict[str, str] = {
     # tests/test_ext_ops.py numpy-reference assignment parity
     # semantic_dedup: k-means-based (iterative) → rows-only +
     # tests/test_ext_ops.py numpy-reference parity
+    "gap_fill_locf": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MAX(day) AS dmax FROM daily),
+        pk AS (SELECT event_type, MIN(day) AS dmin FROM daily GROUP BY 1),
+        grid AS (
+          SELECT p.event_type, CAST(g.d AS DATE) AS day
+          FROM pk p, bounds b,
+               UNNEST(generate_series(CAST(p.dmin AS TIMESTAMP),
+                                      CAST(b.dmax AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) g(d))
+        SELECT g.event_type, g.day,
+               LAST_VALUE(d.total_value IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled,
+               d.total_value IS NULL AS was_gap
+        FROM grid g
+        LEFT JOIN daily d
+          ON d.event_type = g.event_type AND d.day = g.day
+    """,
+    "dataset_split": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS INT) AS split_bucket
+          FROM documents)
+        SELECT doc_id, split_bucket,
+               CASE WHEN split_bucket < {cp.SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN split_bucket < {cp.SPLIT_TRAIN_PCT
+                                         + cp.SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    "sequence_packing": f"""
+        WITH toks AS (
+          SELECT source AS grp, doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        binned AS (
+          SELECT grp, n_tok,
+                 CAST(floor((SUM(n_tok) OVER (
+                        PARTITION BY grp ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - n_tok) / {cp.PACK_SEQ_TOKENS}) AS BIGINT)
+                   AS bin_id
+          FROM toks)
+        SELECT grp AS source, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(n_tok) AS sum_tokens,
+               round(CAST(SUM(n_tok) AS DOUBLE)
+                     / {float(cp.PACK_SEQ_TOKENS)}, 6) AS fill_ratio
+        FROM binned GROUP BY 1, 2
+    """,
+    "skew_salted_agg": """
+        SELECT event_type,
+               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(20,2))
+                 AS total_value,
+               CAST(COUNT(*) AS BIGINT) AS row_count
+        FROM events GROUP BY event_type
+    """,
+    "skew_salted_join": """
+        WITH fd AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_first_day_events
+        FROM events e JOIN fd ON e.user_id = fd.user_id
+        WHERE CAST(e.ts AS DATE) = fd.first_day
+        GROUP BY e.event_type
+    """,
     "event_transitions": """
         WITH stepped AS (
           SELECT user_id, event_type,
@@ -487,4 +634,9 @@ EXT_QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "semantic_dedup": q_semantic_dedup,
     "event_transitions": q_event_transitions,
+    "gap_fill_locf": q_gap_fill_locf,
+    "dataset_split": q_dataset_split,
+    "sequence_packing": q_sequence_packing,
+    "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
 }

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "doc_chunking",
     "stratified_sample",
+    "market_share",
+    "product_profit",
 ]
 
 
