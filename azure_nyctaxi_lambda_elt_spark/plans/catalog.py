@@ -667,6 +667,14 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "ss_join", sf_dir))
 
 
+def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_dim_enrich
+
+    apply_engine_conf(spark)
+    return run_dim_enrich(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "dim_enrich", sf_dir))
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_streaming_sessionize
 
@@ -1089,6 +1097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_upsert": q_streaming_upsert,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dim_enrich": q_streaming_dim_enrich,
     "streaming_model_upsert": q_streaming_model_upsert,
     "idempotent_partition_load": q_idempotent_partition_load,
     **LLM_QUERIES,
@@ -1122,6 +1131,22 @@ ORACLES["streaming_interval_join"] = """
 # the stateful sessionizer's sink state equals the batch window answer
 # (per-user ordered walk + replace-by-key emission) → same oracle
 ORACLES["streaming_sessionize"] = ORACLES["sessionize"]
+# stream-static join is stateless per batch → the sink row set is
+# batching-independent; the rollup has an exact batch twin
+ORACLES["streaming_dim_enrich"] = """
+    WITH profile AS (
+      SELECT user_id,
+             NTILE(4) OVER (
+               ORDER BY SUM(CAST("value" AS DECIMAL(18,2))) DESC, user_id
+             ) AS user_tier
+      FROM events GROUP BY user_id)
+    SELECT e.event_type, p.user_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e."value" AS DECIMAL(18,2))) AS DECIMAL(20,2))
+             AS total_value
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    GROUP BY e.event_type, p.user_tier
+"""
 # single-batch run: append-only dim keys reduce to the dense_rank build,
 # so the maintained fact equals the batch star-schema answer
 ORACLES["streaming_model_upsert"] = ORACLES["fact_build_star"]

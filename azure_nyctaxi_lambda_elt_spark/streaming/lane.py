@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedupe import latest_wins
@@ -321,3 +321,45 @@ def run_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
         slice_stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", ckpt))
     return spark.read.parquet(wh_dir)
+
+
+def run_dim_enrich(spark: SparkSession, sf_dir: str, out_dir: str,
+                   max_files_per_trigger: int | None = None,
+                   source_dir: str | None = None) -> DataFrame:
+    """Stream-static broadcast enrichment: each micro-batch joins the
+    event stream against a STATIC user-profile dimension (spend
+    quartile, computed once batch-side) — the canonical hot-path lookup
+    against a REPLICATE dim (the reference resolves streaming trips
+    against the same mdl.dim_* tables:
+    usp_upsert_fact_trip_streaming.sql).
+
+    Stream-static inner joins are stateless — each batch probes the
+    broadcast hash table and emits; the sink row set is therefore
+    batching-independent, so the read-back rollup carries a FULL batch
+    oracle.  The profile's quartile uses ntile with a total tiebreak
+    (total_value, user_id) → deterministic on both engines."""
+    enriched_dir = os.path.join(out_dir, "enriched")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(enriched_dir, ckpt)
+
+    batch_ev = tf.events_ts_fixed(spark, sf_dir)
+    w = Window.orderBy(F.col("__total").desc(), F.col("user_id"))
+    profile = (
+        batch_ev.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("__total"))
+        .select("user_id", F.ntile(4).over(w).alias("user_tier")))
+
+    st = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+    enriched = st.join(F.broadcast(profile), "user_id").select(
+        "event_id", "user_id", "event_type", "user_tier",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"))
+
+    _run_available_now(
+        enriched.writeStream.format("parquet")
+        .option("path", enriched_dir)
+        .option("checkpointLocation", ckpt))
+    back = spark.read.parquet(enriched_dir)
+    return (back.groupBy("event_type", "user_tier")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("value_dec").cast("decimal(20,2)")
+                 .alias("total_value")))

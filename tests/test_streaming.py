@@ -175,3 +175,30 @@ def test_multibatch_interval_join_equals_batch(spark, feed_dir):
     g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
     w = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
     assert g == w  # match set identical despite 3 micro-batches
+
+
+def test_multibatch_dim_enrich_equals_batch(spark, feed_dir):
+    """Stream-static joins are stateless per batch → the enriched
+    rollup over 3 micro-batches must equal the single-pass batch
+    join+rollup."""
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_dim_enrich
+    import pyspark.sql
+
+    got = run_dim_enrich(spark, SF_SMOKE, os.path.join(OUT, "dim_enrich"),
+                         max_files_per_trigger=1, source_dir=feed_dir)
+
+    ev = tf.events_ts_fixed(spark, SF_SMOKE)
+    w = pyspark.sql.Window.orderBy(F.col("__total").desc(), F.col("user_id"))
+    profile = (ev.groupBy("user_id")
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                    .alias("__total"))
+               .select("user_id", F.ntile(4).over(w).alias("user_tier")))
+    want = (ev.join(profile, "user_id")
+            .groupBy("event_type", "user_tier")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("decimal(20,2)").alias("total_value")))
+    g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
+    e = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+    assert g == e
