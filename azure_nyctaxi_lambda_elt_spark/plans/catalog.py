@@ -31,6 +31,7 @@ from . import trips_feed as tf
 from .ext_catalog import EXT_ORACLES, EXT_QUERIES
 from .llm_catalog import LLM_ORACLES, LLM_QUERIES
 from .warehouse_catalog import WAREHOUSE_ORACLES, WAREHOUSE_QUERIES
+from .serving2_catalog import SERVING2_ORACLES, SERVING2_QUERIES
 from .oracle_trips import with_trips
 
 # ---------------------------------------------------------------------------
@@ -1103,10 +1104,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
+    **SERVING2_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(WAREHOUSE_ORACLES)
+ORACLES.update(SERVING2_ORACLES)
 # streaming pipelines reproduce the batch answers exactly (pure row
 # transforms + associative merges) → reuse the batch oracles;
 # streaming_dedupe is first-arrival-wins (order-dependent) → rows-only.

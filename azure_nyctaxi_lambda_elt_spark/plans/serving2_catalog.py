@@ -1,0 +1,475 @@
+"""Serving set G: second wave of classic decision-support shapes
+(TPC-H Q3/Q6/Q7/Q10 analogs) plus GROUPING SETS, Pareto cumulative
+share, an inverted-index corpus pass, and moment-exact z-score outlier
+detection.
+
+Reference parity: the same BI serving layer the reference exposes via
+`mdl/views/vw_fact_trip_bi.view.sql` + `sql/test/40_data_quality.sql`
+(reference @ /root/reference) — top-N revenue reports, period filters,
+multi-join star rollups, and outlier/dispersion checks over the fact.
+
+Oracle conventions (same as plans/catalog.py): exact DECIMAL
+intermediates; one final double formula with IDENTICAL parenthesization
+on both sides; round(…, 6); identical aliases; deterministic tiebreaks
+on every rank/limit.
+
+Scale notes (100 TB):
+- Q3/Q10 top-N: orderBy().limit(N) compiles to TakeOrderedAndProject —
+  each task keeps a N-row heap; no global sort materializes.
+- Q6 is scan→filter→one-stage partial agg: predicate pushdown serves
+  the date bounds to the parquet reader, output is one row.
+- Q7's four dims are broadcast; the lineitem scan never shuffles for
+  dim resolution (REPLICATE analog).
+- grouping-sets runs all sets in ONE aggregation pass via Expand
+  (map-side row replication, single shuffle).
+- Pareto/z-score first reduce to |customers| / |event types| rows;
+  windows and stat join-backs run over the reduced frame only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_engine_conf
+from ..sources.tables import load_table
+from . import trips_feed as tf
+
+
+def _dec(col: str | F.Column, spec: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(spec)
+
+
+def _rev() -> F.Column:
+    return _dec("l_extendedprice", "decimal(12,2)") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,4)"))
+
+
+_REV = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,4)))")
+
+
+# ---------------------------------------------------------------------------
+# Q3 analog — unshipped-order shipping priority
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue orders taken before a cutoff but shipped
+    after it, for one market segment (TPC-H Q3 shape).
+
+    Scale: customer is pruned to (key, segment) and broadcast; orders
+    filters push to the scan; the only real shuffle is the groupBy on
+    l_orderkey (high-cardinality, even).  The final top-10 is
+    TakeOrderedAndProject — a 10-row heap per task, never a full sort."""
+    apply_engine_conf(spark)
+    cutoff = "1998-06-01"
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .select(
+            _dec("l_orderkey", "bigint").alias("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority", "revenue")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Q6 analog — forecast revenue change
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta from a hypothetical discount change (TPC-H Q6
+    shape): tight scan-side filters, one-row exact aggregate.
+
+    Scale: all three predicates push to the parquet scan
+    (PushedFilters); the single-stage partial agg emits one row per
+    task — network cost is O(tasks)."""
+    apply_engine_conf(spark)
+    disc = _dec("l_discount", "decimal(4,4)")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01")
+                 & (F.col("l_quantity") < 24))
+          .where((disc >= F.lit("0.02").cast("decimal(4,4)"))
+                 & (disc <= F.lit("0.04").cast("decimal(4,4)"))))
+    return li.agg(
+        F.sum(_dec("l_extendedprice", "decimal(12,2)") * disc)
+        .cast("decimal(18,4)").alias("revenue_delta"),
+        F.count("*").cast("bigint").alias("n_lines"))
+
+
+# ---------------------------------------------------------------------------
+# Q7 analog — volume shipping between two nations
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year (TPC-H
+    Q7 shape): supplier-nation × customer-nation directed pairs.
+
+    Scale: supplier/customer/nation are broadcast; the OR-of-pairs
+    predicate is applied AFTER the cheap broadcast joins, so the fact
+    scan pipelines scan→join→filter→partial-agg in one stage with a
+    final shuffle of ≤ |pairs × years| rows."""
+    apply_engine_conf(spark)
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+            .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+            .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation")))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .where(((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1"))))
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"),
+             F.count("*").cast("bigint").alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# Q10 analog — returned-item revenue report
+
+
+def q_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter
+    (TPC-H Q10 shape).
+
+    Scale: orders' quarter filter pushes down; nation broadcasts; the
+    groupBy shuffles on c_custkey (high-cardinality).  Top-20 is a
+    TakeOrderedAndProject heap, tiebroken on c_custkey for
+    determinism."""
+    apply_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1997-01-01")
+                     & (F.col("o_orderdate") < "1997-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"),
+             F.round(F.min("c_acctbal"), 6).alias("c_acctbal"))
+        .select(_dec("c_custkey", "bigint").alias("c_custkey"),
+                "c_name", "n_name", "c_mktsegment", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — arbitrary set list in one Expand pass
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) — unlike
+    cube/rollup, an arbitrary set list, still ONE aggregation pass
+    (Expand replicates rows map-side; a single shuffle serves all
+    sets).  Reference parity: the BI layer's subtotal views."""
+    apply_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = [["l_returnflag", "l_linestatus"], ["l_returnflag"], []]
+    agg_cols = [
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(_dec("l_quantity", "decimal(12,2)")).alias("sum_qty"),
+        F.sum(_rev()).alias("sum_revenue"),
+    ]
+    return li.groupingSets(sets, "l_returnflag", "l_linestatus").agg(*agg_cols)
+
+
+# ---------------------------------------------------------------------------
+# Pareto cumulative share — which customers make up 80% of revenue
+
+
+def q_pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend ranked with exact cumulative share and an
+    in-top-80% flag (Pareto / ABC analysis).
+
+    Scale: spend first reduces to |customers| rows (one even shuffle on
+    o_custkey); the global running sum is a window over the REDUCED
+    frame — the same single shared sort customer_value_rank uses.  The
+    80% gate is decimal multiply-through (cum*10 ≤ total*8): no double
+    division before the filter, exact and order-independent."""
+    apply_engine_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(_dec("o_totalprice", "decimal(12,2)"))
+                  .alias("total_spend")))
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()
+    cum = F.sum("total_spend").over(wsum)
+    tot = F.sum("total_spend").over(total)
+    return spend.select(
+        _dec("o_custkey", "bigint").alias("o_custkey"),
+        _dec("total_spend", "decimal(18,2)").alias("total_spend"),
+        F.row_number().over(w).cast("bigint").alias("spend_rank"),
+        F.round(cum.cast("double") / tot.cast("double"), 6)
+        .alias("cum_share"),
+        (cum * 10 <= tot * 8).alias("in_top80"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — token → posting list over the corpus
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: token → document frequency + sorted
+    posting list (comma-joined doc_ids), tokens appearing in ≥ 2 docs.
+
+    Spark-first: tokenize once into an array column (narrow), explode,
+    distinct (token, doc_id) via the groupBy itself (collect_set), ONE
+    shuffle keyed on token.  The posting list is sort_array'd so output
+    is deterministic under any partitioning.
+
+    Scale: at 100 TB the posting payload dominates — the shuffle
+    carries (token, doc_id) pairs only (two narrow columns), and
+    map-side partial collect_set dedupes within-partition repeats
+    before the wire."""
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda t: F.length(t) > 3))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.collect_set("doc_id").alias("__docs"))
+        .where(F.size("__docs") >= 2)
+        .select(
+            "token",
+            F.size("__docs").cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(F.sort_array(F.col("__docs")),
+                            lambda d: d.cast("string")), ",")
+            .alias("postings")))
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers — moment-exact dispersion gate
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates > 2σ from their event-type mean,
+    with the z computed from EXACT decimal moment sums (n, Σx, Σx²) —
+    deterministic under any partitioning, unlike float stddev
+    aggregates (same trick as corr_stats).
+
+    Reference parity: the DQ domain checks in
+    `sql/test/40_data_quality.sql` (value-range outlier capture).
+
+    Scale: the stats frame reduces to |event types| rows and is
+    broadcast back — the events scan is touched exactly twice with no
+    wide shuffle (stats agg is map-side partial; join-back is
+    broadcast)."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    v = _dec("value", "decimal(18,6)")
+    stats = (ev.groupBy("event_type")
+             .agg(F.count("*").cast("bigint").alias("__n"),
+                  F.sum(v).alias("__sx"),
+                  F.sum(v * v).alias("__sxx")))
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    var_num = n * sxx - sx * sx
+    stats = (stats.where((F.col("__n") > 1) & (var_num > 0))
+             .select("event_type", "__n", "__sx", "__sxx"))
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = sx / n
+    sd = F.sqrt(var_num / (n * (n - F.lit(1.0))))
+    z = (F.col("value") - mean) / sd
+    return (j.where(F.abs(z) > 2)
+            .select("event_id", "event_type",
+                    F.round("value", 6).alias("value"),
+                    F.round(z, 6).alias("zscore")))
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+SERVING2_ORACLES: dict[str, str] = {
+    "ship_priority": f"""
+        SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               o.o_orderpriority,
+               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,4)))
+                    AS DECIMAL(18,4)) AS revenue_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_quantity < 24
+          AND CAST(l_discount AS DECIMAL(4,4))
+              BETWEEN CAST('0.02' AS DECIMAL(4,4))
+                  AND CAST('0.04' AS DECIMAL(4,4))
+    """,
+    "volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "returned_item": f"""
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+               c.c_name, n.n_name, c.c_mktsegment,
+               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue,
+               round(CAST(MIN(c.c_acctbal) AS DOUBLE), 6) AS c_acctbal
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,4)))) AS sum_revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
+    "pareto_customer_share": """
+        WITH spend AS (
+          SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spend
+          FROM orders GROUP BY 1),
+        run AS (
+          SELECT o_custkey, total_spend,
+                 ROW_NUMBER() OVER w AS spend_rank,
+                 SUM(total_spend) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum,
+                 SUM(total_spend) OVER () AS tot
+          FROM spend
+          WINDOW w AS (ORDER BY total_spend DESC, o_custkey))
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(total_spend AS DECIMAL(18,2)) AS total_spend,
+               CAST(spend_rank AS BIGINT) AS spend_rank,
+               round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                 AS cum_share,
+               cum * 10 <= tot * 8 AS in_top80
+        FROM run
+    """,
+    "inverted_index": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, u.token
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> length(t) > 3) AS t
+                FROM documents) d, UNNEST(t) u(token)),
+        agg AS (
+          SELECT token, COUNT(*) AS df,
+                 array_to_string(
+                   list_transform(list_sort(list(doc_id)),
+                                  d -> CAST(d AS VARCHAR)), ',') AS postings
+          FROM toks GROUP BY 1)
+        SELECT token, CAST(df AS BIGINT) AS df, postings
+        FROM agg WHERE df >= 2
+    """,
+    "zscore_outliers": """
+        WITH m AS (
+          SELECT event_type,
+                 COUNT(*) AS n_ev,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+                 SUM(CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6))) AS sxx
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT event_type,
+                 CAST(n_ev AS DOUBLE) AS n,
+                 CAST(sx AS DOUBLE) AS sx,
+                 CAST(sxx AS DOUBLE) AS sxx
+          FROM m
+          WHERE n_ev > 1
+            AND CAST(n_ev AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 6) AS value,
+               round((e.value - d.sx / d.n)
+                     / sqrt((d.n * d.sxx - d.sx * d.sx)
+                            / (d.n * (d.n - 1.0))), 6) AS zscore
+        FROM events e JOIN d ON e.event_type = d.event_type
+        WHERE abs((e.value - d.sx / d.n)
+                  / sqrt((d.n * d.sxx - d.sx * d.sx)
+                         / (d.n * (d.n - 1.0)))) > 2
+    """,
+}
+
+SERVING2_QUERIES = {
+    "ship_priority": q_ship_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "volume_shipping": q_volume_shipping,
+    "returned_item": q_returned_item,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "pareto_customer_share": q_pareto_customer_share,
+    "inverted_index": q_inverted_index,
+    "zscore_outliers": q_zscore_outliers,
+}
