@@ -320,6 +320,53 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# approximate sketches — the 100 TB path next to the exact twins
+
+
+def q_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90/p99 via percentile_approx (Greenwald-Khanna
+    sketch): single pass, mergeable partials, bounded memory — the
+    100 TB replacement for the exact rank-selection percentile_value
+    (exact needs a full sort per group; the sketch shuffles
+    O(1/ε log εN) tuples per partition).
+
+    Rows-only oracle: the sketch's merge tree is partition-dependent;
+    tests/test_sketches.py pins accuracy against the exact quantiles
+    at sf0.001 instead."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.percentile_approx("value", 0.5, 10000), 6).alias("p50"),
+            F.round(F.percentile_approx("value", 0.9, 10000), 6).alias("p90"),
+            F.round(F.percentile_approx("value", 0.99, 10000), 6).alias("p99"),
+        ))
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via HyperLogLog++
+    (approx_count_distinct, rsd 2%): constant 1.5 KB state per group
+    vs the exact COUNT(DISTINCT)'s full key shuffle — at 100 TB the
+    exact form shuffles every (type, user) pair; HLL merges fixed-size
+    registers map-side.
+
+    Rows-only oracle (register merge is partition-order dependent only
+    in its low bits, but DuckDB's approx algorithm differs anyway);
+    tests/test_sketches.py pins the ±2% rsd against exact counts."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.approx_count_distinct("user_id", 0.02).cast("bigint")
+            .alias("approx_users"),
+        ))
+
+
+# ---------------------------------------------------------------------------
 # oracles
 
 SERVING2_ORACLES: dict[str, str] = {
@@ -470,6 +517,8 @@ SERVING2_QUERIES = {
     "returned_item": q_returned_item,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "pareto_customer_share": q_pareto_customer_share,
+    "approx_quantile_sketch": q_approx_quantile_sketch,
+    "hll_distinct_users": q_hll_distinct_users,
     "inverted_index": q_inverted_index,
     "zscore_outliers": q_zscore_outliers,
 }
