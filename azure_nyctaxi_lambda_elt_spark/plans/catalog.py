@@ -32,6 +32,8 @@ from .ext_catalog import EXT_ORACLES, EXT_QUERIES
 from .llm_catalog import LLM_ORACLES, LLM_QUERIES
 from .warehouse_catalog import WAREHOUSE_ORACLES, WAREHOUSE_QUERIES
 from .serving2_catalog import SERVING2_ORACLES, SERVING2_QUERIES
+from .serving3_catalog import SERVING3_ORACLES, SERVING3_QUERIES
+from .llm2_catalog import LLM2_ORACLES, LLM2_QUERIES
 from .oracle_trips import with_trips
 
 # ---------------------------------------------------------------------------
@@ -1105,11 +1107,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
     **SERVING2_QUERIES,
+    **SERVING3_QUERIES,
+    **LLM2_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(WAREHOUSE_ORACLES)
 ORACLES.update(SERVING2_ORACLES)
+ORACLES.update(SERVING3_ORACLES)
+ORACLES.update(LLM2_ORACLES)
 # streaming pipelines reproduce the batch answers exactly (pure row
 # transforms + associative merges) → reuse the batch oracles;
 # streaming_dedupe is first-arrival-wins (order-dependent) → rows-only.

@@ -54,8 +54,14 @@ def events_ts_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Spark reads as long under `nanosAsLong`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # some Spark builds surface parquet TIMESTAMP(NANOS) as NTZ;
+        # session tz is pinned UTC so the cast is value-preserving, and
+        # it restores TIMESTAMP for fns that reject NTZ (unix_micros)
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

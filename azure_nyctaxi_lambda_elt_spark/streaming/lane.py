@@ -73,8 +73,14 @@ def events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.parquet(path)
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # some Spark builds surface parquet TIMESTAMP(NANOS) as NTZ;
+        # session tz is pinned UTC so the cast is value-preserving, and
+        # watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP)
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
