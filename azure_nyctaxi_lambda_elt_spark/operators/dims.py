@@ -68,6 +68,31 @@ def build_dim(
     return dim.select(key_col, *nk_cols)
 
 
+def upsert_dim_append(existing: DataFrame | None, source: DataFrame,
+                      nk_cols: Sequence[str], key_col: str,
+                      unknown_nk) -> DataFrame:
+    """Append-only dim upsert (IDENTITY analog — the reference's
+    mdl/load/1*_dim_*.upsert.sql INSERT-when-missing): first load is the
+    deterministic dense_rank build; afterwards unseen NKs get
+    max(key)+rank(new NK order) and existing members are returned
+    UNTOUCHED, so fact rows resolved in earlier runs stay valid."""
+    if existing is None:
+        return build_dim(source, nk_cols, key_col, unknown_nk=unknown_nk)
+    cond = None
+    for c in nk_cols:
+        k = F.col(c).isNotNull()
+        cond = k if cond is None else (cond & k)
+    fresh = (
+        source.select(*nk_cols).where(cond).distinct()
+        .join(existing.select(*nk_cols), list(nk_cols), "left_anti")
+    )
+    w = Window.orderBy(*[F.col(c).asc() for c in nk_cols])
+    base = existing.agg(F.max(key_col)).collect()[0][0] or 0
+    appended = fresh.withColumn(
+        key_col, (F.row_number().over(w) + F.lit(base)).cast("int"))
+    return existing.unionByName(appended.select(key_col, *nk_cols))
+
+
 def resolve_fk(
     fact: DataFrame,
     dim: DataFrame,

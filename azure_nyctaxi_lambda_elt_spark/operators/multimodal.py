@@ -1,23 +1,34 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
-decoded via Arrow-batched ``mapInPandas``.
+encoded and decoded via Arrow-batched ``mapInPandas``.
 
-The real decode (PIL / torchaudio / ffmpeg frame sampling) is NOT
-available in this container, so ``decode_stub`` produces a
-DETERMINISTIC fake: features derived from sha256(payload).  The
-Spark-side plumbing — binary column, metadata struct, mapInPandas batch
-shape, output schema — is real and is what matters for the engine.
+Unlike round 1's hash-fake stub, the payloads here are REAL binary
+formats — BMP (BITMAPINFOHEADER), WAV (RIFF/fmt/data) and GIF89a — and
+``decode_kernel`` is a genuine struct-level parser: it sniffs the magic
+bytes (never trusting the metadata column), walks the container
+structure (GIF extension/image blocks, RIFF chunks), extracts
+dimensions / sample rate / frame counts from the headers, and sums the
+located data-section bytes as an integrity check.  Because the encode
+parameters are deterministic functions of doc_id, the DuckDB oracle can
+recompute every extracted feature arithmetically — so the driver's
+value-hash compare verifies that the parser actually recovered the
+fields from the bytes.
+
+Decoders for formats needing codec libraries (JPEG/PNG/MP4/FLAC…) are
+NOT available in this container; ``decode_kernel`` raises
+NotImplementedError for unknown magics — the three formats above are
+fully parsed, not faked.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
-payload bytes never pass through a shuffle — decode happens map-side on
-the scan partitioning, and only the (small) extracted features flow
-downstream.  Partition sizing: keep ``spark.sql.files.maxPartitionBytes``
-low enough that a batch of payloads fits executor memory (binary columns
-dominate row width).
+payload bytes never pass through a shuffle — encode/decode happen
+map-side on the scan partitioning, and only the (small) extracted
+features flow downstream.  Partition sizing: keep
+``spark.sql.files.maxPartitionBytes`` low enough that a batch of
+payloads fits executor memory (binary columns dominate row width).
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,71 +36,201 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+MEDIA_SCHEMA = "doc_id bigint, media_type string, payload binary, meta struct<source:string,n_chars:int>"
+
 DECODED_SCHEMA = (
-    "doc_id bigint, media_type string, byte_len int, content_sha string, "
-    "width int, height int, n_frames int, sample_rate int"
+    "doc_id bigint, media_type string, byte_len int, width int, height int, "
+    "n_frames int, sample_rate int, n_channels int, bit_depth int, data_sum int"
 )
+
+_FILL_MOD = 251     # payload fill byte = doc_id % 251
+_SUM_MOD = 997      # data-section byte sum is reported mod 997
+
+
+# ---------------------------------------------------------------------------
+# encode: deterministic params -> real format bytes
+
+def _bmp_params(doc_id: int) -> tuple[int, int]:
+    return 16 + (doc_id * 7) % 49, 16 + (doc_id * 13) % 33
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    return (1 + doc_id % 2,
+            8000 * (1 + (doc_id // 2) % 3),
+            100 + (doc_id * 11) % 900)
+
+
+def _gif_params(doc_id: int) -> tuple[int, int, int, int]:
+    return (32 + (doc_id * 5) % 97, 32 + (doc_id * 3) % 61,
+            1 + doc_id % 8, 1 + doc_id % 5)
+
+
+def _encode_bmp(doc_id: int) -> bytes:
+    """24bpp bottom-up BMP with BITMAPINFOHEADER (rows 4-byte padded)."""
+    w, h = _bmp_params(doc_id)
+    fill = doc_id % _FILL_MOD
+    row = ((w * 3 + 3) // 4) * 4
+    pixels = bytes([fill]) * (row * h)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                      2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + 16-bit PCM data chunk."""
+    ch, sr, n_frames = _wav_params(doc_id)
+    fill = doc_id % _FILL_MOD
+    data = bytes([fill]) * (n_frames * ch * 2)
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+    return (struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+            + struct.pack("<4sI", b"fmt ", 16) + fmt
+            + struct.pack("<4sI", b"data", len(data)) + data)
+
+
+def _encode_gif(doc_id: int) -> bytes:
+    """GIF89a with n_frames image blocks, each preceded by a graphic
+    control extension; LZW data carried as one sub-block of fill bytes."""
+    w, h, n_frames, sub_len = _gif_params(doc_id)
+    fill = doc_id % _FILL_MOD
+    out = [b"GIF89a", struct.pack("<HH", w, h), bytes([0x00, 0x00, 0x00])]
+    for _ in range(n_frames):
+        out.append(bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00]))
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        out.append(bytes([0x02]))                       # LZW min code size
+        out.append(bytes([sub_len]) + bytes([fill]) * sub_len)
+        out.append(b"\x00")                             # block terminator
+    out.append(b"\x3b")                                 # trailer
+    return b"".join(out)
+
+
+_ENCODERS = {0: _encode_bmp, 1: _encode_wav, 2: _encode_gif}
+
+
+def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc rows → real-format binary payloads."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "media_type": [("image", "audio", "video")[i % 3] for i in ids],
+            "payload": [_ENCODERS[i % 3](int(i)) for i in ids],
+            "meta": [
+                {"source": s, "n_chars": int(n)}
+                for s, n in zip(pdf["source"], pdf["n_chars"])
+            ],
+        })
 
 
 def with_media_payload(docs: DataFrame) -> DataFrame:
-    """Attach a fake binary payload + typed metadata to the documents
-    table (stands in for an image/audio/video blob column)."""
-    media_type = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
-    )
+    """Attach a real binary payload (BMP/WAV/GIF by doc_id) + typed
+    metadata to the documents table — the blob-column stand-in."""
     return docs.select(
-        "doc_id",
-        media_type.alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.struct(
-            F.col("source").alias("source"),
-            F.col("n_chars").cast("int").alias("n_chars"),
-        ).alias("meta"),
-    )
+        "doc_id", "source", F.col("n_chars").cast("int").alias("n_chars")
+    ).mapInPandas(encode_kernel, schema=MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, media_type: str) -> tuple[str, int, int, int, int]:
-    """Deterministic stand-in for the real decoder.
+# ---------------------------------------------------------------------------
+# decode: real struct parsing, magic-sniffed
 
-    Real implementation would be:
-        image -> PIL.Image.open(io.BytesIO(payload)).size
-        audio -> torchaudio.load(...)  (sample_rate, frames)
-        video -> ffmpeg frame sampling
-    none of which exist in this container.
-    """
-    sha = hashlib.sha256(payload).hexdigest()
-    a = int(sha[:4], 16)
-    b = int(sha[4:8], 16)
-    if media_type == "image":
-        return sha, 64 + a % 1024, 64 + b % 1024, 1, 0
-    if media_type == "audio":
-        return sha, 0, 0, 1 + a % 1000, 8000 + (b % 5) * 8000
-    return sha, 64 + a % 1024, 64 + b % 1024, 1 + b % 300, 0
+def _decode_bmp(b: bytes) -> dict:
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    magic, file_size, _, _, data_off = struct.unpack_from("<2sIHHI", b, 0)
+    (dib_size, w, h, _planes, bpp, _comp, img_size,
+     _xp, _yp, _cu, _ci) = struct.unpack_from("<IiiHHIIiiII", b, 14)
+    if dib_size != 40:
+        raise NotImplementedError(f"unsupported DIB header size {dib_size}")
+    data = b[data_off:data_off + img_size]
+    return {"media_type": "image", "width": w, "height": abs(h),
+            "n_frames": 1, "sample_rate": 0, "n_channels": 0,
+            "bit_depth": bpp, "data_sum": sum(data) % _SUM_MOD}
 
 
-def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: payload bytes → extracted features."""
+def _decode_wav(b: bytes) -> dict:
+    if b[8:12] != b"WAVE":
+        raise ValueError("RIFF without WAVE form")
+    pos, sr, ch, bits, data_sum, n_frames = 12, 0, 0, 0, 0, 0
+    while pos + 8 <= len(b):                 # RIFF chunk walk
+        cid, clen = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            _fmt, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data_sum = sum(body) % _SUM_MOD
+            if ch and bits:
+                n_frames = clen // (ch * bits // 8)
+        pos += 8 + clen + (clen & 1)         # chunks are word-aligned
+    return {"media_type": "audio", "width": 0, "height": 0,
+            "n_frames": n_frames, "sample_rate": sr, "n_channels": ch,
+            "bit_depth": bits, "data_sum": data_sum}
+
+
+def _decode_gif(b: bytes) -> dict:
+    w, h = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:                        # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames, data_sum = 0, 0
+    while pos < len(b):                      # block walk
+        block = b[pos]
+        if block == 0x3B:                    # trailer
+            break
+        if block == 0x21:                    # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:                  # image descriptor
+            frames += 1
+            lpacked = b[pos + 9]
+            pos += 10
+            if lpacked & 0x80:               # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1                         # LZW min code size
+            while b[pos] != 0:               # LZW data sub-blocks
+                n = b[pos]
+                data_sum = (data_sum + sum(b[pos + 1: pos + 1 + n])) % _SUM_MOD
+                pos += 1 + n
+            pos += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return {"media_type": "video", "width": w, "height": h,
+            "n_frames": frames, "sample_rate": 0, "n_channels": 0,
+            "bit_depth": 8, "data_sum": data_sum}
+
+
+def decode_one(b: bytes) -> dict:
+    """Magic-sniffed single-payload decode (the real parser)."""
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:4] == b"RIFF":
+        return _decode_wav(b)
+    if b[:6] in (b"GIF89a", b"GIF87a"):
+        return _decode_gif(b)
+    raise NotImplementedError(
+        f"no decoder for magic {b[:6]!r} in this container")
+
+
+def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload bytes → parsed format features."""
     for pdf in batches:
-        decoded = [
-            _fake_decode(bytes(p), m)
-            for p, m in zip(pdf["payload"], pdf["media_type"])
-        ]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "media_type": pdf["media_type"],
-                "byte_len": [len(bytes(p)) for p in pdf["payload"]],
-                "content_sha": [d[0] for d in decoded],
-                "width": [d[1] for d in decoded],
-                "height": [d[2] for d in decoded],
-                "n_frames": [d[3] for d in decoded],
-                "sample_rate": [d[4] for d in decoded],
-            }
-        )
+        rows = [decode_one(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "media_type": [r["media_type"] for r in rows],
+            "byte_len": [len(bytes(p)) for p in pdf["payload"]],
+            "width": [r["width"] for r in rows],
+            "height": [r["height"] for r in rows],
+            "n_frames": [r["n_frames"] for r in rows],
+            "sample_rate": [r["sample_rate"] for r in rows],
+            "n_channels": [r["n_channels"] for r in rows],
+            "bit_depth": [r["bit_depth"] for r in rows],
+            "data_sum": [r["data_sum"] for r in rows],
+        })
 
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode of the payload column."""
-    return media.mapInPandas(decode_stub, schema=DECODED_SCHEMA)
+    return media.mapInPandas(decode_kernel, schema=DECODED_SCHEMA)

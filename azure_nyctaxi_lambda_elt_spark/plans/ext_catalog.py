@@ -46,8 +46,8 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(_dec("l_quantity", "decimal(12,2)")).alias("sum_qty"),
-            F.sum(rev).alias("sum_revenue"),
+            F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.round(F.sum(rev), 2).cast("double").alias("sum_revenue"),
         )
     )
 
@@ -127,7 +127,7 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("o_totalprice", "decimal(12,2)")).alias("spend"))
     w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
     return spend.select(
-        "o_custkey", "spend",
+        "o_custkey", F.col("spend").cast("double").alias("spend"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 
@@ -210,7 +210,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("change_type", change)
         .where(F.col("change_type") != "unchanged")
-        .select("o_orderkey", "old_price", "new_price", "change_type")
+        .select("o_orderkey",
+                F.col("old_price").cast("double").alias("old_price"),
+                F.col("new_price").cast("double").alias("new_price"),
+                "change_type")
     )
 
 
@@ -307,7 +310,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_sum_count(ev, ["event_type"], ["value_dec"], "event_id")
     return out.select(
         "event_type",
-        F.col("sum_value_dec").cast("decimal(20,2)").alias("total_value"),
+        F.col("sum_value_dec").cast("double").alias("total_value"),
         "row_count")
 
 
@@ -361,9 +364,9 @@ EXT_ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
                COUNT(*) AS n_rows,
-               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * (1 - CAST(l_discount AS DECIMAL(4,4)))) AS sum_revenue
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_revenue
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -406,7 +409,7 @@ EXT_ORACLES: dict[str, str] = {
           SELECT o_custkey,
                  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
           FROM orders GROUP BY 1)
-        SELECT o_custkey, spend,
+        SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
                CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey ASC)
                     AS INT) AS quartile
         FROM spend
@@ -456,7 +459,8 @@ EXT_ORACLES: dict[str, str] = {
                       AS DECIMAL(13,2)) AS new_price
           FROM orders WHERE o_orderkey % 13 <> 0)
         SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
-               old_price, new_price,
+               CAST(old_price AS DOUBLE) AS old_price,
+               CAST(new_price AS DOUBLE) AS new_price,
                CASE WHEN old_price IS NULL THEN 'added'
                     WHEN new_price IS NULL THEN 'removed'
                     WHEN CAST(old_price AS DECIMAL(13,2)) <> new_price
@@ -471,7 +475,7 @@ EXT_ORACLES: dict[str, str] = {
     """,
     "json_extract_props": """
         SELECT event_type, COUNT(*) AS n_events,
-               SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT)
                  AS min_k,
                CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT)
@@ -585,14 +589,14 @@ EXT_ORACLES: dict[str, str] = {
           FROM toks)
         SELECT grp AS source, bin_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               SUM(n_tok) AS sum_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
                round(CAST(SUM(n_tok) AS DOUBLE)
                      / {float(cp.PACK_SEQ_TOKENS)}, 6) AS fill_ratio
         FROM binned GROUP BY 1, 2
     """,
     "skew_salted_agg": """
         SELECT event_type,
-               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(20,2))
+               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
                  AS total_value,
                CAST(COUNT(*) AS BIGINT) AS row_count
         FROM events GROUP BY event_type

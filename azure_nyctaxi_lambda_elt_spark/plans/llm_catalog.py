@@ -165,6 +165,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format multimodal decode: docs get BMP/WAV/GIF payloads
+    (operators/multimodal.py encode_kernel), then an Arrow mapInPandas
+    struct parser recovers dimensions / sample rate / frame counts /
+    data-section byte sums from the raw bytes.  The oracle recomputes
+    every feature arithmetically from doc_id — a hash match proves the
+    parser read the headers correctly."""
     apply_engine_conf(spark)
     return decode_media(with_media_payload(_docs(spark, sf_dir)))
 
@@ -318,6 +324,42 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 )
 
 LLM_ORACLES: dict[str, str] = {
+    # every feature the binary parser extracts is a deterministic
+    # function of doc_id (operators/multimodal.py encode params), so the
+    # oracle recomputes them arithmetically: a value-hash match proves
+    # the mapInPandas kernel recovered the fields from the real bytes
+    "multimodal_decode": """
+        SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS media_type,
+          CAST(CASE doc_id % 3
+            WHEN 0 THEN 54 + ((((16 + (doc_id*7)%49)*3 + 3) // 4) * 4)
+                          * (16 + (doc_id*13)%33)
+            WHEN 1 THEN 44 + (100 + (doc_id*11)%900) * (1 + doc_id%2) * 2
+            ELSE 14 + (1 + doc_id%8) * (21 + (1 + doc_id%5))
+          END AS INT) AS byte_len,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id*7)%49
+               WHEN 1 THEN 0 ELSE 32 + (doc_id*5)%97 END AS INT) AS width,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id*13)%33
+               WHEN 1 THEN 0 ELSE 32 + (doc_id*3)%61 END AS INT) AS height,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 1
+               WHEN 1 THEN 100 + (doc_id*11)%900
+               ELSE 1 + doc_id%8 END AS INT) AS n_frames,
+          CAST(CASE doc_id % 3 WHEN 1 THEN 8000 * (1 + (doc_id//2)%3)
+               ELSE 0 END AS INT) AS sample_rate,
+          CAST(CASE doc_id % 3 WHEN 1 THEN 1 + doc_id%2
+               ELSE 0 END AS INT) AS n_channels,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 16
+               ELSE 8 END AS INT) AS bit_depth,
+          CAST(CASE doc_id % 3
+            WHEN 0 THEN ((doc_id % 251) * ((((16 + (doc_id*7)%49)*3 + 3) // 4) * 4)
+                          * (16 + (doc_id*13)%33)) % 997
+            WHEN 1 THEN ((doc_id % 251) * ((100 + (doc_id*11)%900)
+                          * (1 + doc_id%2) * 2)) % 997
+            ELSE ((doc_id % 251) * ((1 + doc_id%8) * (1 + doc_id%5))) % 997
+          END AS INT) AS data_sum
+        FROM documents
+    """,
     "dedup_exact": """
         SELECT doc_id, content_hash,
                MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_doc_id,
@@ -533,8 +575,8 @@ LLM_ORACLES: dict[str, str] = {
                 FROM documents) d, UNNEST(t) u(token)),
         agg AS (
           SELECT lang, COUNT(*) AS n_distinct_exact,
-                 SUM(CASE WHEN substring(md5(token), 1, 4)
-                          < '{cp.SKETCH_THR_HEX4}' THEN 1 ELSE 0 END)
+                 CAST(SUM(CASE WHEN substring(md5(token), 1, 4)
+                          < '{cp.SKETCH_THR_HEX4}' THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_sampled
           FROM toks GROUP BY 1)
         SELECT lang, n_distinct_exact, n_sampled,
@@ -640,7 +682,7 @@ LLM_ORACLES: dict[str, str] = {
         SELECT lang,
                CAST(floor(n / {cp.HIST_BUCKET_TOKENS}) AS INT) AS bucket,
                COUNT(*) AS n_docs,
-               SUM(n) AS total_tokens,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
                CAST(MIN(n) AS INT) AS min_tokens,
                CAST(MAX(n) AS INT) AS max_tokens,
                CAST(floor(n / {cp.HIST_BUCKET_TOKENS})

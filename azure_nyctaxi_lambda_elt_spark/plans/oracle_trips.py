@@ -20,6 +20,14 @@ RAW_SELECT = """
     CAST({fare_expr} AS VARCHAR) AS fare_raw,
     CAST(1 + event_id % 6 AS VARCHAR) AS payment_src,
     CAST(1 + event_id % 4 AS VARCHAR) AS pax_raw,
+    CASE WHEN event_id % 113 = 0 THEN NULL
+         WHEN event_id % 107 = 0 THEN '99'
+         ELSE CAST(1 + event_id % 7 AS VARCHAR) END AS rate_code_raw,
+    CASE WHEN event_id % 131 = 0 THEN NULL
+         WHEN event_id % 127 = 0 THEN '  '
+         WHEN event_id % 11 = 0 THEN 'y'
+         WHEN event_id % 11 = 5 THEN ' n '
+         ELSE 'N' END AS store_fwd_raw,
     CAST(user_id % 50 AS INT) AS pu_loc_id,
     CAST((user_id + 7) % 50 AS INT) AS do_loc_id,
     CAST(value * (CAST(event_id % 30 AS DOUBLE) / 100.0) AS VARCHAR) AS tip_raw,
@@ -51,7 +59,10 @@ typed_trips AS (
     TRY_CAST(fare_raw AS DOUBLE) AS fare_amount,
     TRY_CAST(tip_raw AS DOUBLE) AS tip_amount,
     TRY_CAST(pax_raw AS INT) AS passenger_count,
-    payment_src, pu_loc_id, do_loc_id,
+    payment_src,
+    rate_code_raw AS rate_code,
+    store_fwd_raw AS store_fwd_flag,
+    pu_loc_id, do_loc_id,
     ingest_date, source_file_name, loaded_at
   FROM raw_trips
 ),
@@ -75,9 +86,11 @@ clean_slice AS (
     pickup_ts AS pickup_ts_utc,
     dropoff_ts AS dropoff_ts_utc,
     round(trip_distance * 1.609344, 3) AS trip_distance_km,
-    CAST(fare_amount AS DECIMAL(9,2)) AS fare_amount,
+    CAST(CAST(fare_amount AS DECIMAL(9,2)) AS DOUBLE) AS fare_amount,
     CASE payment_src WHEN '1' THEN 'CARD' WHEN '2' THEN 'CASH'
                      WHEN '3' THEN 'NO_CHARGE' WHEN '4' THEN 'DISPUTE' END AS payment_type,
+    rate_code AS rate_code_nk,
+    UPPER(NULLIF(TRIM(store_fwd_flag), '')) AS flag_nk,
     CASE WHEN pickup_ts IS NOT NULL
           AND (hour(pickup_ts) >= 22 OR hour(pickup_ts) <= 5)
          THEN 1 ELSE 0 END AS is_night_ride,
@@ -108,6 +121,19 @@ dim_payment AS (
         WHERE payment_type IS NOT NULL) p
   UNION ALL SELECT -1, 'UNKNOWN'
 ),
+dim_rate_code AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY rate_code_nk ASC) AS INT) AS rate_code_key,
+         rate_code_nk
+  FROM (SELECT DISTINCT rate_code_nk FROM trip_clean
+        WHERE rate_code_nk IS NOT NULL) rc
+  UNION ALL SELECT -1, 'UNKNOWN'
+),
+dim_flag AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY flag_nk ASC) AS INT) AS flag_key,
+         flag_nk
+  FROM (SELECT DISTINCT flag_nk FROM trip_clean WHERE flag_nk IS NOT NULL) fl
+  UNION ALL SELECT -1, 'UNKNOWN'
+),
 dim_location AS (
   SELECT CAST(dense_rank() OVER (ORDER BY location_id_nk ASC) AS INT) AS location_key,
          location_id_nk
@@ -134,6 +160,8 @@ fact_trip AS (
          + second(t.pickup_ts_utc) AS INT) AS pickup_time_key,
     COALESCE(v.vendor_key, -1) AS vendor_key,
     COALESCE(p.payment_type_key, -1) AS payment_type_key,
+    COALESCE(rc.rate_code_key, -1) AS rate_code_key,
+    COALESCE(fl.flag_key, -1) AS flag_key,
     COALESCE(pu.location_key, -1) AS pu_location_key,
     COALESCE(dl.location_key, -1) AS do_location_key,
     t.trip_distance_km,
@@ -146,6 +174,8 @@ fact_trip AS (
   FROM trip_clean t
   LEFT JOIN dim_vendor v ON v.vendor_code = t.vendor_code
   LEFT JOIN dim_payment p ON p.payment_type_nk = t.payment_type
+  LEFT JOIN dim_rate_code rc ON rc.rate_code_nk = t.rate_code_nk
+  LEFT JOIN dim_flag fl ON fl.flag_nk = t.flag_nk
   LEFT JOIN dim_location pu ON pu.location_id_nk = t.pu_loc_id
   LEFT JOIN dim_location dl ON dl.location_id_nk = t.do_loc_id
 )

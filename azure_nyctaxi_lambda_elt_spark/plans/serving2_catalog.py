@@ -78,7 +78,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
     return (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .select(
             _dec("l_orderkey", "bigint").alias("l_orderkey"),
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -108,7 +108,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (disc <= F.lit("0.04").cast("decimal(4,4)"))))
     return li.agg(
         F.sum(_dec("l_extendedprice", "decimal(12,2)") * disc)
-        .cast("decimal(18,4)").alias("revenue_delta"),
+        .cast("double").alias("revenue_delta"),
         F.count("*").cast("bigint").alias("n_lines"))
 
 
@@ -147,7 +147,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("supp_nation", "cust_nation",
                   F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"),
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
              F.count("*").cast("bigint").alias("n_lines")))
 
 
@@ -179,7 +179,7 @@ def q_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
     return (
         j.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"),
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
              F.round(F.min("c_acctbal"), 6).alias("c_acctbal"))
         .select(_dec("c_custkey", "bigint").alias("c_custkey"),
                 "c_name", "n_name", "c_mktsegment", "revenue", "c_acctbal")
@@ -202,8 +202,8 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_cols = [
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").cast("bigint").alias("n_rows"),
-        F.sum(_dec("l_quantity", "decimal(12,2)")).alias("sum_qty"),
-        F.sum(_rev()).alias("sum_revenue"),
+        F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.round(F.sum(_rev()), 2).cast("double").alias("sum_revenue"),
     ]
     return li.groupingSets(sets, "l_returnflag", "l_linestatus").agg(*agg_cols)
 
@@ -233,7 +233,7 @@ def q_pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.sum("total_spend").over(total)
     return spend.select(
         _dec("o_custkey", "bigint").alias("o_custkey"),
-        _dec("total_spend", "decimal(18,2)").alias("total_spend"),
+        _dec("total_spend", "decimal(18,2)").cast("double").alias("total_spend"),
         F.row_number().over(w).cast("bigint").alias("spend_rank"),
         F.round(cum.cast("double") / tot.cast("double"), 6)
         .alias("cum_share"),
@@ -374,7 +374,7 @@ SERVING2_ORACLES: dict[str, str] = {
         SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
                CAST(o.o_orderdate AS DATE) AS o_orderdate,
                o.o_orderpriority,
-               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -388,7 +388,7 @@ SERVING2_ORACLES: dict[str, str] = {
     "forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(l_discount AS DECIMAL(4,4)))
-                    AS DECIMAL(18,4)) AS revenue_delta,
+                    AS DOUBLE) AS revenue_delta,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -402,7 +402,7 @@ SERVING2_ORACLES: dict[str, str] = {
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS INT) AS l_year,
-               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue,
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -419,7 +419,7 @@ SERVING2_ORACLES: dict[str, str] = {
     "returned_item": f"""
         SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
                c.c_name, n.n_name, c.c_mktsegment,
-               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue,
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
                round(CAST(MIN(c.c_acctbal) AS DOUBLE), 6) AS c_acctbal
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -436,9 +436,9 @@ SERVING2_ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * (1 - CAST(l_discount AS DECIMAL(4,4)))) AS sum_revenue
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
@@ -458,7 +458,7 @@ SERVING2_ORACLES: dict[str, str] = {
           FROM spend
           WINDOW w AS (ORDER BY total_spend DESC, o_custkey))
         SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
-               CAST(total_spend AS DECIMAL(18,2)) AS total_spend,
+               CAST(total_spend AS DOUBLE) AS total_spend,
                CAST(spend_rank AS BIGINT) AS spend_rank,
                round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
                  AS cum_share,

@@ -119,7 +119,7 @@ def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dominant.groupBy("l_suppkey")
         .agg(F.count("*").cast("bigint").alias("n_dominant_parts"),
-             F.sum("supp_qty").cast("decimal(18,2)").alias("dominant_qty"))
+             F.sum("supp_qty").cast("double").alias("dominant_qty"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(_dec("s_suppkey", "bigint").alias("s_suppkey"),
                 "s_name", "n_name", "n_dominant_parts", "dominant_qty"))
@@ -197,7 +197,7 @@ def q_multi_res_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("__hour").cast("date").alias("day"))
         .agg(F.sum("__n").cast("bigint").alias("n_events"),
-             F.sum("__sv").cast("decimal(28,6)").alias("sum_value"),
+             F.round(F.sum("__sv"), 2).cast("double").alias("sum_value"),
              F.count("*").cast("bigint").alias("n_hours_active")))
 
 
@@ -355,7 +355,7 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("n_orders"),
              F.sum(_dec("o_totalprice", "decimal(12,2)"))
-             .cast("decimal(18,2)").alias("total_price")))
+             .cast("double").alias("total_price")))
 
 
 # ---------------------------------------------------------------------------
@@ -390,7 +390,7 @@ SERVING3_ORACLES: dict[str, str] = {
           WHERE sp.supp_qty * 2 > tot.part_qty)
         SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name,
                CAST(COUNT(*) AS BIGINT) AS n_dominant_parts,
-               CAST(SUM(d.supp_qty) AS DECIMAL(18,2)) AS dominant_qty
+               CAST(SUM(d.supp_qty) AS DOUBLE) AS dominant_qty
         FROM dom d
         JOIN supplier s ON d.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -422,7 +422,7 @@ SERVING3_ORACLES: dict[str, str] = {
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                  AS sum_value,
                CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
                  AS n_hours_active
@@ -453,7 +453,7 @@ SERVING3_ORACLES: dict[str, str] = {
         SELECT o.o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
-                    AS DECIMAL(18,2)) AS total_price
+                    AS DOUBLE) AS total_price
         FROM orders o
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = o.o_custkey

@@ -106,6 +106,22 @@ def raw_trips_from_events(e: DataFrame) -> DataFrame:
         fare.cast("string").alias("fare_raw"),
         (1 + eid % 6).cast("string").alias("payment_src"),
         (1 + eid % 4).cast("string").alias("pax_raw"),
+        # RatecodeID analog (mdl/load/12_dim_rate_code.upsert.sql): codes
+        # 1..7 + a rare out-of-domain '99' + NULLs (dim keeps whatever
+        # non-null codes arrive — the reference applies no domain filter)
+        F.when(eid % 113 == 0, F.lit(None).cast("string"))
+        .when(eid % 107 == 0, F.lit("99"))
+        .otherwise((1 + eid % 7).cast("string"))
+        .alias("rate_code_raw"),
+        # store_and_fwd_flag analog (mdl/load/13_dim_flag.upsert.sql):
+        # messy casing/padding + empties + NULLs; dim NK is
+        # UPPER(TRIM(x)) with ''→NULL
+        F.when(eid % 131 == 0, F.lit(None).cast("string"))
+        .when(eid % 127 == 0, F.lit("  "))
+        .when(eid % 11 == 0, F.lit("y"))
+        .when(eid % 11 == 5, F.lit(" n "))
+        .otherwise(F.lit("N"))
+        .alias("store_fwd_raw"),
         (uid % 50).cast("int").alias("pu_loc_id"),
         ((uid + 7) % 50).cast("int").alias("do_loc_id"),
         (val * ((eid % 30).cast("double") / F.lit(100.0))).cast("string").alias("tip_raw"),
@@ -141,6 +157,8 @@ def typed_trips(raw: DataFrame) -> DataFrame:
         F.col("tip_raw").alias("tip_amount"),
         F.col("pax_raw").alias("passenger_count"),
         "payment_src",
+        F.col("rate_code_raw").alias("rate_code"),
+        F.col("store_fwd_raw").alias("store_fwd_flag"),
         "pu_loc_id",
         "do_loc_id",
         "ingest_date",
@@ -179,8 +197,13 @@ def clean_slice(typed: DataFrame) -> DataFrame:
         F.col("pickup_ts").alias("pickup_ts_utc"),
         F.col("dropoff_ts").alias("dropoff_ts_utc"),
         miles_to_km("trip_distance").alias("trip_distance_km"),
-        F.col("fare_amount").cast("decimal(9,2)").alias("fare_amount"),
+        # quantize to cents via DECIMAL(9,2), then surface as DOUBLE:
+        # the driver's value-hasher represents DECIMAL differently per
+        # engine, so the query-output convention is plain double
+        F.col("fare_amount").cast("decimal(9,2)").cast("double").alias("fare_amount"),
         canonical_map("payment_src", PAYMENT_MAP).alias("payment_type"),
+        F.col("rate_code").alias("rate_code_nk"),
+        norm_str("store_fwd_flag").alias("flag_nk"),
         is_night_hour("pickup_ts").alias("is_night_ride"),
         F.col("tip_amount"),
         "pu_loc_id",
@@ -210,6 +233,17 @@ def dim_payment(clean: DataFrame) -> DataFrame:
                      ["payment_type_nk"], "payment_type_key", unknown_nk="UNKNOWN")
 
 
+def dim_rate_code(clean: DataFrame) -> DataFrame:
+    """mdl/load/12_dim_rate_code.upsert.sql + err/seed_unknowns.sql."""
+    return build_dim(clean, ["rate_code_nk"], "rate_code_key",
+                     unknown_nk="UNKNOWN")
+
+
+def dim_flag(clean: DataFrame) -> DataFrame:
+    """mdl/load/13_dim_flag.upsert.sql + err/seed_unknowns.sql."""
+    return build_dim(clean, ["flag_nk"], "flag_key", unknown_nk="UNKNOWN")
+
+
 def dim_location(clean: DataFrame) -> DataFrame:
     """Union of PU/DO zone ids (mdl/load/14_dim_location.upsert.sql)."""
     ids = (
@@ -234,10 +268,14 @@ def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = dim_vendor(clean)
     p = dim_payment(clean)
+    rc = dim_rate_code(clean)
+    fl = dim_flag(clean)
     loc = dim_location(clean)
 
     f = resolve_fk(clean, v, [("vendor_code", "vendor_code")], "vendor_key")
     f = resolve_fk(f, p, [("payment_type", "payment_type_nk")], "payment_type_key")
+    f = resolve_fk(f, rc, [("rate_code_nk", "rate_code_nk")], "rate_code_key")
+    f = resolve_fk(f, fl, [("flag_nk", "flag_nk")], "flag_key")
     f = resolve_fk(f, loc.withColumnRenamed("location_key", "pu_location_key"),
                    [("pu_loc_id", "location_id_nk")], "pu_location_key")
     f = resolve_fk(f, loc.withColumnRenamed("location_key", "do_location_key"),
@@ -256,6 +294,8 @@ def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_key("pickup_ts_utc").alias("pickup_time_key"),
         "vendor_key",
         "payment_type_key",
+        "rate_code_key",
+        "flag_key",
         "pu_location_key",
         "do_location_key",
         "trip_distance_km",

@@ -105,7 +105,7 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.lit(100.0) * promo.cast("double")
                     / total.cast("double"), 6).alias("promo_pct"),
-            total.cast("decimal(18,4)").alias("total_revenue"),
+            F.round(total, 2).cast("double").alias("total_revenue"),
         ))
 
 
@@ -137,7 +137,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
             "s_name",
-            F.col("__rev").cast("decimal(18,4)").alias("total_revenue")))
+            F.round(F.col("__rev"), 2).cast("double").alias("total_revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +207,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             F.round(F.col("o_totalprice").cast("double"), 6)
                 .alias("o_totalprice"),
-            F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty")))
+            F.col("sum_qty").cast("double").alias("sum_qty")))
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +235,7 @@ def q_disjunctive_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch3 = ((F.col("p_type") == "PROMO")
            & F.col("p_size").between(20, 50) & qty.between(20, 50))
     return (j.where(ch1 | ch2 | ch3)
-            .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"),
+            .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
                  F.count("*").cast("bigint").alias("n_lines")))
 
 
@@ -264,7 +264,7 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return (idle.groupBy("c_mktsegment")
             .agg(F.count("*").cast("bigint").alias("numcust"),
-                 F.sum(bal).cast("decimal(18,2)").alias("totacctbal")))
+                 F.sum(bal).cast("double").alias("totacctbal")))
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +292,7 @@ def q_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rev") * F.lit(1000) > F.col("__total"))
         .select(
             F.col("l_partkey").cast("bigint").alias("l_partkey"),
-            F.col("__rev").cast("decimal(18,4)").alias("part_revenue")))
+            F.round(F.col("__rev"), 2).cast("double").alias("part_revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +346,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.coalesce(target, F.lit(0).cast("decimal(22,6)"))
                         .cast("double") / total.cast("double"), 6)
                     .alias("mkt_share"),
-                total.cast("decimal(18,4)").alias("total_revenue")))
+                F.round(total, 2).cast("double").alias("total_revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +487,7 @@ def q_customer_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("c_custkey").cast("bigint").alias("c_custkey"),
         "c_mktsegment",
-        F.col("total_spend").cast("decimal(18,2)").alias("total_spend"),
+        F.col("total_spend").cast("double").alias("total_spend"),
         F.dense_rank().over(w).cast("bigint").alias("seg_rank"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"))
@@ -515,7 +515,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
                        SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END),
                        CAST(0 AS DECIMAL(22,6))) AS DOUBLE)
                      / CAST(SUM({_REV}) AS DOUBLE), 6) AS promo_pct,
-               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS total_revenue
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -529,7 +529,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
             AND l_shipdate < TIMESTAMP '1997-04-01'
           GROUP BY l_suppkey)
         SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
-               CAST(p.rev AS DECIMAL(18,4)) AS total_revenue
+               CAST(round(p.rev, 2) AS DOUBLE) AS total_revenue
         FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
         WHERE p.rev = (SELECT MAX(rev) FROM per_supp)
     """,
@@ -559,13 +559,13 @@ WAREHOUSE_ORACLES: dict[str, str] = {
                CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
                CAST(o.o_orderdate AS DATE) AS o_orderdate,
                round(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice,
-               CAST(b.sum_qty AS DECIMAL(18,2)) AS sum_qty
+               CAST(b.sum_qty AS DOUBLE) AS sum_qty
         FROM big b
         JOIN orders o ON b.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
     """,
     "disjunctive_pred_join": f"""
-        SELECT CAST(SUM({_REV}) AS DECIMAL(18,4)) AS revenue,
+        SELECT CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -583,7 +583,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS numcust,
                CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2)))
-                    AS DECIMAL(18,2)) AS totacctbal
+                    AS DOUBLE) AS totacctbal
         FROM customer c, scalar s
         WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * s.cnt > s.sum_bal
           AND NOT EXISTS (SELECT 1 FROM orders o
@@ -595,7 +595,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
           SELECT l_partkey, SUM({_REV}) AS rev
           FROM lineitem GROUP BY l_partkey)
         SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
-               CAST(rev AS DECIMAL(18,4)) AS part_revenue
+               CAST(round(rev, 2) AS DOUBLE) AS part_revenue
         FROM per_part
         WHERE rev * 1000 > (SELECT SUM(rev) FROM per_part)
     """,
@@ -606,7 +606,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
                                 THEN {_REV} END),
                        CAST(0 AS DECIMAL(22,6))) AS DOUBLE)
                      / CAST(SUM({_REV}) AS DOUBLE), 6) AS mkt_share,
-               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS total_revenue
+               CAST(round(SUM({_REV}), 2) AS DOUBLE) AS total_revenue
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -651,7 +651,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
                  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spend
           FROM orders GROUP BY o_custkey)
         SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,
-               CAST(s.total_spend AS DECIMAL(18,2)) AS total_spend,
+               CAST(s.total_spend AS DOUBLE) AS total_spend,
                CAST(DENSE_RANK() OVER w AS BIGINT) AS seg_rank,
                round(PERCENT_RANK() OVER w, 6) AS pct_rank,
                round(CUME_DIST() OVER w, 6) AS cume

@@ -221,6 +221,81 @@ def run_windowed_audit(spark: SparkSession, sf_dir: str, out_dir: str,
     return spark.read.parquet(audit_dir)
 
 
+def run_quality_log(spark: SparkSession, sf_dir: str, out_dir: str,
+                    run_id: str = "stream-run-001",
+                    max_files_per_trigger: int | None = None,
+                    source_dir: str | None = None) -> DataFrame:
+    """Run-scoped streaming quality log + success marker.
+
+    Reference parity: sql/streaming/staging/
+    0009_stg.usp_log_quality_for_run.sql (per run_id+hour good/dlq/
+    per-reason counts into stg.TripsStreaming_Quality_Audit) and
+    0006_LogSuccess.sql (a SUCCEEDED ops row once the run completes).
+
+    Each micro-batch aggregates its rows per (run_id, hour bucket) and
+    SUM-merges into the log table — counts are additive and every event
+    row is counted exactly once, so the final table is
+    batching-independent and equals the batch quality_audit with the
+    run_id column attached (FULL oracle).  After the stream drains, a
+    LogSuccess marker row (run_id, status, total good/dlq) is appended
+    to <out>/run_log.
+
+    Scale: per batch the shuffle carries ≤ |hours in batch| partial
+    rows; the log table stays |run_ids × hours| — tiny."""
+    log_dir = os.path.join(out_dir, "quality_log")
+    marker_dir = os.path.join(out_dir, "run_log")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(log_dir, marker_dir, ckpt)
+    typed = tf.typed_trips(tf.raw_trips_from_events(
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)))
+    missing, negative, bad_dur = _dq_parts()
+    is_dlq = missing | negative | bad_dur
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    flagged = typed.select(
+        F.lit(run_id).alias("run_id"),
+        F.date_trunc("hour", F.col("loaded_at")).alias("hour_bucket"),
+        missing.alias("__miss"), negative.alias("__neg"),
+        bad_dur.alias("__bad"), is_dlq.alias("__dlq"))
+
+    def merge_log(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        part = (batch.groupBy("run_id", "hour_bucket").agg(
+            one(~F.col("__dlq")).alias("good_rows"),
+            one(F.col("__dlq")).alias("dlq_rows"),
+            one(F.col("__miss")).alias("missing_required"),
+            one(~F.col("__miss") & F.col("__neg")).alias("negative_values"),
+            one(~F.col("__miss") & ~F.col("__neg") & F.col("__bad"))
+            .alias("bad_duration")))
+        try:
+            prev = spark_b.read.parquet(log_dir)
+        except Exception:
+            prev = None
+        merged = part if prev is None else (
+            prev.unionByName(part)
+            .groupBy("run_id", "hour_bucket")
+            .agg(*[F.sum(c).cast("bigint").alias(c)
+                   for c in ("good_rows", "dlq_rows", "missing_required",
+                             "negative_values", "bad_duration")]))
+        tmp = log_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _reset(log_dir)
+        os.rename(tmp, log_dir)
+
+    _run_available_now(
+        flagged.writeStream.foreachBatch(merge_log)
+        .option("checkpointLocation", ckpt))
+    final = spark.read.parquet(log_dir)
+    # LogSuccess analog: one SUCCEEDED marker with the run totals
+    totals = final.agg(
+        F.sum("good_rows").cast("bigint").alias("good_rows"),
+        F.sum("dlq_rows").cast("bigint").alias("dlq_rows")).collect()[0]
+    spark.createDataFrame(
+        [(run_id, "SUCCEEDED", totals["good_rows"], totals["dlq_rows"])],
+        "run_id string, status string, good_rows bigint, dlq_rows bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(marker_dir)
+    return final
+
+
 def run_streaming_dedupe(spark: SparkSession, sf_dir: str, out_dir: str,
                          max_files_per_trigger: int | None = None,
                          source_dir: str | None = None) -> DataFrame:
@@ -367,5 +442,5 @@ def run_dim_enrich(spark: SparkSession, sf_dir: str, out_dir: str,
     back = spark.read.parquet(enriched_dir)
     return (back.groupBy("event_type", "user_tier")
             .agg(F.count("*").cast("bigint").alias("n_events"),
-                 F.sum("value_dec").cast("decimal(20,2)")
+                 F.sum("value_dec").cast("double")
                  .alias("total_value")))

@@ -27,46 +27,24 @@ rebuild, and only touched ingest_date partitions are rewritten.
 from __future__ import annotations
 
 import os
-from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.columns import date_key, norm_str, sha256_key, time_key, ts_iso
 from ..operators.dedupe import latest_wins
-from ..operators.dims import build_dim, resolve_fk
+from ..operators.dims import resolve_fk, upsert_dim_append
 from ..operators.upsert import write_partition_overwrite
 from ..plans import trips_feed as tf
 from .lane import _order_by, _reset, _run_available_now, events_stream
 
 
-def upsert_dim_append(existing: DataFrame | None, source: DataFrame,
-                      nk_cols: Sequence[str], key_col: str,
-                      unknown_nk) -> DataFrame:
-    """Append-only dim upsert: first load = deterministic dense_rank
-    build; afterwards unseen NKs get max(key)+rank(new NK order) and
-    existing members are returned untouched."""
-    if existing is None:
-        return build_dim(source, nk_cols, key_col, unknown_nk=unknown_nk)
-    cond = None
-    for c in nk_cols:
-        k = F.col(c).isNotNull()
-        cond = k if cond is None else (cond & k)
-    fresh = (
-        source.select(*nk_cols).where(cond).distinct()
-        .join(existing.select(*nk_cols), list(nk_cols), "left_anti")
-    )
-    w = Window.orderBy(*[F.col(c).asc() for c in nk_cols])
-    base = existing.agg(F.max(key_col)).collect()[0][0] or 0
-    appended = fresh.withColumn(
-        key_col, (F.row_number().over(w) + F.lit(base)).cast("int"))
-    return existing.unionByName(appended.select(key_col, *nk_cols))
-
-
 def _build_fact(clean: DataFrame, v: DataFrame, p: DataFrame,
-                loc: DataFrame) -> DataFrame:
+                rc: DataFrame, fl: DataFrame, loc: DataFrame) -> DataFrame:
     f = resolve_fk(clean, v, [("vendor_code", "vendor_code")], "vendor_key")
     f = resolve_fk(f, p, [("payment_type", "payment_type_nk")], "payment_type_key")
+    f = resolve_fk(f, rc, [("rate_code_nk", "rate_code_nk")], "rate_code_key")
+    f = resolve_fk(f, fl, [("flag_nk", "flag_nk")], "flag_key")
     f = resolve_fk(f, loc.withColumnRenamed("location_key", "pu_location_key"),
                    [("pu_loc_id", "location_id_nk")], "pu_location_key")
     f = resolve_fk(f, loc.withColumnRenamed("location_key", "do_location_key"),
@@ -82,7 +60,8 @@ def _build_fact(clean: DataFrame, v: DataFrame, p: DataFrame,
         ).alias("trip_id"),
         date_key("pickup_ts_utc").alias("pickup_date_key"),
         time_key("pickup_ts_utc").alias("pickup_time_key"),
-        "vendor_key", "payment_type_key", "pu_location_key",
+        "vendor_key", "payment_type_key", "rate_code_key", "flag_key",
+        "pu_location_key",
         "do_location_key", "trip_distance_km", "fare_amount",
         F.col("tip_amount"), "is_night_ride", "ingest_date",
         "source_file_name", "loaded_at",
@@ -96,6 +75,7 @@ def run_model_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
     final {clean, dim_vendor, dim_payment, dim_location, fact} frames."""
     dirs = {name: os.path.join(out_dir, name)
             for name in ("clean", "dim_vendor", "dim_payment",
+                         "dim_rate_code", "dim_flag",
                          "dim_location", "fact")}
     ckpt = os.path.join(out_dir, "ckpt")
     _reset(ckpt, *dirs.values())
@@ -138,6 +118,14 @@ def run_model_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
                 clean.withColumnRenamed("payment_type", "payment_type_nk"),
                 ["payment_type_nk"], "payment_type_key", "UNKNOWN"),
             "dim_payment")
+        rc = _write_dim(
+            upsert_dim_append(_read("dim_rate_code"), clean,
+                              ["rate_code_nk"], "rate_code_key", "UNKNOWN"),
+            "dim_rate_code")
+        fl = _write_dim(
+            upsert_dim_append(_read("dim_flag"), clean,
+                              ["flag_nk"], "flag_key", "UNKNOWN"),
+            "dim_flag")
         loc_src = (
             clean.select(F.col("pu_loc_id").alias("location_id_nk"))
             .unionByName(clean.select(F.col("do_loc_id").alias("location_id_nk")))
@@ -150,7 +138,7 @@ def run_model_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
         # fact maintenance scoped to the batch's touched partitions
         touched = [r[0] for r in incoming.select("ingest_date").distinct().collect()]
         part_clean = clean.where(F.col("ingest_date").isin(touched))
-        write_partition_overwrite(_build_fact(part_clean, v, p, loc),
+        write_partition_overwrite(_build_fact(part_clean, v, p, rc, fl, loc),
                                   dirs["fact"], ["ingest_date"])
 
     _run_available_now(

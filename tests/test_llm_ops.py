@@ -89,20 +89,37 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert len(ivf) <= len(brute)
 
 
-def test_multimodal_decode_deterministic(spark):
+def test_multimodal_decode_real_formats(spark):
     from azure_nyctaxi_lambda_elt_spark.operators.multimodal import (
-        decode_media, with_media_payload)
+        decode_media, decode_one, _encode_bmp, _encode_wav, _encode_gif,
+        _bmp_params, _wav_params, _gif_params, with_media_payload)
 
+    # kernel-level: parser recovers the encode params from raw bytes
+    for i in (0, 7, 123, 4567):
+        w, h = _bmp_params(i)
+        d = decode_one(_encode_bmp(i))
+        assert (d["width"], d["height"], d["bit_depth"]) == (w, h, 24)
+        ch, sr, nf = _wav_params(i)
+        d = decode_one(_encode_wav(i))
+        assert (d["n_channels"], d["sample_rate"], d["n_frames"]) == (ch, sr, nf)
+        gw, gh, fr, _ = _gif_params(i)
+        d = decode_one(_encode_gif(i))
+        assert (d["width"], d["height"], d["n_frames"]) == (gw, gh, fr)
+    # unknown magic must raise, not fake an answer
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_one(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+
+    # distributed path: deterministic + shape-sane
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
     a = decode_media(with_media_payload(docs)).collect()
     b = decode_media(with_media_payload(docs)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-    row = {r["doc_id"]: r for r in a}
     for r in a:
         assert r["media_type"] in ("image", "audio", "video")
-        assert r["byte_len"] > 0 and len(r["content_sha"]) == 64
+        assert r["byte_len"] > 0 and 0 <= r["data_sum"] < 997
         if r["media_type"] == "image":
-            assert r["n_frames"] == 1 and r["width"] >= 64
+            assert r["n_frames"] == 1 and r["width"] >= 16
         if r["media_type"] == "audio":
             assert r["sample_rate"] >= 8000 and r["width"] == 0
 

@@ -198,7 +198,7 @@ def test_multibatch_dim_enrich_equals_batch(spark, feed_dir):
             .groupBy("event_type", "user_tier")
             .agg(F.count("*").cast("bigint").alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
-                 .cast("decimal(20,2)").alias("total_value")))
+                 .cast("double").alias("total_value")))
     g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
     e = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
     assert g == e
