@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 DIM = 64
 N_PLANES = 6
 
+# brute-force guards: the exact paths are verify/oracle twins; refusing
+# oversized inputs (instead of melting an executor) makes the catalog
+# entries themselves scale-safe.  The one count() each guard pays is a
+# cheap aggregate next to the quadratic work it bounds.
+MAX_BRUTE_QUERIES = 10_000    # cosine_topk broadcasts the query set
+MAX_BRUTE_CORPUS = 100_000    # cosine_pairs is corpus² work
+
+
+def _guard_brute(n: int, cap: int, what: str, alt: str) -> None:
+    if n > cap:
+        raise ValueError(
+            f"{what}: {n} rows exceeds the brute-force cap {cap}; "
+            f"use the scale path ({alt}) instead")
+
 
 def as_double_vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -71,6 +85,8 @@ def cosine_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
         F.col("ssq").alias("qssq"),
     )
+    _guard_brute(queries.count(), MAX_BRUTE_QUERIES,
+                 "cosine_topk query set", "lsh_bucket_topk / ivf_topk")
     cos = F.round(
         vec_dot(F.col("qe"), F.col("e"))
         / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("ssq"))),
@@ -96,8 +112,11 @@ def cosine_pairs(embeddings: DataFrame, tau: float,
 
     At 100 TB this is the VERIFY stage over LSH candidates
     (``lsh_bucket_topk``'s signature-equality join generates them);
-    all-pairs is only run directly at oracle scale."""
+    all-pairs is only run directly at oracle scale — the guard REFUSES
+    larger inputs rather than planning a corpus² nested-loop join."""
     corpus = _prep(embeddings, id_col, vec_col)
+    _guard_brute(corpus.count(), MAX_BRUTE_CORPUS,
+                 "cosine_pairs corpus", "semantic_dedup / lsh_bucket_topk")
     a = corpus.select(F.col("vec_id").alias("id_i"), F.col("e").alias("ea"),
                       F.col("ssq").alias("sa"))
     b = corpus.select(F.col("vec_id").alias("id_j"), F.col("e").alias("eb"),

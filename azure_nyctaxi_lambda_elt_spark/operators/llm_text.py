@@ -116,14 +116,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs
 
+MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.3) -> DataFrame:
+                        threshold: float = 0.3,
+                        max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """All pairs with word-n-gram set Jaccard ≥ threshold.
 
     inter(i,j) via a self-join on the shingle key; |A∪B| = |A|+|B|−inter.
-    At 100 TB run this only on LSH candidates — see module docstring.
-    """
+
+    Hot-key guard: shingles occurring in more than ``max_df`` documents
+    (stop-phrase-like, carrying no dedup signal) are dropped BEFORE the
+    self-join — a shingle shared by d docs contributes d² join rows, so
+    one ubiquitous shingle at 100 TB would melt a reducer.  Capping
+    bounds per-shingle fan-out at max_df²; union sizes |A|,|B| stay
+    uncapped, so capped-pair Jaccard is a (slight) underestimate over
+    ubiquitous phrases only.  The DuckDB oracles mirror the identical
+    cap.  At 100 TB run this only on LSH candidates — see module
+    docstring."""
     sh = doc_shingles(docs, n)
+    if max_df is not None:
+        hot = (sh.groupBy("hg").agg(F.count("*").alias("__df"))
+               .where(F.col("__df") > max_df).select("hg"))
+        sh = sh.join(hot, "hg", "left_anti")
     # |A| per doc computed narrowly from the array — no groupBy shuffle
     sizes = shingle_arrays(docs, n).select(
         "doc_id", F.size("sgs").cast("bigint").alias("n_sg"))

@@ -563,26 +563,36 @@ def q_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete p50/p90/p99 of event value per type, via
     rank-position selection (value at row ⌈p·n⌉ in sort order) — the
     same arithmetic on both engines, no interpolation, so raw data
-    values pass through bit-exact."""
+    values pass through bit-exact.
+
+    Scale shape: the raw scan first reduces to (type, value, count) —
+    a high-cardinality two-column shuffle with map-side combine — and
+    the per-type window ranks the REDUCED frame via cumulative counts.
+    Ranking raw rows would put one reducer per event_type (|types| ≈ 5)
+    on the full 100 TB sort; here each reducer sorts only the distinct
+    values of its type.  approx_quantile_sketch is the mergeable-sketch
+    twin when even |distinct values| is too large."""
     apply_engine_conf(spark)
     e = tf.events_ts_fixed(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc())
-    ranked = e.select(
-        "event_type", "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            Window.partitionBy("event_type")
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("cnt"),
-    )
+    vc = e.groupBy("event_type", "value").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    cum = F.sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = F.sum("__c").over(
+        Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    ranked = vc.select(
+        "event_type", "value", "__c",
+        cum.alias("__cum"), tot.alias("__n"))
 
     def at(p: float):
+        tgt = F.ceil(F.lit(p) * F.col("__n"))
         return F.max(F.when(
-            F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")), F.col("value")))
+            (F.col("__cum") >= tgt)
+            & ((F.col("__cum") - F.col("__c")) < tgt), F.col("value")))
 
     return ranked.groupBy("event_type").agg(
-        F.max("cnt").cast("bigint").alias("n"),
+        F.max("__n").cast("bigint").alias("n"),
         at(0.5).alias("p50"),
         at(0.9).alias("p90"),
         at(0.99).alias("p99"),
@@ -690,6 +700,40 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return run_dim_enrich(
         spark, sf_dir, _out_dir(_STREAM_TMP, "dim_enrich", sf_dir))
+
+
+def q_rate_limit_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ingest rate limit, batch twin (streaming/rate_limit.py):
+    first 40 events per (user, clock hour) in (ts, event_id) order —
+    the admitted set a hot producer is clamped to."""
+    from ..streaming.rate_limit import rate_limit_batch
+
+    apply_engine_conf(spark)
+    return rate_limit_batch(tf.events_ts_fixed(spark, sf_dir))
+
+
+def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming rate limiter (applyInPandasWithState, O(1)
+    state per user): first-N-by-arrival admission — arrival-order
+    dependent like streaming_dedupe, so rows-only here; pytest proves
+    sink == batch twin for time-ordered arrival."""
+    from ..streaming.rate_limit import run_streaming_rate_limit
+
+    apply_engine_conf(spark)
+    return run_streaming_rate_limit(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "rate_limit", sf_dir))
+
+
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven
+    NULL emission for unmatched purchases; read-back cut at the final
+    watermark so the batch left join is a FULL oracle
+    (streaming/lane.py run_stream_stream_left_join)."""
+    from ..streaming.lane import run_stream_stream_left_join
+
+    apply_engine_conf(spark)
+    return run_stream_stream_left_join(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "ss_left_join", sf_dir))
 
 
 def q_streaming_run_quality_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,6 +1223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dim_enrich": q_streaming_dim_enrich,
     "streaming_model_upsert": q_streaming_model_upsert,
     "streaming_run_quality_log": q_streaming_run_quality_log,
+    "rate_limit_per_key": q_rate_limit_per_key,
+    "streaming_rate_limit": q_streaming_rate_limit,
+    "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "idempotent_partition_load": q_idempotent_partition_load,
     "backfill_partition_rebuild": q_backfill_partition_rebuild,
     **LLM_QUERIES,
@@ -1244,15 +1291,14 @@ _CHECK_FIRST: list[str] = [
     "corr_stats",
     "snapshot_diff",
     "json_extract_props",
+    "json_dualkey_extract",
     "paragraph_dedup",
     "heuristic_filter",
     "event_transitions",
     "gap_fill_locf",
     "dataset_split",
     "sequence_packing",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "cust_order_distribution",
+    "rate_limit_per_key",
     # round-2 orchestration additions
     "backfill_partition_rebuild",
     # r1 hash-red streaming entries (slower; close out the ~50 window)
@@ -1261,6 +1307,7 @@ _CHECK_FIRST: list[str] = [
     "streaming_dim_enrich",
     "streaming_model_upsert",
     "streaming_run_quality_log",
+    "streaming_interval_join_outer",
 ]
 
 
@@ -1331,6 +1378,40 @@ ORACLES["streaming_run_quality_log"] = with_trips("""
       FROM typed_trips) t
     GROUP BY 1, 2
 """)
+# batch rate limit: deterministic first-N ranking — direct SQL twin
+ORACLES["rate_limit_per_key"] = """
+    SELECT event_id, user_id, hour_bucket,
+           CAST(rn AS INT) AS rn_in_window
+    FROM (
+      SELECT event_id, user_id,
+             date_trunc('hour', ts) AS hour_bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events) t
+    WHERE rn <= 40
+"""
+# left-outer stream-stream join, cut at the final watermark: below the
+# cutoff every purchase has either matched or been evicted unmatched,
+# so the batch left join with the identical cutoff is a FULL oracle
+ORACLES["streaming_interval_join_outer"] = """
+    WITH mx AS (
+      SELECT MIN(m) - INTERVAL 2 HOUR - INTERVAL 1 MINUTE AS cutoff
+      FROM (SELECT MAX(ts) AS m FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT MAX(ts) FROM events WHERE event_type = 'purchase') t)
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_event_id,
+           c.ts AS click_ts
+    FROM events p
+    CROSS JOIN mx
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND p.ts <= mx.cutoff
+"""
 # backfill replay: NK-projected fact content equals the batch star build
 # restricted to the backfilled dates (surrogate keys are arrival-ordered
 # IDENTITY analogs and intentionally not compared)

@@ -235,6 +235,53 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_dualkey_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Camel/snake/legacy dual-key JSON tolerance (asa-wire.sh's
+    COALESCE(GetRecordPropertyValue 'puLocationId'/'PULocationID'/
+    'pu_location_id') parse, reference @ /root/reference): a feed whose
+    producers drift between casings is parsed with a per-field
+    COALESCE over all key variants, entirely in JVM-side
+    get_json_object — no UDF, pushdown-friendly.
+
+    The mixed-casing feed is derived deterministically from events
+    (integer payloads only, so both engines render identical JSON) and
+    the rollup proves every casing path extracted: n_extracted must
+    equal n_rows per event_type."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    eid, uid, val = F.col("event_id"), F.col("user_id"), F.col("value")
+    # explicit floor(): a bare double→bigint CAST truncates in Spark but
+    # rounds in DuckDB — floor is identical in both engines
+    cents = F.floor(val * 100).cast("bigint").cast("string")
+    i, u = eid.cast("string"), (uid % 50).cast("string")
+    doc = (
+        F.when(eid % 3 == 0, F.concat(
+            F.lit('{"eventId": '), i, F.lit(', "fareCents": '), cents,
+            F.lit(', "puLocationId": '), u, F.lit('}')))
+        .when(eid % 3 == 1, F.concat(
+            F.lit('{"event_id": '), i, F.lit(', "fare_cents": '), cents,
+            F.lit(', "pu_location_id": '), u, F.lit('}')))
+        .otherwise(F.concat(
+            F.lit('{"EventID": '), i, F.lit(', "fare_cents": '), cents,
+            F.lit(', "PULocationID": '), u, F.lit('}'))))
+
+    def pick(*paths: str) -> F.Column:
+        return F.coalesce(*[F.get_json_object(F.col("__doc"), f"$.{p}")
+                            for p in paths]).cast("bigint")
+
+    staged = ev.select("event_type", doc.alias("__doc"))
+    parsed = staged.select(
+        "event_type",
+        pick("eventId", "EventID", "event_id").alias("__id"),
+        pick("fareCents", "fare_cents").alias("__fare"),
+        pick("puLocationId", "PULocationID", "pu_location_id").alias("__loc"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("__id").cast("bigint").alias("n_extracted"),
+        F.sum("__fare").cast("bigint").alias("sum_fare_cents"),
+        F.sum("__loc").cast("bigint").alias("sum_pu_loc"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return cp.paragraph_dedup(load_table(spark, sf_dir, "documents"))
@@ -473,6 +520,42 @@ EXT_ORACLES: dict[str, str] = {
                      THEN 'changed'
                    ELSE 'unchanged' END <> 'unchanged'
     """,
+    "json_dualkey_extract": """
+        WITH staged AS (
+          SELECT event_type,
+            CASE
+              WHEN event_id % 3 = 0 THEN
+                '{"eventId": ' || CAST(event_id AS VARCHAR)
+                || ', "fareCents": ' || CAST(CAST(floor("value" * 100) AS BIGINT) AS VARCHAR)
+                || ', "puLocationId": ' || CAST(user_id % 50 AS VARCHAR) || '}'
+              WHEN event_id % 3 = 1 THEN
+                '{"event_id": ' || CAST(event_id AS VARCHAR)
+                || ', "fare_cents": ' || CAST(CAST(floor("value" * 100) AS BIGINT) AS VARCHAR)
+                || ', "pu_location_id": ' || CAST(user_id % 50 AS VARCHAR) || '}'
+              ELSE
+                '{"EventID": ' || CAST(event_id AS VARCHAR)
+                || ', "fare_cents": ' || CAST(CAST(floor("value" * 100) AS BIGINT) AS VARCHAR)
+                || ', "PULocationID": ' || CAST(user_id % 50 AS VARCHAR) || '}'
+            END AS doc
+          FROM events),
+        parsed AS (
+          SELECT event_type,
+            CAST(COALESCE(json_extract_string(doc, '$.eventId'),
+                          json_extract_string(doc, '$.EventID'),
+                          json_extract_string(doc, '$.event_id')) AS BIGINT) AS id,
+            CAST(COALESCE(json_extract_string(doc, '$.fareCents'),
+                          json_extract_string(doc, '$.fare_cents')) AS BIGINT) AS fare,
+            CAST(COALESCE(json_extract_string(doc, '$.puLocationId'),
+                          json_extract_string(doc, '$.PULocationID'),
+                          json_extract_string(doc, '$.pu_location_id')) AS BIGINT) AS loc
+          FROM staged)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(id) AS BIGINT) AS n_extracted,
+               CAST(SUM(fare) AS BIGINT) AS sum_fare_cents,
+               CAST(SUM(loc) AS BIGINT) AS sum_pu_loc
+        FROM parsed GROUP BY 1
+    """,
     "json_extract_props": """
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
@@ -633,6 +716,7 @@ EXT_QUERIES = {
     "corr_stats": q_corr_stats,
     "snapshot_diff": q_snapshot_diff,
     "json_extract_props": q_json_extract_props,
+    "json_dualkey_extract": q_json_dualkey_extract,
     "paragraph_dedup": q_paragraph_dedup,
     "heuristic_filter": q_heuristic_filter,
     "kmeans_embeddings": q_kmeans_embeddings,

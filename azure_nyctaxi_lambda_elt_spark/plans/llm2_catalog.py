@@ -78,6 +78,12 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("__n_grams"))
     n_dup = (grams.join(dupg, "g")
              .groupBy("doc_id").agg(F.count("*").alias("__n_dup")))
+    # materialize the two doc-sized aggregates eagerly, then release the
+    # gram cache (the largest intermediate) so it doesn't stay pinned in
+    # executor memory for the rest of a long-lived session
+    n_grams = n_grams.localCheckpoint()
+    n_dup = n_dup.localCheckpoint()
+    grams.unpersist()
     return (
         docs.select("doc_id")
         .join(n_grams, "doc_id", "left")
@@ -91,7 +97,7 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.coalesce("__n_grams", F.lit(0)) > 0,
                 F.round(
-                    F.col("__n_dup").cast("double")
+                    F.coalesce(F.col("__n_dup"), F.lit(0)).cast("double")
                     / F.col("__n_grams").cast("double"), 6))
             .otherwise(0.0).alias("dup_frac")))
 
@@ -180,7 +186,7 @@ LLM2_ORACLES: dict[str, str] = {
                CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
                CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
                CASE WHEN coalesce(c.n_grams, 0) > 0
-                    THEN round(CAST(p.n_dup AS DOUBLE)
+                    THEN round(CAST(coalesce(p.n_dup, 0) AS DOUBLE)
                                / CAST(c.n_grams AS DOUBLE), 6)
                     ELSE 0.0 END AS dup_frac
         FROM documents d

@@ -372,9 +372,13 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
         sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+        shf AS (
+          SELECT * FROM sh WHERE hg NOT IN (
+            SELECT hg FROM sh GROUP BY hg
+            HAVING COUNT(*) > {lt.MAX_SHINGLE_DF})),
         inter AS (
           SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b ON a.hg = b.hg AND a.doc_id < b.doc_id
+          FROM shf a JOIN shf b ON a.hg = b.hg AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_i, doc_j,
                round(CAST(n_inter AS DOUBLE)
@@ -477,9 +481,13 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_clusters": f"""
         WITH RECURSIVE {_SHINGLES_CTE},
         sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+        shf AS (
+          SELECT * FROM sh WHERE hg NOT IN (
+            SELECT hg FROM sh GROUP BY hg
+            HAVING COUNT(*) > {lt.MAX_SHINGLE_DF})),
         inter AS (
           SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
-          FROM sh a JOIN sh b ON a.hg = b.hg AND a.doc_id < b.doc_id
+          FROM shf a JOIN shf b ON a.hg = b.hg AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
         pairs AS (
           SELECT doc_i, doc_j FROM inter

@@ -217,7 +217,14 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|types×days| rows); the 8 lag terms share a single window sort.
     An unbounded recursive EWMA is order-dependent and unbounded-state;
     the truncated FIR form is exact over its window, mergeable, and
-    oracle-checkable (weights beyond k=8 are < 0.007·α)."""
+    oracle-checkable (weights beyond k=8 are < 0.007·α).
+
+    Lag semantics are ROWS, not calendar days: lag k is the k-th
+    previous day WITH ACTIVITY, so calendar gaps are compressed (a day
+    after a 5-day gap smooths against week-old totals at full weight).
+    The oracle matches this exactly.  For gap-sensitive smoothing,
+    densify first with the gap_fill_locf operator (plans/ext_catalog)
+    and run this EWMA over the filled grid."""
     apply_engine_conf(spark)
     ev = tf.events_ts_fixed(spark, sf_dir)
     daily = (
@@ -299,37 +306,33 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Bloom-filter runtime prune — explicit, deterministic, exact result
 
-BLOOM_BITS = 1024
 BLOOM_HASHES = 3
+BLOOM_BITS_PER_KEY = 16          # m/n = 16 with k = 3 → ~0.5% FPR
+BLOOM_MAX_BITS = 1 << 24         # 16 Mbit = 256 K longs ≈ 2 MB broadcast
 
 
-def _bloom_pos_sql(key_sql: str, j: int) -> str:
+def bloom_n_bits(n_keys: int) -> int:
+    """Bitmap size for a build side of ``n_keys``: next power of two
+    ≥ 16 bits/key, floored at 1024 and capped at 16 Mbit (beyond that
+    the build side is no longer 'small' and a shuffled semi-join is the
+    right plan anyway)."""
+    want = max(1, n_keys) * BLOOM_BITS_PER_KEY
+    return min(max(1024, 1 << (want - 1).bit_length()), BLOOM_MAX_BITS)
+
+
+def _bloom_pos_sql(key_sql: str, j: int, n_bits: int) -> str:
     """Deterministic bit position j for a key: 8 md5 hex chars → bigint
-    mod BLOOM_BITS (same derivation both build and probe side)."""
+    mod n_bits (same derivation both build and probe side)."""
     return (f"CAST(conv(substring(md5(CAST({key_sql} AS STRING)), "
-            f"{1 + 8 * j}, 8), 16, 10) AS BIGINT) % {BLOOM_BITS}")
+            f"{1 + 8 * j}, 8), 16, 10) AS BIGINT) % {n_bits}")
 
 
-def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join of orders against BUILDING-segment customers with an
-    explicit Bloom-filter prefilter: a 1024-bit / 3-hash bitmap built
-    from the dim side (ONE broadcast row: a word→bits map of 16 longs),
-    probed map-side before the exact semi-join removes false positives.
-
-    This is Spark's runtime-filter / the reference's replicated-dim
-    pruning made explicit and deterministic (md5-derived positions, so
-    the oracle can ignore it: the final result EQUALS the plain
-    semi-join).  At 100 TB the bitmap rejects non-matching fact rows in
-    the scan stage — no shuffle, no broadcast-hash probe — and the
-    exact join only sees survivors."""
-    apply_engine_conf(spark)
-    cust = (load_table(spark, sf_dir, "customer")
-            .where(F.col("c_mktsegment") == "BUILDING")
-            .select("c_custkey"))
-    pos = cust.select(F.explode(F.array(
-        *[F.expr(_bloom_pos_sql("c_custkey", j)).alias(f"p{j}")
+def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int) -> DataFrame:
+    """ONE-row bitmap frame: word index → OR-ed bit longs."""
+    pos = keys.select(F.explode(F.array(
+        *[F.expr(_bloom_pos_sql(key_col, j, n_bits)).alias(f"p{j}")
           for j in range(BLOOM_HASHES)])).alias("pos"))
-    bloom = (
+    return (
         pos.select(
             F.expr("CAST(pos DIV 64 AS INT)").alias("__word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
@@ -337,17 +340,45 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__word").agg(F.expr("bit_or(__bit)").alias("__bits"))
         .agg(F.map_from_arrays(F.collect_list("__word"),
                                F.collect_list("__bits")).alias("__bloom")))
+
+
+def bloom_probe_predicate(key_sql: str, n_bits: int) -> str:
+    """SQL predicate testing all k bits against the broadcast __bloom."""
+    tests = [
+        f"(coalesce(element_at(__bloom, CAST(({_bloom_pos_sql(key_sql, j, n_bits)})"
+        f" DIV 64 AS INT)), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql(key_sql, j, n_bits)}) % 64 AS INT))) != 0"
+        for j in range(BLOOM_HASHES)
+    ]
+    return " AND ".join(tests)
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of orders against BUILDING-segment customers with an
+    explicit Bloom-filter prefilter: a 3-hash bitmap SIZED FROM THE
+    BUILD-SIDE COUNT (16 bits/key, next power of two — a fixed-size
+    bitmap saturates once the dim outgrows it and the prefilter
+    degenerates to pure overhead), broadcast as ONE map row and probed
+    map-side before the exact semi-join removes false positives.
+
+    This is Spark's runtime-filter / the reference's replicated-dim
+    pruning made explicit and deterministic (md5-derived positions, so
+    the oracle can ignore it: the final result EQUALS the plain
+    semi-join).  At 100 TB the bitmap rejects non-matching fact rows in
+    the scan stage — no shuffle, no broadcast-hash probe — and the
+    exact join only sees survivors.  The one-row count() on the pruned
+    dim side is the same scalar the AQE runtime-filter planner pays."""
+    apply_engine_conf(spark)
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    n_bits = bloom_n_bits(cust.count())
+    bloom = bloom_bitmap(cust, "c_custkey", n_bits)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice")
     probe = orders.join(F.broadcast(bloom))
-    tests = [
-        f"(coalesce(element_at(__bloom, CAST(({_bloom_pos_sql('o_custkey', j)})"
-        f" DIV 64 AS INT)), CAST(0 AS BIGINT))"
-        f" & shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(({_bloom_pos_sql('o_custkey', j)}) % 64 AS INT))) != 0"
-        for j in range(BLOOM_HASHES)
-    ]
-    candidates = probe.where(F.expr(" AND ".join(tests)))
+    candidates = probe.where(F.expr(bloom_probe_predicate("o_custkey", n_bits)))
     exact = candidates.join(F.broadcast(cust),
                             candidates.o_custkey == cust.c_custkey,
                             "left_semi")

@@ -369,6 +369,71 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, out_dir: str,
     return spark.read.parquet(join_dir)
 
 
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str, out_dir: str,
+                                max_files_per_trigger: int | None = None,
+                                source_dir: str | None = None) -> DataFrame:
+    """Stream-stream LEFT OUTER event-time interval join: every purchase
+    emits — joined to each same-user click in the preceding hour, or
+    with NULL click columns once the watermark proves no click can
+    arrive.
+
+    Outer-join emission is watermark-driven: an unmatched purchase is
+    held in state until watermark > purchase_ts + horizon, so the sink
+    is complete only up to (max event time − watermark delay).  The
+    read-back therefore CUTS at max_ts − 3 h (watermark 2 h + 1 h
+    margin) — below the final watermark, every purchase has either
+    matched or been evicted as unmatched, making the batch left join
+    with the same cutoff a FULL oracle.  The tail above the cutoff is
+    exactly the rows a live deployment would still be buffering.
+
+    Scale: both sides' state is bounded by the 2 h horizon; the join
+    shuffles on user_id (high-cardinality)."""
+    join_dir = os.path.join(out_dir, "joined")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(join_dir, ckpt)
+    clicks = (
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_event_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("""
+            user_id = c_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts < click_ts + INTERVAL 1 HOUR
+        """),
+        "leftOuter",
+    ).drop("c_user_id")
+    _run_available_now(
+        joined.writeStream.format("parquet")
+        .option("path", join_dir)
+        .option("checkpointLocation", ckpt))
+    back = spark.read.parquet(join_dir)
+    # the engine's global watermark is the MIN across both inputs
+    # (a lagging click stream holds back purchase eviction): an
+    # unmatched purchase emits only once min(click_max, purchase_max)
+    # − 2 h passes its event time.  Cut one strict minute below that.
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    side_max = (ev.where(F.col("event_type").isin("click", "purchase"))
+                .groupBy("event_type").agg(F.max("ts").alias("m")))
+    cutoff = (side_max.agg(F.min("m").alias("mm"))
+              .select(F.expr("mm - INTERVAL '2:01' HOUR TO MINUTE"))
+              .collect()[0][0])
+    return back.where(F.col("purchase_ts") <= F.lit(cutoff))
+
+
 def run_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
                max_files_per_trigger: int | None = None,
                source_dir: str | None = None) -> DataFrame:

@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# FROZEN round-1 headline list — `value` totals EXACTLY these 28 so the
+# per-round BENCH numbers stay comparable (BASELINE.md records r1's
+# 38.18 s @ sf0.1).  New queries go in BENCH_NEW_QUERIES below and are
+# reported separately, never folded into the headline total.
 BENCH_QUERIES = [
     "fact_build_star",
     "pricing_summary",
@@ -46,6 +50,16 @@ BENCH_QUERIES = [
     "product_profit",
 ]
 
+# round-2+ additions: timed and reported under "new_queries"/"new_total"
+BENCH_NEW_QUERIES = [
+    "multimodal_decode",
+    "exact_substring_dedup",
+    "percentile_value",
+    "bloom_join_prune",
+    "ship_priority",
+    "returned_item",
+]
+
 
 def _force(df) -> None:
     """Force FULL plan execution.  count() lets Catalyst prune projected
@@ -64,21 +78,26 @@ def main() -> None:
 
     # warm the JVM: run every bench plan once at the smallest SF so
     # codegen compilation is excluded from the sf-scale timings
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + BENCH_NEW_QUERIES:
         _force(QUERIES[name](spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 
     # best-of-2 per query: single-shot timings on a shared box swing
     # ±20% (GC, page cache, JIT recompiles); min-of-2 reports the
     # engine's cost, not the machine's mood
-    timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in BENCH_QUERIES:
-            spark.catalog.clearCache()  # isolate: no cross-query cache reuse
-            t0 = time.perf_counter()
-            _force(QUERIES[name](spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+    def time_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for _ in range(2):
+            for name in names:
+                spark.catalog.clearCache()  # no cross-query cache reuse
+                t0 = time.perf_counter()
+                _force(QUERIES[name](spark, sf_dir))
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+        return timings
+
+    timings = time_set(BENCH_QUERIES)
+    new_timings = time_set(BENCH_NEW_QUERIES)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -92,6 +111,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "new_queries": new_timings,
+                "new_total": round(sum(new_timings.values()), 3),
                 "sf": sf_val,
             }
         )

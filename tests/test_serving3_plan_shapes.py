@@ -79,31 +79,35 @@ def test_bloom_prune_broadcasts_bitmap_and_dim(spark):
 
 
 def test_bloom_prefilter_actually_prunes(spark):
-    """The bitmap must reject most non-BUILDING customers' orders
-    BEFORE the exact join (false-positive rate ≪ 1)."""
+    """The bitmap must reject most NON-matching keys (false-positive
+    rate ≪ 1) at whatever size the build-side count dictates — the
+    saturation-proof claim, not an sf-specific bit count."""
     from pyspark.sql import functions as F
 
     from azure_nyctaxi_lambda_elt_spark.plans.serving3_catalog import (
-        BLOOM_HASHES, _bloom_pos_sql)
+        bloom_bitmap, bloom_n_bits, bloom_probe_predicate)
     from azure_nyctaxi_lambda_elt_spark.sources.tables import load_table
 
     cust = (load_table(spark, SF_SMOKE, "customer")
             .where(F.col("c_mktsegment") == "BUILDING")
             .select("c_custkey"))
-    pos = cust.select(F.explode(F.array(
-        *[F.expr(_bloom_pos_sql("c_custkey", j))
-          for j in range(BLOOM_HASHES)])).alias("pos"))
-    n_bits = pos.distinct().count()
-    # at sf0.001 (~30 keys × 3 hashes) the 1024-bit table stays sparse
-    assert n_bits < 256
+    n_bits = bloom_n_bits(cust.count())
+    bloom = bloom_bitmap(cust, "c_custkey", n_bits)
 
-    orders = load_table(spark, SF_SMOKE, "orders")
-    n_orders = orders.count()
-    match = orders.join(cust, orders.o_custkey == cust.c_custkey,
-                        "left_semi").count()
-    # exact-result check is the oracle's job; here assert selectivity:
-    # the TRUE match fraction must be well below 1 so pruning matters
-    assert match < n_orders
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey")
+    non_matching = orders.join(cust, orders.o_custkey == cust.c_custkey,
+                               "left_anti")
+    n_non = non_matching.count()
+    if n_non == 0:
+        return  # nothing to prune at this sf
+    fp = (non_matching.join(F.broadcast(bloom))
+          .where(F.expr(bloom_probe_predicate("o_custkey", n_bits)))
+          .count())
+    assert fp / n_non < 0.1, f"bloom FPR {fp}/{n_non} — bitmap saturated"
+
+    # sizing invariants: ≥16 bits/key, power of two, capped
+    assert n_bits >= min(16 * max(1, cust.count()), 1 << 24) / 2
+    assert n_bits & (n_bits - 1) == 0
 
 
 def test_exact_substring_dedup_shuffles_hashes_not_text(spark):
@@ -117,7 +121,10 @@ def test_exact_substring_dedup_shuffles_hashes_not_text(spark):
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchange_lines, plan
     assert not any("text" in l for l in exchange_lines), exchange_lines
-    df.unpersist = getattr(df, "unpersist", None)  # no-op guard
+    # the gram cache is released inside the query (localCheckpoint of
+    # the doc-sized aggregates, then grams.unpersist) — verify no
+    # StorageLevel-cached InMemoryRelation survives into this plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_mixture_weights_map_only_keep_decision(spark):
@@ -128,3 +135,60 @@ def test_mixture_weights_map_only_keep_decision(spark):
 
     plan = _plan(q_mixture_weights(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_percentile_value_ranks_reduced_frame(spark):
+    """The per-type window must rank the (type, value, count)
+    pre-aggregate, never raw events — at 100 TB a raw per-type sort
+    puts the whole fact on |types| ≈ 5 reducers."""
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import q_percentile_value
+
+    plan = _plan(q_percentile_value(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idx, plan
+    # an aggregate must sit BELOW the window operator in the tree
+    below = "\n".join(lines[win_idx[0]:])
+    assert "HashAggregate" in below or "SortAggregate" in below, plan
+
+
+def test_ngram_jaccard_caps_hot_shingles(spark):
+    """The document-frequency cap must drop ubiquitous shingles before
+    the self-join (hot-key guard), without changing results at corpus
+    scales where no shingle exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from azure_nyctaxi_lambda_elt_spark.operators.llm_text import (
+        ngram_jaccard_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, "the common prefix phrase " + ("x%d y%d z%d " % (i, i, i)) * 3)
+         for i in range(30)], "doc_id long, text string")
+    # cap=10: the shared 'the common prefix...' shingles (df=30) must be
+    # dropped -> no pair survives; uncapped, every pair shares them
+    capped = ngram_jaccard_pairs(docs, 3, 0.05, max_df=10).count()
+    uncapped = ngram_jaccard_pairs(docs, 3, 0.05, max_df=None).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_brute_force_guards_refuse_oversized_inputs(spark):
+    """cosine_pairs / cosine_topk must REFUSE inputs beyond their caps
+    (scale-safety contract) instead of planning quadratic joins."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from azure_nyctaxi_lambda_elt_spark.operators import ann
+
+    emb = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .limit(50))
+    old_corpus, old_queries = ann.MAX_BRUTE_CORPUS, ann.MAX_BRUTE_QUERIES
+    try:
+        ann.MAX_BRUTE_CORPUS = 10
+        with _pytest.raises(ValueError, match="brute-force cap"):
+            ann.cosine_pairs(emb, 0.5)
+        ann.MAX_BRUTE_QUERIES = 2
+        with _pytest.raises(ValueError, match="brute-force cap"):
+            ann.cosine_topk(emb, F.lit(True), 5)
+    finally:
+        ann.MAX_BRUTE_CORPUS = old_corpus
+        ann.MAX_BRUTE_QUERIES = old_queries

@@ -202,3 +202,44 @@ def test_multibatch_dim_enrich_equals_batch(spark, feed_dir):
     g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
     e = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
     assert g == e
+
+
+def test_multibatch_rate_limit_equals_batch_twin(spark, feed_dir):
+    """Time-ordered arrival over 3 micro-batches: the stateful limiter's
+    admitted set must equal the deterministic batch ranking, proving
+    per-key state (hour bucket + count) carries across batches."""
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+    from azure_nyctaxi_lambda_elt_spark.streaming.rate_limit import (
+        rate_limit_batch, run_streaming_rate_limit)
+
+    got = run_streaming_rate_limit(
+        spark, SF_SMOKE, os.path.join(OUT, "rate_limit"),
+        max_files_per_trigger=1, source_dir=feed_dir)
+    want = rate_limit_batch(tf.events_ts_fixed(spark, SF_SMOKE))
+    g = sorted(map(tuple, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(tuple, want.select(*sorted(want.columns)).collect()))
+    assert g == w
+    # admission never exceeds the cap in any (user, hour)
+    over = (got.groupBy("user_id", "hour_bucket").count()
+            .where(F.col("count") > 40).count())
+    assert over == 0
+
+
+def test_multibatch_left_outer_join_null_side(spark, feed_dir):
+    """Left-outer stream-stream join over 3 batches: below the final
+    watermark every purchase appears exactly once-or-more (matched) or
+    exactly once with NULL click columns (evicted unmatched)."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_stream_stream_left_join)
+
+    got = run_stream_stream_left_join(
+        spark, SF_SMOKE, os.path.join(OUT, "ss_left"),
+        max_files_per_trigger=1, source_dir=feed_dir)
+    rows = got.collect()
+    assert rows, "cutoff produced an empty frame"
+    nulls = [r for r in rows if r["click_event_id"] is None]
+    matched = [r for r in rows if r["click_event_id"] is not None]
+    assert nulls, "no unmatched purchases emitted (watermark never fired)"
+    # an unmatched emission is exclusive: its purchase has no matched row
+    matched_pids = {r["purchase_event_id"] for r in matched}
+    assert all(r["purchase_event_id"] not in matched_pids for r in nulls)
