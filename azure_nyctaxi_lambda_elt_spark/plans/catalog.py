@@ -34,6 +34,7 @@ from .warehouse_catalog import WAREHOUSE_ORACLES, WAREHOUSE_QUERIES
 from .serving2_catalog import SERVING2_ORACLES, SERVING2_QUERIES
 from .serving3_catalog import SERVING3_ORACLES, SERVING3_QUERIES
 from .llm2_catalog import LLM2_ORACLES, LLM2_QUERIES
+from .ext2_catalog import EXT2_ORACLES, EXT2_QUERIES
 from .oracle_trips import with_trips
 
 # ---------------------------------------------------------------------------
@@ -1234,6 +1235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SERVING2_QUERIES,
     **SERVING3_QUERIES,
     **LLM2_QUERIES,
+    **EXT2_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1241,6 +1243,7 @@ ORACLES.update(WAREHOUSE_ORACLES)
 ORACLES.update(SERVING2_ORACLES)
 ORACLES.update(SERVING3_ORACLES)
 ORACLES.update(LLM2_ORACLES)
+ORACLES.update(EXT2_ORACLES)
 
 # ---------------------------------------------------------------------------
 # Driver-verification ordering.  The driver's correctness run checks the
@@ -1294,11 +1297,11 @@ _CHECK_FIRST: list[str] = [
     "json_dualkey_extract",
     "paragraph_dedup",
     "heuristic_filter",
-    "event_transitions",
-    "gap_fill_locf",
-    "dataset_split",
     "sequence_packing",
     "rate_limit_per_key",
+    "m4_downsample",
+    "dedup_minhash_estimate",
+    "weighted_sample",
     # round-2 orchestration additions
     "backfill_partition_rebuild",
     # r1 hash-red streaming entries (slower; close out the ~50 window)
