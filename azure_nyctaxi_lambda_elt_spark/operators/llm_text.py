@@ -134,15 +134,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     uncapped, so capped-pair Jaccard is a (slight) underestimate over
     ubiquitous phrases only.  The DuckDB oracles mirror the identical
     cap.  At 100 TB run this only on LSH candidates — see module
-    docstring."""
-    sh = doc_shingles(docs, n)
+    docstring.
+
+    The (doc_id, hg) frame is PERSISTED: it feeds the size aggregate,
+    the df-cap aggregate, and both sides of the self-join — without the
+    materialization barrier each consumer re-runs the tokenize+shingle
+    expression tree (~5 full text passes; tokenization dominates).  The
+    per-doc distinct-shingle count is read from the same frame instead
+    of a second tokenize of the corpus."""
+    sh = doc_shingles(docs, n).persist()
+    # |A| per doc = rows per doc in the DISTINCT-shingle frame
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sg"))
     if max_df is not None:
         hot = (sh.groupBy("hg").agg(F.count("*").alias("__df"))
                .where(F.col("__df") > max_df).select("hg"))
         sh = sh.join(hot, "hg", "left_anti")
-    # |A| per doc computed narrowly from the array — no groupBy shuffle
-    sizes = shingle_arrays(docs, n).select(
-        "doc_id", F.size("sgs").cast("bigint").alias("n_sg"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.hg") == F.col("b.hg"))
