@@ -135,28 +135,37 @@ def cosine_pairs(embeddings: DataFrame, tau: float,
 
 def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
              n_centroids: int = 16, n_probes: int = 3,
+             train_iters: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells,
     probe only the query's ``n_probes`` nearest cells.
 
-    Centroids here are a deterministic sample (lowest ids) standing in
-    for a k-means codebook — the Spark-side structure (broadcast
-    codebook, one-pass cell assignment, cell-equality join, exact
-    re-rank) is the production shape; swap the codebook source for
-    pyspark.ml KMeans offline when available.
+    The codebook is a REAL k-means fit (operators/clustering.py
+    fit_centroids — deterministic init, ``train_iters`` Lloyd rounds),
+    trained offline-style then broadcast as a tiny centroid frame; at
+    100 TB the fit runs on a corpus sample and the resulting codebook
+    is a stored artifact.  The rest is the production IVF shape: one
+    broadcast pass assigns cells, the query join touches ~n_probes/M of
+    the corpus, and the cell id is the natural bucketing key for the
+    stored index.
 
     Scale notes: the index build is one broadcast pass over the corpus
-    (|corpus| x M dot products, no shuffle of the corpus); the query
-    join touches ~n_probes/M of the corpus and the cell id is the
-    natural bucketing key for the stored index."""
+    (|corpus| x M dot products, no shuffle of the corpus); centroid
+    training shuffles only (cluster, pos, partial-sum) rows per
+    round."""
     from pyspark.sql import Window
 
+    from .clustering import fit_centroids
+
     corpus = _prep(embeddings, id_col, vec_col)
-    cent = (
-        corpus.orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"),
-                F.col("ssq").alias("cssq"))
-    )
+    codebook = fit_centroids(embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        n_centroids, train_iters)
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(codebook)],
+        "c_id int, ce array<double>",
+    ).withColumn("cssq", vec_ssq(F.col("ce")))
     cent_cos = F.round(
         vec_dot(F.col("e"), F.col("ce"))
         / (F.sqrt(F.col("ssq")) * F.sqrt(F.col("cssq"))),

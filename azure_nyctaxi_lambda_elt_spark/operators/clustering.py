@@ -45,6 +45,45 @@ def _points(emb: DataFrame) -> DataFrame:
     )
 
 
+def _fit(pts: DataFrame, k: int, iters: int) -> list[list[float]]:
+    """Lloyd iterations over a (persisted) point frame → centroids."""
+    init = (
+        pts.orderBy("vec_id").limit(k)
+        .select("__e").collect()
+    )
+    centroids = [list(r["__e"]) for r in init]
+    for _ in range(iters):
+        assigned = pts.select(
+            _dist2_expr(centroids)["cid"].alias("cid"), "__e")
+        sums = (
+            assigned.select("cid", F.posexplode("__e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["s"] / r["n"]
+        centroids = [
+            [by_cid[cid][p] for p in sorted(by_cid[cid])]
+            if cid in by_cid else centroids[cid]  # empty cluster: keep
+            for cid in range(k)
+        ]
+    return centroids
+
+
+def fit_centroids(emb: DataFrame, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS) -> list[list[float]]:
+    """Train a k-means codebook (deterministic init, fixed iters) and
+    return the k × dim centroid list — the IVF coarse quantizer's
+    offline training step (operators/ann.py ivf_topk)."""
+    pts = _points(emb).persist()
+    try:
+        return _fit(pts, k, iters)
+    finally:
+        pts.unpersist()
+
+
 def kmeans_assign(emb: DataFrame, k: int = KMEANS_K,
                   iters: int = KMEANS_ITERS) -> DataFrame:
     """Lloyd's k-means: deterministic init (the k lowest vec_ids),
@@ -61,28 +100,7 @@ def kmeans_assign(emb: DataFrame, k: int = KMEANS_K,
     # cache: re-scanned every iteration + final pass
     pts.persist()
     try:
-        init = (
-            pts.orderBy("vec_id").limit(k)
-            .select("__e").collect()
-        )
-        centroids = [list(r["__e"]) for r in init]
-        for _ in range(iters):
-            assigned = pts.select(
-                _dist2_expr(centroids)["cid"].alias("cid"), "__e")
-            sums = (
-                assigned.select("cid", F.posexplode("__e").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in sums:
-                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["s"] / r["n"]
-            centroids = [
-                [by_cid[cid][p] for p in sorted(by_cid[cid])]
-                if cid in by_cid else centroids[cid]  # empty cluster: keep
-                for cid in range(k)
-            ]
+        centroids = _fit(pts, k, iters)
         best = _dist2_expr(centroids)
         return pts.select(
             "vec_id",
