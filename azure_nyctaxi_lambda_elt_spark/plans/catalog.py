@@ -1314,10 +1314,34 @@ _CHECK_FIRST: list[str] = [
 ]
 
 
+# entries with a fully-green driver row in CORRECTNESS_r01.json — they
+# need no fresh row, so they sort to the very back of the catalog
+_R1_GREEN = {
+    "stg_typed_load", "err_capture", "dim_build", "dim_location_role",
+    "dim_date", "dim_time", "surrogate_key_sha256", "dq_checks",
+    "run_metrics", "dlq_routing", "pricing_summary", "hourly_trend",
+    "top_n_per_group", "revenue_by_dim", "sessionize", "asof_join",
+    "range_join", "unpivot_metrics", "rollup_revenue", "moving_avg_7d",
+    "mom_pct_change", "order_priority_semi", "cust_no_orders_anti",
+    "percentile_value", "scd2_dim", "streaming_dlq_routing",
+    "streaming_interval_join", "streaming_sessionize", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "ann_cosine_topk", "lang_id",
+}
+
+
 def _reorder(queries: dict) -> dict:
+    """Window-maximizing order: the pinned head first; then every entry
+    that still lacks a driver row, ORACLE-BACKED FIRST (if the driver's
+    budget stretches past the head, the next checks convert unchecked →
+    green); rows-only and already-green entries last."""
     head = {k: queries[k] for k in _CHECK_FIRST if k in queries}
-    tail = {k: v for k, v in queries.items() if k not in head}
-    return {**head, **tail}
+    rest = [k for k in queries if k not in head]
+    unchecked_full = [k for k in rest if k not in _R1_GREEN and k in ORACLES]
+    unchecked_weak = [k for k in rest if k not in _R1_GREEN and k not in ORACLES]
+    green = [k for k in rest if k in _R1_GREEN]
+    ordered = list(head) + unchecked_full + unchecked_weak + green
+    return {k: queries[k] for k in ordered}
 # streaming pipelines reproduce the batch answers exactly (pure row
 # transforms + associative merges) → reuse the batch oracles;
 # streaming_dedupe is first-arrival-wins (order-dependent) → rows-only.
