@@ -360,6 +360,48 @@ LLM_ORACLES: dict[str, str] = {
           END AS INT) AS data_sum
         FROM documents
     """,
+    # SimHash is pure md5-derived integer arithmetic, so the whole
+    # signature build (±1 per bit per token, sign threshold, 16-bit
+    # banding, hamming prune) replays exactly in SQL — upgraded from
+    # rows-only in round 2
+    "dedup_simhash": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                            t -> t <> '')) AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS hi,
+                 CAST(concat('0x', substring(md5(t), 9, 8)) AS BIGINT) AS lo
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.b,
+                 SUM(CASE WHEN (hi >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s_hi,
+                 SUM(CASE WHEN (lo >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s_lo
+          FROM h, (SELECT unnest(generate_series(0, 31)) AS b) b
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s_hi > 0 THEN (CAST(1 AS BIGINT) << b)
+                     ELSE 0 END) AS h_hi,
+                 SUM(CASE WHEN s_lo > 0 THEN (CAST(1 AS BIGINT) << b)
+                     ELSE 0 END) AS h_lo
+          FROM bits GROUP BY 1),
+        bands AS (
+          SELECT doc_id, h_hi, h_lo, 0 AS band_id,
+                 (h_hi >> 16) & 65535 AS val FROM sig
+          UNION ALL SELECT doc_id, h_hi, h_lo, 1, h_hi & 65535 FROM sig
+          UNION ALL SELECT doc_id, h_hi, h_lo, 2, (h_lo >> 16) & 65535 FROM sig
+          UNION ALL SELECT doc_id, h_hi, h_lo, 3, h_lo & 65535 FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+               CAST(bit_count(xor(a.h_hi, b.h_hi))
+                    + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.val = b.val
+                    AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h_hi, b.h_hi))
+              + bit_count(xor(a.h_lo, b.h_lo)) <= 8
+    """,
     "dedup_exact": """
         SELECT doc_id, content_hash,
                MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_doc_id,
