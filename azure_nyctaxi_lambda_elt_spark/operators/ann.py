@@ -227,11 +227,17 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
 
 
 def _bucket_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Signature = integer whose bit p is sign(dot(vec, plane_p))."""
+    """Signature = integer whose bit p is sign(dot(vec, plane_p)).
+
+    The dot is ROUNDED to 6 dp before the sign test so the bucket
+    assignment is engine-independent (the DuckDB oracle replays the
+    same planes; unrounded near-zero dots could flip under a different
+    summation order)."""
     sig = F.lit(0)
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(w) for w in row])
-        bit = F.when(vec_dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(F.round(vec_dot(vec, plane), 6) >= 0,
+                     F.lit(1 << p)).otherwise(F.lit(0))
         sig = sig + bit
     return sig.cast("int")
 

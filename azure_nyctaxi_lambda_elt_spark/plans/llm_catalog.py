@@ -784,6 +784,49 @@ LLM_ORACLES: dict[str, str] = {
     """,
 }
 
+# ann_lsh_bucket oracle: the hyperplanes are md5-derived constants
+# (operators/ann.py hyperplanes) embedded as literals, and bucket bits
+# use round-6 dot signs — the whole multiprobe bucketed-ANN path
+# replays in SQL (upgraded from rows-only in round 2)
+from ..operators.ann import N_PLANES as _N_PLANES  # noqa: E402
+from ..operators.ann import hyperplanes as _hyperplanes  # noqa: E402
+
+
+def _plane_lit(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]"
+
+
+_SIG_EXPR = " + ".join(
+    f"CASE WHEN round(list_sum([e[i] * ({_plane_lit(row)})[i] "
+    f"FOR i IN generate_series(1, len(e))]), 6) >= 0 "
+    f"THEN {1 << p} ELSE 0 END"
+    for p, row in enumerate(_hyperplanes()))
+_PROBES = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(_N_PLANES)])
+
+LLM_ORACLES["ann_lsh_bucket"] = f"""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+      FROM embeddings),
+    n AS (SELECT vec_id, e, list_sum([x * x FOR x IN e]) AS ssq FROM v),
+    s AS (SELECT vec_id, e, ssq, ({_SIG_EXPR}) AS bucket FROM n),
+    q AS (SELECT vec_id AS q_id, e AS qe, ssq AS qssq, bucket AS qb
+          FROM s WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    probes AS (SELECT q_id, qe, qssq, unnest([{_PROBES}]) AS probe FROM q),
+    cand AS (
+      SELECT DISTINCT p.q_id, s.vec_id AS neighbor_id,
+             round(list_sum([p.qe[i] * s.e[i]
+                             FOR i IN generate_series(1, len(s.e))])
+                   / (sqrt(p.qssq) * sqrt(s.ssq)), 6) AS cos_sim
+      FROM probes p JOIN s ON s.bucket = p.probe
+      WHERE s.vec_id <> p.q_id)
+    SELECT q_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+    FROM cand
+    QUALIFY rnk <= {ANN_K}
+"""
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
