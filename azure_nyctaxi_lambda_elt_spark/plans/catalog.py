@@ -1458,6 +1458,15 @@ ORACLES["backfill_partition_rebuild"] = with_trips("""
     WHERE f.ingest_date IN (DATE '2024-01-05', DATE '2024-01-06',
                             DATE '2024-01-07')
 """)
+# SCD2 as-of lookup: the versioned-dim oracle filtered at the lookup
+# instant (defined here because ext2 cannot import this module's
+# ORACLES without a cycle)
+ORACLES["scd2_asof_lookup"] = f"""
+    SELECT * FROM ({ORACLES['scd2_dim']}) t
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
 QUERIES = _reorder(QUERIES)
 
 ORACLES["idempotent_partition_load"] = with_trips("""

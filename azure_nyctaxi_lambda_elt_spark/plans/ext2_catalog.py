@@ -157,6 +157,103 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup — the "state as of T" warehouse query
+
+ASOF_TS = "2024-01-15 00:00:00"
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD Type-2 dimension: each user's
+    attribute version valid AS OF a fixed timestamp — the query every
+    BI 'state at close of business' report runs against a versioned
+    dim (reference parity: the MERGE-maintained dims in
+    sql/streaming/staging/usp_upsert_*.sql read at a point in time,
+    reference @ /root/reference).
+
+    Scale: the validity-interval filter is a narrow predicate over the
+    SCD2 build (one shuffle inherited from the window); at warehouse
+    scale the dim is stored and this is a partition-pruned scan."""
+    apply_engine_conf(spark)
+    from .catalog import q_scd2_dim
+
+    t = F.lit(ASOF_TS).cast("timestamp")
+    scd = q_scd2_dim(spark, sf_dir)
+    return scd.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t)))
+
+
+# ---------------------------------------------------------------------------
+# burst-collapse dedupe — telemetry debounce
+
+BURST_GAP_SEC = 5
+
+
+def q_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: collapse per-user event bursts (inter-event
+    gap ≤ 5 s) to their first event, reporting burst id and size — the
+    duplicate-click / sensor-chatter suppression a 100 TB event feed
+    needs before sessionization.
+
+    One window shuffle on user_id; the burst id is a cumulative sum of
+    gap-break flags (same shape as sessionize, tighter gap)."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap_break = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+           > BURST_GAP_SEC * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = (ev.select("user_id", "event_id", "ts", "event_type")
+              .withColumn("__brk", gap_break)
+              .withColumn("burst_id", F.sum("__brk").over(wsum).cast("int")))
+    wb = Window.partitionBy("user_id", "burst_id")
+    return (bursts
+            .withColumn("burst_size", F.count("*").over(wb).cast("bigint"))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy("user_id", "burst_id")
+                .orderBy(F.col("ts").asc(), F.col("event_id").asc())))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "burst_id", "event_id", "ts", "event_type",
+                    "burst_size"))
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence table — categorical association check
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table of event_type × ISO weekday:
+    observed counts, expected counts under independence, and per-cell
+    contribution — the DQ-style categorical drift check over the
+    warehouse (corr_stats' categorical sibling; exact integer counts,
+    one final double formula identical on both engines).
+
+    Scale: one groupBy to |types × 7| cells; the marginals broadcast
+    back as window sums over the tiny cell frame."""
+    apply_engine_conf(spark)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    # ISO weekday 1=Mon..7=Sun: Spark weekday() is 0-based-Monday,
+    # DuckDB isodow is 1-based-Monday — +1 aligns them
+    cells = (ev.groupBy("event_type",
+                        (F.weekday("ts") + 1).cast("int").alias("dow"))
+             .agg(F.count("*").cast("bigint").alias("n_obs")))
+    row_tot = F.sum("n_obs").over(Window.partitionBy("event_type"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("dow"))
+    grand = F.sum("n_obs").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))
+    expected = row_tot.cast("double") * col_tot.cast("double") / grand.cast("double")
+    contrib = (F.col("n_obs").cast("double") - expected) * \
+        (F.col("n_obs").cast("double") - expected) / expected
+    return cells.select(
+        "event_type", "dow", "n_obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(contrib, 6).alias("chi2_contrib"))
+
+
+# ---------------------------------------------------------------------------
 # oracles (LSH pieces reused from the llm_catalog oracle fragments so
 # both entries stay in lockstep with the production MinHash path)
 
@@ -251,8 +348,61 @@ EXT2_ORACLES: dict[str, str] = {
     """,
 }
 
+EXT2_ORACLES["burst_collapse"] = f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > {BURST_GAP_SEC * 1_000_000}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    bursts AS (
+      SELECT *, CAST(SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING) AS INT) AS burst_id
+      FROM flagged),
+    sized AS (
+      SELECT user_id, burst_id, event_id, ts, event_type,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, burst_id)
+                  AS BIGINT) AS burst_size,
+             ROW_NUMBER() OVER (PARTITION BY user_id, burst_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM bursts)
+    SELECT user_id, burst_id, event_id, ts, event_type, burst_size
+    FROM sized WHERE rn = 1
+"""
+
+EXT2_ORACLES["chi2_independence"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2),
+    marg AS (
+      SELECT *,
+             SUM(n_obs) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(n_obs) OVER (PARTITION BY dow) AS col_tot,
+             SUM(n_obs) OVER () AS grand
+      FROM cells)
+    SELECT event_type, dow, n_obs,
+           round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                 / CAST(grand AS DOUBLE), 6) AS expected,
+           round((CAST(n_obs AS DOUBLE)
+                  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand AS DOUBLE))
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(grand AS DOUBLE))
+                 / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand AS DOUBLE)), 6) AS chi2_contrib
+    FROM marg
+"""
+
 EXT2_QUERIES = {
     "m4_downsample": q_m4_downsample,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "weighted_sample": q_weighted_sample,
+    "scd2_asof_lookup": q_scd2_asof_lookup,
+    "burst_collapse": q_burst_collapse,
+    "chi2_independence": q_chi2_independence,
 }
