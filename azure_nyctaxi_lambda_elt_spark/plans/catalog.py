@@ -541,12 +541,17 @@ def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cust_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders, profiled by nation — LEFT ANTI join
-    (the NOT-EXISTS plan; orders side reduced to its key column before
-    the shuffle)."""
+    """Customers with no RECENT orders (none since 1998-01-01),
+    profiled by nation — LEFT ANTI join (the NOT-EXISTS plan; the
+    orders side is date-filtered and reduced to its key column before
+    the shuffle).  The recency window keeps the result non-empty at
+    every scale — an all-time no-orders gate returns zero rows on this
+    data, which makes the correctness check vacuous."""
     apply_engine_conf(spark)
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+         .select("o_custkey"))
     n = load_table(spark, sf_dir, "nation")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
@@ -1146,7 +1151,8 @@ ORACLES: dict[str, str] = {
         FROM customer c
         JOIN nation n ON n.n_nationkey = c.c_nationkey
         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY 1
     """,
     "percentile_value": """
@@ -1322,7 +1328,9 @@ _R1_GREEN = {
     "run_metrics", "dlq_routing", "pricing_summary", "hourly_trend",
     "top_n_per_group", "revenue_by_dim", "sessionize", "asof_join",
     "range_join", "unpivot_metrics", "rollup_revenue", "moving_avg_7d",
-    "mom_pct_change", "order_priority_semi", "cust_no_orders_anti",
+    "mom_pct_change", "order_priority_semi",
+    # cust_no_orders_anti was r1-green but with a vacuous 0-row result;
+    # its recency-window rework needs a fresh driver row → not listed
     "percentile_value", "scd2_dim", "streaming_dlq_routing",
     "streaming_interval_join", "streaming_sessionize", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",

@@ -245,13 +245,14 @@ def q_disjunctive_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment count + balance of customers with above-average
-    positive balances and NO orders (TPC-H Q22 shape: scalar subquery +
-    NOT EXISTS).
+    positive balances and NO RECENT orders (TPC-H Q22 shape: scalar
+    subquery + NOT EXISTS; recency window 1998-01-01 — an all-time
+    no-orders gate is empty on this data, making the check vacuous).
 
     Spark-first: the global average is a one-row (sum, count) aggregate
     cross-broadcast back, restated multiply-through
     (`bal * cnt > sum`, exact decimal); NOT EXISTS is a LEFT ANTI join
-    whose build side is just the distinct o_custkey projection."""
+    whose build side is the date-filtered o_custkey projection."""
     apply_engine_conf(spark)
     cust = load_table(spark, sf_dir, "customer")
     bal = _dec("c_acctbal", "decimal(12,2)")
@@ -260,7 +261,9 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("*").alias("__cnt"))
     rich = (cust.crossJoin(F.broadcast(scalar))
             .where(bal * F.col("__cnt") > F.col("__sum_bal")))
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= "1998-01-01")
+              .select("o_custkey"))
     idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return (idle.groupBy("c_mktsegment")
             .agg(F.count("*").cast("bigint").alias("numcust"),
@@ -272,24 +275,31 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose revenue exceeds 0.1% of total revenue (TPC-H Q11
-    shape: HAVING against a scalar-subquery fraction of the total).
+    """Parts whose revenue share exceeds 1.5× the average per-part share
+    (TPC-H Q11 shape: HAVING against a scalar-subquery fraction of the
+    total; the gate is RELATIVE to the part count, so it stays
+    non-vacuous at every scale — Q11's fixed 0.0001/SF fraction is the
+    same idea).
 
     Spark-first: the per-part aggregate is PERSISTED so the scalar
     total re-aggregates from |parts| reduced rows instead of rescanning
     and reshuffling the fact (without it Catalyst plans two full
     lineitem scans — verified in test_warehouse_plan_shapes); the share
     gate is the exact-decimal multiply-through
-    `part_rev * 1000 > total`."""
+    `2 * part_rev * n_parts > 3 * total` (share > 1.5× average —
+    the synthetic feed is near-uniform, max share ≈ 1.8× average, so a
+    larger multiplier would make the check vacuous)."""
     apply_engine_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (li.groupBy("l_partkey")
                 .agg(F.sum(_rev()).alias("__rev"))
                 .persist())
-    total = per_part.agg(F.sum("__rev").alias("__total"))
+    total = per_part.agg(F.sum("__rev").alias("__total"),
+                         F.count("*").alias("__nparts"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("__rev") * F.lit(1000) > F.col("__total"))
+        .where(F.lit(2) * F.col("__rev") * F.col("__nparts")
+               > F.lit(3) * F.col("__total"))
         .select(
             F.col("l_partkey").cast("bigint").alias("l_partkey"),
             F.round(F.col("__rev"), 2).cast("double").alias("part_revenue")))
@@ -587,7 +597,8 @@ WAREHOUSE_ORACLES: dict[str, str] = {
         FROM customer c, scalar s
         WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * s.cnt > s.sum_bal
           AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY c.c_mktsegment
     """,
     "important_part_share": f"""
@@ -597,7 +608,8 @@ WAREHOUSE_ORACLES: dict[str, str] = {
         SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
                CAST(round(rev, 2) AS DOUBLE) AS part_revenue
         FROM per_part
-        WHERE rev * 1000 > (SELECT SUM(rev) FROM per_part)
+        WHERE 2 * rev * (SELECT COUNT(*) FROM per_part)
+              > 3 * (SELECT SUM(rev) FROM per_part)
     """,
     "market_share": f"""
         SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
