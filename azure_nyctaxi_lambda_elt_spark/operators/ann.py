@@ -29,8 +29,10 @@ N_PLANES = 6
 
 # brute-force guards: the exact paths are verify/oracle twins; refusing
 # oversized inputs (instead of melting an executor) makes the catalog
-# entries themselves scale-safe.  The one count() each guard pays is a
-# cheap aggregate next to the quadratic work it bounds.
+# entries themselves scale-safe.  Each guard's count() runs over a
+# localCheckpoint()ed prep frame, so the projection is materialized
+# exactly once (count + downstream joins share it) and nothing stays
+# pinned in executor memory after the consumer drops the frame.
 MAX_BRUTE_QUERIES = 10_000    # cosine_topk broadcasts the query set
 MAX_BRUTE_CORPUS = 100_000    # cosine_pairs is corpus² work
 
@@ -80,7 +82,7 @@ def cosine_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     """
     from pyspark.sql import Window
 
-    corpus = _prep(embeddings, id_col, vec_col)
+    corpus = _prep(embeddings, id_col, vec_col).localCheckpoint()
     queries = corpus.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
         F.col("ssq").alias("qssq"),
@@ -114,7 +116,7 @@ def cosine_pairs(embeddings: DataFrame, tau: float,
     (``lsh_bucket_topk``'s signature-equality join generates them);
     all-pairs is only run directly at oracle scale — the guard REFUSES
     larger inputs rather than planning a corpus² nested-loop join."""
-    corpus = _prep(embeddings, id_col, vec_col)
+    corpus = _prep(embeddings, id_col, vec_col).localCheckpoint()
     _guard_brute(corpus.count(), MAX_BRUTE_CORPUS,
                  "cosine_pairs corpus", "semantic_dedup / lsh_bucket_topk")
     a = corpus.select(F.col("vec_id").alias("id_i"), F.col("e").alias("ea"),

@@ -136,13 +136,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     cap.  At 100 TB run this only on LSH candidates — see module
     docstring.
 
-    The (doc_id, hg) frame is PERSISTED: it feeds the size aggregate,
-    the df-cap aggregate, and both sides of the self-join — without the
-    materialization barrier each consumer re-runs the tokenize+shingle
-    expression tree (~5 full text passes; tokenization dominates).  The
+    The (doc_id, hg) frame is materialized ONCE via localCheckpoint:
+    it feeds the size aggregate, the df-cap aggregate, and both sides
+    of the self-join — without the materialization barrier each
+    consumer re-runs the tokenize+shingle expression tree (~5 full
+    text passes; tokenization dominates).  localCheckpoint (not
+    persist) so nothing stays pinned in executor memory for the rest
+    of a long-lived session — the block-manager copy is released with
+    the frame, the same lifecycle exact_substring_dedup uses.  The
     per-doc distinct-shingle count is read from the same frame instead
     of a second tokenize of the corpus."""
-    sh = doc_shingles(docs, n).persist()
+    sh = doc_shingles(docs, n).localCheckpoint()
     # |A| per doc = rows per doc in the DISTINCT-shingle frame
     sizes = sh.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_sg"))
@@ -301,7 +305,13 @@ def lsh_jaccard_verified(docs: DataFrame, n: int = 3,
 # ---------------------------------------------------------------------------
 # SimHash
 
-SIMHASH_HAMMING_MAX = 8
+# 4 bands x 16 bits: by pigeonhole any pair within hamming <= 3 MUST
+# agree on at least one full band, so banded candidate generation is
+# EXACT for the default threshold.  (Guaranteeing <= 8 would need 9
+# blocks of ~7 bits — 128-value bucket keys whose buckets grow O(n²/128)
+# pairs, which is not a scale-safe shuffle; callers who pass a larger
+# max_hamming get recall < 1 above 3, as documented on simhash_pairs.)
+SIMHASH_HAMMING_MAX = 3
 
 
 def simhash_halves(docs: DataFrame, id_col: str = "doc_id",
@@ -354,16 +364,21 @@ def simhash_pairs(docs: DataFrame,
                   max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidates join on equality of one of four 16-bit bands (any pair
-    within hamming ≤ 3 must share a band; the threshold then prunes
-    exactly), so the shuffle carries (band_id, 16-bit value) keys.
+    Candidates join on equality of one of four 16-bit bands; any pair
+    within hamming ≤ 3 must share a band (pigeonhole), so for the
+    default ``max_hamming = SIMHASH_HAMMING_MAX = 3`` the result is
+    EXACT.  A larger ``max_hamming`` is honored but has recall < 1:
+    pairs at distance 4+ are emitted only when they happen to share a
+    band.  The shuffle carries (band_id, 16-bit value) keys.
 
-    The 16-bytes/doc signature table is persisted: it feeds both sides
-    of the band self-join, and without the barrier the optimizer pushes
-    the join's isnotnull filters below the signature projection and
-    inlines the full 64-bit fold into each filter condition (measured
-    ~6x recompute of the md5 transform)."""
-    sig = simhash_halves(docs).persist()
+    The 16-bytes/doc signature table is materialized once
+    (localCheckpoint): it feeds both sides of the band self-join, and
+    without the barrier the optimizer pushes the join's isnotnull
+    filters below the signature projection and inlines the full 64-bit
+    fold into each filter condition (measured ~6x recompute of the md5
+    transform).  Checkpoint, not persist, so the copy is released with
+    the frame instead of pinning executor memory for the session."""
+    sig = simhash_halves(docs).localCheckpoint()
     bands = F.array(
         F.struct(F.lit(0).alias("band_id"),
                  F.shiftright(F.col("h_hi"), 16).bitwiseAND(F.lit(0xFFFF)).alias("val")),

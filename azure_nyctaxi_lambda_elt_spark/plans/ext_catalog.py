@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
-from ..operators.clustering import kmeans_assign, semantic_dedup
+from ..operators.clustering import (KMEANS_ITERS, KMEANS_K, kmeans_assign,
+                                    semantic_dedup)
 
 SEMDEDUP_TAU = 0.45
 from ..operators.llm_text import STOPWORDS
@@ -614,10 +615,11 @@ EXT_ORACLES: dict[str, str] = {
                 AND n_stop_distinct >= {cp.FILTER_MIN_STOPWORDS}) AS keep
         FROM m
     """,
-    # kmeans_embeddings: iterative (non-SQL-expressible) → rows-only +
-    # tests/test_ext_ops.py numpy-reference assignment parity
-    # semantic_dedup: k-means-based (iterative) → rows-only +
-    # tests/test_ext_ops.py numpy-reference parity
+    # kmeans_embeddings: deterministic (lowest-vec_id init, fixed
+    # iteration count) → the Lloyd loop UNROLLS into SQL; full oracle
+    # built below by _kmeans_replay_oracle()
+    # semantic_dedup: k-means-based + per-cluster neighborhood walk →
+    # rows-only + tests/test_ext_ops.py numpy-reference parity
     "gap_fill_locf": """
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS day,
@@ -707,6 +709,69 @@ EXT_ORACLES: dict[str, str] = {
         GROUP BY prev_type, event_type
     """,
 }
+
+
+def _kmeans_replay_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                          dim: int = 64) -> str:
+    """Full SQL replay of kmeans_assign (operators/clustering.py):
+    deterministic init (k lowest vec_ids) + fixed Lloyd iterations
+    unroll into one CTE chain — assign (argmin over centroids, ties →
+    min cid) then per-(cluster, position) mean, repeated ``iters``
+    times, then the final assignment pass.  Element-wise work runs on
+    an (id, position, value) long table so the SQL needs no lambda
+    support; empty clusters keep their previous centroid via the LEFT
+    JOIN COALESCE exactly like the Spark keep-branch."""
+    sql = [f"""
+        WITH pts AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+        px AS (SELECT vec_id, i, e[i] AS x FROM pts, idx),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cid, e
+          FROM (SELECT vec_id, e FROM pts ORDER BY vec_id LIMIT {k})),
+        cx0 AS (SELECT cid, i, e[i] AS cx FROM init, idx)"""]
+    prev = "cx0"
+    for it in range(1, iters + 1):
+        sql.append(f""",
+        d{it} AS (
+          SELECT p.vec_id, c.cid,
+                 SUM((p.x - c.cx) * (p.x - c.cx)) AS d2
+          FROM px p JOIN {prev} c ON c.i = p.i
+          GROUP BY 1, 2),
+        a{it} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d{it}) t WHERE rn = 1),
+        m{it} AS (
+          SELECT a.cid, p.i, AVG(p.x) AS cx
+          FROM a{it} a JOIN px p ON p.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        cx{it} AS (
+          SELECT prev.cid, prev.i, COALESCE(m.cx, prev.cx) AS cx
+          FROM {prev} prev
+          LEFT JOIN m{it} m ON m.cid = prev.cid AND m.i = prev.i)""")
+        prev = f"cx{it}"
+    sql.append(f""",
+        dfin AS (
+          SELECT p.vec_id, c.cid,
+                 SUM((p.x - c.cx) * (p.x - c.cx)) AS d2
+          FROM px p JOIN {prev} c ON c.i = p.i
+          GROUP BY 1, 2)
+        SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+               ROUND(sqrt(d2), 6) AS dist
+        FROM (
+          SELECT vec_id, cid, d2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM dfin) t
+        WHERE rn = 1""")
+    return "".join(sql)
+
+
+EXT_ORACLES["kmeans_embeddings"] = _kmeans_replay_oracle()
 
 EXT_QUERIES = {
     "cube_revenue": q_cube_revenue,

@@ -363,7 +363,9 @@ LLM_ORACLES: dict[str, str] = {
     # SimHash is pure md5-derived integer arithmetic, so the whole
     # signature build (±1 per bit per token, sign threshold, 16-bit
     # banding, hamming prune) replays exactly in SQL — upgraded from
-    # rows-only in round 2
+    # rows-only in round 2.  Threshold 3 = the banding's pigeonhole
+    # guarantee (4 bands ⇒ exact recall for hamming ≤ 3), so the
+    # operator's stated semantics and the candidate generation agree.
     "dedup_simhash": """
         WITH toks AS (
           SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
@@ -400,7 +402,7 @@ LLM_ORACLES: dict[str, str] = {
         JOIN bands b ON a.band_id = b.band_id AND a.val = b.val
                     AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.h_hi, b.h_hi))
-              + bit_count(xor(a.h_lo, b.h_lo)) <= 8
+              + bit_count(xor(a.h_lo, b.h_lo)) <= 3
     """,
     "dedup_exact": """
         SELECT doc_id, content_hash,

@@ -323,6 +323,10 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate sketches — the 100 TB path next to the exact twins
 
 
+QSKETCH_ACC = 10000
+QSKETCH_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
 def q_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type p50/p90/p99 via percentile_approx (Greenwald-Khanna
     sketch): single pass, mergeable partials, bounded memory — the
@@ -330,19 +334,66 @@ def q_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact needs a full sort per group; the sketch shuffles
     O(1/ε log εN) tuples per partition).
 
-    Rows-only oracle: the sketch's merge tree is partition-dependent;
-    tests/test_sketches.py pins accuracy against the exact quantiles
-    at sf0.001 instead."""
+    The sketch estimate itself is merge-tree-dependent, so the
+    COMPARABLE output carries the guarantee instead of the estimate:
+    for each q, the EXACT values at ranks ⌈q·n⌉ ± (⌈n/acc⌉ + 1)
+    (``<q>_lo``/``<q>_hi`` — deterministic order statistics) and
+    ``<q>_ok`` = whether the sketch landed inside that bracket.  The
+    oracle recomputes the brackets exactly and pins ok = TRUE, making
+    the driver row a per-run check of the GK rank-error guarantee.
+    The bracket computation sorts each group once (exact rank
+    selection) — it is the VERIFICATION harness around the sketch, not
+    the production path; production consumers read the sketch alone."""
     apply_engine_conf(spark)
     ev = tf.events_ts_fixed(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.percentile_approx("value", 0.5, 10000), 6).alias("p50"),
-            F.round(F.percentile_approx("value", 0.9, 10000), 6).alias("p90"),
-            F.round(F.percentile_approx("value", 0.99, 10000), 6).alias("p99"),
-        ))
+    est = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        *[F.percentile_approx("value", q, QSKETCH_ACC).alias(f"__{c}_est")
+          for c, q in QSKETCH_QS])
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value")).alias("rn"))
+    j = ranked.join(F.broadcast(est), "event_type")
+    err = F.ceil(F.col("n_events") / F.lit(QSKETCH_ACC)) + F.lit(1)
+    aggs = []
+    for c, q in QSKETCH_QS:
+        target = F.ceil(F.lit(q) * F.col("n_events"))
+        lo_rank = F.greatest(F.lit(1), target - err)
+        hi_rank = F.least(F.col("n_events"), target + err)
+        aggs.append(F.max(F.when(F.col("rn") == lo_rank, F.col("value")))
+                    .alias(f"{c}_lo"))
+        aggs.append(F.max(F.when(F.col("rn") == hi_rank, F.col("value")))
+                    .alias(f"{c}_hi"))
+    bounds = j.groupBy("event_type").agg(*aggs)
+    out = est.join(bounds, "event_type")
+    cols = [F.col("event_type"), F.col("n_events")]
+    for c, _ in QSKETCH_QS:
+        cols += [
+            F.col(f"{c}_lo"), F.col(f"{c}_hi"),
+            F.col(f"__{c}_est").between(F.col(f"{c}_lo"), F.col(f"{c}_hi"))
+            .alias(f"{c}_ok"),
+        ]
+    return out.select(*cols)
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90/p99 via a t-digest (Dunning & Ertl): the
+    MERGEABLE tail-accurate quantile sketch — relative rank error
+    ~q(1−q)·4/δ concentrates accuracy at the tails where GK's uniform
+    bound wastes budget.  Arrow-batched numpy kernel (applyInPandas),
+    chunk-partial + fold-merge construction (the distributed
+    tree-merge shape, made deterministic by sorting; merge property
+    pinned in tests/test_temporal_sketch.py).
+
+    Output = exact rank brackets + ok flags (same verification
+    encoding as approx_quantile_sketch): the oracle recomputes the
+    brackets exactly and pins ok = TRUE, so the driver row asserts
+    the digest's rank-error guarantee every run."""
+    apply_engine_conf(spark)
+    from ..operators.tdigest import tdigest_quantile_brackets
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    return tdigest_quantile_brackets(ev, "event_type", "value")
 
 
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +532,88 @@ SERVING2_ORACLES: dict[str, str] = {
         SELECT token, CAST(df AS BIGINT) AS df, postings
         FROM agg WHERE df >= 2
     """,
+    # approx_quantile_sketch: the bracket columns are exact order
+    # statistics (deterministic) and the ok flags assert the GK
+    # guarantee — the oracle recomputes the brackets and pins TRUE.
+    # The float literals are CAST to DOUBLE so DuckDB's decimal
+    # literals don't ceil() differently from Spark's double arithmetic.
+    "approx_quantile_sketch": """
+        WITH nf AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value) AS rn
+          FROM events),
+        j AS (
+          SELECT r.event_type, r.value, r.rn, f.n_events,
+                 CEIL(CAST(f.n_events AS DOUBLE) / 10000.0) + 1 AS err
+          FROM ranked r JOIN nf f USING (event_type))
+        SELECT event_type, n_events,
+          MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.5 AS DOUBLE)
+              * n_events) - err) THEN value END) AS p50_lo,
+          MAX(CASE WHEN rn = LEAST(n_events, CEIL(CAST(0.5 AS DOUBLE)
+              * n_events) + err) THEN value END) AS p50_hi,
+          TRUE AS p50_ok,
+          MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.9 AS DOUBLE)
+              * n_events) - err) THEN value END) AS p90_lo,
+          MAX(CASE WHEN rn = LEAST(n_events, CEIL(CAST(0.9 AS DOUBLE)
+              * n_events) + err) THEN value END) AS p90_hi,
+          TRUE AS p90_ok,
+          MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.99 AS DOUBLE)
+              * n_events) - err) THEN value END) AS p99_lo,
+          MAX(CASE WHEN rn = LEAST(n_events, CEIL(CAST(0.99 AS DOUBLE)
+              * n_events) + err) THEN value END) AS p99_hi,
+          TRUE AS p99_ok
+        FROM j GROUP BY event_type, n_events
+    """,
+    # tdigest_quantiles: same bracket-encoding as approx_quantile_
+    # sketch; the error budget is the t-digest's tail-proportional
+    # 4·n·q(1−q)/δ (δ=100) instead of GK's uniform n/acc.  Arithmetic
+    # order mirrors operators/tdigest.py rank_error_bound exactly.
+    "tdigest_quantiles": """
+        WITH nf AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value) AS rn
+          FROM events),
+        j AS (
+          SELECT r.event_type, r.value, r.rn, f.n_events
+          FROM ranked r JOIN nf f USING (event_type))
+        SELECT event_type, n_events,
+          MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.5 AS DOUBLE)
+              * n_events) - (CEIL(8.0 * n_events * CAST(0.5 AS DOUBLE)
+              * (1.0 - CAST(0.5 AS DOUBLE)) / 100.0) + 2))
+              THEN value END) AS p50_lo,
+          MAX(CASE WHEN rn = LEAST(n_events, CEIL(CAST(0.5 AS DOUBLE)
+              * n_events) + (CEIL(8.0 * n_events * CAST(0.5 AS DOUBLE)
+              * (1.0 - CAST(0.5 AS DOUBLE)) / 100.0) + 2))
+              THEN value END) AS p50_hi,
+          TRUE AS p50_ok,
+          MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.9 AS DOUBLE)
+              * n_events) - (CEIL(8.0 * n_events * CAST(0.9 AS DOUBLE)
+              * (1.0 - CAST(0.9 AS DOUBLE)) / 100.0) + 2))
+              THEN value END) AS p90_lo,
+          MAX(CASE WHEN rn = LEAST(n_events, CEIL(CAST(0.9 AS DOUBLE)
+              * n_events) + (CEIL(8.0 * n_events * CAST(0.9 AS DOUBLE)
+              * (1.0 - CAST(0.9 AS DOUBLE)) / 100.0) + 2))
+              THEN value END) AS p90_hi,
+          TRUE AS p90_ok,
+          MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.99 AS DOUBLE)
+              * n_events) - (CEIL(8.0 * n_events * CAST(0.99 AS DOUBLE)
+              * (1.0 - CAST(0.99 AS DOUBLE)) / 100.0) + 2))
+              THEN value END) AS p99_lo,
+          MAX(CASE WHEN rn = LEAST(n_events, CEIL(CAST(0.99 AS DOUBLE)
+              * n_events) + (CEIL(8.0 * n_events * CAST(0.99 AS DOUBLE)
+              * (1.0 - CAST(0.99 AS DOUBLE)) / 100.0) + 2))
+              THEN value END) AS p99_hi,
+          TRUE AS p99_ok
+        FROM j GROUP BY event_type, n_events
+    """,
     "zscore_outliers": """
         WITH m AS (
           SELECT event_type,
@@ -518,6 +651,7 @@ SERVING2_QUERIES = {
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "pareto_customer_share": q_pareto_customer_share,
     "approx_quantile_sketch": q_approx_quantile_sketch,
+    "tdigest_quantiles": q_tdigest_quantiles,
     "hll_distinct_users": q_hll_distinct_users,
     "inverted_index": q_inverted_index,
     "zscore_outliers": q_zscore_outliers,

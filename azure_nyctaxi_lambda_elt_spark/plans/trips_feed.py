@@ -265,7 +265,16 @@ def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog."""
     typed = typed_trips(raw_trips(spark, sf_dir))
     clean = trip_clean(typed).persist()
+    return fact_from_clean(clean)
 
+
+def fact_from_clean(clean: DataFrame) -> DataFrame:
+    """The dim-build + FK-resolve + project stage of the star build,
+    over an (ideally materialized) trip_clean frame.  Split out so the
+    bench can time the dim-resolve stage on its own — fact_build_star
+    is the one chronically-regressing bench entry, and attributing
+    growth to dedupe vs dim-resolve needs a stage boundary
+    (tests/test_fact_plan_guardrail.py pins the plan shape)."""
     v = dim_vendor(clean)
     p = dim_payment(clean)
     rc = dim_rate_code(clean)

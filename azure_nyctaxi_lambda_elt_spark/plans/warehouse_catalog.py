@@ -246,8 +246,11 @@ def q_disjunctive_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment count + balance of customers with above-average
     positive balances and NO RECENT orders (TPC-H Q22 shape: scalar
-    subquery + NOT EXISTS; recency window 1998-01-01 — an all-time
-    no-orders gate is empty on this data, making the check vacuous).
+    subquery + NOT EXISTS; recency window 1998-06-01, non-empty at
+    every test scale: 1 / 3 / 68 customers at sf0.001/0.01/0.1 — an
+    all-time no-orders gate is empty on this data, and a window that
+    only yields rows at the driver scales would leave the pytest smoke
+    check vacuous).
 
     Spark-first: the global average is a one-row (sum, count) aggregate
     cross-broadcast back, restated multiply-through
@@ -262,7 +265,7 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = (cust.crossJoin(F.broadcast(scalar))
             .where(bal * F.col("__cnt") > F.col("__sum_bal")))
     orders = (load_table(spark, sf_dir, "orders")
-              .where(F.col("o_orderdate") >= "1998-01-01")
+              .where(F.col("o_orderdate") >= "1998-06-01")
               .select("o_custkey"))
     idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return (idle.groupBy("c_mktsegment")
@@ -598,7 +601,7 @@ WAREHOUSE_ORACLES: dict[str, str] = {
         WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * s.cnt > s.sum_bal
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+                            AND o.o_orderdate >= TIMESTAMP '1998-06-01')
         GROUP BY c.c_mktsegment
     """,
     "important_part_share": f"""

@@ -378,13 +378,15 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str, out_dir: str,
     arrive.
 
     Outer-join emission is watermark-driven: an unmatched purchase is
-    held in state until watermark > purchase_ts + horizon, so the sink
-    is complete only up to (max event time − watermark delay).  The
-    read-back therefore CUTS at max_ts − 3 h (watermark 2 h + 1 h
-    margin) — below the final watermark, every purchase has either
-    matched or been evicted as unmatched, making the batch left join
-    with the same cutoff a FULL oracle.  The tail above the cutoff is
-    exactly the rows a live deployment would still be buffering.
+    held in state until watermark > purchase_ts + horizon, and the
+    final watermark is bounded by the LAGGING input — min over both
+    sides of (per-side max event time) − delay.  The read-back
+    therefore CUTS at min(click max_ts, purchase max_ts) − 2 h
+    (watermark) − 1 min (strictness margin) — below that, every
+    purchase has either matched or been evicted as unmatched, making
+    the batch left join with the identical cutoff a FULL oracle.  The
+    tail above the cutoff is exactly the rows a live deployment would
+    still be buffering.
 
     Scale: both sides' state is bounded by the 2 h horizon; the join
     shuffles on user_id (high-cardinality)."""

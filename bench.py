@@ -99,6 +99,23 @@ def main() -> None:
     timings = time_set(BENCH_QUERIES)
     new_timings = time_set(BENCH_NEW_QUERIES)
 
+    # stage decomposition for the one chronically-regressing entry:
+    # time the dim-resolve stage alone over a pre-materialized
+    # trip_clean, so fact_build_star growth stays attributable to
+    # dedupe vs dim-resolve (reported under new_queries, never folded
+    # into the frozen headline total)
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+    best = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        clean = tf.trip_clean(
+            tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+        t0 = time.perf_counter()
+        _force(tf.fact_from_clean(clean))
+        dt = round(time.perf_counter() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    new_timings["fact_star_dim_resolve_stage"] = best
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)

@@ -1,0 +1,61 @@
+"""Plan-shape guardrail for the flagship fact chain.
+
+fact_build_star is the only bench entry that has regressed two rounds
+running (dim growth: 4 → 6 dims).  Before a 7th dim lands, pin the
+invariant that makes the plan scale: the ONLY full-fact-width shuffle
+is the dedupe window on trip_uid; every dim resolves via broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+from conftest import SF_SMOKE
+
+# the small-side shuffle keys the star build is ALLOWED: per-dim
+# distinct-NK aggregation inputs (tiny frames)
+_DIM_NK_KEYS = {
+    "vendor_code", "payment_type_nk", "rate_code_nk", "flag_nk",
+    "location_id_nk",
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _hash_keys(plan: str) -> set[str]:
+    """Distinct first-column base names of every hash-partitioning
+    exchange.  Distinct, not counted: the persisted trip_clean subtree
+    prints once per InMemoryTableScan reference but executes once."""
+    return {
+        m.group(1).split("#")[0]
+        for m in re.finditer(r"Exchange hashpartitioning\((\S+?)[,)]", plan)
+    }
+
+
+def test_fact_star_single_big_side_shuffle(spark):
+    """≤ 1 shuffle of the big side: trip_uid (the dedupe window) must
+    be the only fact-width hash key; dims broadcast, never sort-merge."""
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    plan = _plan(tf.fact_trip(spark, SF_SMOKE))
+    keys = _hash_keys(plan)
+    assert "trip_uid" in keys, keys
+    assert keys - _DIM_NK_KEYS == {"trip_uid"}, keys
+    assert plan.count("BroadcastHashJoin") == 6, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fact_dim_stage_adds_no_fact_shuffle(spark):
+    """The dim-resolve stage on its own (fact_from_clean over a
+    materialized trip_clean) must add ZERO fact-width shuffles — its
+    only exchanges are the tiny per-dim NK aggregations."""
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, SF_SMOKE))).localCheckpoint()
+    plan = _plan(tf.fact_from_clean(clean))
+    keys = _hash_keys(plan)
+    assert keys <= _DIM_NK_KEYS, keys
+    assert "SortMergeJoin" not in plan, plan

