@@ -35,6 +35,7 @@ from .serving2_catalog import SERVING2_ORACLES, SERVING2_QUERIES
 from .serving3_catalog import SERVING3_ORACLES, SERVING3_QUERIES
 from .llm2_catalog import LLM2_ORACLES, LLM2_QUERIES
 from .ext2_catalog import EXT2_ORACLES, EXT2_QUERIES
+from .ext3_catalog import EXT3_ORACLES, EXT3_QUERIES
 from .oracle_trips import with_trips
 
 # ---------------------------------------------------------------------------
@@ -1285,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SERVING3_QUERIES,
     **LLM2_QUERIES,
     **EXT2_QUERIES,
+    **EXT3_QUERIES,
 }
 ORACLES.update(LLM_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1293,6 +1295,7 @@ ORACLES.update(SERVING2_ORACLES)
 ORACLES.update(SERVING3_ORACLES)
 ORACLES.update(LLM2_ORACLES)
 ORACLES.update(EXT2_ORACLES)
+ORACLES.update(EXT3_ORACLES)
 
 # ---------------------------------------------------------------------------
 # Driver-verification ordering.  The driver's correctness run checks the

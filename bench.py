@@ -58,6 +58,11 @@ BENCH_NEW_QUERIES = [
     "bloom_join_prune",
     "ship_priority",
     "returned_item",
+    # round-3 set J
+    "bm25_topk",
+    "ngram_lm_score",
+    "heavy_hitters_cms",
+    "longest_dup_span",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Unit semantics for extension set J (round 3): BM25, bigram-LM
+scoring, CMS heavy hitters, duplicate-span ladder — on tiny crafted
+frames plus python-replicated math."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "spark hash spark join table"),
+        (2, "sort merge sort merge sort"),
+        (3, "window scan window scan window scan window"),
+        (4, "the quick brown fox"),
+        (5, "spark hash"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_matches_python_reference(docs):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        BM25_B, BM25_K1, BM25_QUERIES, bm25_topk)
+
+    corpus = {
+        1: "spark hash spark join table".split(),
+        2: "sort merge sort merge sort".split(),
+        3: "window scan window scan window scan window".split(),
+        4: "the quick brown fox".split(),
+        5: "spark hash".split(),
+    }
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n_docs
+
+    def py_score(terms, doc):
+        toks = corpus[doc]
+        from decimal import Decimal
+        s = Decimal(0)
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for d in corpus.values() if t in d)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            tfn = tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl))
+            s += Decimal(str(round(idf * tfn, 6)))
+        return round(float(s), 6)
+
+    out = {(r["query_id"], r["doc_id"]): r["score"]
+           for r in bm25_topk(docs).collect()}
+    queries = dict(BM25_QUERIES)
+    # doc 1 and doc 5 both match q_spark_hash; python reference agrees
+    assert out[("q_spark_hash", 1)] == py_score(queries["q_spark_hash"], 1)
+    assert out[("q_spark_hash", 5)] == py_score(queries["q_spark_hash"], 5)
+    # doc 4 contains no query terms for q_sort_merge → absent
+    assert ("q_sort_merge", 4) not in out
+    # shorter doc with same tf beats longer doc (length normalization):
+    # doc 5 has tf(spark)=1 in 2 tokens; doc 1 tf=2 in 5 tokens — doc 1
+    # still wins on tf, so just assert both present and ordered by score
+    assert out[("q_spark_hash", 1)] > 0 and out[("q_spark_hash", 5)] > 0
+
+
+def test_bm25_rank_is_dense_per_query(docs):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import bm25_topk
+
+    rows = bm25_topk(docs).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ngram_lm_score_python_reference(docs):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import ngram_lm_score
+
+    corpus = {
+        1: "spark hash spark join table".split(),
+        2: "sort merge sort merge sort".split(),
+        3: "window scan window scan window scan window".split(),
+        4: "the quick brown fox".split(),
+        5: "spark hash".split(),
+    }
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for toks in corpus.values():
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+
+    def py_nll(doc):
+        # HALF_UP like Spark/DuckDB round(), not python's banker's
+        from decimal import ROUND_HALF_UP, Decimal
+        toks = corpus[doc]
+        terms = [
+            Decimal(str(round(-math.log(
+                (big[(a, b)] + 1.0) / (uni[a] + v)), 6)))
+            for a, b in zip(toks, toks[1:])
+        ]
+        q = Decimal(str(float(sum(terms)) / len(terms)))
+        return float(q.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    for d, toks in corpus.items():
+        assert out[d]["n_bigrams"] == len(toks) - 1
+        assert out[d]["avg_nll"] == py_nll(d)
+    # repeated bigrams (doc 2/3) are more probable → lower nll than the
+    # all-unique doc 4
+    assert out[3]["avg_nll"] < out[4]["avg_nll"]
+
+
+def test_ngram_lm_short_doc_zero(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens here")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_nll"] == 0.0
+    assert out[2]["n_bigrams"] == 2
+
+
+def test_cms_never_undercounts(docs):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        cms_heavy_hitters)
+
+    rows = cms_heavy_hitters(docs).collect()
+    assert rows, "tiny corpus: every token clears the 1% bar"
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overcount"] == r["est_count"] - r["exact_count"]
+    # tiny vocab in 2048 cells: no collisions → est exact
+    exact = {r["token"]: r["exact_count"] for r in rows}
+    assert exact["spark"] == 3 and exact["sort"] == 3 and exact["window"] == 4
+
+
+def test_dup_span_ladder(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        SPAN_LADDER, longest_dup_span)
+
+    run16 = " ".join(f"t{i}" for i in range(16))
+    run8 = " ".join(f"u{i}" for i in range(8))
+    rows = [
+        (1, run16 + " tail one"),          # shares the 16-run with doc 2
+        (2, "head " + run16),
+        (3, run8 + " filler filler2"),     # shares only the 8-run with 4
+        (4, "other " + run8),
+        (5, "completely unique words that never repeat anywhere at all "
+            "plus padding so length exceeds eight tokens easily"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["max_dup_span"] for r in longest_dup_span(docs).collect()}
+    assert out[1] == 16 and out[2] == 16
+    assert out[3] == 8 and out[4] == 8
+    assert out[5] == 0
+    assert all(v in {0, *SPAN_LADDER} for v in out.values())
