@@ -104,3 +104,114 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         w.cast("bigint").alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def connected_components_bigstar(edges: DataFrame, vertices: DataFrame,
+                                 src: str = "src", dst: str = "dst",
+                                 id_col: str = "node",
+                                 max_iter: int = 20) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-scale escalation of ``connected_components``:
+    O(log²) rounds regardless of component diameter, so a pathological
+    long-chain near-dup graph cannot stretch the round count.
+
+    Per round, two edge rewrites (each: one groupBy-min on the edge
+    table + a join back — no windows, no sorts):
+      large-star: every neighbor v > u re-points at m(u) = min(N(u)∪u)
+      small-star: every neighbor v ≤ u (and u itself) re-points at
+                  min of that set
+    Edges only ever point DOWNWARD to smaller ids; the per-round
+    (count, Σsrc, Σdst) triple is monotone non-increasing and
+    stabilizes exactly at the star fixpoint, giving a scalar-only
+    convergence test (same discipline as the min-label loop).  Output
+    contract is identical to ``connected_components``."""
+    sym = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.explode(F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )).alias("e"))
+        .select("e.a", "e.b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # capture the edge-touched node set once, up front, for the
+    # final root/singleton labeling
+    touched = sym.select(F.col("a").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+
+    cur = sym
+    prev_chk = None
+    for _ in range(max_iter):
+        # ---- large-star: for node a, m = min(a, min neighbors);
+        # strictly-larger neighbors re-point at m
+        mins = cur.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            cur.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # ---- small-star over the large-star output: for node a, its
+        # ≤-neighbors plus a re-point at the min of that set
+        down = large.where(F.col("b") != F.col("a")).distinct()
+        smins = down.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            down.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            # symmetrize for the next large-star pass
+            .select(F.explode(F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )).alias("e"))
+            .select("e.a", "e.b")
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        chk = tuple(small.agg(
+            F.count("*"), F.sum("a"), F.sum("b")).collect()[0])
+        # cheap scalar triple gates the sound (exact set-equality)
+        # confirmation, which therefore runs ~once, at the fixpoint
+        if prev_chk == chk and small.exceptAll(cur).limit(1).count() == 0:
+            cur = small
+            break
+        prev_chk = chk
+        cur = small
+
+    # star fixpoint: every node's label = min over its (downward)
+    # neighbors; roots label themselves
+    lbl = (
+        cur.where(F.col("b") < F.col("a"))
+        .groupBy("a").agg(F.min("b").alias("lbl"))
+        .select(F.col("a").alias("node"), "lbl")
+    )
+    roots_and_isolated = touched.join(
+        lbl.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("lbl"))
+    singles = vertices.select(F.col(id_col).alias("node")).join(
+        touched, "node", "left_anti"
+    ).select("node", F.col("node").alias("lbl"))
+    out = lbl.unionByName(roots_and_isolated).unionByName(singles)
+    return out.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters_bigstar(docs: DataFrame, pairs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """``dedup_clusters`` with the large-star/small-star engine — the
+    same output contract (and therefore the same oracle), different
+    round complexity."""
+    cc = connected_components_bigstar(
+        pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")),
+        docs.select(F.col(id_col).alias("node")),
+    )
+    w = F.count("*").over(Window.partitionBy("cluster_id"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        w.cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -16,7 +16,10 @@ earlier sets do — the reference's BI serving layer
   (mergeable D×W cell grid vs vocab_topk's exact shuffle);
 - longest_dup_span extends exact_substring_dedup (Lee et al. 2021)
   from a fixed 8-token gram to a {8,16,32,64} ladder — the cheap
-  distributed stand-in for suffix-automaton longest-match.
+  distributed stand-in for suffix-automaton longest-match;
+- source_kl_divergence is the per-source mixture-drift monitor
+  (unigram KL vs the corpus distribution — the shard-health check
+  next to mixture_weights' reweighting plan).
 
 Oracle conventions (same as llm2/ext2): md5-derived hashes replayed
 bit-exactly in DuckDB; every double rounded to 6 dp THEN cast to
@@ -39,6 +42,9 @@ Scale notes (100 TB):
 - longest_dup_span shuffles (L, gram-hash, doc_id) triples — hashes,
   never text; one explode pass builds all four ladder lengths from a
   single tokenization.
+- source_kl_divergence reduces to a (source, token) count table in
+  one map-side-combined shuffle; the corpus count table re-joins on
+  token (vocab-sized hash join) and the per-source totals broadcast.
 """
 
 from __future__ import annotations
@@ -320,6 +326,52 @@ def longest_dup_span(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source KL divergence vs the corpus distribution
+
+
+def source_kl_divergence(docs: DataFrame) -> DataFrame:
+    """Per source: unigram-distribution KL divergence vs the whole
+    corpus — KL(P_s ‖ Q) = Σ_w P_s(w)·ln(P_s(w)/Q(w)) — the drift /
+    mixture-health signal a training-data pipeline monitors per shard
+    or per crawl snapshot.  P_s's support is a subset of Q's, so every
+    term is finite.
+
+    Per-term products round to 12 dp and sum as DECIMAL(28,12)
+    (order-independent); the reported kl rounds to 6.  Shuffles:
+    one (source, token) count aggregation; the vocab-sized corpus
+    count table joins back on token (hash join), per-source totals and
+    the corpus total broadcast."""
+    toks = docs.select(
+        "source", ws_tokens(F.lower(F.col("text"))).alias("__t"))
+    ex = toks.select("source", F.explode("__t").alias("token"))
+    csw = ex.groupBy("source", "token").agg(
+        F.count("*").cast("double").alias("c_sw"))
+    cw = csw.groupBy("token").agg(F.sum("c_sw").alias("c_w"))
+    ns = csw.groupBy("source").agg(
+        F.sum("c_sw").alias("n_s"),
+        F.count("*").cast("bigint").alias("n_types"))
+    n = cw.agg(F.sum("c_w").alias("n_tot"))
+    p = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n_tot")
+    term = (
+        csw.join(cw, "token")
+        .join(F.broadcast(ns.select("source", "n_s")), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.round(p * F.log(p / q), 12)
+            .cast("decimal(28,12)").alias("__kl"))
+    )
+    agg = term.groupBy("source").agg(
+        F.round(F.sum("__kl").cast("double"), 6).alias("kl_vs_corpus"))
+    return (
+        ns.join(agg, "source")
+        .select("source", F.col("n_s").cast("bigint").alias("n_tokens"),
+                "n_types", "kl_vs_corpus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # catalog wrappers
 
 
@@ -342,6 +394,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_dup_span(_docs(spark, sf_dir))
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_kl_divergence(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -463,6 +519,32 @@ EXT3_ORACLES: dict[str, str] = {
         FROM est CROSS JOIN total
         WHERE est_count >= CAST(ceil(n_stream * {CMS_HH_PCT}) AS BIGINT)
     """,
+    "source_kl_divergence": f"""
+        WITH toks AS (
+          SELECT source, {_TOKS} AS t FROM documents),
+        ex AS (SELECT source, u.token FROM toks, UNNEST(t) u(token)),
+        csw AS (SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS c_sw
+                FROM ex GROUP BY 1, 2),
+        cw AS (SELECT token, SUM(c_sw) AS c_w FROM csw GROUP BY 1),
+        ns AS (SELECT source, SUM(c_sw) AS n_s,
+                      CAST(COUNT(*) AS BIGINT) AS n_types
+               FROM csw GROUP BY 1),
+        n AS (SELECT SUM(c_w) AS n_tot FROM cw),
+        term AS (
+          SELECT csw.source,
+                 CAST(round((c_sw / n_s) * ln((c_sw / n_s) / (c_w / n_tot)),
+                            12) AS DECIMAL(28,12)) AS kl
+          FROM csw
+          JOIN cw USING (token)
+          JOIN ns USING (source)
+          CROSS JOIN n),
+        agg AS (SELECT source, round(CAST(SUM(kl) AS DOUBLE), 6)
+                       AS kl_vs_corpus
+                FROM term GROUP BY 1)
+        SELECT ns.source, CAST(n_s AS BIGINT) AS n_tokens, n_types,
+               kl_vs_corpus
+        FROM ns JOIN agg USING (source)
+    """,
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -485,4 +567,5 @@ EXT3_QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "longest_dup_span": q_longest_dup_span,
+    "source_kl_divergence": q_source_kl_divergence,
 }

@@ -15,7 +15,7 @@ from ..operators import corpus as cp
 from ..operators import llm_text as lt
 from ..operators.ann import (cosine_pairs, cosine_topk, ivf_topk,
                              lsh_bucket_topk)
-from ..operators.graph import dedup_clusters
+from ..operators.graph import dedup_clusters, dedup_clusters_bigstar
 from ..operators.multimodal import decode_media, with_media_payload
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
@@ -182,6 +182,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU)
     return dedup_clusters(docs, pairs)
+
+
+def q_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure via the large-star/small-star engine
+    (Kiveris et al. SoCC'14) — O(log²) rounds vs diameter rounds; the
+    output contract (and oracle) is identical to dedup_clusters, so the
+    driver row attests the two engines agree on real pairs."""
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU)
+    return dedup_clusters_bigstar(docs, pairs)
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,6 +816,9 @@ _SIG_EXPR = " + ".join(
     for p, row in enumerate(_hyperplanes()))
 _PROBES = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(_N_PLANES)])
 
+# identical output contract → identical oracle
+LLM_ORACLES["dedup_clusters_bigstar"] = LLM_ORACLES["dedup_clusters"]
+
 LLM_ORACLES["ann_lsh_bucket"] = f"""
     WITH v AS (
       SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
@@ -844,6 +858,7 @@ LLM_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_bigstar": q_dedup_clusters_bigstar,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "doc_repetition": q_doc_repetition,
     "distinct_sketch": q_distinct_sketch,

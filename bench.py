@@ -63,6 +63,8 @@ BENCH_NEW_QUERIES = [
     "ngram_lm_score",
     "heavy_hitters_cms",
     "longest_dup_span",
+    "source_kl_divergence",
+    "dedup_clusters_bigstar",
 ]
 
 

@@ -114,3 +114,56 @@ def test_vocab_topk_counts(spark):
     assert set(rows) == {"a", "b"}
     assert rows["a"]["tf"] == 3 and rows["a"]["df"] == 2 and rows["a"]["rnk"] == 1
     assert rows["b"]["tf"] == 3 and rows["b"]["df"] == 3 and rows["b"]["rnk"] == 2
+
+
+def test_bigstar_matches_minlabel_on_varied_graphs(spark):
+    """The two CC engines must agree on every graph shape: chains,
+    triangles, stars, isolated nodes, duplicate/reversed edges."""
+    from azure_nyctaxi_lambda_elt_spark.operators.graph import (
+        connected_components, connected_components_bigstar)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+         (20, 25), (25, 21), (21, 24), (24, 22),   # zig-zag chain
+         (2, 1), (1, 2),                            # dup + reversed
+         (30, 30)],                                 # self-loop
+        "src bigint, dst bigint")
+    verts = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 4, 10, 11, 12, 20, 21, 22, 24, 25,
+                        30, 99)], "node bigint")
+    a = {r["node"]: r["cluster_id"]
+         for r in connected_components(edges, verts).collect()}
+    b = {r["node"]: r["cluster_id"]
+         for r in connected_components_bigstar(edges, verts).collect()}
+    assert a == b
+    assert b[25] == 20 and b[22] == 20 and b[30] == 30 and b[99] == 99
+
+
+def test_bigstar_long_chain_logarithmic_rounds(spark):
+    """A 64-node chain (diameter 63) must resolve well inside the
+    20-round cap — the O(log²) property the escalation exists for."""
+    from azure_nyctaxi_lambda_elt_spark.operators.graph import (
+        connected_components_bigstar)
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_bigstar(
+               edges, verts, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_bigstar_contract(spark):
+    from azure_nyctaxi_lambda_elt_spark.operators.graph import (
+        dedup_clusters_bigstar)
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_i bigint, doc_j bigint")
+    out = {r["doc_id"]: r for r in dedup_clusters_bigstar(docs, pairs).collect()}
+    assert out[1]["is_canonical"] and out[1]["cluster_size"] == 3
+    assert not out[3]["is_canonical"] and out[3]["cluster_id"] == 1
+    assert out[7]["cluster_size"] == 1 and out[7]["is_canonical"]

@@ -162,3 +162,35 @@ def test_dup_span_ladder(spark):
     assert out[3] == 8 and out[4] == 8
     assert out[5] == 0
     assert all(v in {0, *SPAN_LADDER} for v in out.values())
+
+
+def test_source_kl_single_source_is_zero(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        source_kl_divergence)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "c b a", "s0")],
+        "doc_id long, text string, source string")
+    out = source_kl_divergence(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # one source ⇒ P = Q ⇒ KL exactly 0
+    assert r["kl_vs_corpus"] == 0.0
+    assert r["n_tokens"] == 6 and r["n_types"] == 3
+
+
+def test_source_kl_nonnegative_and_skew_ranks_higher(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        source_kl_divergence)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h", "balanced"),
+         (2, "a a a a a a a a", "skewed"),
+         (3, "a b c d a b c d", "mixed")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r["kl_vs_corpus"]
+           for r in source_kl_divergence(docs).collect()}
+    # Gibbs: KL ≥ 0 (up to the 1e-12 rounding grid)
+    assert all(v >= -1e-6 for v in out.values())
+    # the source furthest from the corpus mix diverges most
+    assert out["skewed"] > out["balanced"] > 0
