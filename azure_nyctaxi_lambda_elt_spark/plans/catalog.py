@@ -757,6 +757,20 @@ def q_streaming_run_quality_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "run_quality", sf_dir))
 
 
+def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable distinct-cardinality sketch per event_type
+    (streaming/lane.py run_distinct_sketch): bounded survivor-set state
+    (1/32 md5 hash-domain sample), per-batch set-UNION merge —
+    idempotent/commutative/associative, so the drained state is
+    batching-independent and the same sketch over the batch events
+    table is a FULL oracle."""
+    from ..streaming.lane import run_distinct_sketch
+
+    apply_engine_conf(spark)
+    return run_distinct_sketch(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "distinct_sketch", sf_dir))
+
+
 BACKFILL_DATES = ("2024-01-05", "2024-01-06", "2024-01-07")
 
 
@@ -1273,6 +1287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dim_enrich": q_streaming_dim_enrich,
     "streaming_model_upsert": q_streaming_model_upsert,
     "streaming_run_quality_log": q_streaming_run_quality_log,
+    "streaming_distinct_sketch": q_streaming_distinct_sketch,
     "rate_limit_per_key": q_rate_limit_per_key,
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
@@ -1468,6 +1483,17 @@ ORACLES["streaming_model_upsert"] = ORACLES["fact_build_star"]
 # per-run quality log: per-batch partial counts sum-merge (each event
 # row counted exactly once) → batching-independent → quality_audit + a
 # constant run_id column is a FULL oracle
+ORACLES["streaming_distinct_sketch"] = """
+    WITH surv AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+      FROM events
+      WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '0800'
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           round(COUNT(*) * 32.0, 1) AS est_distinct
+    FROM surv GROUP BY 1
+"""
+
 ORACLES["streaming_run_quality_log"] = with_trips("""
     SELECT 'stream-run-001' AS run_id,
       date_trunc('hour', loaded_at) AS hour_bucket,

@@ -511,3 +511,58 @@ def run_dim_enrich(spark: SparkSession, sf_dir: str, out_dir: str,
             .agg(F.count("*").cast("bigint").alias("n_events"),
                  F.sum("value_dec").cast("double")
                  .alias("total_value")))
+
+
+def run_distinct_sketch(spark: SparkSession, sf_dir: str,
+                        out_dir: str,
+                        max_files_per_trigger: int | None = None,
+                        source_dir: str | None = None) -> DataFrame:
+    """Streaming distinct-cardinality sketch per event_type: the
+    deterministic hash-threshold KMV variant (same construction as the
+    batch corpus sketch, operators/corpus.py distinct_token_estimate)
+    maintained incrementally over the event stream.
+
+    State = ONLY the survivor set {(event_type, user_id) :
+    md5-prefix(user_id) < thr} — a fixed 1/32 hash-domain sample, so
+    state is bounded at ~|distinct users|/32 regardless of stream
+    length, and the per-batch merge is a set UNION (idempotent +
+    commutative + associative ⇒ the drained table is batching- and
+    arrival-order-independent: FULL oracle against the batch events
+    table).  HLL gives the same bound with smaller constants but an
+    engine-specific register layout; the md5-threshold sketch trades a
+    constant factor for bit-reproducibility (and keeps the driver's
+    hash check meaningful).
+
+    Reference parity: the streaming lane's incremental quality/ops
+    rollups (sql/streaming/staging/0009_usp_log_quality_for_run.sql)
+    generalized to a mergeable cardinality sketch."""
+    state_dir = os.path.join(out_dir, "sketch_state")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(state_dir, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+    surv = (
+        ev.select("event_type", F.col("user_id").cast("string").alias("uid"))
+        .where(F.substring(F.md5(F.col("uid")), 1, 4) < F.lit("0800"))
+    )
+
+    def merge_survivors(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        part = batch.distinct()
+        try:
+            prev = spark_b.read.parquet(state_dir)
+        except Exception:
+            prev = None
+        merged = part if prev is None else prev.unionByName(part).distinct()
+        tmp = state_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _reset(state_dir)
+        os.rename(tmp, state_dir)
+
+    _run_available_now(
+        surv.writeStream.foreachBatch(merge_survivors)
+        .option("checkpointLocation", ckpt))
+    state = spark.read.parquet(state_dir)
+    return state.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.round(F.count("*") * F.lit(32.0), 1).alias("est_distinct"),
+    )

@@ -243,3 +243,25 @@ def test_multibatch_left_outer_join_null_side(spark, feed_dir):
     # an unmatched emission is exclusive: its purchase has no matched row
     matched_pids = {r["purchase_event_id"] for r in matched}
     assert all(r["purchase_event_id"] not in matched_pids for r in nulls)
+
+
+def test_multibatch_distinct_sketch_equals_batch(spark, feed_dir, duck):
+    """The survivor-set union is idempotent/commutative/associative —
+    3 micro-batches must equal the one-shot batch sketch (and the
+    DuckDB oracle)."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_distinct_sketch)
+
+    got = run_distinct_sketch(
+        spark, SF_SMOKE, os.path.join(OUT, "distinct_sketch"),
+        max_files_per_trigger=1, source_dir=feed_dir)
+    rows = {r["event_type"]: (r["n_sampled"], r["est_distinct"])
+            for r in got.collect()}
+    want = {r[0]: (r[1], r[2]) for r in duck.execute("""
+        WITH surv AS (
+          SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+          FROM events
+          WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '0800')
+        SELECT event_type, CAST(COUNT(*) AS BIGINT), round(COUNT(*) * 32.0, 1)
+        FROM surv GROUP BY 1""").fetchall()}
+    assert rows == want
