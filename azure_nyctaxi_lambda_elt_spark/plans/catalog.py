@@ -774,6 +774,54 @@ def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 BACKFILL_DATES = ("2024-01-05", "2024-01-06", "2024-01-07")
 
 
+def q_late_dim_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension reconciliation (the flip side of the
+    reference's -1 unknown members, err/seed_unknowns.sql +
+    mdl/load/14_dim_location.upsert.sql): facts that arrive BEFORE
+    their dim member resolve to -1, the dim upsert appends the missing
+    members with IDENTITY-continuation keys (operators/dims.py
+    upsert_dim_append), and a reconcile pass re-resolves ONLY the
+    pending (-1) rows — at warehouse scale a partition-scoped update,
+    never a full-fact rewrite.
+
+    Scenario: the early location dim saw only zones with
+    pu_loc_id % 5 != 4; the remaining zones arrive with the upsert.
+    Both dim builds are deterministic (dense_rank early,
+    max+row_number append), so the whole three-step state machine
+    replays in SQL."""
+    from ..operators.dims import build_dim, resolve_fk, upsert_dim_append
+
+    apply_engine_conf(spark)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    clean = tf.trip_clean(typed).persist()
+    nk = F.col("pu_loc_id").alias("location_id_nk")
+    dim_early = build_dim(
+        clean.where(F.col("pu_loc_id") % 5 != 4).select(nk),
+        ["location_id_nk"], "location_key", unknown_nk=-1)
+    f_early = resolve_fk(
+        clean, dim_early, [("pu_loc_id", "location_id_nk")], "location_key")
+    # the upserted dim shares lineage with dim_early (already joined
+    # into f_early) — materialize the |dim|-row table to break the
+    # self-join ambiguity, exactly like a written dim table would
+    dim_full = upsert_dim_append(
+        dim_early, clean.select(nk),
+        ["location_id_nk"], "location_key", unknown_nk=-1).localCheckpoint()
+    pending = f_early.where(F.col("location_key") == -1).drop("location_key")
+    fixed = resolve_fk(
+        pending, dim_full, [("pu_loc_id", "location_id_nk")], "location_key")
+    final = (
+        f_early.where(F.col("location_key") != -1)
+        .withColumn("was_late_resolved", F.lit(False))
+        .unionByName(
+            fixed.withColumn("was_late_resolved",
+                             F.col("location_key") != -1))
+    )
+    return final.select(
+        "trip_uid", "pu_loc_id",
+        F.col("location_key").alias("pu_location_key"),
+        "was_late_resolved")
+
+
 def q_backfill_partition_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-range backfill replay (Ingest/backfill_dates.sh analog,
     plans/pipeline.py run_backfill): three daily pipeline runs with
@@ -1288,6 +1336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_model_upsert": q_streaming_model_upsert,
     "streaming_run_quality_log": q_streaming_run_quality_log,
     "streaming_distinct_sketch": q_streaming_distinct_sketch,
+    "late_dim_reconcile": q_late_dim_reconcile,
     "rate_limit_per_key": q_rate_limit_per_key,
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
@@ -1493,6 +1542,30 @@ ORACLES["streaming_distinct_sketch"] = """
            round(COUNT(*) * 32.0, 1) AS est_distinct
     FROM surv GROUP BY 1
 """
+
+ORACLES["late_dim_reconcile"] = with_trips("""
+, early AS (
+    SELECT DISTINCT pu_loc_id AS nk FROM trip_clean
+    WHERE pu_loc_id % 5 != 4),
+  dim_early AS (
+    SELECT CAST(dense_rank() OVER (ORDER BY nk ASC) AS INT) AS k, nk
+    FROM early),
+  late AS (
+    SELECT DISTINCT pu_loc_id AS nk FROM trip_clean
+    WHERE pu_loc_id % 5 = 4),
+  base AS (SELECT MAX(k) AS b FROM dim_early),
+  dim_late AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY nk ASC) + b AS INT) AS k, nk
+    FROM late CROSS JOIN base),
+  dim_full AS (
+    SELECT k, nk FROM dim_early UNION ALL SELECT k, nk FROM dim_late)
+SELECT c.trip_uid, c.pu_loc_id,
+       CAST(COALESCE(d.k, -1) AS INT) AS pu_location_key,
+       (de.nk IS NULL AND d.k IS NOT NULL) AS was_late_resolved
+FROM trip_clean c
+LEFT JOIN dim_full d ON d.nk = c.pu_loc_id
+LEFT JOIN dim_early de ON de.nk = c.pu_loc_id
+""")
 
 ORACLES["streaming_run_quality_log"] = with_trips("""
     SELECT 'stream-run-001' AS run_id,

@@ -115,3 +115,26 @@ def test_streaming_run_quality_log_marker(spark):
     assert marker[0]["good_rows"] == tot["g"]
     assert marker[0]["dlq_rows"] == tot["d"]
     assert marker[0]["run_id"] == "pytest-run"
+
+
+def test_late_dim_reconcile_invariants(spark):
+    """Early-resolved keys must be stable across the dim upsert; every
+    pending (-1) row re-resolves iff its zone arrived with the upsert;
+    appended members get IDENTITY-continuation keys above the early
+    max."""
+    from conftest import SF_SMOKE
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import (
+        q_late_dim_reconcile)
+
+    rows = q_late_dim_reconcile(spark, SF_SMOKE).collect()
+    assert rows
+    early_keys = [r["pu_location_key"] for r in rows
+                  if not r["was_late_resolved"]]
+    late_keys = [r["pu_location_key"] for r in rows if r["was_late_resolved"]]
+    assert late_keys, "the % 5 == 4 zones must exist in the feed"
+    # late members continue AFTER the early key range (IDENTITY analog)
+    assert min(late_keys) > max(early_keys)
+    # reconciliation is exhaustive here: every zone arrives eventually
+    assert all(r["pu_location_key"] != -1 for r in rows)
+    for r in rows:
+        assert r["was_late_resolved"] == (r["pu_loc_id"] % 5 == 4)
