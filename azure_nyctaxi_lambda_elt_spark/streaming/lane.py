@@ -224,7 +224,8 @@ def run_windowed_audit(spark: SparkSession, sf_dir: str, out_dir: str,
 def run_quality_log(spark: SparkSession, sf_dir: str, out_dir: str,
                     run_id: str = "stream-run-001",
                     max_files_per_trigger: int | None = None,
-                    source_dir: str | None = None) -> DataFrame:
+                    source_dir: str | None = None,
+                    resume: bool = False) -> DataFrame:
     """Run-scoped streaming quality log + success marker.
 
     Reference parity: sql/streaming/staging/
@@ -245,7 +246,11 @@ def run_quality_log(spark: SparkSession, sf_dir: str, out_dir: str,
     log_dir = os.path.join(out_dir, "quality_log")
     marker_dir = os.path.join(out_dir, "run_log")
     ckpt = os.path.join(out_dir, "ckpt")
-    _reset(log_dir, marker_dir, ckpt)
+    if not resume:
+        _reset(log_dir, marker_dir, ckpt)
+    # resume=True keeps checkpoint + log state: the file source replays
+    # only UNSEEN files, so the additive merge stays exactly-once —
+    # the crash/restart recovery contract (tests pin it)
     typed = tf.typed_trips(tf.raw_trips_from_events(
         events_stream(spark, sf_dir, max_files_per_trigger, source_dir)))
     missing, negative, bad_dur = _dq_parts()
@@ -516,7 +521,8 @@ def run_dim_enrich(spark: SparkSession, sf_dir: str, out_dir: str,
 def run_distinct_sketch(spark: SparkSession, sf_dir: str,
                         out_dir: str,
                         max_files_per_trigger: int | None = None,
-                        source_dir: str | None = None) -> DataFrame:
+                        source_dir: str | None = None,
+                        resume: bool = False) -> DataFrame:
     """Streaming distinct-cardinality sketch per event_type: the
     deterministic hash-threshold KMV variant (same construction as the
     batch corpus sketch, operators/corpus.py distinct_token_estimate)
@@ -538,7 +544,8 @@ def run_distinct_sketch(spark: SparkSession, sf_dir: str,
     generalized to a mergeable cardinality sketch."""
     state_dir = os.path.join(out_dir, "sketch_state")
     ckpt = os.path.join(out_dir, "ckpt")
-    _reset(state_dir, ckpt)
+    if not resume:
+        _reset(state_dir, ckpt)
     ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
     surv = (
         ev.select("event_type", F.col("user_id").cast("string").alias("uid"))

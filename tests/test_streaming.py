@@ -265,3 +265,49 @@ def test_multibatch_distinct_sketch_equals_batch(spark, feed_dir, duck):
         SELECT event_type, CAST(COUNT(*) AS BIGINT), round(COUNT(*) * 32.0, 1)
         FROM surv GROUP BY 1""").fetchall()}
     assert rows == want
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, feed_dir, duck):
+    """Stop-and-resume over the same checkpoint: a second run must
+    process ONLY the unseen files.  The quality log's merge is
+    ADDITIVE, so any replay of an already-processed file would corrupt
+    the counts — the final table equaling the batch oracle proves the
+    exactly-once recovery contract; a third resume with no new files
+    must be a no-op."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_quality_log)
+
+    out = os.path.join(OUT, "recovery")
+    staged = os.path.join(OUT, "recovery_feed")
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    files = sorted(glob.glob(os.path.join(feed_dir, "*.parquet")))
+    assert len(files) == 3
+
+    # phase 1: only the first file exists
+    shutil.copy(files[0], staged)
+    run_quality_log(spark, SF_SMOKE, out, source_dir=staged)
+
+    # phase 2: the remaining files arrive; resume from the checkpoint
+    for f in files[1:]:
+        shutil.copy(f, staged)
+    got = run_quality_log(spark, SF_SMOKE, out, source_dir=staged,
+                          resume=True)
+    want = duck.execute("""
+        WITH """ + __import__(
+        "azure_nyctaxi_lambda_elt_spark.plans.oracle_trips",
+        fromlist=["TRIPS_CTES"]).TRIPS_CTES + """
+        SELECT date_trunc('hour', loaded_at) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM typed_trips GROUP BY 1""").fetchall()
+    want_by_hour = {r[0]: r[1] for r in want}
+    got_by_hour = {r["hour_bucket"]: r["good_rows"] + r["dlq_rows"]
+                   for r in got.collect()}
+    assert got_by_hour == want_by_hour
+
+    # phase 3: no new files — resume must change nothing
+    again = run_quality_log(spark, SF_SMOKE, out, source_dir=staged,
+                            resume=True)
+    again_by_hour = {r["hour_bucket"]: r["good_rows"] + r["dlq_rows"]
+                     for r in again.collect()}
+    assert again_by_hour == got_by_hour
