@@ -75,6 +75,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/ann.py ivfpq_topk): coarse cells +
+    product-quantized 4-bit codes + exact refinement — the
+    memory-bounded index shape for corpora whose float vectors no
+    longer fit (rows-only + recall/compression pytest, same policy as
+    ann_ivf: 9 nested k-means fits make a SQL replay impractical)."""
+    apply_engine_conf(spark)
+    from ..operators.ann import ivfpq_topk
+
+    return ivfpq_topk(_emb(spark, sf_dir),
+                      F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
+
+
 COS_TAU = 0.45
 
 
@@ -852,6 +865,7 @@ LLM_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_ivf": q_ann_ivf,
+    "ann_ivfpq": q_ann_ivfpq,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,

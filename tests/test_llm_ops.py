@@ -164,3 +164,31 @@ def test_lang_id_deterministic_argmax(spark):
         # predicted lang must be the alphabetically-first argmax
         winners = [l for l in sorted(scores) if scores[l] == best]
         assert r["predicted_lang"] == winners[0]
+
+
+def test_ann_ivfpq_recall_and_refinement(spark):
+    """IVF-PQ must match plain IVF's probe-limited recall (the PQ
+    approximation may not become the bottleneck once the refinement
+    pool re-ranks exactly), and every reported cos_sim must be the
+    EXACT dot — refinement, not the quantized estimate."""
+    from pyspark.sql import functions as F
+
+    from azure_nyctaxi_lambda_elt_spark.operators.ann import (
+        cosine_topk, ivfpq_topk)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pred = F.col("vec_id") % 100 == 0
+    brute = {(r["q_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in cosine_topk(emb, pred, 5).collect()}
+    got = ivfpq_topk(emb, pred, 5).collect()
+    pq = {(r["q_id"], r["neighbor_id"]): r for r in got}
+    recall = len(set(brute) & set(pq)) / len(brute)
+    assert recall >= 0.3, f"IVF-PQ recall {recall:.2f} too low"
+    # exact refinement: where PQ found a true neighbor, the reported
+    # sim equals brute force's exact value bit-for-bit
+    for key in set(brute) & set(pq):
+        assert pq[key]["cos_sim"] == brute[key]
+    # probing everything isolates PQ quality: recall must improve
+    all_probe = {(r["q_id"], r["neighbor_id"])
+                 for r in ivfpq_topk(emb, pred, 5, n_probes=16).collect()}
+    assert len(set(brute) & all_probe) / len(brute) >= recall
