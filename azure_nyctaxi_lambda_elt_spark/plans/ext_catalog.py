@@ -302,10 +302,13 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-bucketed embedding dedup — the quadratic
     cosine pass runs per cluster (|corpus|²/k expected work) instead of
-    all-pairs over the corpus.  Iterative (k-means) → rows-only check;
-    tests/test_ext_ops.py holds the numpy-reference parity.  Reference
-    parity: the dedupe stage generalized to semantic near-dups
-    (core/12_trip_clean.dedupe_load.sql's role for embeddings)."""
+    all-pairs over the corpus.  FULL oracle since r3: the unrolled
+    Lloyd SQL chain (_semantic_dedup_oracle) replays the assignment,
+    then the per-cluster cosine pass + lowest-lower-id keeper rule;
+    tests/test_ext_ops.py additionally holds numpy-reference parity.
+    Reference parity: the dedupe stage generalized to semantic
+    near-dups (core/12_trip_clean.dedupe_load.sql's role for
+    embeddings)."""
     apply_engine_conf(spark)
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
                           tau=SEMDEDUP_TAU)
@@ -711,8 +714,8 @@ EXT_ORACLES: dict[str, str] = {
 }
 
 
-def _kmeans_replay_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
-                          dim: int = 64) -> str:
+def _kmeans_replay_chain(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                         dim: int = 64) -> str:
     """Full SQL replay of kmeans_assign (operators/clustering.py):
     deterministic init (k lowest vec_ids) + fixed Lloyd iterations
     unroll into one CTE chain — assign (argmin over centroids, ties →
@@ -760,18 +763,58 @@ def _kmeans_replay_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
           SELECT p.vec_id, c.cid,
                  SUM((p.x - c.cx) * (p.x - c.cx)) AS d2
           FROM px p JOIN {prev} c ON c.i = p.i
-          GROUP BY 1, 2)
-        SELECT vec_id, CAST(cid AS INT) AS cluster_id,
-               ROUND(sqrt(d2), 6) AS dist
-        FROM (
-          SELECT vec_id, cid, d2, row_number() OVER (
-            PARTITION BY vec_id ORDER BY d2, cid) AS rn
-          FROM dfin) t
-        WHERE rn = 1""")
+          GROUP BY 1, 2),
+        asg AS (
+          SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dfin) t
+          WHERE rn = 1)""")
     return "".join(sql)
 
 
+def _kmeans_replay_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                          dim: int = 64) -> str:
+    return _kmeans_replay_chain(k, iters, dim) + """
+        SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+               ROUND(sqrt(d2), 6) AS dist
+        FROM asg"""
+
+
+def _semantic_dedup_oracle(tau: float, k: int = KMEANS_K,
+                           iters: int = KMEANS_ITERS,
+                           dim: int = 64) -> str:
+    """semantic_dedup (operators/clustering.py) replayed in SQL: the
+    unrolled-Lloyd assignment chain, then the per-cluster pairwise
+    cosine pass and the lowest-lower-id-neighbor keeper rule."""
+    return _kmeans_replay_chain(k, iters, dim) + f""",
+        ssq AS (SELECT vec_id, SUM(x * x) AS s FROM px GROUP BY 1),
+        cpairs AS (
+          SELECT ai.vec_id AS id_i, aj.vec_id AS id_j
+          FROM asg ai
+          JOIN asg aj ON ai.cid = aj.cid AND ai.vec_id < aj.vec_id),
+        cosv AS (
+          SELECT p.id_i, p.id_j,
+                 round(SUM(pa.x * pb.x) / (sqrt(si.s) * sqrt(sj.s)), 6)
+                   AS c
+          FROM cpairs p
+          JOIN px pa ON pa.vec_id = p.id_i
+          JOIN px pb ON pb.vec_id = p.id_j AND pb.i = pa.i
+          JOIN ssq si ON si.vec_id = p.id_i
+          JOIN ssq sj ON sj.vec_id = p.id_j
+          GROUP BY p.id_i, p.id_j, si.s, sj.s),
+        dups AS (
+          SELECT id_j AS vec_id, MIN(id_i) AS dup_of
+          FROM cosv WHERE c >= {tau} GROUP BY 1)
+        SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+               CAST(a.cid AS INT) AS cluster_id,
+               (d.dup_of IS NOT NULL) AS is_dup,
+               CAST(d.dup_of AS BIGINT) AS dup_of
+        FROM asg a LEFT JOIN dups d USING (vec_id)"""
+
+
 EXT_ORACLES["kmeans_embeddings"] = _kmeans_replay_oracle()
+EXT_ORACLES["semantic_dedup"] = _semantic_dedup_oracle(SEMDEDUP_TAU)
 
 EXT_QUERIES = {
     "cube_revenue": q_cube_revenue,
