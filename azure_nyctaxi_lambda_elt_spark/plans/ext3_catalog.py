@@ -371,6 +371,57 @@ def source_kl_divergence(docs: DataFrame) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+
+HEAPS_CHECKPOINTS = [50, 100, 200, 300, 400, 500, 1000, 2000, 5000]
+
+
+def heaps_law_curve(docs: DataFrame) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): at each doc-count
+    checkpoint N (docs ordered by doc_id), the cumulative token count
+    and the distinct vocabulary size over the first N docs.
+
+    The naive computation is a sequential prefix scan; the distributed
+    form inverts it: a token is IN the prefix-N vocabulary iff its
+    FIRST doc (min doc_id holding it) is among the N lowest doc_ids —
+    so one groupBy(token).min(first_doc) + one rank of doc ids feeds
+    every checkpoint at once.  Checkpoints beyond the corpus are
+    dropped."""
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("__t"))
+    ranked = toks.select(
+        "doc_id", F.size("__t").alias("__n"),
+        F.row_number().over(Window.orderBy(F.asc("doc_id"))).alias("__r"))
+    first_seen = (
+        toks.select("doc_id", F.explode("__t").alias("token"))
+        .groupBy("token").agg(F.min("doc_id").alias("__fd"))
+        .join(ranked.select(F.col("doc_id").alias("__fd"),
+                            F.col("__r").alias("__fr")), "__fd")
+    )
+    spark = docs.sparkSession
+    cps = spark.createDataFrame(
+        [(c,) for c in HEAPS_CHECKPOINTS], "checkpoint_docs int")
+    n_docs = ranked.agg(F.max("__r").alias("__m"))
+    cps = cps.crossJoin(F.broadcast(n_docs)).where(
+        F.col("checkpoint_docs") <= F.col("__m")).select("checkpoint_docs")
+    cum_tokens = (
+        cps.join(ranked, ranked["__r"] <= cps["checkpoint_docs"])
+        .groupBy("checkpoint_docs")
+        .agg(F.sum("__n").cast("bigint").alias("cum_tokens"))
+    )
+    vocab = (
+        cps.join(first_seen, first_seen["__fr"] <= cps["checkpoint_docs"])
+        .groupBy("checkpoint_docs")
+        .agg(F.count("*").cast("bigint").alias("vocab_size"))
+    )
+    return (
+        cum_tokens.join(vocab, "checkpoint_docs")
+        .select("checkpoint_docs", "cum_tokens", "vocab_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog wrappers
 
@@ -398,6 +449,10 @@ def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_divergence(_docs(spark, sf_dir))
+
+
+def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_law_curve(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +600,33 @@ EXT3_ORACLES: dict[str, str] = {
                kl_vs_corpus
         FROM ns JOIN agg USING (source)
     """,
+    "heaps_law_curve": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents),
+        ranked AS (
+          SELECT doc_id, len(t) AS n,
+                 ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS r
+          FROM toks),
+        first_seen AS (
+          SELECT u.token, MIN(doc_id) AS fd
+          FROM toks, UNNEST(t) u(token) GROUP BY 1),
+        fsr AS (
+          SELECT fs.token, rk.r AS fr
+          FROM first_seen fs JOIN ranked rk ON rk.doc_id = fs.fd),
+        cps AS (
+          SELECT c AS checkpoint_docs
+          FROM UNNEST({HEAPS_CHECKPOINTS}) u(c)
+          WHERE c <= (SELECT MAX(r) FROM ranked)),
+        ct AS (
+          SELECT checkpoint_docs, CAST(SUM(n) AS BIGINT) AS cum_tokens
+          FROM cps JOIN ranked ON r <= checkpoint_docs GROUP BY 1),
+        vs AS (
+          SELECT checkpoint_docs, CAST(COUNT(*) AS BIGINT) AS vocab_size
+          FROM cps JOIN fsr ON fr <= checkpoint_docs GROUP BY 1)
+        SELECT CAST(checkpoint_docs AS INT) AS checkpoint_docs,
+               cum_tokens, vocab_size
+        FROM ct JOIN vs USING (checkpoint_docs)
+    """,
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -568,4 +650,5 @@ EXT3_QUERIES = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "longest_dup_span": q_longest_dup_span,
     "source_kl_divergence": q_source_kl_divergence,
+    "heaps_law_curve": q_heaps_law_curve,
 }

@@ -194,3 +194,17 @@ def test_source_kl_nonnegative_and_skew_ranks_higher(spark):
     assert all(v >= -1e-6 for v in out.values())
     # the source furthest from the corpus mix diverges most
     assert out["skewed"] > out["balanced"] > 0
+
+
+def test_heaps_law_curve_prefix_semantics(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        heaps_law_curve)
+
+    # 60 docs: doc i introduces token "t{i}" plus always-present "the"
+    rows = [(i, f"the t{i}") for i in range(1, 61)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["checkpoint_docs"]: r for r in heaps_law_curve(docs).collect()}
+    # checkpoints beyond the 60-doc corpus are dropped
+    assert set(out) == {50}
+    assert out[50]["cum_tokens"] == 100       # 2 tokens/doc × 50 docs
+    assert out[50]["vocab_size"] == 51        # "the" + t1..t50
