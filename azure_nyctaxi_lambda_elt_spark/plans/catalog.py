@@ -912,6 +912,30 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "sessionize", sf_dir))
 
 
+def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: write trip_clean to ZSTD ORC partitioned
+    by ingest_date, read it back, and roll up per partition — the
+    warehouse-layer content must survive a format change byte-exactly
+    (the reference's columnstore layer is format-agnostic about the
+    lake files it external-tables over).  Decimal-exact fare sums over
+    the read-back vs the in-memory chain are the oracle."""
+    import shutil
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "orc_rt", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    (clean.write.mode("overwrite").option("compression", "zstd")
+     .partitionBy("ingest_date").orc(out))
+    back = spark.read.orc(out)
+    return back.groupBy("ingest_date").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"),
+        F.countDistinct("trip_uid").cast("bigint").alias("n_trips"),
+    )
+
+
 def q_idempotent_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write trip_clean partitioned by ingest_date, then rerun only the
     day>=20 slice with corrected fares — dynamic partition overwrite
@@ -1337,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_run_quality_log": q_streaming_run_quality_log,
     "streaming_distinct_sketch": q_streaming_distinct_sketch,
     "late_dim_reconcile": q_late_dim_reconcile,
+    "format_orc_roundtrip": q_format_orc_roundtrip,
     "rate_limit_per_key": q_rate_limit_per_key,
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
@@ -1542,6 +1567,14 @@ ORACLES["streaming_distinct_sketch"] = """
            round(COUNT(*) * 32.0, 1) AS est_distinct
     FROM surv GROUP BY 1
 """
+
+ORACLES["format_orc_roundtrip"] = with_trips("""
+SELECT ingest_date,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS fare_sum,
+       CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips
+FROM trip_clean GROUP BY 1
+""")
 
 ORACLES["late_dim_reconcile"] = with_trips("""
 , early AS (
