@@ -422,6 +422,102 @@ def heaps_law_curve(docs: DataFrame) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# watermark-lateness profile (event-time disorder measurement)
+
+
+def watermark_lateness_profile(events: DataFrame) -> DataFrame:
+    """Per event_type: how out-of-order the feed is — the measurement
+    that SIZES a streaming watermark.  Lateness of an event = per-user
+    running max event time (over arrival order, event_id asc) minus its
+    own event time; a a perfectly ordered feed profiles all zeros.
+
+    Per-KEY running max (not global): a global arrival-order prefix
+    max is inherently sequential, but per-user disorder distributes on
+    the user hash — and it is the quantity that matters, since
+    watermark state is keyed.  All arithmetic in integer epoch seconds
+    (exact).  p95 is the exact rank-position value."""
+    ev = events.select(
+        "event_type", "user_id", "event_id",
+        F.unix_timestamp("ts").alias("__s"))
+    w = (Window.partitionBy("user_id").orderBy(F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    late = ev.select(
+        "event_type",
+        (F.max("__s").over(w) - F.col("__s")).alias("__late"))
+    stats = late.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("__late") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_late"),
+        F.max("__late").cast("bigint").alias("max_lateness_sec"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("__late"))
+    p95 = (
+        late.withColumn("__r", F.row_number().over(wr))
+        .join(stats.select("event_type",
+                           F.ceil(F.col("n_events") * 0.95).alias("__p")),
+              "event_type")
+        .where(F.col("__r") == F.col("__p"))
+        .select("event_type", F.col("__late").cast("bigint")
+                .alias("p95_lateness_sec"))
+    )
+    return stats.join(p95, "event_type").select(
+        "event_type", "n_events", "n_late", "max_lateness_sec",
+        "p95_lateness_sec")
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+
+
+def source_overlap_matrix(docs: DataFrame, gram_tokens: int = 8) -> DataFrame:
+    """Pairwise source-level contamination: for every source pair
+    (a < b), the number of shared verbatim 8-token grams and the
+    Jaccard over the two gram sets — benchmark_decontam generalized
+    from eval-vs-train to train-vs-train shard leakage.
+
+    Only (source, gram-md5) rows shuffle (distinct per source); the
+    pair join runs on the gram hash, and per-source totals broadcast
+    onto the |sources|² result."""
+    toks = docs.select(
+        "source", F.split(F.lower(F.col("text")), " ").alias("__t"))
+    win = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - gram_tokens),
+        lambda i: F.md5(
+            F.array_join(F.slice("__t", i + 1, gram_tokens), " ")))
+    grams = (
+        toks.where(F.size("__t") >= gram_tokens)
+        .select("source", F.explode(win).alias("g"))
+        .distinct()
+    )
+    per_src = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    na = per_src.select(F.col("source").alias("source_a"),
+                        F.col("n_grams").alias("n_grams_a"))
+    nb = per_src.select(F.col("source").alias("source_b"),
+                        F.col("n_grams").alias("n_grams_b"))
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared"))
+        .cast("double"), 6)
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select("source_a", "source_b", "n_grams_a", "n_grams_b",
+                "n_shared", jac.alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog wrappers
 
@@ -453,6 +549,15 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_curve(_docs(spark, sf_dir))
+
+
+def q_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return watermark_lateness_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -627,6 +732,64 @@ EXT3_ORACLES: dict[str, str] = {
                cum_tokens, vocab_size
         FROM ct JOIN vs USING (checkpoint_docs)
     """,
+    "watermark_lateness_profile": """
+        WITH ev AS (
+          SELECT event_type, user_id, event_id,
+                 CAST(epoch(ts) AS BIGINT) AS s
+          FROM events),
+        late AS (
+          SELECT event_type,
+                 MAX(s) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                              ROWS UNBOUNDED PRECEDING) - s AS l
+          FROM ev),
+        stats AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN l > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+                 CAST(MAX(l) AS BIGINT) AS max_lateness_sec
+          FROM late GROUP BY 1),
+        ranked AS (
+          SELECT event_type, l,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY l ASC) AS r
+          FROM late),
+        p95 AS (
+          SELECT rk.event_type, CAST(rk.l AS BIGINT) AS p95_lateness_sec
+          FROM ranked rk
+          JOIN stats st ON st.event_type = rk.event_type
+          WHERE rk.r = CAST(ceil(st.n_events * 0.95) AS BIGINT))
+        SELECT event_type, n_events, n_late, max_lateness_sec,
+               p95_lateness_sec
+        FROM stats JOIN p95 USING (event_type)
+    """,
+    "source_overlap_matrix": """
+        WITH toks AS (
+          SELECT source, string_split(lower(text), ' ') AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(t[i:i+7], ' ')) AS g
+          FROM toks, UNNEST(generate_series(1, len(t) - 7)) u(i)),
+        per_src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM grams GROUP BY 1),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM grams a JOIN grams b
+            ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               na.n_grams AS n_grams_a, nb.n_grams AS n_grams_b,
+               n_shared,
+               round(CAST(n_shared AS DOUBLE)
+                     / CAST(na.n_grams + nb.n_grams - n_shared AS DOUBLE),
+                     6) AS jaccard
+        FROM shared
+        JOIN per_src na ON na.source = source_a
+        JOIN per_src nb ON nb.source = source_b
+    """,
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -651,4 +814,6 @@ EXT3_QUERIES = {
     "longest_dup_span": q_longest_dup_span,
     "source_kl_divergence": q_source_kl_divergence,
     "heaps_law_curve": q_heaps_law_curve,
+    "watermark_lateness_profile": q_watermark_lateness_profile,
+    "source_overlap_matrix": q_source_overlap_matrix,
 }

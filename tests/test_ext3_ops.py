@@ -208,3 +208,45 @@ def test_heaps_law_curve_prefix_semantics(spark):
     assert set(out) == {50}
     assert out[50]["cum_tokens"] == 100       # 2 tokens/doc × 50 docs
     assert out[50]["vocab_size"] == 51        # "the" + t1..t50
+
+
+def test_watermark_lateness_ordered_vs_disordered(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        watermark_lateness_profile)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [
+        # user 1, ordered feed: no lateness
+        (1, s(0), 1, "a", 0.0, None), (2, s(10), 1, "a", 0.0, None),
+        (3, s(20), 1, "a", 0.0, None),
+        # user 2, one event 30s late behind the running max
+        (4, s(100), 2, "b", 0.0, None), (5, s(70), 2, "b", 0.0, None),
+        (6, s(110), 2, "b", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["event_type"]: r
+           for r in watermark_lateness_profile(ev).collect()}
+    assert out["a"]["n_late"] == 0 and out["a"]["max_lateness_sec"] == 0
+    assert out["b"]["n_late"] == 1 and out["b"]["max_lateness_sec"] == 30
+
+
+def test_source_overlap_matrix_shared_grams(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        source_overlap_matrix)
+
+    run = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, run + " sa tail", "s1"),
+         (2, run + " sb tail", "s2"),       # shares exactly the w0..w7 gram
+         (3, "totally different words all over this longer document", "s3")],
+        "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap_matrix(docs).collect()}
+    assert out[("s1", "s2")]["n_shared"] == 1
+    assert ("s1", "s3") not in out  # no shared grams → no row
+    j = out[("s1", "s2")]
+    assert j["jaccard"] == round(1 / (j["n_grams_a"] + j["n_grams_b"] - 1), 6)
