@@ -518,6 +518,96 @@ def source_overlap_matrix(docs: DataFrame, gram_tokens: int = 8) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+
+
+ATTR_WINDOW_MIN = 60
+
+
+def attribution_last_touch(events: DataFrame,
+                           window_min: int = ATTR_WINDOW_MIN) -> DataFrame:
+    """Marketing-style attribution: every purchase attributes to the
+    LAST click by the same user within the preceding hour (ties on ts
+    break by click event_id desc — the latest-arriving click wins);
+    purchases with no qualifying click report NULL.
+
+    Shape: the interval join bounds candidates per purchase, then one
+    rank-per-purchase window picks the winner — the as-of-join family
+    (asof_join's union trick is the O(1)-state alternative when the
+    window is unbounded)."""
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    # the click-side key is renamed BEFORE the join: dropping one side
+    # of an ambiguous left-join key keeps NULLs from the null-extended
+    # side on non-matches
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("__cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    joined = p.join(
+        c,
+        (p["user_id"] == c["__cu"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"]
+           - F.expr(f"INTERVAL {window_min} MINUTES")),
+        "left",
+    ).drop("__cu")
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("click_ts"), F.desc_nulls_last("click_id"))
+    return (
+        joined.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "purchase_value",
+                "click_id", "click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup graph triangle count
+
+
+def dup_graph_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle census of the near-dup candidate graph — the cluster-
+    quality diagnostic (many triangles ⇒ dense clique-like dup groups;
+    none ⇒ chain-like borderline matches).  Input: undirected edges
+    (doc_i < doc_j).  Output one row: nodes, edges, triangles, and the
+    global clustering coefficient 3·triangles / open-wedge count.
+
+    Standard distributed shape: orient edges low→high, join twice on
+    the shared endpoint, close the wedge against the edge set — the
+    wedge join never materializes more than the true wedge count."""
+    e = pairs.select(F.col("doc_i").alias("a"), F.col("doc_j").alias("b"))         .where(F.col("a") < F.col("b")).distinct().persist()
+    w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
+    tri = wedges.join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")),
+        ["y", "z"]).count()
+    nodes = e.select(F.col("a").alias("n")).union(
+        e.select(F.col("b").alias("n"))).distinct().count()
+    n_edges = e.count()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    open_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+    ).collect()[0]["w"]
+    e.unpersist()
+    spark = pairs.sparkSession
+    coef = round(3.0 * tri / open_wedges, 6) if open_wedges else 0.0
+    return spark.createDataFrame(
+        [(int(nodes), int(n_edges), int(tri), float(coef))],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
+        "clustering_coef double")
+
+
 # ---------------------------------------------------------------------------
 # catalog wrappers
 
@@ -558,6 +648,23 @@ def q_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the exact-Jaccard near-dup pairs (same
+    edge set dedup_clusters closes over)."""
+    from ..operators import llm_text as lt
+    from .llm_catalog import JACCARD_N, JACCARD_TAU
+
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    return dup_graph_triangles(
+        lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU))
 
 
 # ---------------------------------------------------------------------------
@@ -790,6 +897,32 @@ EXT3_ORACLES: dict[str, str] = {
         JOIN per_src na ON na.source = source_a
         JOIN per_src nb ON nb.source = source_b
     """,
+    "attribution_last_touch": f"""
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id AS cu, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.purchase_id, p.user_id, p.purchase_ts,
+                 p.purchase_value, c.click_id, c.click_ts
+          FROM p LEFT JOIN c
+            ON c.cu = p.user_id
+           AND c.click_ts <= p.purchase_ts
+           AND c.click_ts >= p.purchase_ts
+                             - INTERVAL {ATTR_WINDOW_MIN} MINUTES)
+        SELECT purchase_id, user_id, purchase_ts, purchase_value,
+               click_id, click_ts
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY purchase_id
+            ORDER BY click_ts DESC NULLS LAST,
+                     click_id DESC NULLS LAST) AS r
+          FROM j) t
+        WHERE r = 1
+    """,
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -816,4 +949,41 @@ EXT3_QUERIES = {
     "heaps_law_curve": q_heaps_law_curve,
     "watermark_lateness_profile": q_watermark_lateness_profile,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "attribution_last_touch": q_attribution_last_touch,
+    "dup_graph_triangles": q_dup_graph_triangles,
 }
+
+
+# dup_graph_triangles: the pairs CTE chain is the dedup_ngram_jaccard
+# oracle's; the census runs over the resulting (doc_i, doc_j) edges
+def _triangle_oracle() -> str:
+    from .llm_catalog import LLM_ORACLES
+
+    pair_sql = LLM_ORACLES["dedup_ngram_jaccard"]
+    return f"""
+        WITH pairs AS ({pair_sql}),
+        e AS (SELECT DISTINCT doc_i AS a, doc_j AS b FROM pairs),
+        wedges AS (
+          SELECT w1.b AS y, w2.b AS z
+          FROM e w1 JOIN e w2 ON w1.a = w2.a AND w1.b < w2.b),
+        tri AS (
+          SELECT COUNT(*) AS t
+          FROM wedges JOIN e ON e.a = wedges.y AND e.b = wedges.z),
+        nodes AS (
+          SELECT COUNT(*) AS n FROM (
+            SELECT a AS v FROM e UNION SELECT b FROM e)),
+        edges AS (SELECT COUNT(*) AS m FROM e),
+        deg AS (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        ow AS (SELECT SUM(d * (d - 1) / 2) AS w FROM deg)
+        SELECT CAST(n AS BIGINT) AS n_nodes,
+               CAST(m AS BIGINT) AS n_edges,
+               CAST(t AS BIGINT) AS n_triangles,
+               CASE WHEN w > 0 THEN round(3.0 * t / w, 6)
+                    ELSE 0.0 END AS clustering_coef
+        FROM nodes CROSS JOIN edges CROSS JOIN tri CROSS JOIN ow
+    """
+
+
+EXT3_ORACLES["dup_graph_triangles"] = _triangle_oracle()

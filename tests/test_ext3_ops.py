@@ -250,3 +250,44 @@ def test_source_overlap_matrix_shared_grams(spark):
     assert ("s1", "s3") not in out  # no shared grams → no row
     j = out[("s1", "s2")]
     assert j["jaccard"] == round(1 / (j["n_grams_a"] + j["n_grams_b"] - 1), 6)
+
+
+def test_attribution_last_touch_window_and_ties(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        attribution_last_touch)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        (1, m(0), 7, "click", 0.0, None),
+        (2, m(30), 7, "click", 0.0, None),    # last touch for purchase 10
+        (3, m(30), 7, "click", 0.0, None),    # same ts → higher id wins
+        (10, m(45), 7, "purchase", 9.99, None),
+        (4, m(100), 8, "click", 0.0, None),   # 65 min before → outside 60m
+        (11, m(165), 8, "purchase", 5.0, None),
+        (12, m(200), 9, "purchase", 1.0, None),  # user never clicked
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["purchase_id"]: r for r in attribution_last_touch(ev).collect()}
+    assert out[10]["click_id"] == 3 and out[10]["user_id"] == 7
+    assert out[11]["click_id"] is None and out[11]["user_id"] == 8
+    assert out[12]["click_id"] is None
+
+
+def test_dup_graph_triangles_census(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        dup_graph_triangles)
+
+    # K4 on {1,2,3,4} (4 triangles) + a chain 10-11-12 (0 triangles)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (10, 11), (11, 12)],
+        "doc_i bigint, doc_j bigint")
+    r = dup_graph_triangles(pairs).collect()[0]
+    assert r["n_nodes"] == 7 and r["n_edges"] == 8
+    assert r["n_triangles"] == 4
+    # open wedges: K4 = 4·C(3,2)=12, chain: node 11 has C(2,2)=1 → 13
+    assert r["clustering_coef"] == round(3.0 * 4 / 13, 6)
