@@ -374,14 +374,15 @@ def simhash_pairs(docs: DataFrame,
     pairs at distance 4+ are emitted only when they happen to share a
     band.  The shuffle carries (band_id, 16-bit value) keys.
 
-    The 16-bytes/doc signature table is materialized once
-    (localCheckpoint): it feeds both sides of the band self-join, and
-    without the barrier the optimizer pushes the join's isnotnull
-    filters below the signature projection and inlines the full 64-bit
-    fold into each filter condition (measured ~6x recompute of the md5
-    transform).  Checkpoint, not persist, so the copy is released with
-    the frame instead of pinning executor memory for the session."""
-    sig = simhash_halves(docs).localCheckpoint()
+    The 16-bytes/doc signature table is persisted: it feeds both sides
+    of the band self-join, and without the barrier the optimizer pushes
+    the join's isnotnull filters below the signature projection and
+    inlines the full 64-bit fold into each filter condition (measured
+    ~6x recompute of the md5 transform).  persist, not an eager
+    localCheckpoint: the checkpoint pays a separate materialization job
+    per call (measured 3.1 s vs 0.6 s best-of-2 at sf0.1) and the
+    cached copy is ~16 B/doc, LRU-evictable."""
+    sig = simhash_halves(docs).persist()
     bands = F.array(
         F.struct(F.lit(0).alias("band_id"),
                  F.shiftright(F.col("h_hi"), 16).bitwiseAND(F.lit(0xFFFF)).alias("val")),

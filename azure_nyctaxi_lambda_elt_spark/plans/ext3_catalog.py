@@ -19,7 +19,14 @@ earlier sets do — the reference's BI serving layer
   distributed stand-in for suffix-automaton longest-match;
 - source_kl_divergence is the per-source mixture-drift monitor
   (unigram KL vs the corpus distribution — the shard-health check
-  next to mixture_weights' reweighting plan).
+  next to mixture_weights' reweighting plan);
+- heaps_law_curve (vocabulary growth, distributed via first-occurrence
+  inversion), source_overlap_matrix (train-vs-train shard
+  contamination), watermark_lateness_profile (the event-time disorder
+  measurement that sizes streaming watermarks),
+  attribution_last_touch (as-of-family serving shape), and
+  dup_graph_triangles (near-dup graph quality census) round out the
+  set.
 
 Oracle conventions (same as llm2/ext2): md5-derived hashes replayed
 bit-exactly in DuckDB; every double rounded to 6 dp THEN cast to
