@@ -615,6 +615,111 @@ def dup_graph_triangles(pairs: DataFrame) -> DataFrame:
         "clustering_coef double")
 
 
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP)
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per (event_type, day): the time-weighted average of `value` —
+    each observation weighted by the seconds it was "current" (until
+    the next event of the same type that day; the day's last
+    observation carries no weight).  The TWAP shape of tick/telemetry
+    rollups, where the plain AVG over-counts bursts.
+
+    Weights are integer MICROseconds (exact — second-granularity
+    epoch extraction truncates in Spark but rounds in DuckDB, a 1-s
+    off-by-one the oracle caught); value×dt products round to 6 dp and
+    sum as DECIMAL so the division inputs are identical in both
+    engines."""
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    ev = events.select(
+        "event_type", F.to_date("ts").alias("day"), "ts", "event_id",
+        "value",
+        # some builds surface parquet TIMESTAMP(NANOS) as NTZ;
+        # session tz is pinned UTC so the cast is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"))
+    dt = (F.lead("__us").over(w) - F.col("__us"))
+    seg = ev.withColumn("__dt", dt).where(F.col("__dt").isNotNull())
+    return (
+        seg.select(
+            "event_type", "day",
+            F.col("__dt").cast("bigint").alias("__dt"),
+            F.round(F.col("value") * F.col("__dt"), 6)
+            .cast("decimal(38,6)").alias("__vw"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n_segments"),
+             F.sum("__dt").cast("bigint").alias("covered_us"),
+             F.round(
+                 F.sum("__vw").cast("double") / F.sum("__dt").cast("double"),
+                 6).alias("twap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth column histogram (postload stats analog)
+
+
+HIST_BUCKETS = 10
+
+
+def column_stats_histogram(lineitem: DataFrame,
+                           buckets: int = HIST_BUCKETS) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice — the exact stats-
+    maintenance pass behind optimizer histograms (the reference's
+    post-load stats step, 45_postload_stats.sql generalized from
+    rowcounts to distribution stats).  NTILE over a deterministic
+    total order (value, orderkey, linenumber).
+
+    This is the exact pass; at 100 TB the mergeable sketches
+    (approx_quantile_sketch / tdigest_quantiles) produce the same
+    boundaries without the global sort."""
+    w = Window.orderBy(
+        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return (
+        lineitem.select(
+            F.col("l_extendedprice").cast("double").alias("v"),
+            F.ntile(buckets).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.min("v").alias("lo"),
+             F.max("v").alias("hi"))
+        .select(F.col("bucket").cast("int").alias("bucket"),
+                "n_rows", "lo", "hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-native session windows
+
+
+SESSION_GAP_MIN = 30
+
+
+def session_window_agg(events: DataFrame,
+                       gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN session_window aggregate
+    (merging event-time windows, gap 30 min) — the engine-native twin
+    of the hand-rolled lag+cumsum `sessionize` entry, and the exact
+    batch shape of a streaming session-window aggregation.
+
+    The oracle replays the islands logic (gap > 30 min starts a new
+    session; window end = last ts + gap).  Session values sum as
+    DECIMAL(18,6) casts of the raw doubles — identical both engines."""
+    sw = F.session_window("ts", f"{gap_min} minutes")
+    return (
+        events.groupBy("user_id", sw.alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double"), 6).alias("session_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog wrappers
 
@@ -660,6 +765,21 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+def q_column_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return column_stats_histogram(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return session_window_agg(load_table(spark, sf_dir, "events"))
 
 
 def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +1050,62 @@ EXT3_ORACLES: dict[str, str] = {
           FROM j) t
         WHERE r = 1
     """,
+    "time_weighted_avg": """
+        WITH ev AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                 value, epoch_us(ts) AS us
+          FROM events),
+        seg AS (
+          SELECT event_type, day, value,
+                 LEAD(us) OVER (PARTITION BY event_type, day
+                                ORDER BY ts ASC, event_id ASC) - us AS dt
+          FROM ev),
+        vw AS (
+          SELECT event_type, day, CAST(dt AS BIGINT) AS dt,
+                 CAST(round(value * dt, 6) AS DECIMAL(38,6)) AS vwp
+          FROM seg WHERE dt IS NOT NULL)
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(dt) AS BIGINT) AS covered_us,
+               round(CAST(SUM(vwp) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE),
+                     6) AS twap
+        FROM vw GROUP BY 1, 2
+    """,
+    "column_stats_histogram": f"""
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                 NTILE({HIST_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                            l_linenumber ASC) AS bucket
+          FROM lineitem) t
+        GROUP BY 1
+    """,
+    "session_window_agg": f"""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts ASC)
+                          > INTERVAL {SESSION_GAP_MIN} MINUTES
+                      OR LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sid AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC
+                                     ROWS UNBOUNDED PRECEDING) AS s
+          FROM marked)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTES AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                 AS session_value
+        FROM sid GROUP BY user_id, s
+    """,
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -958,6 +1134,9 @@ EXT3_QUERIES = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "attribution_last_touch": q_attribution_last_touch,
     "dup_graph_triangles": q_dup_graph_triangles,
+    "time_weighted_avg": q_time_weighted_avg,
+    "column_stats_histogram": q_column_stats_histogram,
+    "session_window_agg": q_session_window_agg,
 }
 
 

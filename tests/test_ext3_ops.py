@@ -291,3 +291,64 @@ def test_dup_graph_triangles_census(spark):
     assert r["n_triangles"] == 4
     # open wedges: K4 = 4·C(3,2)=12, chain: node 11 has C(2,2)=1 → 13
     assert r["clustering_coef"] == round(3.0 * 4 / 13, 6)
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        time_weighted_avg)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10 held for 90s, value 20 held for 10s, last has no weight
+        (1, t0, 1, "a", 10.0, None),
+        (2, t0 + dt.timedelta(seconds=90), 1, "a", 20.0, None),
+        (3, t0 + dt.timedelta(seconds=100), 1, "a", 99.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = time_weighted_avg(ev).collect()[0]
+    assert r["n_segments"] == 2
+    assert r["covered_us"] == 100_000_000
+    assert r["twap"] == round((10.0 * 90 + 20.0 * 10) / 100, 6)  # 11.0
+
+
+def test_column_stats_histogram_equi_depth(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        column_stats_histogram)
+
+    li = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(1, 101)],
+        "l_orderkey long, l_linenumber int, l_extendedprice double")
+    out = {r["bucket"]: r for r in column_stats_histogram(li).collect()}
+    assert len(out) == 10
+    assert all(out[b]["n_rows"] == 10 for b in out)
+    assert out[1]["lo"] == 1.0 and out[1]["hi"] == 10.0
+    assert out[10]["lo"] == 91.0 and out[10]["hi"] == 100.0
+    # buckets tile the domain without overlap
+    for b in range(1, 10):
+        assert out[b]["hi"] < out[b + 1]["lo"]
+
+
+def test_session_window_agg_merges_and_splits(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        session_window_agg)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        (1, m(0), 7, "a", 1.0, None),
+        (2, m(10), 7, "a", 2.0, None),    # same session (gap 10 < 30)
+        (3, m(50), 7, "a", 4.0, None),    # gap 40 → new session
+        (4, m(0), 8, "a", 8.0, None),     # other user: own session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = sorted(session_window_agg(ev).collect(),
+                 key=lambda r: (r["user_id"], r["session_start"]))
+    assert [(r["user_id"], r["n_events"], r["session_value"]) for r in out] \
+        == [(7, 2, 3.0), (7, 1, 4.0), (8, 1, 8.0)]
+    assert out[0]["session_end"] == m(40)   # last event + 30 min gap
