@@ -720,6 +720,54 @@ def session_window_agg(events: DataFrame,
     )
 
 
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy record linkage
+
+
+def fuzzy_name_linkage(customer: DataFrame) -> DataFrame:
+    """Record linkage: customer-name pairs within edit distance 1,
+    found WITHOUT the all-pairs comparison via split-half blocking —
+    two equal-length strings one substitution apart must agree on
+    their first OR second half (pigeonhole), so each name emits two
+    (half_id, half, length) block keys, candidates join inside blocks,
+    and levenshtein verifies.  The same candidates-then-verify shape as
+    the MinHash/SimHash dedup family, specialized to typo-distance
+    keys (fixed-format IDs, SKUs, phone numbers); general insertions/
+    deletions need shifted-block variants of the same scheme.
+
+    Only (block-key, name) rows shuffle; the verify stage touches
+    candidate pairs only."""
+    n = customer.select(F.col("c_name").alias("name")).distinct()
+    ln = F.length("name")
+    # split so BOTH parts carry entropy: zero-padded IDs vary only in
+    # the tail, so a naive half split puts the constant prefix in one
+    # block (every row in one bucket — degenerate).  all-but-last-2 /
+    # last-2 keeps both block families selective for this key shape.
+    half1 = F.expr("substring(name, 1, length(name) - 2)")
+    half2 = F.expr("right(name, 2)")
+    blocks = n.select(
+        "name", ln.alias("ln"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("h"), half1.alias("half")),
+            F.struct(F.lit(1).alias("h"), half2.alias("half")),
+        )).alias("b"),
+    ).select("name", "ln", F.col("b.h").alias("h"),
+             F.col("b.half").alias("half"))
+    a = blocks.select(F.col("name").alias("name_a"), "ln", "h", "half")
+    b = blocks.select(F.col("name").alias("name_b"), "ln", "h", "half")
+    cand = (
+        a.join(b, ["ln", "h", "half"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b").distinct()
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        cand.withColumn("lev", lev.cast("int"))
+        .where(F.col("lev") <= 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog wrappers
 
@@ -780,6 +828,11 @@ def q_column_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return fuzzy_name_linkage(load_table(spark, sf_dir, "customer"))
 
 
 def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,6 +1159,24 @@ EXT3_ORACLES: dict[str, str] = {
                  AS session_value
         FROM sid GROUP BY user_id, s
     """,
+    "fuzzy_name_linkage": """
+        WITH n AS (SELECT DISTINCT c_name AS name FROM customer),
+        blocks AS (
+          SELECT name, length(name) AS ln, 0 AS h,
+                 substring(name, 1, length(name) - 2) AS half FROM n
+          UNION ALL
+          SELECT name, length(name) AS ln, 1 AS h,
+                 right(name, 2) AS half FROM n),
+        cand AS (
+          SELECT DISTINCT a.name AS name_a, b.name AS name_b
+          FROM blocks a
+          JOIN blocks b ON a.ln = b.ln AND a.h = b.h AND a.half = b.half
+          WHERE a.name < b.name)
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INT) AS lev
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= 1
+    """,
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -1137,6 +1208,7 @@ EXT3_QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "column_stats_histogram": q_column_stats_histogram,
     "session_window_agg": q_session_window_agg,
+    "fuzzy_name_linkage": q_fuzzy_name_linkage,
 }
 
 

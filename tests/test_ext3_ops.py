@@ -352,3 +352,35 @@ def test_session_window_agg_merges_and_splits(spark):
     assert [(r["user_id"], r["n_events"], r["session_value"]) for r in out] \
         == [(7, 2, 3.0), (7, 1, 4.0), (8, 1, 8.0)]
     assert out[0]["session_end"] == m(40)   # last event + 30 min gap
+
+
+def test_fuzzy_linkage_complete_vs_brute_force(spark):
+    """Split-half blocking must find EVERY lev<=1 pair the brute-force
+    cross product finds (pigeonhole completeness for one substitution),
+    and nothing above the threshold."""
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        fuzzy_name_linkage)
+
+    names = ["ID#0001", "ID#0002", "ID#0011", "ID#9999",
+             "ID#0101", "XX#0001"]
+    cust = spark.createDataFrame([(n,) for n in names], "c_name string")
+    got = {(r["name_a"], r["name_b"]): r["lev"]
+           for r in fuzzy_name_linkage(cust).collect()}
+
+    def lev(a, b):
+        import itertools
+        d = {(i, 0): i for i in range(len(a) + 1)}
+        for j in range(len(b) + 1):
+            d[(0, j)] = j
+        for i, j in itertools.product(range(1, len(a) + 1),
+                                      range(1, len(b) + 1)):
+            d[(i, j)] = min(d[i-1, j] + 1, d[i, j-1] + 1,
+                            d[i-1, j-1] + (a[i-1] != b[j-1]))
+        return d[len(a), len(b)]
+
+    brute = {(a, b): lev(a, b)
+             for i, a in enumerate(sorted(names))
+             for b in sorted(names)[i+1:] if lev(a, b) <= 1}
+    assert got == brute
+    assert ("ID#0001", "ID#0002") in got and got[("ID#0001", "ID#0002")] == 1
+    assert ("ID#0001", "ID#9999") not in got
