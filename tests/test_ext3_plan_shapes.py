@@ -68,3 +68,25 @@ def test_lm_score_joins_are_hash_joins(docs):
     plan = _plan(ngram_lm_score(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or "Cross" in plan
+
+
+def test_attribution_join_is_keyed_not_nested_loop(spark):
+    """The interval join must key on user_id (hash/sort-merge); the
+    range predicates ride as join conditions, never a nested loop."""
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        attribution_last_touch)
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = _plan(attribution_last_touch(ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_linkage_blocked_not_crossed(spark):
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        fuzzy_name_linkage)
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    plan = _plan(fuzzy_name_linkage(cust))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
