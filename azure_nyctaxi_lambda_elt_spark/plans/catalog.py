@@ -757,6 +757,19 @@ def q_streaming_run_quality_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "run_quality", sf_dir))
 
 
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming built-in session_window aggregation (streaming/lane.py
+    run_session_windows): APPEND-mode emission at the watermark — the
+    drained sink holds exactly the sessions finalized by the final
+    watermark (max ts − 2 h), so the gap-islands SQL filtered at the
+    same cutoff is a FULL oracle."""
+    from ..streaming.lane import run_session_windows
+
+    apply_engine_conf(spark)
+    return run_session_windows(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "session_windows", sf_dir))
+
+
 def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable distinct-cardinality sketch per event_type
     (streaming/lane.py run_distinct_sketch): bounded survivor-set state
@@ -1360,6 +1373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_model_upsert": q_streaming_model_upsert,
     "streaming_run_quality_log": q_streaming_run_quality_log,
     "streaming_distinct_sketch": q_streaming_distinct_sketch,
+    "streaming_session_windows": q_streaming_session_windows,
     "late_dim_reconcile": q_late_dim_reconcile,
     "format_orc_roundtrip": q_format_orc_roundtrip,
     "rate_limit_per_key": q_rate_limit_per_key,
@@ -1385,6 +1399,37 @@ ORACLES.update(SERVING3_ORACLES)
 ORACLES.update(LLM2_ORACLES)
 ORACLES.update(EXT2_ORACLES)
 ORACLES.update(EXT3_ORACLES)
+# streaming session windows emit in APPEND mode: the drained sink holds
+# exactly the sessions whose end <= final watermark (max ts - 2 h).
+# NB the cutoff lives ONLY in the oracle: filtering the Spark batch twin
+# on session_end is NOT equivalent -- Catalyst pushes the predicate
+# below the merging session-window aggregate and truncates sessions
+# (tests/test_streaming.py::test_session_window_filter_pushdown_hazard).
+ORACLES["streaming_session_windows"] = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC)
+                      > INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sid AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS session_value
+      FROM sid GROUP BY user_id, s),
+    cut AS (SELECT MAX(ts) - INTERVAL 2 HOURS AS c FROM events)
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM sess CROSS JOIN cut WHERE session_end <= c
+"""
 
 # ---------------------------------------------------------------------------
 # Driver-verification ordering.  The driver's correctness run checks the

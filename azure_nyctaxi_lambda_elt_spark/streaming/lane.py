@@ -573,3 +573,47 @@ def run_distinct_sketch(spark: SparkSession, sf_dir: str,
         F.count("*").cast("bigint").alias("n_sampled"),
         F.round(F.count("*") * F.lit(32.0), 1).alias("est_distinct"),
     )
+
+
+def run_session_windows(spark: SparkSession, sf_dir: str, out_dir: str,
+                        max_files_per_trigger: int | None = None,
+                        source_dir: str | None = None) -> DataFrame:
+    """Streaming sessionization via the BUILT-IN session_window merging
+    aggregate (gap 30 min, event-time watermark 2 h) — the streaming
+    twin of the batch session_window_agg entry and the engine-native
+    alternative to the applyInPandasWithState sessionizer.
+
+    Session windows stream in APPEND mode only: a session row emits
+    exactly once, when the event-time watermark passes its end.  After
+    the availableNow drain the sink holds every session whose end ≤
+    final watermark (global max ts − 2 h); the batch twin filtered at
+    the same cutoff is a FULL oracle (the interval-join-outer entry
+    uses the same watermark-cutoff comparison)."""
+    sess_dir = os.path.join(out_dir, "sessions")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(sess_dir, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double"), 6).alias("session_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+    def append_sessions(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("append").parquet(sess_dir)
+
+    _run_available_now(
+        agg.writeStream.outputMode("append").foreachBatch(append_sessions)
+        .option("checkpointLocation", ckpt))
+    try:
+        return spark.read.parquet(sess_dir)
+    except Exception:
+        return agg.limit(0)  # nothing finalized (empty/short feed)

@@ -311,3 +311,38 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, feed_dir, duck):
     again_by_hour = {r["hour_bucket"]: r["good_rows"] + r["dlq_rows"]
                      for r in again.collect()}
     assert again_by_hour == got_by_hour
+
+
+def test_multibatch_session_windows_equal_batch_at_cutoff(spark, feed_dir):
+    """3 ts-ordered micro-batches of the built-in session_window
+    aggregation must drain to exactly the batch sessions finalized by
+    the final watermark.  The batch twin is filtered AFTER collect():
+    a Spark-side .where(session_end <= cut) is pushed below the merging
+    session-window aggregate and truncates sessions (the oracle carries
+    the cutoff in SQL for the same reason)."""
+    import datetime
+
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        session_window_agg)
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_session_windows)
+
+    got = run_session_windows(
+        spark, SF_SMOKE, os.path.join(OUT, "session_windows"),
+        max_files_per_trigger=1, source_dir=feed_dir)
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"],
+                     r["n_events"], r["session_value"])
+    g = {key(r) for r in got.collect()}
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    cut = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    batch = [r for r in session_window_agg(ev).collect()
+             if r["session_end"] <= cut]
+    assert g == {key(r) for r in batch}
+    assert g, "cutoff must leave finalized sessions at this scale"
