@@ -291,24 +291,52 @@ def longest_dup_span(docs: DataFrame) -> DataFrame:
     doc_id) triples ever shuffle."""
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("__t"))
-    def _part(span: int):
-        # NB: the lambda must stay single-parameter — F.transform
-        # dispatches on lambda arity, and a second (defaulted) python
-        # arg would silently receive the ELEMENT INDEX.
-        return F.when(
-            F.size("__t") >= span,
+    # Merkle ladder: hash every 8-token window ONCE (h8), then build
+    # each longer level from the md5 of its two child hashes —
+    # h16[i] = md5(h8[i] || h8[i+8]) and so on.  Identical dup
+    # semantics per level (the composed hash determines the same
+    # 2L-token window), but the string bytes fed to md5 drop ~4x vs
+    # re-joining up to 64 raw tokens per window (measured 5.0 s →
+    # ~2 s at sf0.1).  Each level is its own projection: Spark does
+    # no CSE inside interpreted HOF lambdas (the tokenize-once rule).
+    base = SPAN_LADDER[0]
+    lv = toks.withColumn(
+        "h8",
+        F.when(
+            F.size("__t") >= base,
             F.transform(
-                F.sequence(F.lit(0), F.size("__t") - span),
-                lambda i: F.struct(
-                    F.lit(span).alias("L"),
-                    F.md5(F.array_join(F.slice("__t", i + 1, span), " "))
-                    .alias("g")),
+                F.sequence(F.lit(0), F.size("__t") - base),
+                lambda i: F.md5(
+                    F.array_join(F.slice("__t", i + 1, base), " "))),
+        ).otherwise(F.array().cast("array<string>")))
+    # closure factories keep every HOF lambda single-parameter —
+    # F.transform dispatches on lambda arity, and a second (defaulted)
+    # python arg would silently receive the ELEMENT INDEX
+    def _compose(prev_col: str, step: int):
+        return F.when(
+            F.size(prev_col) >= step + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(prev_col) - step),
+                lambda i: F.md5(F.concat(
+                    F.element_at(F.col(prev_col), i),
+                    F.element_at(F.col(prev_col), i + step))),
             ),
-        ).otherwise(F.array().cast("array<struct<L:int,g:string>>"))
+        ).otherwise(F.array().cast("array<string>"))
 
-    parts = [_part(span) for span in SPAN_LADDER]
+    def _tag(span: int):
+        return F.transform(
+            F.col(f"h{span}"),
+            lambda g: F.struct(F.lit(span).alias("L"), g.alias("g")))
+
+    prev = "h8"
+    prev_span = base
+    for span in SPAN_LADDER[1:]:
+        col = f"h{span}"
+        lv = lv.withColumn(col, _compose(prev, span - prev_span))
+        prev, prev_span = col, span
+    parts = [_tag(span) for span in SPAN_LADDER]
     spans = (
-        toks.select("doc_id", F.explode(F.flatten(F.array(*parts))).alias("s"))
+        lv.select("doc_id", F.explode(F.flatten(F.array(*parts))).alias("s"))
         .select("doc_id", F.col("s.L").alias("L"), F.col("s.g").alias("g"))
         .distinct()
     )
@@ -862,10 +890,33 @@ _CMS_CELL_SQL = (
     "AS BIGINT) % {w}"
 )
 
+def _span_level_ctes() -> str:
+    """Merkle-ladder CTEs mirroring longest_dup_span's hash
+    composition: base-level 8-gram md5s, each longer level the md5 of
+    its two child hashes."""
+    base = SPAN_LADDER[0]
+    out = [f"""
+        h{base} AS (
+          SELECT doc_id,
+                 [md5(array_to_string(t[i:i+{base - 1}], ' '))
+                  FOR i IN generate_series(1, len(t) - {base - 1})] AS h
+          FROM toks)"""]
+    prev = base
+    for span in SPAN_LADDER[1:]:
+        step = span - prev
+        out.append(f"""
+        h{span} AS (
+          SELECT doc_id,
+                 [md5(h[i] || h[i + {step}])
+                  FOR i IN generate_series(1, len(h) - {step})] AS h
+          FROM h{prev})""")
+        prev = span
+    return ",".join(out)
+
+
 _SPAN_SELECTS = "\n      UNION ALL\n".join(
-    f"""      SELECT doc_id, {span} AS L,
-             md5(array_to_string(t[i:i+{span - 1}], ' ')) AS g
-      FROM toks, UNNEST(generate_series(1, len(t) - {span - 1})) u(i)"""
+    f"""      SELECT doc_id, {span} AS L, u.g
+      FROM h{span}, UNNEST(h) u(g)"""
     for span in SPAN_LADDER
 )
 
@@ -1180,7 +1231,7 @@ EXT3_ORACLES: dict[str, str] = {
     "longest_dup_span": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t
-          FROM documents),
+          FROM documents),{_span_level_ctes()},
         spans AS (
           SELECT DISTINCT doc_id, L, g FROM (
 {_SPAN_SELECTS}
