@@ -832,6 +832,65 @@ _PROBES = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(_N_PLANES)])
 # identical output contract → identical oracle
 LLM_ORACLES["dedup_clusters_bigstar"] = LLM_ORACLES["dedup_clusters"]
 
+
+# ann_ivf full literal-replay oracle (r3): the coarse codebook is the
+# SAME deterministic Lloyd fit kmeans_embeddings unrolls into SQL —
+# reuse that chain (k=16, iters=3 — ivf_topk's training params), then
+# replay the cosine assignment, 3-cell probing, and exact re-rank.
+def _ann_ivf_oracle(k: int = ANN_K, n_centroids: int = 16,
+                    n_probes: int = 3, train_iters: int = 3) -> str:
+    from .ext_catalog import _kmeans_replay_chain
+
+    chain = _kmeans_replay_chain(n_centroids, train_iters, 64)
+    fin = f"cx{train_iters}"
+    return chain + f""",
+        cssq AS (SELECT cid, SUM(cx * cx) AS cs FROM {fin} GROUP BY 1),
+        vssq AS (SELECT vec_id, SUM(x * x) AS vs FROM px GROUP BY 1),
+        vc AS (
+          SELECT p.vec_id, c.cid,
+                 round(SUM(p.x * c.cx)
+                       / (sqrt(vs.vs) * sqrt(cs.cs)), 6) AS ccos
+          FROM px p
+          JOIN {fin} c ON c.i = p.i
+          JOIN vssq vs ON vs.vec_id = p.vec_id
+          JOIN cssq cs ON cs.cid = c.cid
+          GROUP BY p.vec_id, c.cid, vs.vs, cs.cs),
+        assigned AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM vc) t
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM vc WHERE vec_id % {ANN_QUERY_MOD} = 0) t
+          WHERE rn <= {n_probes}),
+        cand AS (
+          SELECT pr.q_id, a.vec_id AS neighbor_id
+          FROM probes pr JOIN assigned a ON a.cell = pr.cell
+          WHERE a.vec_id != pr.q_id),
+        pcos AS (
+          SELECT c.q_id, c.neighbor_id,
+                 round(SUM(pq.x * pn.x)
+                       / (sqrt(vq.vs) * sqrt(vn.vs)), 6) AS cos_sim
+          FROM cand c
+          JOIN px pq ON pq.vec_id = c.q_id
+          JOIN px pn ON pn.vec_id = c.neighbor_id AND pn.i = pq.i
+          JOIN vssq vq ON vq.vec_id = c.q_id
+          JOIN vssq vn ON vn.vec_id = c.neighbor_id
+          GROUP BY c.q_id, c.neighbor_id, vq.vs, vn.vs)
+        SELECT q_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+        FROM pcos
+        QUALIFY rnk <= {k}"""
+
+
+LLM_ORACLES["ann_ivf"] = _ann_ivf_oracle()
+
 LLM_ORACLES["ann_lsh_bucket"] = f"""
     WITH v AS (
       SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
