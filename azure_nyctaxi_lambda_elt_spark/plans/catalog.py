@@ -1444,64 +1444,42 @@ ORACLES["streaming_session_windows"] = """
 # CORRECTNESS_r01/r02 sort to the tail via _DRIVER_GREEN.
 
 _CHECK_FIRST: list[str] = [
-    # --- F. warehouse serving shapes (13, oracle-backed, never checked)
-    "cust_order_distribution",
-    "promo_revenue_ratio",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_pred_join",
-    "idle_customers",          # also reworked in 08303eb
-    "important_part_share",    # also reworked in 08303eb
-    "market_share",
-    "product_profit",
-    "brand_supplier_cnt",
-    "min_price_supplier",
-    "customer_value_rank",
-    # --- G. serving set 2 (10, never checked)
-    "ship_priority",
-    "forecast_revenue",
-    "volume_shipping",
-    "returned_item",
-    "grouping_sets_revenue",
-    "pareto_customer_share",
-    "inverted_index",
-    "zscore_outliers",
-    "approx_quantile_sketch",  # r3: rank-error-bound oracle added
-    "tdigest_quantiles",       # new in r3
-    # --- H. serving set 3 + LLM set 2 (9, never checked)
-    "ship_mode_priority",
-    "excess_shipments",
-    "waiting_orders",
-    "multi_res_rollup",
-    "ewma_daily",
-    "mad_outliers",
-    "bloom_join_prune",
-    "exact_substring_dedup",
-    "mixture_weights",
-    # --- E tail (never checked)
-    "event_transitions",
-    "gap_fill_locf",
-    "dataset_split",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "kmeans_embeddings",       # r3: literal-replay oracle added
-    # --- I. round-2 ext2 additions (never checked)
-    "scd2_asof_lookup",
-    "burst_collapse",
-    "chi2_independence",
-    # --- stale greens: code reworked after last driver row
-    "cust_no_orders_anti",     # 08303eb recency-window anti-join
-    "dedup_simhash",           # r2 full oracle + r3 hamming-guarantee fix
-    "ann_lsh_bucket",          # r2 full oracle (4c046d8), never exercised
-    "percentile_value",        # r2 (value,count) pre-agg rework
-    "dedup_ngram_jaccard",     # r2 MAX_SHINGLE_DF cap changes results
-    # --- new this round
-    "partition_stats",
-    # --- rows-only entries that still deserve a recorded rows check
-    "semantic_dedup",
-    "hll_distinct_users",
-    "streaming_rate_limit",
+    # --- round-3 set J additions, never in a driver window (local-only
+    # in the pytest oracle-parity replica).  The three entries reworked
+    # in round 4 for scale (heaps_law_curve, column_stats_histogram,
+    # fuzzy_name_linkage) are here too — their fresh code needs fresh
+    # rows regardless.
+    "bm25_topk",
+    "ngram_lm_score",
+    "heavy_hitters_cms",
+    "longest_dup_span",
+    "source_kl_divergence",
+    "heaps_law_curve",          # r4: boundary-broadcast rework
+    "watermark_lateness_profile",
+    "source_overlap_matrix",
+    "attribution_last_touch",
+    "time_weighted_avg",
+    "column_stats_histogram",   # r4: sketch-boundary rework
+    "session_window_agg",
+    "fuzzy_name_linkage",       # r4: 2-of-3 pigeonhole blocking rework
+    "dup_graph_triangles",
+    "dedup_clusters_bigstar",
+    # --- round-3 A/C additions, never in a driver window
+    "late_dim_reconcile",
+    "format_orc_roundtrip",
+    "streaming_distinct_sketch",
+    "streaming_session_windows",
+    # --- stale: r3 rewrote ann_ivf (k-means codebook ec28d60 + full
+    # literal-replay oracle 9430ff3) AFTER its r1 rows-only row — that
+    # row attests code that no longer exists (VERDICT r3 §wrong #4).
+    "ann_ivf",
+    # --- r4 oracle upgrade: IVF-PQ literal-replay (was rows-only)
+    "ann_ivfpq",
+    # --- new in round 4
+    "streaming_raw_archive",
+    "payment_map_scd",
+    "file_scoped_replay",
+    "late_data_audit",
 ]
 
 
@@ -1521,8 +1499,8 @@ _DRIVER_GREEN = {
     "streaming_sessionize", "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "ann_cosine_topk", "lang_id",
     # rows-only r1 entries whose recorded rows check still attests
-    # current code
-    "streaming_dedupe", "ann_ivf",
+    # current code (ann_ivf moved to _CHECK_FIRST: r3 rewrote it)
+    "streaming_dedupe",
     # r2 greens (CORRECTNESS_r02.json, 50/50), code unchanged since
     "clean_slice", "dedupe_latest_wins", "fact_build_star",
     "bi_view_flat", "upsert_merge_latest", "quality_audit",
@@ -1541,6 +1519,26 @@ _DRIVER_GREEN = {
     "streaming_windowed_audit", "streaming_upsert",
     "streaming_dim_enrich", "streaming_model_upsert",
     "streaming_run_quality_log", "streaming_interval_join_outer",
+    # r3 greens (CORRECTNESS_r03.json, 48/48 full + 2 rows-only-by-
+    # design), code unchanged since
+    "cust_order_distribution", "promo_revenue_ratio", "top_supplier",
+    "small_qty_revenue", "large_orders", "disjunctive_pred_join",
+    "idle_customers", "important_part_share", "market_share",
+    "product_profit", "brand_supplier_cnt", "min_price_supplier",
+    "customer_value_rank", "ship_priority", "forecast_revenue",
+    "volume_shipping", "returned_item", "grouping_sets_revenue",
+    "pareto_customer_share", "inverted_index", "zscore_outliers",
+    "approx_quantile_sketch", "tdigest_quantiles", "ship_mode_priority",
+    "excess_shipments", "waiting_orders", "multi_res_rollup",
+    "ewma_daily", "mad_outliers", "bloom_join_prune",
+    "exact_substring_dedup", "mixture_weights", "event_transitions",
+    "gap_fill_locf", "dataset_split", "skew_salted_agg",
+    "skew_salted_join", "kmeans_embeddings", "scd2_asof_lookup",
+    "burst_collapse", "chi2_independence", "cust_no_orders_anti",
+    "dedup_simhash", "ann_lsh_bucket", "percentile_value",
+    "dedup_ngram_jaccard", "partition_stats", "semantic_dedup",
+    # rows-only-by-design, driver-recorded rows checks in r3
+    "hll_distinct_users", "streaming_rate_limit",
 }
 
 

@@ -420,34 +420,43 @@ def heaps_law_curve(docs: DataFrame) -> DataFrame:
 
     The naive computation is a sequential prefix scan; the distributed
     form inverts it: a token is IN the prefix-N vocabulary iff its
-    FIRST doc (min doc_id holding it) is among the N lowest doc_ids —
-    so one groupBy(token).min(first_doc) + one rank of doc ids feeds
-    every checkpoint at once.  Checkpoints beyond the corpus are
+    FIRST doc (min doc_id holding it) is among the N lowest doc_ids.
+    The prefix membership test is a BOUNDARY comparison, not a rank:
+    the N-th smallest doc_id per checkpoint comes from one
+    TakeOrderedAndProject (per-partition top-N heaps of size
+    max(checkpoints), merged at the driver — a few thousand scalar
+    ids, never a data path), and the ~10 (checkpoint, boundary) rows
+    broadcast into `doc_id <= boundary` joins.  No row of the corpus
+    is ever ranked through a single-partition window — the earlier
+    row_number().over(Window.orderBy(doc_id)) serialized the whole
+    doc table through one reducer.  Checkpoints beyond the corpus are
     dropped."""
+    spark = docs.sparkSession
+    max_cp = max(HEAPS_CHECKPOINTS)
+    # TakeOrderedAndProject: distributed per-partition heap, driver
+    # merge of <= max_cp ids — tiny-frame control flow, not a data path.
+    smallest = sorted(
+        r[0] for r in
+        docs.select("doc_id").orderBy(F.asc("doc_id")).limit(max_cp)
+        .collect())
+    bounds = [(c, smallest[c - 1]) for c in HEAPS_CHECKPOINTS
+              if c <= len(smallest)]
+    cps = F.broadcast(spark.createDataFrame(
+        bounds, "checkpoint_docs int, __b bigint"))
     toks = docs.select(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("__t"))
-    ranked = toks.select(
-        "doc_id", F.size("__t").alias("__n"),
-        F.row_number().over(Window.orderBy(F.asc("doc_id"))).alias("__r"))
+    per_doc = toks.select("doc_id", F.size("__t").alias("__n"))
     first_seen = (
         toks.select("doc_id", F.explode("__t").alias("token"))
         .groupBy("token").agg(F.min("doc_id").alias("__fd"))
-        .join(ranked.select(F.col("doc_id").alias("__fd"),
-                            F.col("__r").alias("__fr")), "__fd")
     )
-    spark = docs.sparkSession
-    cps = spark.createDataFrame(
-        [(c,) for c in HEAPS_CHECKPOINTS], "checkpoint_docs int")
-    n_docs = ranked.agg(F.max("__r").alias("__m"))
-    cps = cps.crossJoin(F.broadcast(n_docs)).where(
-        F.col("checkpoint_docs") <= F.col("__m")).select("checkpoint_docs")
     cum_tokens = (
-        cps.join(ranked, ranked["__r"] <= cps["checkpoint_docs"])
+        per_doc.join(cps, per_doc["doc_id"] <= cps["__b"])
         .groupBy("checkpoint_docs")
         .agg(F.sum("__n").cast("bigint").alias("cum_tokens"))
     )
     vocab = (
-        cps.join(first_seen, first_seen["__fr"] <= cps["checkpoint_docs"])
+        first_seen.join(cps, first_seen["__fd"] <= cps["__b"])
         .groupBy("checkpoint_docs")
         .agg(F.count("*").cast("bigint").alias("vocab_size"))
     )
@@ -697,24 +706,82 @@ def column_stats_histogram(lineitem: DataFrame,
     """Equi-depth histogram of l_extendedprice — the exact stats-
     maintenance pass behind optimizer histograms (the reference's
     post-load stats step, 45_postload_stats.sql generalized from
-    rowcounts to distribution stats).  NTILE over a deterministic
-    total order (value, orderkey, linenumber).
+    rowcounts to distribution stats).  Output is bit-identical to
+    NTILE over the deterministic total order (value, orderkey,
+    linenumber), but computed as a DISTRIBUTED rank, never a
+    single-reducer sort:
 
-    This is the exact pass; at 100 TB the mergeable sketches
-    (approx_quantile_sketch / tdigest_quantiles) produce the same
-    boundaries without the global sort."""
-    w = Window.orderBy(
-        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    1. repartitionByRange on the full sort key (sampled, ordered,
+       non-overlapping ranges — Spark's distributed-sort partitioner);
+    2. per-partition row counts → prefix-sum offsets (a numPartitions-
+       row frame, driver-side scalar control flow);
+    3. global rank = broadcast offset + partition-local row_number
+       (the only Window is partitioned by spark_partition_id — no
+       unpartitioned Window anywhere in the plan);
+    4. the NTILE bucket of a rank is closed-form (first n%b buckets
+       hold ceil(n/b) rows), so a map-side expression assigns buckets
+       and a tiny groupBy finishes.
+
+    The mergeable sketches (approx_quantile_sketch /
+    tdigest_quantiles) remain the bounded-error twin when approximate
+    boundaries suffice."""
+    spark = lineitem.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = lineitem.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"))
+    ranged = (
+        base.repartitionByRange(nparts, F.asc("v"), F.asc("k1"), F.asc("k2"))
+        .withColumn("__pid", F.spark_partition_id())
+        # pin ONE materialization: the counts branch and the rank
+        # branch must see identical range boundaries (re-sampling the
+        # partitioner across two jobs shifts pids and corrupts the
+        # offsets — observed as +-260-row bucket drift at sf0.01)
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"]) for r in
+        ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect())
+    n = sum(c for _, c in counts)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "bucket int, n_rows bigint, lo double, hi double")
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off = F.broadcast(spark.createDataFrame(
+        offsets, "__pid int, __off bigint"))
+    w = (Window.partitionBy("__pid")
+         .orderBy(F.asc("v"), F.asc("k1"), F.asc("k2")))
+    ranked = (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .join(off, "__pid")
+        .withColumn("__r", F.col("__off") + F.col("__lr"))
+    )
+    # NTILE(b) over n rows: buckets 1..rem hold q+1 rows, the rest q.
+    # ceil-division stays in INTEGER arithmetic ((x + d - 1) DIV d):
+    # F.ceil over a double quotient misassigns boundary ranks once n is
+    # large enough for the division to pick up float error (observed at
+    # sf0.01: 30085/6017 -> 5.0000000000000009 -> an 11th bucket).
+    q, rem = divmod(n, buckets)
+    big = rem * (q + 1)  # ranks <= big land in the q+1-sized buckets
+    if q == 0:
+        bucket = F.col("__r")
+    else:
+        bucket = F.when(
+            F.col("__r") <= F.lit(big),
+            F.expr(f"(__r + {q}) DIV {q + 1}")
+        ).otherwise(
+            F.expr(f"{rem} + (__r - {big} + {q - 1}) DIV {q}"))
     return (
-        lineitem.select(
-            F.col("l_extendedprice").cast("double").alias("v"),
-            F.ntile(buckets).over(w).alias("bucket"))
+        ranked.select("v", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_rows"),
              F.min("v").alias("lo"),
              F.max("v").alias("hi"))
-        .select(F.col("bucket").cast("int").alias("bucket"),
-                "n_rows", "lo", "hi")
+        .select("bucket", "n_rows", "lo", "hi")
     )
 
 
@@ -754,38 +821,46 @@ def session_window_agg(events: DataFrame,
 
 
 def fuzzy_name_linkage(customer: DataFrame) -> DataFrame:
-    """Record linkage: customer-name pairs within edit distance 1,
-    found WITHOUT the all-pairs comparison via split-half blocking —
-    two equal-length strings one substitution apart must agree on
-    their first OR second half (pigeonhole), so each name emits two
-    (half_id, half, length) block keys, candidates join inside blocks,
-    and levenshtein verifies.  The same candidates-then-verify shape as
-    the MinHash/SimHash dedup family, specialized to typo-distance
-    keys (fixed-format IDs, SKUs, phone numbers); general insertions/
-    deletions need shifted-block variants of the same scheme.
+    """Record linkage: customer-name pairs within edit distance 1
+    (substitution, insertion, OR deletion), found WITHOUT the
+    all-pairs comparison via deletion-neighborhood blocking
+    (the FastSS scheme, Bocek et al. 2007): each name emits the md5
+    of itself plus the md5 of each single-character deletion variant.
+    lev(a,b) <= 1  ⟺  a = b, or del(a,i) = del(b,i) for some i
+    (substitution), or del(a,i) = b (deletion), or a = del(b,j)
+    (insertion) — every true pair shares at least one key, so the
+    equi-join on keys is a COMPLETE candidate generator and
+    levenshtein verifies.  Same candidates-then-verify shape as the
+    MinHash/SimHash dedup family.
 
-    Only (block-key, name) rows shuffle; the verify stage touches
-    candidate pairs only."""
+    Scale: every block key carries all-but-one characters of the
+    name, so block sizes are O(true-duplicate multiplicity), never
+    the O(N/Σ) of a low-entropy fragment family (the earlier
+    all-but-last-2 / last-2 split had an O(N/100·|Σ|) second family
+    → quadratic candidates inside its blocks).  Keys are md5-hashed
+    to fixed 32-byte tokens before the shuffle; only (key, name)
+    rows move, the verify stage touches candidate pairs only.
+    tests/test_ext3_plan_shapes.py asserts the block-size bound."""
     n = customer.select(F.col("c_name").alias("name")).distinct()
-    ln = F.length("name")
-    # split so BOTH parts carry entropy: zero-padded IDs vary only in
-    # the tail, so a naive half split puts the constant prefix in one
-    # block (every row in one bucket — degenerate).  all-but-last-2 /
-    # last-2 keeps both block families selective for this key shape.
-    half1 = F.expr("substring(name, 1, length(name) - 2)")
-    half2 = F.expr("right(name, 2)")
-    blocks = n.select(
-        "name", ln.alias("ln"),
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("h"), half1.alias("half")),
-            F.struct(F.lit(1).alias("h"), half2.alias("half")),
-        )).alias("b"),
-    ).select("name", "ln", F.col("b.h").alias("h"),
-             F.col("b.half").alias("half"))
-    a = blocks.select(F.col("name").alias("name_a"), "ln", "h", "half")
-    b = blocks.select(F.col("name").alias("name_b"), "ln", "h", "half")
+    # name itself + every single-char deletion variant, md5-hashed.
+    # array_union dedups (deleting either of a doubled letter yields
+    # the same variant) so a pair never meets in more than a handful
+    # of blocks.
+    variants = F.expr("""
+        array_union(
+          array(name),
+          transform(sequence(1, length(name)),
+            i -> concat(substring(name, 1, i - 1),
+                        substring(name, i + 1, length(name)))))
+    """)
+    keys = (
+        n.select("name", F.explode(variants).alias("__v"))
+        .select("name", F.md5("__v").alias("__k"))
+    )
+    a = keys.select(F.col("name").alias("name_a"), "__k")
+    b = keys.select(F.col("name").alias("name_b"), "__k")
     cand = (
-        a.join(b, ["ln", "h", "half"])
+        a.join(b, "__k")
         .where(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b").distinct()
     )
@@ -1210,23 +1285,15 @@ EXT3_ORACLES: dict[str, str] = {
                  AS session_value
         FROM sid GROUP BY user_id, s
     """,
+    # brute-force all-pairs GROUND TRUTH (stronger than replaying the
+    # blocking: proves the deletion-neighborhood candidate generator
+    # is COMPLETE for lev <= 1, not merely self-consistent)
     "fuzzy_name_linkage": """
-        WITH n AS (SELECT DISTINCT c_name AS name FROM customer),
-        blocks AS (
-          SELECT name, length(name) AS ln, 0 AS h,
-                 substring(name, 1, length(name) - 2) AS half FROM n
-          UNION ALL
-          SELECT name, length(name) AS ln, 1 AS h,
-                 right(name, 2) AS half FROM n),
-        cand AS (
-          SELECT DISTINCT a.name AS name_a, b.name AS name_b
-          FROM blocks a
-          JOIN blocks b ON a.ln = b.ln AND a.h = b.h AND a.half = b.half
-          WHERE a.name < b.name)
-        SELECT name_a, name_b,
-               CAST(levenshtein(name_a, name_b) AS INT) AS lev
-        FROM cand
-        WHERE levenshtein(name_a, name_b) <= 1
+        WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS lev
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 1
     """,
     "longest_dup_span": f"""
         WITH toks AS (

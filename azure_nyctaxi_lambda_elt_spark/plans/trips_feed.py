@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.columns import (
-    canonical_map,
     date_key,
     is_night_hour,
     miles_to_km,
@@ -46,6 +45,39 @@ from ..operators.dims import build_dim, resolve_fk
 from ..sources.tables import load_table
 
 PAYMENT_MAP = {"1": "CARD", "2": "CASH", "3": "NO_CHARGE", "4": "DISPUTE"}
+
+# ref.payment_type_map analog (sql/batchELT/ref/01_payment_type_map.sql:
+# payment_type_src/std + is_active + valid_from/to validity) as a seeded
+# MAINTAINED TABLE instead of a CASE literal: a mapping change is a row
+# update, not a code edit, and the lookup is a broadcast join (the
+# table is ROUND_ROBIN+HEAP in the reference — i.e. tiny; broadcast is
+# the Spark shape).  The ACTIVE rows reproduce PAYMENT_MAP exactly, so
+# every downstream oracle is unchanged; the inactive '1'->'CREDIT'
+# predecessor exercises the validity-window (AS OF) lookup path.
+# Rows: (src, std, is_active, valid_from_utc, valid_to_utc).
+PAYMENT_MAP_SEED: list[tuple[str, str, bool, str, str | None]] = [
+    ("1", "CREDIT", False, "1970-01-01 00:00:00", "2024-01-16 00:00:00"),
+    ("1", "CARD", True, "2024-01-16 00:00:00", None),
+    ("2", "CASH", True, "1970-01-01 00:00:00", None),
+    ("3", "NO_CHARGE", True, "1970-01-01 00:00:00", None),
+    ("4", "DISPUTE", True, "1970-01-01 00:00:00", None),
+    ("CRD", "CARD", True, "1970-01-01 00:00:00", None),
+    ("CSH", "CASH", True, "1970-01-01 00:00:00", None),
+]
+
+
+def payment_map_ref(spark: SparkSession,
+                    seed: list | None = None) -> DataFrame:
+    """The seeded ref.payment_type_map frame (01_payment_type_map.sql)."""
+    rows = PAYMENT_MAP_SEED if seed is None else seed
+    df = spark.createDataFrame(
+        rows,
+        "payment_type_src string, payment_type_std string, "
+        "is_active boolean, valid_from_utc string, valid_to_utc string")
+    return df.select(
+        "payment_type_src", "payment_type_std", "is_active",
+        F.col("valid_from_utc").cast("timestamp").alias("valid_from_utc"),
+        F.col("valid_to_utc").cast("timestamp").alias("valid_to_utc"))
 
 
 def events_ts_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,9 +220,25 @@ def split_trips(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
     return split_good_bad(typed, trip_reject_rules())
 
 
-def clean_slice(typed: DataFrame) -> DataFrame:
-    """core.trip_clean_slice analog (slice_ctas.sql SELECT list)."""
+def clean_slice(typed: DataFrame,
+                payment_map: DataFrame | None = None) -> DataFrame:
+    """core.trip_clean_slice analog (slice_ctas.sql SELECT list).
+
+    The payment canonicalization is a BROADCAST JOIN against the
+    maintained ref.payment_type_map table's active rows (ref/
+    01_payment_type_map.sql) — a mapping change is a ref-table row
+    update picked up on the next run, not a code edit.  Active src
+    values are unique by construction (tests/test_payment_map.py), so
+    the left join is row-preserving; unmapped codes surface as NULL
+    exactly like the reference's unmatched-lookup CASE."""
     good, _ = split_trips(typed)
+    pm = payment_map if payment_map is not None else payment_map_ref(
+        typed.sparkSession)
+    active = F.broadcast(
+        pm.where(F.col("is_active"))
+        .select(F.col("payment_type_src").alias("payment_src"),
+                "payment_type_std"))
+    good = good.join(active, "payment_src", "left")
     return good.select(
         F.col("vendor_code"),
         F.col("trip_uid"),
@@ -201,7 +249,7 @@ def clean_slice(typed: DataFrame) -> DataFrame:
         # the driver's value-hasher represents DECIMAL differently per
         # engine, so the query-output convention is plain double
         F.col("fare_amount").cast("decimal(9,2)").cast("double").alias("fare_amount"),
-        canonical_map("payment_src", PAYMENT_MAP).alias("payment_type"),
+        F.col("payment_type_std").alias("payment_type"),
         F.col("rate_code").alias("rate_code_nk"),
         norm_str("store_fwd_flag").alias("flag_nk"),
         is_night_hour("pickup_ts").alias("is_night_ride"),

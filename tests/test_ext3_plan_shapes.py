@@ -90,3 +90,65 @@ def test_fuzzy_linkage_blocked_not_crossed(spark):
     plan = _plan(fuzzy_name_linkage(cust))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_linkage_block_sizes_bounded(spark):
+    """Deletion-neighborhood blocks carry all-but-one chars of the
+    name, so a block's size is the number of TRUE lev<=1 neighbors
+    meeting there, never an O(N/alphabet) fragment family.  Assert the
+    empirical bound: max block size stays O(1)-ish and total candidate
+    key rows stay ~(avg_len+1)*N."""
+    import pyspark.sql.functions as F
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n = cust.select(F.col("c_name").alias("name")).distinct()
+    n_names = n.count()
+    keys = n.select("name", F.explode(F.expr("""
+        array_union(
+          array(name),
+          transform(sequence(1, length(name)),
+            i -> concat(substring(name, 1, i - 1),
+                        substring(name, i + 1, length(name)))))
+    """)).alias("__v")).select("name", F.md5("__v").alias("__k"))
+    sizes = keys.groupBy("__k").count()
+    max_block = sizes.agg(F.max("count")).collect()[0][0]
+    # TPC-H names are 'Customer#{9 digits}': a deletion variant is
+    # shared only by names one edit apart — tiny blocks even though
+    # the corpus is near-degenerate (all names share 9/18 chars).
+    assert max_block <= 32, max_block
+    # candidate pairs never blow up quadratically: sum of C(size,2)
+    # over blocks stays linear-ish in N
+    pairs_bound = sizes.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)).collect()[0][0]
+    assert pairs_bound <= 64 * n_names, (pairs_bound, n_names)
+
+
+def test_heaps_curve_no_global_window(docs):
+    """The r4 rework ranks NO corpus row through a window: prefix
+    membership is a broadcast boundary comparison.  The plan must
+    contain no Window operator and no single-partition Exchange on
+    the token/doc side (the checkpoint frame itself is a tiny
+    local-relation broadcast)."""
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        heaps_law_curve)
+
+    plan = _plan(heaps_law_curve(docs))
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_column_stats_histogram_no_unpartitioned_window(spark):
+    """Every Window in the histogram plan must partition by the range
+    partition id — the global NTILE (one reducer sorting the whole
+    fact table) is banned."""
+    import re
+
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        column_stats_histogram)
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _plan(column_stats_histogram(li))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the partition-local rank window"
+    for s in specs:
+        assert "__pid" in s, s
+    assert "ntile" not in plan.lower()
