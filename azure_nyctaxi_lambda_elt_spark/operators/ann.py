@@ -332,16 +332,21 @@ def ivfpq_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     Scale notes: codebooks train on a sample and broadcast as folded
     literals (no UDF, no join); encode is one narrow map over the
     corpus; the candidate join touches ~n_probes/n_centroids of the
-    corpus; nothing ever shuffles the full vector table.  Evidence is
-    rows-only + the recall/compression pytest (the 9 nested k-means
-    fits make a SQL replay impractical — same policy as ann_ivf)."""
+    corpus; nothing ever shuffles the full vector table.  Evidence:
+    full literal-replay oracle (llm_catalog._ann_ivfpq_oracle unrolls
+    all 9 nested Lloyd fits into SQL) + the recall/compression
+    pytest."""
     from .clustering import fit_centroids
 
     corpus = _prep(embeddings, id_col, vec_col)
+    # localCheckpoint, not persist: the copy is released with the frame
+    # (a persist here outlived every consumer — the 9 nested
+    # fit_centroids calls all re-derive from this frame, so a leaked
+    # cache entry pinned executor memory for the whole session)
     unit = corpus.select(
         "vec_id",
         F.transform("e", lambda x: x / F.sqrt(F.col("ssq"))).alias("__e"),
-    ).persist()
+    ).localCheckpoint()
     dim = DIM
     sub_d = dim // m
 

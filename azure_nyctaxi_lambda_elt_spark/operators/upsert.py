@@ -45,6 +45,56 @@ def merge_latest(
     return latest_wins(tagged, keys, order).drop(priority_col)
 
 
+def replay_file_scoped(
+    path: str,
+    fresh: DataFrame,
+    file_col: str,
+    source_file: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """File-scoped idempotency replay — stg.usp_delete_trips_by_blob
+    (sql/streaming/staging/0005_delete.sql:10-20: DELETE rows for ONE
+    `_blobPath`, then the loader re-inserts that blob's rows).
+
+    Parquet has no row-level DELETE, so the replay is expressed as a
+    partition-surgical rewrite: find the partitions that contain the
+    blob's rows (a tiny distinct over partition columns, pushed to the
+    scan), rewrite ONLY those partitions as (kept rows ∪ fresh rows)
+    via dynamic partition overwrite.  Untouched partitions never move —
+    finer than wiping every partition the run touched, coarser than a
+    true row delete (the Delta/Iceberg MERGE would be the managed-table
+    form of the same contract).
+
+    ``fresh`` must contain only rows belonging to ``source_file``
+    (asserted cheaply via a filter, not a count)."""
+    spark = fresh.sparkSession
+    existing = spark.read.parquet(path)
+    affected = (
+        existing.where(F.col(file_col) == source_file)
+        .select(*partition_cols).distinct().collect())
+    if not affected:
+        replacement = fresh.where(F.col(file_col) == source_file)
+    else:
+        if len(partition_cols) == 1:
+            in_affected = F.col(partition_cols[0]).isin(
+                [r[0] for r in affected])
+        else:
+            in_affected = F.lit(False)
+            for r in affected:
+                clause = F.lit(True)
+                for c, v in zip(partition_cols, r):
+                    clause = clause & (F.col(c) == F.lit(v))
+                in_affected = in_affected | clause
+        kept = existing.where(
+            in_affected & (F.col(file_col) != source_file))
+        replacement = kept.unionByName(
+            fresh.where(F.col(file_col) == source_file))
+    # materialize BEFORE overwriting: the replacement reads the same
+    # files the dynamic overwrite is about to delete
+    replacement = replacement.localCheckpoint()
+    write_partition_overwrite(replacement, path, partition_cols)
+
+
 def write_partition_overwrite(
     df: DataFrame, path: str, partition_cols: Sequence[str]
 ) -> None:

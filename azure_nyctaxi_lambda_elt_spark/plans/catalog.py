@@ -972,10 +972,125 @@ def q_idempotent_partition_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_payment_map_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time application of the maintained ref.payment_type_map
+    (sql/batchELT/ref/01_payment_type_map.sql): each trip's payment
+    code resolves through the map row valid AS OF its pickup time
+    (valid_from <= ts < valid_to), not just the currently-active row —
+    so the '1'->'CREDIT' predecessor maps first-half-of-January trips
+    and '1'->'CARD' the rest.  The map is a ~7-row broadcast; the
+    equality key carries the join, validity rides as a residual
+    condition.  Composes the scd2_dim validity idiom with the star
+    lane's canonicalization."""
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    good, _ = tf.split_trips(typed)
+    dedup = tf.latest_wins(
+        good, ["trip_uid"],
+        [F.col("loaded_at").desc(), F.col("source_file_name").desc()])
+    pm = F.broadcast(tf.payment_map_ref(spark))
+    j = dedup.join(
+        pm,
+        (dedup["payment_src"] == pm["payment_type_src"])
+        & (pm["valid_from_utc"] <= dedup["pickup_ts"])
+        & (pm["valid_to_utc"].isNull()
+           | (dedup["pickup_ts"] < pm["valid_to_utc"])),
+        "left")
+    return (
+        j.groupBy(
+            F.coalesce("payment_type_std", F.lit("UNMAPPED"))
+            .alias("payment_type_std"),
+            F.to_date("pickup_ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_trips"),
+             F.round(F.sum(F.col("fare_amount").cast("decimal(9,2)"))
+                     .cast("double"), 2).alias("fare_total"))
+    )
+
+
+def q_file_scoped_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-scoped idempotency (0005_delete.sql usp_delete_trips_by_blob):
+    load staging with ONE corrupted source file, then replay just that
+    file — delete-its-rows + reload — and read the store back.  The
+    final state must equal the straight clean load (the with_trips
+    typed_trips oracle), proving the replay surgically heals one blob
+    without touching sibling files' rows."""
+    import shutil
+
+    from ..operators.upsert import replay_file_scoped, write_partition_overwrite
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "fsr", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    blob = "events_2024-01-05.parquet"
+    corrupt = typed.withColumn(
+        "fare_amount",
+        F.when(F.col("source_file_name") == blob,
+               F.col("fare_amount") + F.lit(99.0))
+        .otherwise(F.col("fare_amount")))
+    write_partition_overwrite(corrupt, out, ["ingest_date"])
+    replay_file_scoped(out, typed, "source_file_name", blob,
+                       ["ingest_date"])
+    return spark.read.parquet(out)
+
+
+def q_streaming_raw_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_raw_archive
+
+    apply_engine_conf(spark)
+    return run_raw_archive(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "raw_archive", sf_dir))
+
+
+WM_CANDIDATE_DELAYS_MIN = [0, 10, 30, 60]
+
+
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop audit: for each candidate watermark delay, how
+    many events a watermarked streaming aggregate would refuse as
+    too-late — the measurement that picks the delay before you deploy
+    the streaming_session_windows / windowed_audit jobs.  Lateness is
+    the per-key (user) running-max event time minus own event time in
+    arrival order (event_id asc), as in watermark_lateness_profile;
+    per-key lateness lower-bounds the engine's global-watermark
+    lateness, so the audit is the conservative sizing estimate.  The
+    delay grid is a 4-row broadcast; counts partial-aggregate map-side
+    (deterministic, full oracle)."""
+    ev = tf.events_ts_fixed(spark, sf_dir).select(
+        "event_type", "user_id", "event_id",
+        F.unix_timestamp("ts").alias("__s"))
+    w = (Window.partitionBy("user_id").orderBy(F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    late = ev.select(
+        "event_type",
+        (F.max("__s").over(w) - F.col("__s")).alias("__late"))
+    delays = F.broadcast(spark.createDataFrame(
+        [(d,) for d in WM_CANDIDATE_DELAYS_MIN], "delay_min int"))
+    return (
+        late.crossJoin(delays)
+        .groupBy("event_type", "delay_min")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.sum(F.when(F.col("__late") > F.col("delay_min") * 60, 1)
+                   .otherwise(0)).cast("bigint").alias("n_dropped"))
+        .withColumn("drop_frac",
+                    F.round(F.col("n_dropped") / F.col("n_events"), 6))
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
 _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4)))"
+
+
+def _payment_seed_values() -> str:
+    """PAYMENT_MAP_SEED rendered as a DuckDB VALUES list — ONE source
+    of truth for both engines."""
+    rows = []
+    for src, std, act, vf, vt in tf.PAYMENT_MAP_SEED:
+        vt_sql = f"TIMESTAMP '{vt}'" if vt else "NULL"
+        rows.append(f"('{src}', '{std}', {str(act).upper()}, "
+                    f"TIMESTAMP '{vf}', {vt_sql})")
+    return ", ".join(rows)
 
 ORACLES: dict[str, str] = {
     "stg_typed_load": with_trips("SELECT * FROM typed_trips"),
@@ -1382,6 +1497,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idempotent_partition_load": q_idempotent_partition_load,
     "backfill_partition_rebuild": q_backfill_partition_rebuild,
     "partition_stats": q_partition_stats,
+    "payment_map_scd": q_payment_map_scd,
+    "file_scoped_replay": q_file_scoped_replay,
+    "streaming_raw_archive": q_streaming_raw_archive,
+    "late_data_audit": q_late_data_audit,
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
@@ -1751,6 +1870,69 @@ ORACLES["idempotent_partition_load"] = with_trips("""
            loaded_at, ingest_date
     FROM trip_clean
 """)
+
+
+# point-in-time map application: dedupe the good slice, AS-OF join the
+# seeded VALUES map on validity windows, roll up per (std, day)
+ORACLES["payment_map_scd"] = with_trips(f"""
+    , good AS (
+      SELECT * FROM typed_trips
+      WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
+        AND pickup_ts <= dropoff_ts AND fare_amount >= 0
+        AND trip_distance >= 0),
+    dedup AS (
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT g.*, ROW_NUMBER() OVER (
+            PARTITION BY trip_uid
+            ORDER BY loaded_at DESC, source_file_name DESC) AS rn
+        FROM good g) t
+      WHERE rn = 1),
+    pm(payment_type_src, payment_type_std, is_active,
+       valid_from_utc, valid_to_utc) AS (
+      VALUES {_payment_seed_values()})
+    SELECT COALESCE(m.payment_type_std, 'UNMAPPED') AS payment_type_std,
+           CAST(d.pickup_ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           round(CAST(SUM(CAST(d.fare_amount AS DECIMAL(9,2)))
+                      AS DOUBLE), 2) AS fare_total
+    FROM dedup d
+    LEFT JOIN pm m
+      ON m.payment_type_src = d.payment_src
+     AND m.valid_from_utc <= d.pickup_ts
+     AND (m.valid_to_utc IS NULL OR d.pickup_ts < m.valid_to_utc)
+    GROUP BY 1, 2
+""")
+
+# the replayed store must equal the straight typed load (same oracle as
+# stg_typed_load: the corrupt-then-heal path leaves no residue)
+ORACLES["file_scoped_replay"] = with_trips("SELECT * FROM typed_trips")
+
+# the raw passthrough archive is the identity of the input feed
+ORACLES["streaming_raw_archive"] = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+ORACLES["late_data_audit"] = f"""
+    WITH ev AS (
+      SELECT event_type, user_id, event_id,
+             CAST(epoch(ts) AS BIGINT) AS s
+      FROM events),
+    late AS (
+      SELECT event_type,
+             MAX(s) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                          ROWS UNBOUNDED PRECEDING) - s AS l
+      FROM ev),
+    d(delay_min) AS (
+      VALUES {", ".join(f"({d})" for d in WM_CANDIDATE_DELAYS_MIN)})
+    SELECT event_type, CAST(delay_min AS INT) AS delay_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l > delay_min * 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           round(CAST(SUM(CASE WHEN l > delay_min * 60 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS drop_frac
+    FROM late CROSS JOIN d
+    GROUP BY 1, 2
+"""
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

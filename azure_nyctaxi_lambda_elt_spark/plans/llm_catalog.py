@@ -79,8 +79,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (operators/ann.py ivfpq_topk): coarse cells +
     product-quantized 4-bit codes + exact refinement — the
     memory-bounded index shape for corpora whose float vectors no
-    longer fit (rows-only + recall/compression pytest, same policy as
-    ann_ivf: 9 nested k-means fits make a SQL replay impractical)."""
+    longer fit.  FULL literal-replay oracle since r4: all 9 nested
+    Lloyd fits (coarse + 8 subspaces) unroll into namespaced SQL CTE
+    chains (_ann_ivfpq_oracle), plus the recall/compression pytest."""
     apply_engine_conf(spark)
     from ..operators.ann import ivfpq_topk
 
@@ -890,6 +891,153 @@ def _ann_ivf_oracle(k: int = ANN_K, n_centroids: int = 16,
 
 
 LLM_ORACLES["ann_ivf"] = _ann_ivf_oracle()
+
+
+# ann_ivfpq full literal-replay oracle (r4): the same unroll technique
+# as ann_ivf, extended to the 9 nested Lloyd fits (1 coarse + 8
+# subspace codebooks) over UNIT-normalized vectors.  Normalization
+# runs in DuckDB's list domain with list_reduce so the sum-of-squares
+# fold is sequential left-to-right exactly like Spark's F.aggregate
+# (an out-of-order SUM feeding the TRAINING would risk flipping an
+# argmin; inside round(,6) readouts the precedent accepts SUM).
+def _pq_lloyd_chain(prefix: str, px: str, init_sql: str,
+                    k: int, iters: int, dim: int) -> str:
+    """Lloyd CTE chain with namespaced CTEs: {prefix}cx{iters} holds
+    the final centroids, {prefix}asg the final (vec_id, cid, d2)
+    assignment — mirrors ext_catalog._kmeans_replay_chain but over an
+    arbitrary (vec_id, i, x) point table and init list."""
+    sql = [f""",
+        {prefix}init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cid, e
+          FROM ({init_sql})),
+        {prefix}cx0 AS (
+          SELECT cid, u.i, e[u.i] AS cx
+          FROM {prefix}init,
+               (SELECT unnest(generate_series(1, {dim})) AS i) u)"""]
+    prev = f"{prefix}cx0"
+    for it in range(1, iters + 1):
+        sql.append(f""",
+        {prefix}d{it} AS (
+          SELECT p.vec_id, c.cid,
+                 SUM((p.x - c.cx) * (p.x - c.cx)) AS d2
+          FROM {px} p JOIN {prev} c ON c.i = p.i
+          GROUP BY 1, 2),
+        {prefix}a{it} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM {prefix}d{it}) t WHERE rn = 1),
+        {prefix}m{it} AS (
+          SELECT a.cid, p.i, AVG(p.x) AS cx
+          FROM {prefix}a{it} a JOIN {px} p ON p.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        {prefix}cx{it} AS (
+          SELECT prev.cid, prev.i, COALESCE(m.cx, prev.cx) AS cx
+          FROM {prev} prev
+          LEFT JOIN {prefix}m{it} m
+            ON m.cid = prev.cid AND m.i = prev.i)""")
+        prev = f"{prefix}cx{it}"
+    sql.append(f""",
+        {prefix}dfin AS (
+          SELECT p.vec_id, c.cid,
+                 SUM((p.x - c.cx) * (p.x - c.cx)) AS d2
+          FROM {px} p JOIN {prev} c ON c.i = p.i
+          GROUP BY 1, 2),
+        {prefix}asg AS (
+          SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM {prefix}dfin) t
+          WHERE rn = 1)""")
+    return "".join(sql)
+
+
+def _ann_ivfpq_oracle(k: int = ANN_K, n_centroids: int = 16,
+                      n_probes: int = 3, m: int = 8, n_codes: int = 16,
+                      train_iters: int = 2, refine: int = 10,
+                      dim: int = 64) -> str:
+    sub_d = dim // m
+    sql = [f"""
+        WITH pts AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        upts AS (
+          SELECT vec_id,
+                 list_transform(e, x -> x / sqrt(
+                   list_reduce(list_transform(e, y -> y * y),
+                               (acc, v) -> acc + v))) AS u
+          FROM pts),
+        idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+        px AS (SELECT vec_id, i, u[i] AS x FROM upts, idx)"""]
+    # coarse codebook over the full unit vectors
+    sql.append(_pq_lloyd_chain(
+        "c_", "px",
+        f"SELECT vec_id, u AS e FROM upts ORDER BY vec_id LIMIT {n_centroids}",
+        n_centroids, train_iters, dim))
+    # 8 subspace codebooks over the unit-vector slices
+    for j in range(m):
+        lo, hi = j * sub_d + 1, (j + 1) * sub_d
+        sql.append(f""",
+        spx{j} AS (
+          SELECT vec_id, i - {lo - 1} AS i, x FROM px
+          WHERE i BETWEEN {lo} AND {hi})""")
+        sql.append(_pq_lloyd_chain(
+            f"s{j}_", f"spx{j}",
+            f"SELECT vec_id, u[{lo}:{hi}] AS e FROM upts "
+            f"ORDER BY vec_id LIMIT {n_codes}",
+            n_codes, train_iters, sub_d))
+        sql.append(f""",
+        recon{j} AS (
+          SELECT a.vec_id, c.i + {lo - 1} AS i, c.cx AS rx
+          FROM s{j}_asg a
+          JOIN s{j}_cx{train_iters} c ON c.cid = a.cid)""")
+    recon_union = " UNION ALL ".join(
+        f"SELECT * FROM recon{j}" for j in range(m))
+    sql.append(f""",
+        recon AS ({recon_union}),
+        probes AS (
+          SELECT vec_id AS q_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM c_dfin WHERE vec_id % {ANN_QUERY_MOD} = 0) t
+          WHERE rn <= {n_probes}),
+        cand AS (
+          SELECT pr.q_id, a.vec_id AS neighbor_id
+          FROM probes pr JOIN c_asg a ON a.cid = pr.cell
+          WHERE a.vec_id != pr.q_id),
+        adc AS (
+          SELECT c.q_id, c.neighbor_id,
+                 round(SUM(pq.x * r.rx), 6) AS approx_sim
+          FROM cand c
+          JOIN px pq ON pq.vec_id = c.q_id
+          JOIN recon r ON r.vec_id = c.neighbor_id AND r.i = pq.i
+          GROUP BY 1, 2),
+        pool AS (
+          SELECT q_id, neighbor_id, approx_sim FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id
+              ORDER BY approx_sim DESC, neighbor_id ASC) AS pr
+            FROM adc) t
+          WHERE pr <= {refine * k}),
+        refined AS (
+          SELECT p.q_id, p.neighbor_id, p.approx_sim,
+                 round(SUM(pq.x * pn.x), 6) AS cos_sim
+          FROM pool p
+          JOIN px pq ON pq.vec_id = p.q_id
+          JOIN px pn ON pn.vec_id = p.neighbor_id AND pn.i = pq.i
+          GROUP BY 1, 2, 3)
+        SELECT q_id, neighbor_id, cos_sim, approx_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+        FROM refined
+        QUALIFY rnk <= {k}""")
+    return "".join(sql)
+
+
+LLM_ORACLES["ann_ivfpq"] = _ann_ivfpq_oracle()
 
 LLM_ORACLES["ann_lsh_bucket"] = f"""
     WITH v AS (

@@ -164,6 +164,52 @@ def run_dlq_routing(spark: SparkSession, sf_dir: str, out_dir: str,
     return spark.read.parquet(curated_dir), spark.read.parquet(dlq_dir)
 
 
+def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
+                    max_files_per_trigger: int | None = None,
+                    source_dir: str | None = None) -> DataFrame:
+    """The ASA job's THIRD output — the raw passthrough sink
+    (infra/scripts/asa-wire.sh:73 'raw JSON lines' outBlob, :246
+    '/* 3) keep raw */ SELECT * INTO [outBlob] FROM [inEH]'): archive
+    every input record verbatim alongside the curated/DLQ routing, so
+    replay and audit never depend on the parse staying correct.
+
+    One batch scan feeds all three sinks; the raw copy is partitioned
+    date/hour mirroring the blob pathPattern 'date={date}/{time}'.
+    Returns the read-back archive — by construction the identity of
+    the input feed, which is the FULL oracle."""
+    raw_dir = os.path.join(out_dir, "raw")
+    curated_dir = os.path.join(out_dir, "curated")
+    dlq_dir = os.path.join(out_dir, "dlq")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(raw_dir, curated_dir, dlq_dir, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            (batch
+             .withColumn("__date", F.to_date("ts"))
+             .withColumn("__hour", F.hour("ts"))
+             .write.mode("append").partitionBy("__date", "__hour")
+             .parquet(raw_dir))
+            flagged = _flagged(batch).persist()
+            try:
+                flagged.where(F.col("reason").isNull()).drop(
+                    "reason").write.mode("append").parquet(curated_dir)
+                _dlq_select(flagged).write.mode("append").parquet(dlq_dir)
+            finally:
+                flagged.unpersist()
+        finally:
+            batch.unpersist()
+
+    _run_available_now(
+        ev.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt))
+    back = spark.read.parquet(raw_dir)
+    return back.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def run_windowed_audit(spark: SparkSession, sf_dir: str, out_dir: str,
                        max_files_per_trigger: int | None = None,
                        source_dir: str | None = None) -> DataFrame:
@@ -558,12 +604,22 @@ def run_distinct_sketch(spark: SparkSession, sf_dir: str,
         try:
             prev = spark_b.read.parquet(state_dir)
         except Exception:
-            prev = None
+            try:  # mid-swap crash: the parked copy is the state
+                prev = spark_b.read.parquet(state_dir + "_old")
+            except Exception:
+                prev = None
         merged = part if prev is None else prev.unionByName(part).distinct()
         tmp = state_dir + "_tmp"
+        old = state_dir + "_old"
         merged.write.mode("overwrite").parquet(tmp)
-        _reset(state_dir)
+        # crash-safe swap: park the old state aside before promoting the
+        # new one, so a crash between the two renames leaves a complete
+        # recoverable copy (either tmp or old) instead of nothing
+        _reset(old)
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
         os.rename(tmp, state_dir)
+        _reset(old)
 
     _run_available_now(
         surv.writeStream.foreachBatch(merge_survivors)

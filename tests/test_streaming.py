@@ -346,3 +346,48 @@ def test_multibatch_session_windows_equal_batch_at_cutoff(spark, feed_dir):
              if r["session_end"] <= cut]
     assert g == {key(r) for r in batch}
     assert g, "cutoff must leave finalized sessions at this scale"
+
+
+def test_multibatch_raw_archive_is_input_identity(spark, feed_dir):
+    """The third ASA output (asa-wire.sh '/* 3) keep raw */'): across
+    3 micro-batches the raw sink must hold EXACTLY the input events —
+    archived verbatim, date/hour partitioned — while curated+DLQ still
+    appear (one scan feeds all three sinks)."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_raw_archive)
+
+    out = os.path.join(OUT, "raw_archive")
+    shutil.rmtree(out, ignore_errors=True)
+    back = run_raw_archive(spark, SF_SMOKE, out,
+                           max_files_per_trigger=1, source_dir=feed_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    assert back.select(cols).exceptAll(src.select(cols)).count() == 0
+    assert src.select(cols).exceptAll(back.select(cols)).count() == 0
+    # the companion sinks exist and are non-empty
+    assert spark.read.parquet(os.path.join(out, "curated")).count() > 0
+    assert spark.read.parquet(os.path.join(out, "dlq")).count() > 0
+
+
+def test_distinct_sketch_mid_swap_crash_recovery(spark, feed_dir):
+    """A crash BETWEEN the two state-swap renames leaves the parked
+    `_old` copy; the next run must recover it (survivor-set union is
+    idempotent, so replaying the feed over the parked state restores
+    exactly the pre-crash survivors)."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_distinct_sketch)
+
+    out = os.path.join(OUT, "sketch_crash")
+    shutil.rmtree(out, ignore_errors=True)
+    run_distinct_sketch(spark, SF_SMOKE, out,
+                        max_files_per_trigger=1, source_dir=feed_dir)
+    state = os.path.join(out, "sketch_state")
+    expected = spark.read.parquet(state).count()
+    # simulate the mid-swap crash: old state parked, promotion lost
+    os.rename(state, state + "_old")
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run_distinct_sketch(spark, SF_SMOKE, out,
+                        max_files_per_trigger=1, source_dir=feed_dir,
+                        resume=True)
+    assert spark.read.parquet(state).count() == expected

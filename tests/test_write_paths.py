@@ -47,3 +47,47 @@ def test_partition_overwrite_is_idempotent_and_partition_scoped(spark):
     # physical layout: hive-style partition dirs exist (partition pruning
     # works against this layout at scale)
     assert any(d.startswith("ingest_date=") for d in os.listdir(out))
+
+
+def test_file_scoped_replay_heals_one_blob_only(spark):
+    """usp_delete_trips_by_blob analog: replaying ONE source file must
+    (a) restore that file's rows exactly, (b) leave sibling files'
+    rows in the same partition untouched, and (c) not rewrite
+    unaffected partitions at all."""
+    from azure_nyctaxi_lambda_elt_spark.operators.upsert import (
+        replay_file_scoped, write_partition_overwrite)
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    out = os.path.join(OUT, "fsr")
+    shutil.rmtree(out, ignore_errors=True)
+    typed = tf.typed_trips(tf.raw_trips(spark, SF_SMOKE)).localCheckpoint()
+    blob = "events_2024-01-05.parquet"
+    corrupt = typed.withColumn(
+        "fare_amount",
+        F.when(F.col("source_file_name") == blob,
+               F.col("fare_amount") + F.lit(99.0))
+        .otherwise(F.col("fare_amount")))
+    write_partition_overwrite(corrupt, out, ["ingest_date"])
+    # footprint of a partition the blob does NOT touch
+    import glob
+    other_day_files = sorted(glob.glob(
+        os.path.join(out, "ingest_date=2024-01-07", "*.parquet")))
+    assert other_day_files
+
+    replay_file_scoped(out, typed, "source_file_name", blob,
+                       ["ingest_date"])
+    back = spark.read.parquet(out)
+
+    # (a) the blob's rows are healed
+    healed = back.where(F.col("source_file_name") == blob)
+    want = typed.where(F.col("source_file_name") == blob).drop("ingest_date")
+    assert healed.drop("ingest_date").exceptAll(want).count() == 0
+    assert want.exceptAll(healed.drop("ingest_date")).count() == 0
+    # (b) sibling file (late_*) rows in the same partition survive
+    assert back.where(
+        F.col("source_file_name") == "late_2024-01-05.parquet"
+    ).count() == typed.where(
+        F.col("source_file_name") == "late_2024-01-05.parquet").count()
+    # (c) untouched partitions keep their exact files (no rewrite)
+    assert sorted(glob.glob(os.path.join(
+        out, "ingest_date=2024-01-07", "*.parquet"))) == other_day_files
