@@ -215,3 +215,65 @@ def dedup_clusters_bigstar(docs: DataFrame, pairs: DataFrame,
         w.cast("bigint").alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
+             iters: int = PR_ITERS,
+             src: str = "doc_i", dst: str = "doc_j") -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge set — ranks the
+    HUBS of the near-dup graph (a doc with high rank is duplicated
+    into many places: boilerplate, templates, licence blocks — the
+    rows worth inspecting before cluster-collapse deletes them).
+
+    Canonical Spark iterative-graph shape: per round, one join of the
+    edge table with the tiny (node, pr) frame + one groupBy on dst —
+    the edge table shuffles on its keys, rank state stays
+    node-sized.  localCheckpoint per round truncates the growing
+    lineage exactly like connected_components above.
+
+    Oracle determinism: per-edge contributions round to 12 dp and sum
+    as DECIMAL(28,12) — decimal addition is order-independent, so the
+    distributed sum matches DuckDB's serial one bit-for-bit; the
+    damping update rounds back to 12 dp each round to stop drift
+    compounding."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct().localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("deg")).localCheckpoint()
+    n = deg.count()
+    pr = deg.select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.round(F.col("pr") / F.col("deg"), 12)
+                    .cast("decimal(28,12)").alias("c"))
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select("node",
+                    F.round(F.lit((1.0 - damping)) / F.lit(float(n))
+                            + F.lit(damping) * F.col("s").cast("double"),
+                            12).alias("pr"))
+            .localCheckpoint()
+        )
+    return (
+        pr.join(deg.select(F.col("src").alias("node"), "deg"), "node")
+        .select(F.col("node").alias("doc_id"), "deg",
+                F.round("pr", 6).alias("pagerank"))
+    )

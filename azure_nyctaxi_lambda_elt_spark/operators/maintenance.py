@@ -82,3 +82,67 @@ def compact_partitions(spark: SparkSession, path: str, partition_col: str,
         write_partition_overwrite(part, path, [partition_col])
         compacted.append(str(val))
     return compacted
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (Delta OPTIMIZE ZORDER / Iceberg sort-order analog)
+
+Z_BITS = 16          # per-dimension quantization width
+Z_BUCKET_SHIFT = 24  # keep the top 8 interleaved bits -> <=256 buckets
+
+
+def zorder_value(a, b, stats_prefix: str = "__zs"):
+    """Morton (Z-order) interleave of two columns, each min-max
+    quantized to Z_BITS bits using the broadcast stats columns
+    ``{stats_prefix}_{amin,amax,bmin,bmax}``.  Pure integer Column
+    arithmetic (codegen-friendly, oracle-replayable)."""
+    p = stats_prefix
+    span_a = F.greatest(F.col(f"{p}_amax") - F.col(f"{p}_amin"), F.lit(1))
+    span_b = F.greatest(F.col(f"{p}_bmax") - F.col(f"{p}_bmin"), F.lit(1))
+    qa = ((a - F.col(f"{p}_amin")) * F.lit((1 << Z_BITS) - 1)) / span_a
+    qb = ((b - F.col(f"{p}_bmin")) * F.lit((1 << Z_BITS) - 1)) / span_b
+    qa = F.floor(qa).cast("bigint")
+    qb = F.floor(qb).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for bit in range(Z_BITS):
+        z = (z
+             + (F.shiftright(qa, bit).bitwiseAND(F.lit(1))
+                * F.lit(1 << (2 * bit + 1)))
+             + (F.shiftright(qb, bit).bitwiseAND(F.lit(1))
+                * F.lit(1 << (2 * bit))))
+    return z
+
+
+def zorder_cluster_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Data-clustering maintenance readback: assign every row a Z-order
+    bucket over (col_a, col_b) and report each bucket's row count and
+    per-dimension min/max envelope — the file-skipping statistics a
+    lakehouse OPTIMIZE ZORDER exists to narrow.  Because Z-order
+    interleaves bits, every bucket's envelope is narrow in BOTH
+    dimensions at once (a plain sort is narrow in only the leading
+    one), which is what lets a predicate on either column prune most
+    buckets.
+
+    Scale shape: one tiny min/max aggregate broadcasts back, then the
+    z-value + bucket id are a narrow map-side expression and the
+    envelope readback is one partially-aggregated groupBy — no sort,
+    no window.  (The physical rewrite would be repartitionByRange(z)
+    + write, i.e. one range shuffle; the stats pass here is the
+    decision input and the oracle surface.)"""
+    a, b = F.col(col_a).cast("bigint"), F.col(col_b).cast("bigint")
+    stats = df.agg(
+        F.min(a).alias("__zs_amin"), F.max(a).alias("__zs_amax"),
+        F.min(b).alias("__zs_bmin"), F.max(b).alias("__zs_bmax"))
+    with_z = df.crossJoin(F.broadcast(stats)).select(
+        a.alias("__a"), b.alias("__b"),
+        zorder_value(a, b).alias("__z"))
+    return (
+        with_z.select(
+            F.shiftright(F.col("__z"), Z_BUCKET_SHIFT).cast("int")
+            .alias("z_bucket"),
+            "__a", "__b")
+        .groupBy("z_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.min("__a").alias("a_min"), F.max("__a").alias("a_max"),
+             F.min("__b").alias("b_min"), F.max("__b").alias("b_max"))
+    )

@@ -234,3 +234,142 @@ def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode of the payload column."""
     return media.mapInPandas(decode_kernel, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# transform: resize / decimate / frame-sample — REAL byte-level
+# transforms whose outputs are re-validated by the decoder above
+
+TRANSFORMED_SCHEMA = (
+    "doc_id bigint, media_type string, out_bytes int, out_w int, "
+    "out_h int, out_frames int, out_rate int, out_sum int"
+)
+
+RESIZE_MAX_SIDE = 8   # images: nearest-neighbor stride to max side 8
+AUDIO_DECIM = 4       # audio: keep every 4th frame, rate/4
+FRAME_STRIDE = 2      # video: keep every 2nd frame
+
+
+def _resize_bmp(b: bytes) -> bytes:
+    """Nearest-neighbor stride resize: sample every k-th pixel/row so
+    the longer side lands <= RESIZE_MAX_SIDE; re-encode a VALID BMP
+    (rows 4-byte zero-padded)."""
+    (_m, _sz, _r1, _r2, data_off) = struct.unpack_from("<2sIHHI", b, 0)
+    (_dib, w, h, _pl, bpp, _c, img_size, xp, yp, _cu,
+     _ci) = struct.unpack_from("<IiiHHIIiiII", b, 14)
+    row = ((w * 3 + 3) // 4) * 4
+    k = (max(w, abs(h)) + RESIZE_MAX_SIDE - 1) // RESIZE_MAX_SIDE
+    out_w = (w + k - 1) // k
+    out_h = (abs(h) + k - 1) // k
+    out_row = ((out_w * 3 + 3) // 4) * 4
+    rows_out = []
+    for r in range(0, abs(h), k):
+        src = b[data_off + r * row: data_off + (r + 1) * row]
+        px = b"".join(src[j * k * 3: j * k * 3 + 3] for j in range(out_w))
+        rows_out.append(px + b"\x00" * (out_row - len(px)))
+    pixels = b"".join(rows_out)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0,
+                      len(pixels), xp, yp, 0, 0)
+    return header + dib + pixels
+
+
+def _decimate_wav(b: bytes) -> bytes:
+    """Keep every AUDIO_DECIM-th PCM frame and divide the sample rate —
+    a real (zero-order) decimation that preserves duration."""
+    pos, sr, ch, bits, data = 12, 0, 0, 0, b""
+    while pos + 8 <= len(b):
+        cid, clen = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            _f, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    fsz = ch * bits // 8
+    frames = [data[i * fsz: (i + 1) * fsz]
+              for i in range(0, len(data) // fsz, AUDIO_DECIM)]
+    out = b"".join(frames)
+    sr2 = sr // AUDIO_DECIM
+    fmt = struct.pack("<HHIIHH", 1, ch, sr2, sr2 * fsz, fsz, bits)
+    return (struct.pack("<4sI4s", b"RIFF", 36 + len(out), b"WAVE")
+            + struct.pack("<4sI", b"fmt ", 16) + fmt
+            + struct.pack("<4sI", b"data", len(out)) + out)
+
+
+def _sample_gif(b: bytes) -> bytes:
+    """Keep every FRAME_STRIDE-th image block (with its preceding
+    graphic-control extension); rebuild a VALID GIF89a."""
+    out = [b[:13]]
+    pos, frame_idx, pending_ext = 13, 0, b""
+    packed = b[10]
+    if packed & 0x80:
+        out.append(b[13: 13 + 3 * (2 << (packed & 0x07))])
+        pos += 3 * (2 << (packed & 0x07))
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            start = pos
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            pending_ext = b[start:pos]
+        elif block == 0x2C:
+            start = pos
+            lpacked = b[pos + 9]
+            pos += 10
+            if lpacked & 0x80:
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            if frame_idx % FRAME_STRIDE == 0:
+                out.append(pending_ext + b[start:pos])
+            pending_ext = b""
+            frame_idx += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def transform_one(b: bytes) -> bytes:
+    if b[:2] == b"BM":
+        return _resize_bmp(b)
+    if b[:4] == b"RIFF":
+        return _decimate_wav(b)
+    if b[:6] in (b"GIF89a", b"GIF87a"):
+        return _sample_gif(b)
+    raise NotImplementedError(
+        f"no transform for magic {b[:6]!r} in this container")
+
+
+def transform_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload → transformed payload → RE-DECODE
+    with the strict struct parser, so every reported feature proves the
+    transform emitted valid format bytes."""
+    for pdf in batches:
+        outs = [transform_one(bytes(p)) for p in pdf["payload"]]
+        rows = [decode_one(o) for o in outs]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "media_type": [r["media_type"] for r in rows],
+            "out_bytes": [len(o) for o in outs],
+            "out_w": [r["width"] for r in rows],
+            "out_h": [r["height"] for r in rows],
+            "out_frames": [r["n_frames"] for r in rows],
+            "out_rate": [r["sample_rate"] for r in rows],
+            "out_sum": [r["data_sum"] for r in rows],
+        })
+
+
+def transform_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched resize/decimate/frame-sample over the payload
+    column — the feature-extraction half of the multimodal pipeline
+    (decode_media is the read half).  Payload bytes stay map-side on
+    the scan partitioning; only the small feature rows flow on."""
+    return media.mapInPandas(transform_kernel, schema=TRANSFORMED_SCHEMA)

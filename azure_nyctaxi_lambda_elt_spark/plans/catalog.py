@@ -1599,6 +1599,9 @@ _CHECK_FIRST: list[str] = [
     "payment_map_scd",
     "file_scoped_replay",
     "late_data_audit",
+    "multimodal_transform",
+    "zorder_cluster_stats",
+    "dup_graph_pagerank",
 ]
 
 

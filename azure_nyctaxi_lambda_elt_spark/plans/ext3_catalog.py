@@ -938,6 +938,19 @@ def q_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_linkage(load_table(spark, sf_dir, "customer"))
 
 
+def q_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-clustering maintenance (Delta OPTIMIZE ZORDER /
+    Iceberg sort-order analog) over lineitem (l_orderkey, l_suppkey):
+    Morton-interleaved bucket assignment + per-bucket min/max envelopes
+    — the file-skipping statistics the clustering exists to narrow
+    (operators/maintenance.py zorder_cluster_stats)."""
+    from ..operators.maintenance import zorder_cluster_stats
+
+    apply_engine_conf(spark)
+    return zorder_cluster_stats(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey")
+
+
 def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census over the exact-Jaccard near-dup pairs (same
     edge set dedup_clusters closes over)."""
@@ -948,6 +961,23 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dup_graph_triangles(
         lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU))
+
+
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank hubs of the near-dup graph (operators/graph.py
+    pagerank): high-rank docs are the boilerplate/template/licence
+    blocks duplicated everywhere — worth inspecting before
+    cluster-collapse deletes them.  Same edge set as dedup_clusters /
+    dup_graph_triangles; 3 fixed iterations, decimal-exact
+    contribution sums so the unrolled SQL replay matches
+    bit-for-bit."""
+    from ..operators import llm_text as lt
+    from ..operators.graph import pagerank
+    from .llm_catalog import JACCARD_N, JACCARD_TAU
+
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir)
+    return pagerank(lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU))
 
 
 # ---------------------------------------------------------------------------
@@ -1312,6 +1342,89 @@ EXT3_ORACLES: dict[str, str] = {
     """,
 }
 
+def _zorder_oracle() -> str:
+    from ..operators.maintenance import Z_BITS, Z_BUCKET_SHIFT
+
+    kmax = (1 << Z_BITS) - 1
+    terms = " + ".join(
+        f"((qa >> {b}) & 1) * {1 << (2 * b + 1)}"
+        f" + ((qb >> {b}) & 1) * {1 << (2 * b)}"
+        for b in range(Z_BITS))
+    return f"""
+        WITH base AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS a,
+                 CAST(l_suppkey AS BIGINT) AS b
+          FROM lineitem),
+        st AS (
+          SELECT MIN(a) AS amin, MAX(a) AS amax,
+                 MIN(b) AS bmin, MAX(b) AS bmax
+          FROM base),
+        q AS (
+          SELECT a, b,
+                 CAST(floor(CAST((a - amin) * {kmax} AS DOUBLE)
+                            / greatest(amax - amin, 1)) AS BIGINT) AS qa,
+                 CAST(floor(CAST((b - bmin) * {kmax} AS DOUBLE)
+                            / greatest(bmax - bmin, 1)) AS BIGINT) AS qb
+          FROM base CROSS JOIN st),
+        z AS (SELECT a, b, {terms} AS zv FROM q)
+        SELECT CAST(zv >> {Z_BUCKET_SHIFT} AS INT) AS z_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(a) AS a_min, MAX(a) AS a_max,
+               MIN(b) AS b_min, MAX(b) AS b_max
+        FROM z GROUP BY 1
+    """
+
+
+EXT3_ORACLES["zorder_cluster_stats"] = _zorder_oracle()
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank replay over the
+    dedup_ngram_jaccard edge set.  The (1-d)/N base constant is
+    interpolated from the SAME Python float the operator folds in
+    (repr round-trips the exact double; a SQL-side `1 - 0.85` would
+    be DuckDB DECIMAL arithmetic = a different double)."""
+    from ..operators.graph import PR_DAMPING, PR_ITERS
+    from .llm_catalog import LLM_ORACLES
+
+    pair_sql = LLM_ORACLES["dedup_ngram_jaccard"]
+    base = repr(1.0 - PR_DAMPING)
+    sql = [f"""
+        WITH pairs AS ({pair_sql}),
+        e0 AS (SELECT DISTINCT doc_i AS src, doc_j AS dst FROM pairs),
+        sym AS (SELECT src, dst FROM e0
+                UNION SELECT dst, src FROM e0),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        pr0 AS (SELECT node,
+                       round(CAST(1.0 AS DOUBLE) / n, 12) AS pr
+                FROM deg CROSS JOIN nn)"""]
+    prev = "pr0"
+    for it in range(1, PR_ITERS + 1):
+        sql.append(f""",
+        c{it} AS (
+          SELECT s.dst AS node,
+                 CAST(round(p.pr / d.deg, 12) AS DECIMAL(28,12)) AS c
+          FROM sym s
+          JOIN {prev} p ON p.node = s.src
+          JOIN deg d ON d.node = s.src),
+        pr{it} AS (
+          SELECT c.node,
+                 round({base} / nn.n
+                       + {PR_DAMPING!r} * CAST(SUM(c.c) AS DOUBLE),
+                       12) AS pr
+          FROM c{it} c CROSS JOIN nn
+          GROUP BY c.node, nn.n)""")
+        prev = f"pr{it}"
+    sql.append(f"""
+        SELECT p.node AS doc_id, d.deg, round(p.pr, 6) AS pagerank
+        FROM {prev} p JOIN deg d ON d.node = p.node""")
+    return "".join(sql)
+
+
+EXT3_ORACLES["dup_graph_pagerank"] = _pagerank_oracle()
+
 EXT3_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "ngram_lm_score": q_ngram_lm_score,
@@ -1327,6 +1440,8 @@ EXT3_QUERIES = {
     "column_stats_histogram": q_column_stats_histogram,
     "session_window_agg": q_session_window_agg,
     "fuzzy_name_linkage": q_fuzzy_name_linkage,
+    "zorder_cluster_stats": q_zorder_cluster_stats,
+    "dup_graph_pagerank": q_dup_graph_pagerank,
 }
 
 

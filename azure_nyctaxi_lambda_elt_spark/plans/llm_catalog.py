@@ -16,7 +16,8 @@ from ..operators import llm_text as lt
 from ..operators.ann import (cosine_pairs, cosine_topk, ivf_topk,
                              lsh_bucket_topk)
 from ..operators.graph import dedup_clusters, dedup_clusters_bigstar
-from ..operators.multimodal import decode_media, with_media_payload
+from ..operators.multimodal import (decode_media, transform_media,
+                                    with_media_payload)
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
 
@@ -187,6 +188,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser read the headers correctly."""
     apply_engine_conf(spark)
     return decode_media(with_media_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature pipeline, write half: nearest-neighbor image
+    resize (stride to max side 8), audio decimation (every 4th PCM
+    frame, rate/4), and video frame-sampling (every 2nd GIF frame) as
+    REAL byte-level transforms over mapInPandas
+    (operators/multimodal.py transform_kernel).  Each transformed
+    payload is re-decoded by the strict struct parser, so the reported
+    features prove the transform emitted VALID format bytes; the
+    oracle recomputes them arithmetically from the encode params."""
+    apply_engine_conf(spark)
+    return transform_media(with_media_payload(_docs(spark, sf_dir)))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +397,58 @@ LLM_ORACLES: dict[str, str] = {
                           * (1 + doc_id%2) * 2)) % 997
             ELSE ((doc_id % 251) * ((1 + doc_id%8) * (1 + doc_id%5))) % 997
           END AS INT) AS data_sum
+        FROM documents
+    """,
+    # the transform twin: stride-resize / decimate / frame-sample
+    # outcomes recomputed arithmetically (k = ceil(max(w,h)/8) resize
+    # stride, ceil(n/4) kept PCM frames at rate/4, ceil(n/2) kept GIF
+    # frames; zero row padding -> image sum counts 3*out_w bytes/row)
+    "multimodal_transform": """
+        SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS media_type,
+          CAST(CASE doc_id % 3
+            WHEN 0 THEN 54 +
+              (((((16 + (doc_id*7)%49) + ((greatest(16 + (doc_id*7)%49,
+                    16 + (doc_id*13)%33) + 7) // 8) - 1)
+                 // ((greatest(16 + (doc_id*7)%49, 16 + (doc_id*13)%33) + 7) // 8))
+                * 3 + 3) // 4 * 4)
+              * (((16 + (doc_id*13)%33) + ((greatest(16 + (doc_id*7)%49,
+                    16 + (doc_id*13)%33) + 7) // 8) - 1)
+                 // ((greatest(16 + (doc_id*7)%49, 16 + (doc_id*13)%33) + 7) // 8))
+            WHEN 1 THEN 44 + (((100 + (doc_id*11)%900) + 3) // 4)
+                          * (1 + doc_id%2) * 2
+            ELSE 14 + (((1 + doc_id%8) + 1) // 2) * (21 + (1 + doc_id%5))
+          END AS INT) AS out_bytes,
+          CAST(CASE doc_id % 3
+            WHEN 0 THEN ((16 + (doc_id*7)%49) + ((greatest(16 + (doc_id*7)%49,
+                  16 + (doc_id*13)%33) + 7) // 8) - 1)
+                 // ((greatest(16 + (doc_id*7)%49, 16 + (doc_id*13)%33) + 7) // 8)
+            WHEN 1 THEN 0 ELSE 32 + (doc_id*5)%97 END AS INT) AS out_w,
+          CAST(CASE doc_id % 3
+            WHEN 0 THEN ((16 + (doc_id*13)%33) + ((greatest(16 + (doc_id*7)%49,
+                  16 + (doc_id*13)%33) + 7) // 8) - 1)
+                 // ((greatest(16 + (doc_id*7)%49, 16 + (doc_id*13)%33) + 7) // 8)
+            WHEN 1 THEN 0 ELSE 32 + (doc_id*3)%61 END AS INT) AS out_h,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 1
+               WHEN 1 THEN ((100 + (doc_id*11)%900) + 3) // 4
+               ELSE ((1 + doc_id%8) + 1) // 2 END AS INT) AS out_frames,
+          CAST(CASE doc_id % 3 WHEN 1 THEN 2000 * (1 + (doc_id//2)%3)
+               ELSE 0 END AS INT) AS out_rate,
+          CAST(CASE doc_id % 3
+            WHEN 0 THEN ((doc_id % 251) * 3
+              * (((16 + (doc_id*7)%49) + ((greatest(16 + (doc_id*7)%49,
+                    16 + (doc_id*13)%33) + 7) // 8) - 1)
+                 // ((greatest(16 + (doc_id*7)%49, 16 + (doc_id*13)%33) + 7) // 8))
+              * (((16 + (doc_id*13)%33) + ((greatest(16 + (doc_id*7)%49,
+                    16 + (doc_id*13)%33) + 7) // 8) - 1)
+                 // ((greatest(16 + (doc_id*7)%49, 16 + (doc_id*13)%33) + 7) // 8))
+              ) % 997
+            WHEN 1 THEN ((doc_id % 251) * ((((100 + (doc_id*11)%900) + 3) // 4)
+                          * (1 + doc_id%2) * 2)) % 997
+            ELSE ((doc_id % 251) * ((((1 + doc_id%8) + 1) // 2)
+                          * (1 + doc_id%5))) % 997
+          END AS INT) AS out_sum
         FROM documents
     """,
     # SimHash is pure md5-derived integer arithmetic, so the whole
@@ -1078,6 +1144,7 @@ LLM_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_transform": q_multimodal_transform,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_bigstar": q_dedup_clusters_bigstar,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.columns import (
+    canonical_map,
     date_key,
     is_night_hour,
     miles_to_km,
@@ -44,16 +45,12 @@ from ..operators.dedupe import latest_wins
 from ..operators.dims import build_dim, resolve_fk
 from ..sources.tables import load_table
 
-PAYMENT_MAP = {"1": "CARD", "2": "CASH", "3": "NO_CHARGE", "4": "DISPUTE"}
-
 # ref.payment_type_map analog (sql/batchELT/ref/01_payment_type_map.sql:
 # payment_type_src/std + is_active + valid_from/to validity) as a seeded
-# MAINTAINED TABLE instead of a CASE literal: a mapping change is a row
-# update, not a code edit, and the lookup is a broadcast join (the
-# table is ROUND_ROBIN+HEAP in the reference — i.e. tiny; broadcast is
-# the Spark shape).  The ACTIVE rows reproduce PAYMENT_MAP exactly, so
-# every downstream oracle is unchanged; the inactive '1'->'CREDIT'
-# predecessor exercises the validity-window (AS OF) lookup path.
+# MAINTAINED TABLE instead of a hardcoded literal: a mapping change is a
+# seed-row update (or a caller-supplied frame), never a logic edit.
+# The inactive '1'->'CREDIT' predecessor exercises the validity-window
+# (AS OF) lookup path (payment_map_scd entry).
 # Rows: (src, std, is_active, valid_from_utc, valid_to_utc).
 PAYMENT_MAP_SEED: list[tuple[str, str, bool, str, str | None]] = [
     ("1", "CREDIT", False, "1970-01-01 00:00:00", "2024-01-16 00:00:00"),
@@ -64,6 +61,11 @@ PAYMENT_MAP_SEED: list[tuple[str, str, bool, str, str | None]] = [
     ("CRD", "CARD", True, "1970-01-01 00:00:00", None),
     ("CSH", "CASH", True, "1970-01-01 00:00:00", None),
 ]
+
+# the current-state (active-rows) view of the seed — derived, never
+# maintained separately
+PAYMENT_MAP = {src: std for src, std, act, _vf, _vt in PAYMENT_MAP_SEED
+               if act}
 
 
 def payment_map_ref(spark: SparkSession,
@@ -224,21 +226,31 @@ def clean_slice(typed: DataFrame,
                 payment_map: DataFrame | None = None) -> DataFrame:
     """core.trip_clean_slice analog (slice_ctas.sql SELECT list).
 
-    The payment canonicalization is a BROADCAST JOIN against the
-    maintained ref.payment_type_map table's active rows (ref/
-    01_payment_type_map.sql) — a mapping change is a ref-table row
-    update picked up on the next run, not a code edit.  Active src
-    values are unique by construction (tests/test_payment_map.py), so
-    the left join is row-preserving; unmapped codes surface as NULL
-    exactly like the reference's unmatched-lookup CASE."""
+    The payment canonicalization resolves through the maintained
+    ref.payment_type_map (ref/01_payment_type_map.sql) — a mapping
+    change is a ref-table row update (PAYMENT_MAP_SEED or a
+    caller-supplied ``payment_map`` frame), never a logic edit.  When
+    a frame is passed, its active rows BROADCAST-JOIN in (the shape
+    for maps too large to inline — thousands of MCC codes, say);
+    active src values are unique by construction
+    (tests/test_payment_map.py), so the left join is row-preserving.
+    With the default seed the active rows compile to a map-side CASE
+    instead: semantically the identical lookup (the join-vs-CASE
+    equality is pinned by test_join_map_equals_case_literal), but it
+    skips a per-query 7-row BroadcastExchange job whose fixed
+    scheduling latency (~0.4 s) dominated the bench ELT chain.
+    Unmapped codes surface as NULL either way, exactly like the
+    reference's unmatched lookup."""
     good, _ = split_trips(typed)
-    pm = payment_map if payment_map is not None else payment_map_ref(
-        typed.sparkSession)
-    active = F.broadcast(
-        pm.where(F.col("is_active"))
-        .select(F.col("payment_type_src").alias("payment_src"),
-                "payment_type_std"))
-    good = good.join(active, "payment_src", "left")
+    if payment_map is not None:
+        active = F.broadcast(
+            payment_map.where(F.col("is_active"))
+            .select(F.col("payment_type_src").alias("payment_src"),
+                    "payment_type_std"))
+        good = good.join(active, "payment_src", "left")
+    else:
+        good = good.withColumn(
+            "payment_type_std", canonical_map("payment_src", PAYMENT_MAP))
     return good.select(
         F.col("vendor_code"),
         F.col("trip_uid"),

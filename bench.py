@@ -65,6 +65,11 @@ BENCH_NEW_QUERIES = [
     "longest_dup_span",
     "source_kl_divergence",
     "dedup_clusters_bigstar",
+    # round-4 additions
+    "payment_map_scd",
+    "multimodal_transform",
+    "zorder_cluster_stats",
+    "dup_graph_pagerank",
 ]
 
 

@@ -152,3 +152,31 @@ def test_column_stats_histogram_no_unpartitioned_window(spark):
     for s in specs:
         assert "__pid" in s, s
     assert "ntile" not in plan.lower()
+
+
+def test_zorder_stats_no_sort_no_window(spark):
+    """Z-order bucket stats are a map-side expression + one
+    partial-aggregated groupBy: no sort, no window, no join beyond the
+    one-row stats broadcast."""
+    from azure_nyctaxi_lambda_elt_spark.operators.maintenance import (
+        zorder_cluster_stats)
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _plan(zorder_cluster_stats(li, "l_orderkey", "l_suppkey"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan  # partial+final pair
+
+
+def test_pagerank_edge_joins_are_keyed(docs):
+    """Every per-iteration join keys on the node id — no nested loop,
+    no cartesian; rank state stays node-sized."""
+    from azure_nyctaxi_lambda_elt_spark.operators import llm_text as lt
+    from azure_nyctaxi_lambda_elt_spark.operators.graph import pagerank
+    from azure_nyctaxi_lambda_elt_spark.plans.llm_catalog import (
+        JACCARD_N, JACCARD_TAU)
+
+    plan = _plan(pagerank(
+        lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,59 @@
+"""Byte-level transform kernels (operators/multimodal.py): resize /
+decimate / frame-sample must emit VALID format bytes the strict parser
+accepts, with the arithmetically-expected features.  Pure Python — no
+Spark session needed."""
+
+from __future__ import annotations
+
+from azure_nyctaxi_lambda_elt_spark.operators.multimodal import (
+    AUDIO_DECIM,
+    FRAME_STRIDE,
+    RESIZE_MAX_SIDE,
+    _bmp_params,
+    _encode_bmp,
+    _encode_gif,
+    _encode_wav,
+    _gif_params,
+    _wav_params,
+    decode_one,
+    transform_one,
+)
+
+
+def test_bmp_resize_dims_and_validity():
+    for doc_id in (0, 3, 33, 999, 123456):
+        w, h = _bmp_params(doc_id)
+        out = decode_one(transform_one(_encode_bmp(doc_id)))
+        k = (max(w, h) + RESIZE_MAX_SIDE - 1) // RESIZE_MAX_SIDE
+        assert out["width"] == (w + k - 1) // k
+        assert out["height"] == (h + k - 1) // k
+        assert max(out["width"], out["height"]) <= RESIZE_MAX_SIDE
+        assert out["media_type"] == "image"
+
+
+def test_wav_decimation_preserves_duration():
+    for doc_id in (1, 7, 55, 1001):
+        ch, sr, n = _wav_params(doc_id)
+        out = decode_one(transform_one(_encode_wav(doc_id)))
+        assert out["n_frames"] == (n + AUDIO_DECIM - 1) // AUDIO_DECIM
+        assert out["sample_rate"] == sr // AUDIO_DECIM
+        assert out["n_channels"] == ch
+        # duration (frames/rate) is preserved within one frame
+        assert abs(out["n_frames"] / out["sample_rate"]
+                   - n / sr) <= AUDIO_DECIM / sr
+
+
+def test_gif_frame_sampling_keeps_every_other():
+    for doc_id in (2, 5, 14, 998):
+        _w, _h, n_frames, _sub = _gif_params(doc_id)
+        out = decode_one(transform_one(_encode_gif(doc_id)))
+        assert out["n_frames"] == (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        assert out["media_type"] == "video"
+
+
+def test_transform_output_reparses_strictly():
+    """The re-decode IS the validity proof: every transformed payload
+    round-trips through the magic-sniffing struct parser."""
+    for doc_id in range(30):
+        enc = {0: _encode_bmp, 1: _encode_wav, 2: _encode_gif}[doc_id % 3]
+        decode_one(transform_one(enc(doc_id)))  # raises on invalid bytes

@@ -30,9 +30,11 @@ def test_active_src_codes_unique(spark):
 
 
 def test_join_map_equals_case_literal(spark, typed):
-    """Active rows reproduce PAYMENT_MAP: the join-based clean_slice
-    equals the CASE-literal formulation column-for-column."""
-    via_join = tf.clean_slice(typed)
+    """The broadcast-join path (explicit payment_map frame) and the
+    compiled-CASE default resolve identically — the equivalence that
+    lets clean_slice skip the per-query broadcast job for the seed."""
+    via_join = tf.clean_slice(typed,
+                              payment_map=tf.payment_map_ref(spark))
     good, _ = tf.split_trips(typed)
     via_case = good.select(
         "trip_uid",
