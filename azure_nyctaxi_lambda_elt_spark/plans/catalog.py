@@ -1602,6 +1602,8 @@ _CHECK_FIRST: list[str] = [
     "multimodal_transform",
     "zorder_cluster_stats",
     "dup_graph_pagerank",
+    "skew_profile",
+    "cdc_apply_changes",
 ]
 
 

@@ -872,6 +872,86 @@ def fuzzy_name_linkage(customer: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# join-key skew profiler
+
+
+SKEW_P_HOT = 10.0   # a key is "hot" if its count > 10x the mean
+
+
+def skew_profile(events: DataFrame) -> DataFrame:
+    """Join-key skew measurement for `events.user_id` — the
+    decision input for the salting/bucketing helpers
+    (operators/skew.py): before a 100 TB join you profile the key,
+    THEN pick the salt factor.  Exact p50/p99 of the per-key count
+    distribution come from the count-of-counts pre-aggregate (tiny:
+    one row per distinct frequency), so no window ever touches the
+    raw table; the single unpartitioned cumsum runs over that reduced
+    frame.  recommended_salt = ceil(max/avg), the replication factor
+    that levels the hottest reducer."""
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    cc = counts.groupBy("cnt").agg(F.count("*").alias("nk"))
+    w = Window.orderBy(F.asc("cnt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = cc.withColumn("__c", F.sum("nk").over(w))
+    stats = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_per_key"))
+    j = cum.crossJoin(F.broadcast(stats))
+    p50 = (j.where(F.col("__c") >= F.ceil(F.col("n_keys") * F.lit(0.5)))
+           .agg(F.min("cnt").cast("bigint").alias("p50_per_key")))
+    p99 = (j.where(F.col("__c") >= F.ceil(F.col("n_keys") * F.lit(0.99)))
+           .agg(F.min("cnt").cast("bigint").alias("p99_per_key")))
+    hot = (counts.crossJoin(F.broadcast(stats))
+           .where(F.col("cnt") * F.col("n_keys")
+                  > F.lit(SKEW_P_HOT) * F.col("n_rows"))
+           .agg(F.count("*").cast("bigint").alias("n_hot_keys")))
+    avg = F.col("n_rows") / F.col("n_keys")
+    return (
+        stats.crossJoin(F.broadcast(p50)).crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "n_rows", "n_keys",
+            F.round(avg, 6).alias("avg_per_key"),
+            "p50_per_key", "p99_per_key", "max_per_key",
+            F.round(F.col("max_per_key") / avg, 6).alias("skew_factor"),
+            F.ceil(F.col("max_per_key") / avg).cast("int")
+            .alias("recommended_salt"),
+            "n_hot_keys")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply with deletes
+
+
+def cdc_apply_changes(events: DataFrame) -> DataFrame:
+    """Change-data-capture apply with DELETE semantics: the event feed
+    is a change log keyed by user_id ('error' events tombstone the
+    row; everything else upserts), and the final table state is the
+    latest operation per key — rows whose last op is a delete are
+    ABSENT, not null-filled.  Extends the engine's MERGE family
+    (upsert_merge_latest handles update+insert; the reference's MERGE
+    has no delete arm) to the full I/U/D contract of a warehouse CDC
+    sink.  One hash shuffle on the key (WindowGroupLimit prunes
+    map-side), then a map-only filter."""
+    from ..operators.dedupe import latest_wins
+
+    last = latest_wins(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()])
+    return (
+        last.where(F.col("event_type") != "error")
+        .select("user_id",
+                F.col("event_type").alias("last_op"),
+                F.round(F.col("value").cast("double"), 6)
+                .alias("last_value"),
+                F.col("ts").alias("updated_at"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # catalog wrappers
 
 
@@ -936,6 +1016,18 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return fuzzy_name_linkage(load_table(spark, sf_dir, "customer"))
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return skew_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    from ..plans.trips_feed import events_ts_fixed
+
+    return cdc_apply_changes(events_ts_fixed(spark, sf_dir))
 
 
 def q_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,6 +1517,52 @@ def _pagerank_oracle() -> str:
 
 EXT3_ORACLES["dup_graph_pagerank"] = _pagerank_oracle()
 
+EXT3_ORACLES["skew_profile"] = f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+    cc AS (SELECT cnt, COUNT(*) AS nk FROM counts GROUP BY 1),
+    cum AS (
+      SELECT cnt, SUM(nk) OVER (ORDER BY cnt ASC
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM cc),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_per_key
+      FROM counts),
+    p50 AS (SELECT CAST(MIN(cnt) AS BIGINT) AS p50_per_key
+            FROM cum CROSS JOIN st WHERE c >= ceil(n_keys * 0.5)),
+    p99 AS (SELECT CAST(MIN(cnt) AS BIGINT) AS p99_per_key
+            FROM cum CROSS JOIN st WHERE c >= ceil(n_keys * 0.99)),
+    hot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_keys
+            FROM counts CROSS JOIN st
+            WHERE cnt * n_keys > {SKEW_P_HOT!r} * n_rows)
+    SELECT n_rows, n_keys,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_per_key,
+           p50_per_key, p99_per_key, max_per_key,
+           round(CAST(max_per_key AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_factor,
+           CAST(ceil(CAST(max_per_key AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) / n_keys)) AS INT)
+             AS recommended_salt,
+           n_hot_keys
+    FROM st CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN hot
+"""
+
+EXT3_ORACLES["cdc_apply_changes"] = """
+    WITH last AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1)
+    SELECT user_id, event_type AS last_op,
+           round(CAST(value AS DOUBLE), 6) AS last_value,
+           ts AS updated_at
+    FROM last WHERE event_type <> 'error'
+"""
+
 EXT3_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "ngram_lm_score": q_ngram_lm_score,
@@ -1442,6 +1580,8 @@ EXT3_QUERIES = {
     "fuzzy_name_linkage": q_fuzzy_name_linkage,
     "zorder_cluster_stats": q_zorder_cluster_stats,
     "dup_graph_pagerank": q_dup_graph_pagerank,
+    "skew_profile": q_skew_profile,
+    "cdc_apply_changes": q_cdc_apply_changes,
 }
 
 
