@@ -1,0 +1,162 @@
+"""Versioned-manifest transaction log over a parquet directory —
+the minimal Delta/Iceberg-shaped commit protocol that gives the
+warehouse layer atomic commits, snapshot-isolated reads, and time
+travel, without a table format dependency.
+
+Reference parity: the reference's warehouse tables live in Synapse,
+where MERGE/CTAS are transactional and readers never see a half-loaded
+table (sql/batchELT/core/12_trip_clean.dedupe_load.sql relies on
+that); on a plain parquet lake the same guarantee needs a commit
+protocol.  This module provides the standard one:
+
+- data files are immutable once written; a commit NEVER mutates files
+  a previous version references;
+- a version's manifest (``_txn/v{N}.json``) lists exactly the data
+  directories that make up the table at version N;
+- commits are atomic via write-to-temp + ``os.rename`` onto the
+  version path.  rename also serves as the optimistic-concurrency
+  lock: two writers racing to commit version N — both computed against
+  parent N-1 — cannot both win; the loser's rename finds the path
+  taken and raises ``TxnConflict`` (Delta's "concurrent modification"
+  semantics), and its orphaned data dir is garbage, never visible;
+- readers resolve the LATEST complete manifest (or a pinned
+  ``version=`` for time travel) and read only the dirs it lists —
+  a crash mid-write leaves data dirs without a manifest, which no
+  reader ever sees.
+
+Scale notes: the manifest holds directory names, not per-file rows, so
+its size is O(commits retained), and the data-plane write is the same
+partitioned parquet write the rest of the engine uses — the protocol
+adds two tiny JSON I/Os per commit, nothing per row.  (Delta/Iceberg
+add file-level stats for pruning; `partition_stats` + parquet footers
+play that role here.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxnConflict(RuntimeError):
+    """Another writer committed the same version first."""
+
+
+def _txn_dir(path: str) -> str:
+    return os.path.join(path, "_txn")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_txn_dir(path), f"v{version:08d}.json")
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an uninitialized table."""
+    d = _txn_dir(path)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(f[1:-5]) for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def commit(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """Atomically commit ``df`` as the next version.
+
+    mode='overwrite' → the new version is exactly df's rows;
+    mode='append'    → the new version is the parent's dirs + df's.
+    Returns the committed version number.  Raises TxnConflict if a
+    concurrent writer committed the same version first (retry against
+    the new parent, Delta-style)."""
+    parent = latest_version(path)
+    version = 0 if parent is None else parent + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    # claim a writer-unique data dir via atomic mkdir so a racing
+    # writer targeting the same version can NEVER touch files another
+    # manifest references (immutability is what makes losing safe)
+    os.makedirs(path, exist_ok=True)
+    attempt = 0
+    while True:
+        data_dir = os.path.join(path, f"data-v{version:08d}-{attempt:04d}")
+        try:
+            os.mkdir(data_dir)
+            break
+        except FileExistsError:
+            attempt += 1
+    # the data write is invisible until the manifest rename lands
+    df.write.mode("overwrite").parquet(data_dir)
+    dirs = [os.path.basename(data_dir)]
+    if mode == "append" and parent is not None:
+        dirs = _read_manifest(path, parent)["dirs"] + dirs
+    elif mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown commit mode {mode!r}")
+    os.makedirs(_txn_dir(path), exist_ok=True)
+    tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "mode": mode, "dirs": dirs}, fh)
+    final = _manifest_path(path, version)
+    try:
+        # atomic commit point; os.rename overwrites silently, so guard
+        # with an exclusive link-style check: create via rename only if
+        # absent (POSIX rename can't test-and-set, so re-check after)
+        if os.path.exists(final):
+            raise TxnConflict(f"version {version} already committed")
+        os.rename(tmp, final)
+        if _read_manifest(path, version)["dirs"] != dirs:
+            raise TxnConflict(f"lost the race for version {version}")
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return version
+
+
+def snapshot(spark: SparkSession, path: str,
+             version: int | None = None) -> DataFrame:
+    """Snapshot-isolated read of ``path`` at ``version`` (default:
+    latest).  Reads exactly the dirs that version's manifest lists —
+    concurrent commits and crashed half-writes are invisible."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    dirs = [os.path.join(path, d) for d in man["dirs"]]
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d))
+    return df
+
+
+def vacuum(path: str, keep_latest: int = 2) -> list[str]:
+    """Drop data dirs unreachable from the ``keep_latest`` newest
+    manifests (and the older manifests themselves) — Delta VACUUM.
+    Returns the removed dir names."""
+    latest = latest_version(path)
+    if latest is None:
+        return []
+    keep_versions = [v for v in range(latest + 1)
+                     if v > latest - keep_latest]
+    live: set[str] = set()
+    for v in keep_versions:
+        live |= set(_read_manifest(path, v)["dirs"])
+    removed = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("data-v") and entry not in live:
+            shutil.rmtree(os.path.join(path, entry))
+            removed.append(entry)
+    for v in range(latest + 1):
+        if v not in keep_versions:
+            m = _manifest_path(path, v)
+            if os.path.exists(m):
+                os.remove(m)
+    return removed

@@ -1033,6 +1033,50 @@ def q_file_scoped_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log warehouse semantics (operators/txnlog.py): three
+    atomic commits — v0 overwrite (days 1-15 of trip_clean), v1 append
+    (days 16+), v2 correction rewrite (+1.00 on one source file's
+    fares) — then snapshot-isolated TIME-TRAVEL reads of all three
+    versions, rolled up per version.  The parquet-lake analog of the
+    transactional MERGE/CTAS guarantees the reference leans on in
+    Synapse (readers never see a half-loaded table), plus the audit
+    story: v2's correction never rewrites v0/v1's immutable files."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txn", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.localCheckpoint()  # one derivation feeds 3 commits
+    v0 = txnlog.commit(
+        clean.where(F.dayofmonth("ingest_date") <= 15), out, "overwrite")
+    v1 = txnlog.commit(
+        clean.where(F.dayofmonth("ingest_date") >= 16), out, "append")
+    corrected = clean.withColumn(
+        "fare_amount",
+        F.when(F.col("source_file_name") == "events_2024-01-05.parquet",
+               F.col("fare_amount") + F.lit(1.0))
+        .otherwise(F.col("fare_amount")))
+    v2 = txnlog.commit(corrected, out, "overwrite")
+    parts = []
+    for v in (v0, v1, v2):
+        snap = txnlog.snapshot(spark, out, v)
+        parts.append(snap.groupBy().agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+            .cast("double").alias("fare_sum"),
+            F.countDistinct("ingest_date").cast("bigint").alias("n_days"),
+        ).select("version", "n_rows", "fare_sum", "n_days"))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
 def q_streaming_raw_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.lane import run_raw_archive
 
@@ -1501,6 +1545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_scoped_replay": q_file_scoped_replay,
     "streaming_raw_archive": q_streaming_raw_archive,
     "late_data_audit": q_late_data_audit,
+    "txn_time_travel": q_txn_time_travel,
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
@@ -1604,6 +1649,7 @@ _CHECK_FIRST: list[str] = [
     "dup_graph_pagerank",
     "skew_profile",
     "cdc_apply_changes",
+    "txn_time_travel",
 ]
 
 
@@ -1911,6 +1957,33 @@ ORACLES["payment_map_scd"] = with_trips(f"""
 # the replayed store must equal the straight typed load (same oracle as
 # stg_typed_load: the corrupt-then-heal path leaves no residue)
 ORACLES["file_scoped_replay"] = with_trips("SELECT * FROM typed_trips")
+
+# time-travel readback: each version's rollup derives from trip_clean
+# with the same slice/append/correction the commits applied
+ORACLES["txn_time_travel"] = with_trips("""
+    , v0 AS (
+      SELECT CAST(0 AS INT) AS version,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS fare_sum,
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT) AS n_days
+      FROM trip_clean WHERE day(ingest_date) <= 15),
+    v1 AS (
+      SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean),
+    v2 AS (
+      SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(
+               CASE WHEN source_file_name = 'events_2024-01-05.parquet'
+                    THEN fare_amount + 1.0 ELSE fare_amount END
+               AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean)
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
+    SELECT * FROM v2
+""")
 
 # the raw passthrough archive is the identity of the input feed
 ORACLES["streaming_raw_archive"] = """

@@ -1,0 +1,86 @@
+"""Transaction-log commit protocol (operators/txnlog.py): atomicity,
+snapshot isolation, optimistic-concurrency conflict, time travel, and
+vacuum reachability."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+
+OUT = "/tmp/spark_graft_txn_test"
+
+
+@pytest.fixture()
+def table(spark):
+    path = os.path.join(OUT, "t")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v"))
+    return path, df
+
+
+def test_commit_append_time_travel(spark, table):
+    path, df = table
+    v0 = txnlog.commit(df.where("id < 5"), path, "overwrite")
+    v1 = txnlog.commit(df.where("id >= 5"), path, "append")
+    v2 = txnlog.commit(df.where("id = 0"), path, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert txnlog.snapshot(spark, path, 0).count() == 5
+    assert txnlog.snapshot(spark, path, 1).count() == 10
+    assert txnlog.snapshot(spark, path, 2).count() == 1
+    assert txnlog.snapshot(spark, path).count() == 1  # latest
+
+
+def test_crashed_write_is_invisible(spark, table):
+    """Data dirs without a manifest (a crash between the data write
+    and the manifest rename) are never read."""
+    path, df = table
+    txnlog.commit(df, path, "overwrite")
+    orphan = os.path.join(path, "data-v00000099")
+    df.limit(1).write.parquet(orphan)  # crashed writer's leftovers
+    assert txnlog.snapshot(spark, path).count() == 10
+    assert txnlog.latest_version(path) == 0
+
+
+def test_conflict_via_commit_api(spark, table, monkeypatch):
+    """Two writers against the same parent: the loser's commit raises
+    TxnConflict, the winner's manifest AND data survive untouched
+    (immutability — the loser must never write into a dir another
+    manifest references)."""
+    path, df = table
+    txnlog.commit(df, path, "overwrite")          # v0
+    real_latest = txnlog.latest_version
+
+    def stale_latest(p):
+        return real_latest(p) if real_latest(p) is None else 0
+
+    winner = txnlog.commit(df.where("id < 2"), path, "overwrite")  # v1
+    man = os.path.join(path, "_txn", f"v{winner:08d}.json")
+    before = json.load(open(man))
+    monkeypatch.setattr(txnlog, "latest_version", stale_latest)
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.commit(df.where("id >= 2"), path, "overwrite")
+    monkeypatch.setattr(txnlog, "latest_version", real_latest)
+    assert json.load(open(man)) == before
+    assert txnlog.snapshot(spark, path).count() == 2  # winner intact
+
+
+def test_vacuum_drops_unreachable_only(spark, table):
+    path, df = table
+    txnlog.commit(df.where("id < 5"), path, "overwrite")   # v0
+    txnlog.commit(df.where("id >= 5"), path, "append")     # v1
+    txnlog.commit(df.where("id = 0"), path, "overwrite")   # v2
+    removed = txnlog.vacuum(path, keep_latest=2)
+    # v1 references data-v0 + data-v1; v2 references data-v2 -> all live
+    assert removed == []
+    removed = txnlog.vacuum(path, keep_latest=1)
+    assert sorted(removed) == ["data-v00000000-0000", "data-v00000001-0000"]
+    assert txnlog.snapshot(spark, path).count() == 1
+    with pytest.raises(Exception):
+        txnlog.snapshot(spark, path, 0)  # vacuumed away
