@@ -68,6 +68,57 @@ def build_dim(
     return dim.select(key_col, *nk_cols)
 
 
+def build_dims_fused(clean: DataFrame,
+                     specs: Sequence[tuple[str, object]],
+                     pad_dims: Sequence[str] = (),
+                     ) -> DataFrame:
+    """ALL dims in ONE pass: melt the NK columns into (dim, nk) string
+    pairs, one distinct shuffle, one per-dim dense_rank — then callers
+    slice per dim.  Replaces N separate distinct+rank subtrees (N
+    scans of trip_clean at warehouse scale) with a single scan; the
+    returned frame is localCheckpoint'ed (it is dim-sized) so the N
+    downstream broadcast builds read the materialized ranks instead of
+    re-running the melt.
+
+    ``specs`` = [(dim_name, nk Column), ...] — a dim may appear twice
+    (location melts both PU and DO ids into one member set, exactly
+    like the reference's union upsert).  ``pad_dims`` names dims whose
+    NKs are non-negative integers: their rank order must be NUMERIC,
+    so the sort key zero-pads the string form.  Surrogate keys equal
+    build_dim's exactly (dense_rank over NK asc, 1-based) — pinned by
+    tests/test_fact_plan_guardrail.py::test_fused_dims_equal_per_dim_builds.
+    """
+    melted = (
+        clean.select(F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     nk.cast("string").alias("nk"))
+            for d, nk in specs])).alias("m"))
+        .select("m.d", "m.nk")
+        .where(F.col("nk").isNotNull())
+        .distinct()
+    )
+    sort_key = (
+        F.when(F.col("d").isin(*pad_dims), F.lpad("nk", 12, "0"))
+        .otherwise(F.col("nk")) if pad_dims else F.col("nk"))
+    w = Window.partitionBy("d").orderBy(sort_key.asc())
+    return melted.withColumn(
+        "k", F.dense_rank().over(w).cast("int")).localCheckpoint()
+
+
+def slice_fused_dim(ranked: DataFrame, d: str, key_col: str,
+                    nk_col: str, nk_type: str, unknown_nk) -> DataFrame:
+    """One dim out of the fused rank frame, with its -1 unknown member
+    — output contract identical to build_dim."""
+    base = ranked.where(F.col("d") == d).select(
+        F.col("k").alias(key_col),
+        F.col("nk").cast(nk_type).alias(nk_col))
+    spark = ranked.sparkSession
+    unk = spark.createDataFrame(
+        [(-1, str(unknown_nk))], f"{key_col} int, {nk_col} string")
+    return base.unionByName(
+        unk.select(key_col, F.col(nk_col).cast(nk_type)))
+
+
 def upsert_dim_append(existing: DataFrame | None, source: DataFrame,
                       nk_cols: Sequence[str], key_col: str,
                       unknown_nk) -> DataFrame:

@@ -328,18 +328,56 @@ def fact_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_from_clean(clean)
 
 
+def fused_star_dims(clean: DataFrame) -> dict[str, DataFrame]:
+    """All 5 NK dims from ONE melt pass (operators/dims.py
+    build_dims_fused): one scan of trip_clean + one distinct shuffle
+    replaces five distinct+rank subtrees.  Keys are identical to the
+    per-dim build_dim outputs (equality pinned in
+    tests/test_fact_plan_guardrail.py)."""
+    from ..operators.dims import build_dims_fused, slice_fused_dim
+
+    ranked = build_dims_fused(
+        clean,
+        [("vendor", F.col("vendor_code")),
+         ("payment", F.col("payment_type")),
+         ("rate_code", F.col("rate_code_nk")),
+         ("flag", F.col("flag_nk")),
+         ("location", F.col("pu_loc_id")),
+         ("location", F.col("do_loc_id"))],
+        pad_dims=["location"],
+    )
+    return {
+        "vendor": slice_fused_dim(
+            ranked, "vendor", "vendor_key", "vendor_code",
+            "string", "UNKNOWN"),
+        "payment": slice_fused_dim(
+            ranked, "payment", "payment_type_key", "payment_type_nk",
+            "string", "UNKNOWN"),
+        "rate_code": slice_fused_dim(
+            ranked, "rate_code", "rate_code_key", "rate_code_nk",
+            "string", "UNKNOWN"),
+        "flag": slice_fused_dim(
+            ranked, "flag", "flag_key", "flag_nk", "string", "UNKNOWN"),
+        "location": slice_fused_dim(
+            ranked, "location", "location_key", "location_id_nk",
+            "int", -1),
+    }
+
+
 def fact_from_clean(clean: DataFrame) -> DataFrame:
     """The dim-build + FK-resolve + project stage of the star build,
     over an (ideally materialized) trip_clean frame.  Split out so the
-    bench can time the dim-resolve stage on its own — fact_build_star
-    is the one chronically-regressing bench entry, and attributing
-    growth to dedupe vs dim-resolve needs a stage boundary
-    (tests/test_fact_plan_guardrail.py pins the plan shape)."""
-    v = dim_vendor(clean)
-    p = dim_payment(clean)
-    rc = dim_rate_code(clean)
-    fl = dim_flag(clean)
-    loc = dim_location(clean)
+    bench can time the dim-resolve stage on its own
+    (tests/test_fact_plan_guardrail.py pins the plan shape).
+
+    Dims come from the FUSED melt build (fused_star_dims): one scan of
+    trip_clean + one distinct shuffle instead of five distinct+rank
+    subtrees — at warehouse scale that is 1 pass over the fact instead
+    of 6.  Each dim then broadcasts into the FK chain exactly as
+    before."""
+    dims = fused_star_dims(clean)
+    v, p, rc = dims["vendor"], dims["payment"], dims["rate_code"]
+    fl, loc = dims["flag"], dims["location"]
 
     f = resolve_fk(clean, v, [("vendor_code", "vendor_code")], "vendor_key")
     f = resolve_fk(f, p, [("payment_type", "payment_type_nk")], "payment_type_key")
@@ -349,7 +387,6 @@ def fact_from_clean(clean: DataFrame) -> DataFrame:
                    [("pu_loc_id", "location_id_nk")], "pu_location_key")
     f = resolve_fk(f, loc.withColumnRenamed("location_key", "do_location_key"),
                    [("do_loc_id", "location_id_nk")], "do_location_key")
-
     return f.select(
         sha256_key(
             F.coalesce(norm_str(F.col("vendor_code")), F.lit("")),

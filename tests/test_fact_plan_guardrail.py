@@ -59,3 +59,29 @@ def test_fact_dim_stage_adds_no_fact_shuffle(spark):
     keys = _hash_keys(plan)
     assert keys <= _DIM_NK_KEYS, keys
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fused_dims_equal_per_dim_builds(spark):
+    """The fused melt build must produce EXACTLY the per-dim build_dim
+    outputs (same surrogate keys, same members) for all five dims —
+    including location's numeric rank order surviving the string
+    melt."""
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, SF_SMOKE))).localCheckpoint()
+    fused = tf.fused_star_dims(clean)
+    singles = {
+        "vendor": tf.dim_vendor(clean),
+        "payment": tf.dim_payment(clean),
+        "rate_code": tf.dim_rate_code(clean),
+        "flag": tf.dim_flag(clean),
+        "location": tf.dim_location(clean),
+    }
+    for name, want in singles.items():
+        got = fused[name]
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(want.columns)
+        d = (got.select(cols).exceptAll(want.select(cols)).count()
+             + want.select(cols).exceptAll(got.select(cols)).count())
+        assert d == 0, name
