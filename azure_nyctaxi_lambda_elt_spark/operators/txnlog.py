@@ -70,11 +70,14 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+def commit(df: DataFrame, path: str, mode: str = "overwrite",
+           meta: dict | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     mode='overwrite' → the new version is exactly df's rows;
     mode='append'    → the new version is the parent's dirs + df's.
+    ``meta`` rides in the manifest (e.g. the streaming sink stores the
+    micro-batch id there for exactly-once redelivery skips).
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -104,7 +107,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "mode": mode, "dirs": dirs}, fh)
+        json.dump({"version": version, "mode": mode, "dirs": dirs,
+                   "meta": meta or {}}, fh)
     final = _manifest_path(path, version)
     try:
         # atomic commit point; os.rename overwrites silently, so guard
@@ -119,6 +123,14 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite") -> int:
         if os.path.exists(tmp):
             os.remove(tmp)
     return version
+
+
+def latest_meta(path: str) -> dict:
+    """The latest committed manifest's meta dict ({} if none)."""
+    v = latest_version(path)
+    if v is None:
+        return {}
+    return _read_manifest(path, v).get("meta", {})
 
 
 def snapshot(spark: SparkSession, path: str,

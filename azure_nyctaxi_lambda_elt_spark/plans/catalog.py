@@ -1085,6 +1085,14 @@ def q_streaming_raw_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "raw_archive", sf_dir))
 
 
+def q_streaming_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.lane import run_txn_sink
+
+    apply_engine_conf(spark)
+    return run_txn_sink(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "txn_sink", sf_dir))
+
+
 WM_CANDIDATE_DELAYS_MIN = [0, 10, 30, 60]
 
 
@@ -1544,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "payment_map_scd": q_payment_map_scd,
     "file_scoped_replay": q_file_scoped_replay,
     "streaming_raw_archive": q_streaming_raw_archive,
+    "streaming_txn_sink": q_streaming_txn_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
     **LLM_QUERIES,
@@ -1650,6 +1659,7 @@ _CHECK_FIRST: list[str] = [
     "skew_profile",
     "cdc_apply_changes",
     "txn_time_travel",
+    "streaming_txn_sink",
 ]
 
 
@@ -1988,6 +1998,16 @@ ORACLES["txn_time_travel"] = with_trips("""
 # the raw passthrough archive is the identity of the input feed
 ORACLES["streaming_raw_archive"] = """
     SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+# append-through-txn-log is batching-independent -> the batch rollup of
+# the whole feed is a FULL oracle for the exactly-once sink
+ORACLES["streaming_txn_sink"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS value_sum
+    FROM events GROUP BY 1
 """
 
 ORACLES["late_data_audit"] = f"""

@@ -631,6 +631,48 @@ def run_distinct_sketch(spark: SparkSession, sf_dir: str,
     )
 
 
+def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
+                 max_files_per_trigger: int | None = None,
+                 source_dir: str | None = None,
+                 resume: bool = False) -> DataFrame:
+    """EXACTLY-ONCE streaming sink: every micro-batch appends through
+    the transaction log (operators/txnlog.py) with its batch id in the
+    manifest meta, and a redelivered batch (checkpoint rollback /
+    foreachBatch retry — Spark's at-least-once contract) is SKIPPED
+    when its id is <= the last committed one.  This is the canonical
+    idempotent-foreachBatch pattern that upgrades at-least-once to
+    exactly-once for transactional sinks; readers see only whole
+    batches (snapshot isolation), never a torn write.
+
+    Returns the per-event_type rollup of the final snapshot — append
+    is order/batching-independent, so the batch events table is a FULL
+    oracle."""
+    from ..operators import txnlog
+
+    table = os.path.join(out_dir, "table")
+    ckpt = os.path.join(out_dir, "ckpt")
+    if not resume:
+        _reset(table, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        committed = txnlog.latest_meta(table).get("batch_id", -1)
+        if batch_id <= committed:
+            return  # redelivery: already durably committed
+        txnlog.commit(batch, table, "append",
+                      meta={"batch_id": batch_id})
+
+    _run_available_now(
+        ev.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt))
+    snap = txnlog.snapshot(spark, table)
+    return snap.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double"), 6).alias("value_sum"),
+    )
+
+
 def run_session_windows(spark: SparkSession, sf_dir: str, out_dir: str,
                         max_files_per_trigger: int | None = None,
                         source_dir: str | None = None) -> DataFrame:

@@ -391,3 +391,31 @@ def test_distinct_sketch_mid_swap_crash_recovery(spark, feed_dir):
                         max_files_per_trigger=1, source_dir=feed_dir,
                         resume=True)
     assert spark.read.parquet(state).count() == expected
+
+
+def test_txn_sink_exactly_once_under_redelivery(spark, feed_dir):
+    """foreachBatch is at-least-once: wiping the checkpoint (the
+    classic rollback) redelivers every batch.  The txn-log sink must
+    skip them all via the manifest batch-id — row counts and version
+    count unchanged, exactly-once end to end."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_txn_sink
+
+    out = os.path.join(OUT, "txn_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    first = run_txn_sink(spark, SF_SMOKE, out,
+                         max_files_per_trigger=1, source_dir=feed_dir)
+    table = os.path.join(out, "table")
+    v_before = txnlog.latest_version(table)
+    n_before = txnlog.snapshot(spark, table).count()
+    assert v_before >= 2  # 3 files -> 3 batches committed
+
+    # redelivery: checkpoint gone, committed table intact
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    run_txn_sink(spark, SF_SMOKE, out,
+                 max_files_per_trigger=1, source_dir=feed_dir,
+                 resume=True)
+    assert txnlog.latest_version(table) == v_before
+    assert txnlog.snapshot(spark, table).count() == n_before
+    src_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert n_before == src_n
