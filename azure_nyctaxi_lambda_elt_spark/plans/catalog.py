@@ -1033,6 +1033,37 @@ def q_file_scoped_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across producer generations: the first half of
+    the month landed from a producer WITHOUT tip_amount, the second
+    half with it.  mergeSchema unifies the footers on read and
+    null-backfills the missing column — the lake-layer half of an
+    ALTER TABLE ADD COLUMN (the reference's Synapse table would DDL;
+    the lake files just coexist).  Readback rollup proves the merge:
+    old-schema rows count as tip-null, new-schema rows keep sums."""
+    import shutil
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "schevo", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    (clean.where(F.dayofmonth("ingest_date") <= 15).drop("tip_amount")
+     .write.parquet(f"{out}/gen1"))
+    (clean.where(F.dayofmonth("ingest_date") >= 16)
+     .write.parquet(f"{out}/gen2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen1", f"{out}/gen2")
+    return (
+        back.groupBy((F.dayofmonth("ingest_date") <= 15)
+                     .alias("old_schema"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.when(F.col("tip_amount").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_tip_null"),
+             F.round(F.sum(F.col("tip_amount").cast("decimal(18,6)"))
+                     .cast("double"), 6).alias("tip_sum"))
+    )
+
+
 def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-log warehouse semantics (operators/txnlog.py): three
     atomic commits — v0 overwrite (days 1-15 of trip_clean), v1 append
@@ -1555,6 +1586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_txn_sink": q_streaming_txn_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
+    "schema_evolution_merge": q_schema_evolution_merge,
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
@@ -1660,6 +1692,7 @@ _CHECK_FIRST: list[str] = [
     "cdc_apply_changes",
     "txn_time_travel",
     "streaming_txn_sink",
+    "schema_evolution_merge",
 ]
 
 
@@ -1967,6 +2000,18 @@ ORACLES["payment_map_scd"] = with_trips(f"""
 # the replayed store must equal the straight typed load (same oracle as
 # stg_typed_load: the corrupt-then-heal path leaves no residue)
 ORACLES["file_scoped_replay"] = with_trips("SELECT * FROM typed_trips")
+
+ORACLES["schema_evolution_merge"] = with_trips("""
+    SELECT day(ingest_date) <= 15 AS old_schema,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN day(ingest_date) <= 15 THEN 1
+                         WHEN tip_amount IS NULL THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_tip_null,
+           round(CAST(SUM(CASE WHEN day(ingest_date) >= 16
+                               THEN CAST(tip_amount AS DECIMAL(18,6))
+                          END) AS DOUBLE), 6) AS tip_sum
+    FROM trip_clean GROUP BY 1
+""")
 
 # time-travel readback: each version's rollup derives from trip_clean
 # with the same slice/append/correction the commits applied
