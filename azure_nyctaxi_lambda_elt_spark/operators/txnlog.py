@@ -143,10 +143,9 @@ def snapshot(spark: SparkSession, path: str,
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
     dirs = [os.path.join(path, d) for d in man["dirs"]]
-    df = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        df = df.unionByName(spark.read.parquet(d))
-    return df
+    # one multi-path scan, not a union chain: a long-appended table
+    # (thousands of commits) stays a single FileScan node
+    return spark.read.parquet(*dirs)
 
 
 def vacuum(path: str, keep_latest: int = 2) -> list[str]:
