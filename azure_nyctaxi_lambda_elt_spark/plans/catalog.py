@@ -1693,6 +1693,7 @@ _CHECK_FIRST: list[str] = [
     "txn_time_travel",
     "streaming_txn_sink",
     "schema_evolution_merge",
+    "bpe_train",
 ]
 
 

@@ -1018,6 +1018,20 @@ def q_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_linkage(load_table(spark, sf_dir, "customer"))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py): 5 iterations
+    of most-frequent-adjacent-pair merge over the documents corpus —
+    the tokenizer-training loop of an LLM pipeline as a Spark
+    iteration (only (pair, count) rows shuffle; corpus strings stay
+    map-side; merges fold in as literal replaces).  Full oracle:
+    the identical iterations unroll into SQL (two-space delimiter
+    makes non-overlapping replace == greedy BPE application in both
+    engines)."""
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir))
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return skew_profile(load_table(spark, sf_dir, "events"))
@@ -1549,6 +1563,49 @@ EXT3_ORACLES["skew_profile"] = f"""
     FROM st CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN hot
 """
 
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Unrolled literal replay of bpe_train: per iteration, bigram
+    counts from the 2-space-delimited corpus, the (cnt DESC, l, r)
+    argmax pair, and the plain-replace merge application — identical
+    greedy non-overlapping semantics in DuckDB and Spark."""
+    sql = ["""
+        WITH s0 AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> ''), '  ') AS s
+          FROM documents)"""]
+    for k in range(1, n_merges + 1):
+        prev = f"s{k - 1}"
+        sql.append(f""",
+        p{k} AS (
+          SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT t[i] AS l, t[i + 1] AS r
+            FROM (SELECT string_split(s, '  ') AS t FROM {prev}) x,
+                 UNNEST(generate_series(1, len(t) - 1)) u(i))
+          GROUP BY 1, 2),
+        m{k} AS (
+          SELECT l, r, cnt FROM p{k}
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        s{k} AS (
+          SELECT doc_id,
+                 replace(s, m.l || '  ' || m.r, m.l || '+' || m.r) AS s
+          FROM {prev} CROSS JOIN m{k} m),
+        t{k} AS (
+          SELECT CAST(SUM(len(string_split(s, '  '))) AS BIGINT) AS tok
+          FROM s{k})""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS INT) AS merge_rank, l AS merge_left,
+                   r AS merge_right, cnt AS pair_count,
+                   (SELECT tok FROM t{k}) AS corpus_tokens_after
+            FROM m{k}"""
+        for k in range(1, n_merges + 1))
+    sql.append("\n" + selects)
+    return "".join(sql)
+
+
+EXT3_ORACLES["bpe_train"] = _bpe_oracle()
+
 EXT3_ORACLES["cdc_apply_changes"] = """
     WITH last AS (
       SELECT user_id, event_type, value, ts FROM (
@@ -1582,6 +1639,7 @@ EXT3_QUERIES = {
     "dup_graph_pagerank": q_dup_graph_pagerank,
     "skew_profile": q_skew_profile,
     "cdc_apply_changes": q_cdc_apply_changes,
+    "bpe_train": q_bpe_train,
 }
 
 

@@ -57,3 +57,27 @@ def test_transform_output_reparses_strictly():
     for doc_id in range(30):
         enc = {0: _encode_bmp, 1: _encode_wav, 2: _encode_gif}[doc_id % 3]
         decode_one(transform_one(enc(doc_id)))  # raises on invalid bytes
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy-merge semantics (operators/bpe.py) — the repeated-token
+# edge where naive replace overlaps
+
+
+def test_bpe_greedy_merge_on_repeats(spark):
+    from azure_nyctaxi_lambda_elt_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "a a b"), (2, "b b b b")],
+        "doc_id long, text string")
+    out = {r["merge_rank"]: r for r in bpe_train(docs, 2).collect()}
+    # pair counts: (a,a)=3 (docs 0 has 2, doc 1 has 1), (b,b)=3,
+    # (a,b)=1 -> tie (a,a) vs (b,b) broken lexicographically to (a,a)
+    assert (out[1]["merge_left"], out[1]["merge_right"]) == ("a", "a")
+    assert out[1]["pair_count"] == 3
+    # greedy application: "a a a" -> "(a+a) a" (non-overlapping), so
+    # corpus tokens drop by exactly 2 (one merge in doc0, one in doc1)
+    assert out[1]["corpus_tokens_after"] == 10 - 2
+    # round 2: (b,b)=3 in "b b b b" -> greedy merges TWO occurrences
+    assert (out[2]["merge_left"], out[2]["merge_right"]) == ("b", "b")
+    assert out[2]["corpus_tokens_after"] == 8 - 2
