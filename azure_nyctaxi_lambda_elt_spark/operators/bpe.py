@@ -92,3 +92,32 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_apply(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The inference half: train the merge table, then apply all
+    merges to the corpus and report per-source compression — the
+    measurement that decides whether a tokenizer's merges transfer to
+    a new source mix.  Application is a chain of literal replaces
+    (map-side, no shuffle); the only shuffles are training's pair
+    counts and the final per-source rollup."""
+    merges = [(r["merge_left"], r["merge_right"])
+              for r in bpe_train(docs, n_merges).collect()]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    applied = docs.select(
+        "source", F.array_join(toks, SEP).alias("s"),
+        F.size(toks).alias("__before"))
+    sql = "s"
+    for left, right in merges:
+        sql = (f"replace({sql}, {_sql_str(left + SEP + right)}, "
+               f"{_sql_str(left + JOIN_CH + right)})")
+    return (
+        applied.withColumn("__after", F.size(F.split(F.expr(sql), SEP)))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("__before").cast("bigint").alias("tokens_before"),
+             F.sum("__after").cast("bigint").alias("tokens_after"))
+        .withColumn("compression", F.round(
+            F.col("tokens_after") / F.col("tokens_before"), 6))
+    )

@@ -1694,6 +1694,7 @@ _CHECK_FIRST: list[str] = [
     "streaming_txn_sink",
     "schema_evolution_merge",
     "bpe_train",
+    "bpe_apply",
 ]
 
 

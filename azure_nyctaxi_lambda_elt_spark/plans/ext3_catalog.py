@@ -1032,6 +1032,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir))
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus (a chain of literal
+    map-side replaces, no shuffle) and report per-source compression —
+    the transfer measurement for a tokenizer's merge table
+    (operators/bpe.py bpe_apply)."""
+    from ..operators.bpe import bpe_apply
+
+    return bpe_apply(_docs(spark, sf_dir))
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return skew_profile(load_table(spark, sf_dir, "events"))
@@ -1563,11 +1573,13 @@ EXT3_ORACLES["skew_profile"] = f"""
     FROM st CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN hot
 """
 
-def _bpe_oracle(n_merges: int = 5) -> str:
-    """Unrolled literal replay of bpe_train: per iteration, bigram
-    counts from the 2-space-delimited corpus, the (cnt DESC, l, r)
-    argmax pair, and the plain-replace merge application — identical
-    greedy non-overlapping semantics in DuckDB and Spark."""
+def _bpe_chain(n_merges: int = 5) -> str:
+    """Unrolled literal replay of the BPE training loop: per
+    iteration, bigram counts from the 2-space-delimited corpus, the
+    (cnt DESC, l, r) argmax pair, and the plain-replace merge
+    application — identical greedy non-overlapping semantics in
+    DuckDB and Spark.  Ends at CTEs m{k}/s{k}/t{k}; bpe_train reads
+    the merge table, bpe_apply reads the fully-merged corpus s{n}."""
     sql = ["""
         WITH s0 AS (
           SELECT doc_id,
@@ -1594,17 +1606,36 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         t{k} AS (
           SELECT CAST(SUM(len(string_split(s, '  '))) AS BIGINT) AS tok
           FROM s{k})""")
+    return "".join(sql)
+
+
+def _bpe_train_oracle(n_merges: int = 5) -> str:
     selects = " UNION ALL ".join(
         f"""SELECT CAST({k} AS INT) AS merge_rank, l AS merge_left,
                    r AS merge_right, cnt AS pair_count,
                    (SELECT tok FROM t{k}) AS corpus_tokens_after
             FROM m{k}"""
         for k in range(1, n_merges + 1))
-    sql.append("\n" + selects)
-    return "".join(sql)
+    return _bpe_chain(n_merges) + "\n" + selects
 
 
-EXT3_ORACLES["bpe_train"] = _bpe_oracle()
+def _bpe_apply_oracle(n_merges: int = 5) -> str:
+    """Per-source compression of the fully-merged corpus s{n}."""
+    nb = "len(list_filter(string_split(lower(d.text), ' '), t -> t <> ''))"
+    return _bpe_chain(n_merges) + f"""
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({nb}) AS BIGINT) AS tokens_before,
+               CAST(SUM(len(string_split(a.s, '  '))) AS BIGINT)
+                 AS tokens_after,
+               round(CAST(SUM(len(string_split(a.s, '  '))) AS DOUBLE)
+                     / SUM({nb}), 6) AS compression
+        FROM s{n_merges} a JOIN documents d USING (doc_id)
+        GROUP BY 1"""
+
+
+EXT3_ORACLES["bpe_train"] = _bpe_train_oracle()
+EXT3_ORACLES["bpe_apply"] = _bpe_apply_oracle()
 
 EXT3_ORACLES["cdc_apply_changes"] = """
     WITH last AS (
@@ -1640,6 +1671,7 @@ EXT3_QUERIES = {
     "skew_profile": q_skew_profile,
     "cdc_apply_changes": q_cdc_apply_changes,
     "bpe_train": q_bpe_train,
+    "bpe_apply": q_bpe_apply,
 }
 
 
