@@ -50,8 +50,17 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     session (the driver owns the session in `__spark_entry__`).
 
     Only touches keys that are safe to set after session start.
+
+    shuffle.partitions is pinned too: the iterative float-summing
+    operators (k-means centroid means feeding the unrolled-Lloyd
+    oracles) accumulate doubles in partition order, so a session with
+    a different partition count could drift a centroid by an ulp and
+    flip an argmin — every green driver row was produced at 32, keep
+    it that way regardless of the owning session's default.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   DEFAULT_SHUFFLE_PARTITIONS)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
