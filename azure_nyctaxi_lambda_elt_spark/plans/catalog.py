@@ -1695,6 +1695,7 @@ _CHECK_FIRST: list[str] = [
     "schema_evolution_merge",
     "bpe_train",
     "bpe_apply",
+    "quality_weighted_sample",
 ]
 
 

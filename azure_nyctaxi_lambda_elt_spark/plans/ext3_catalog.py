@@ -1018,6 +1018,36 @@ def q_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_linkage(load_table(spark, sf_dir, "customer"))
 
 
+def quality_weighted_sample(docs: DataFrame) -> DataFrame:
+    """PRODUCTION composition (like dedup_lsh_jaccard): the bigram-LM
+    quality signal (ngram_lm_score) DRIVES a deterministic Bernoulli
+    sample — keep probability w = 1/(1+avg_nll), so typical (low-
+    perplexity) docs survive more often: perplexity-weighted mixture
+    construction (CCNet's quality buckets collapsed to a continuous
+    weight).  Keep ⟺ first 16 bits of md5('qws:'+doc_id) <
+    floor(w·2¹⁶); md5-deterministic like stratified_sample, so reruns
+    cut the SAME corpus.  The weighting is map-only on top of the
+    score frame."""
+    scores = ngram_lm_score(docs)
+    w = F.lit(1.0) / (F.lit(1.0) + F.col("avg_nll"))
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("int")
+    return (
+        scores
+        .withColumn("keep_weight", F.round(w, 6))
+        .withColumn("__thr", F.floor(w * F.lit(65536.0)).cast("int"))
+        .withColumn("__u", u16)
+        .where(F.col("__u") < F.col("__thr"))
+        .select("doc_id", "avg_nll", "keep_weight")
+    )
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_weighted_sample(_docs(spark, sf_dir))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (operators/bpe.py): 5 iterations
     of most-frequent-adjacent-pair merge over the documents corpus —
@@ -1637,6 +1667,25 @@ def _bpe_apply_oracle(n_merges: int = 5) -> str:
 EXT3_ORACLES["bpe_train"] = _bpe_train_oracle()
 EXT3_ORACLES["bpe_apply"] = _bpe_apply_oracle()
 
+
+def _qws_oracle() -> str:
+    lm = EXT3_ORACLES["ngram_lm_score"]
+    return f"""
+        WITH lm AS ({lm})
+        SELECT doc_id, avg_nll,
+               round(CAST(1.0 AS DOUBLE) / (1.0 + avg_nll), 6)
+                 AS keep_weight
+        FROM lm
+        WHERE CAST(concat('0x',
+                substring(md5('qws:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INT)
+            < CAST(floor((CAST(1.0 AS DOUBLE) / (1.0 + avg_nll))
+                         * 65536.0) AS INT)
+    """
+
+
+EXT3_ORACLES["quality_weighted_sample"] = _qws_oracle()
+
 EXT3_ORACLES["cdc_apply_changes"] = """
     WITH last AS (
       SELECT user_id, event_type, value, ts FROM (
@@ -1672,6 +1721,7 @@ EXT3_QUERIES = {
     "cdc_apply_changes": q_cdc_apply_changes,
     "bpe_train": q_bpe_train,
     "bpe_apply": q_bpe_apply,
+    "quality_weighted_sample": q_quality_weighted_sample,
 }
 
 
