@@ -66,7 +66,13 @@ def replay_file_scoped(
     form of the same contract).
 
     ``fresh`` must contain only rows belonging to ``source_file``
-    (asserted cheaply via a filter, not a count)."""
+    (asserted cheaply via a filter, not a count).
+
+    Scale note: locating the affected partitions filters the whole
+    table on ``file_col``; parquet footer min/max stats prune the row
+    groups of every file the blob's rows can't be in, so the discovery
+    scan reads metadata, not data, for untouched files.  At Delta/
+    Iceberg-table scale the same lookup is a manifest-stats query."""
     spark = fresh.sparkSession
     existing = spark.read.parquet(path)
     affected = (

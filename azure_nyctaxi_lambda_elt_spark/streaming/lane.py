@@ -176,7 +176,14 @@ def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
     One batch scan feeds all three sinks; the raw copy is partitioned
     date/hour mirroring the blob pathPattern 'date={date}/{time}'.
     Returns the read-back archive — by construction the identity of
-    the input feed, which is the FULL oracle."""
+    the input feed, which is the FULL oracle.
+
+    Delivery semantics: at-least-once, faithful to the ASA blob output
+    (plain appends; a foreachBatch retry after a checkpoint rollback
+    could re-land a batch).  That is the CORRECT contract for a replay
+    substrate — replayers dedupe on event_id — and any consumer that
+    needs exactly-once reads through run_txn_sink's manifest-committed
+    table instead."""
     raw_dir = os.path.join(out_dir, "raw")
     curated_dir = os.path.join(out_dir, "curated")
     dlq_dir = os.path.join(out_dir, "dlq")
