@@ -39,6 +39,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TxnConflict(RuntimeError):
@@ -85,18 +86,7 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     version = 0 if parent is None else parent + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
-    # claim a writer-unique data dir via atomic mkdir so a racing
-    # writer targeting the same version can NEVER touch files another
-    # manifest references (immutability is what makes losing safe)
-    os.makedirs(path, exist_ok=True)
-    attempt = 0
-    while True:
-        data_dir = os.path.join(path, f"data-v{version:08d}-{attempt:04d}")
-        try:
-            os.mkdir(data_dir)
-            break
-        except FileExistsError:
-            attempt += 1
+    data_dir = _claim_data_dir(path, version)
     # the data write is invisible until the manifest rename lands
     df.write.mode("overwrite").parquet(data_dir)
     dirs = [os.path.basename(data_dir)]
@@ -104,6 +94,26 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         dirs = _read_manifest(path, parent)["dirs"] + dirs
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
+    return _commit_manifest(path, version, mode, dirs, meta)
+
+
+def _claim_data_dir(path: str, version: int) -> str:
+    """Claim a writer-unique data dir via atomic mkdir so a racing
+    writer targeting the same version can NEVER touch files another
+    manifest references (immutability is what makes losing safe)."""
+    os.makedirs(path, exist_ok=True)
+    attempt = 0
+    while True:
+        data_dir = os.path.join(path, f"data-v{version:08d}-{attempt:04d}")
+        try:
+            os.mkdir(data_dir)
+            return data_dir
+        except FileExistsError:
+            attempt += 1
+
+
+def _commit_manifest(path: str, version: int, mode: str,
+                     dirs: list[str], meta: dict | None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -123,6 +133,51 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         if os.path.exists(tmp):
             os.remove(tmp)
     return version
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 key_cols: list[str]) -> int:
+    """Copy-on-write row-level MERGE (Delta MERGE WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT, upsert form): rewrite ONLY the data dirs
+    that contain matched keys — every other committed file is carried
+    into the new manifest untouched, so the write cost scales with the
+    touched fraction, not the table, and time travel keeps every prior
+    version intact.
+
+    Steps: (1) probe each of the parent manifest's data dirs with a
+    broadcast LEFT SEMI join on the update keys (parquet footer
+    min/max stats prune unmatched row groups; at manifest-stats scale
+    this probe is a metadata query); (2) rewrite the affected dirs as
+    (kept rows ANTI JOIN keys) ∪ updates into one fresh claimed dir;
+    (3) commit parent_dirs − affected + [new] atomically.  Raises
+    TxnConflict like commit() if another writer lands first."""
+    parent = latest_version(path)
+    if parent is None:
+        return commit(updates, path, "overwrite")
+    version = parent + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    man = _read_manifest(path, parent)
+    keys = updates.select(*key_cols).distinct()
+    bkeys = F.broadcast(keys)
+    affected = [
+        d for d in man["dirs"]
+        if spark.read.parquet(os.path.join(path, d))
+        .join(bkeys, key_cols, "left_semi").limit(1).count() > 0
+    ]
+    if affected:
+        existing = spark.read.parquet(
+            *[os.path.join(path, d) for d in affected])
+        rewritten = existing.join(bkeys, key_cols, "left_anti") \
+            .unionByName(updates)
+    else:
+        rewritten = updates
+    data_dir = _claim_data_dir(path, version)
+    rewritten.write.mode("overwrite").parquet(data_dir)
+    dirs = ([d for d in man["dirs"] if d not in affected]
+            + [os.path.basename(data_dir)])
+    return _commit_manifest(path, version, "merge", dirs,
+                            {"rewrote": affected})
 
 
 def latest_meta(path: str) -> dict:

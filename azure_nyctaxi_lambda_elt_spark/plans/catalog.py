@@ -1033,6 +1033,41 @@ def q_file_scoped_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level copy-on-write MERGE on the transaction log
+    (operators/txnlog.py merge_upsert — the Delta MERGE shape): seed
+    the table as three day-range commits, then upsert a batch that
+    UPDATES one source file's fares (+2.00) and INSERTS cloned
+    new-key rows.  Only the data dirs containing matched keys are
+    rewritten — the other commits' files carry into the new manifest
+    untouched (asserted in tests/test_txnlog.py) — and prior versions
+    stay time-travelable.  Readback = the full merged table, oracle =
+    trip_clean with the same update + insert applied."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnmerge", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 10), out, "overwrite")
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append")
+    txnlog.commit(clean.where(day >= 21), out, "append")
+    blob = "events_2024-01-05.parquet"
+    matched = clean.where(F.col("source_file_name") == blob).withColumn(
+        "fare_amount", F.col("fare_amount") + F.lit(2.0))
+    inserts = (
+        clean.where(day == 1)
+        .withColumn("trip_uid", F.col("trip_uid") + F.lit(10_000_000))
+        .withColumn("source_file_name", F.lit("merge_new.parquet")))
+    txnlog.merge_upsert(spark, out, matched.unionByName(inserts),
+                        ["trip_uid"])
+    return txnlog.snapshot(spark, out)
+
+
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across producer generations: the first half of
     the month landed from a producer WITHOUT tip_amount, the second
@@ -1586,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_txn_sink": q_streaming_txn_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
+    "txn_merge_upsert": q_txn_merge_upsert,
     "schema_evolution_merge": q_schema_evolution_merge,
     **LLM_QUERIES,
     **EXT_QUERIES,
@@ -1696,6 +1732,7 @@ _CHECK_FIRST: list[str] = [
     "bpe_train",
     "bpe_apply",
     "quality_weighted_sample",
+    "txn_merge_upsert",
 ]
 
 
@@ -2003,6 +2040,24 @@ ORACLES["payment_map_scd"] = with_trips(f"""
 # the replayed store must equal the straight typed load (same oracle as
 # stg_typed_load: the corrupt-then-heal path leaves no residue)
 ORACLES["file_scoped_replay"] = with_trips("SELECT * FROM typed_trips")
+
+ORACLES["txn_merge_upsert"] = with_trips("""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km,
+           CASE WHEN source_file_name = 'events_2024-01-05.parquet'
+                THEN fare_amount + 2.0 ELSE fare_amount END AS fare_amount,
+           payment_type, rate_code_nk, flag_nk, is_night_ride,
+           tip_amount, pu_loc_id, do_loc_id, passenger_count,
+           ingest_date, source_file_name, loaded_at
+    FROM trip_clean
+    UNION ALL
+    SELECT vendor_code, trip_uid + 10000000, pickup_ts_utc,
+           dropoff_ts_utc, trip_distance_km, fare_amount, payment_type,
+           rate_code_nk, flag_nk, is_night_ride, tip_amount, pu_loc_id,
+           do_loc_id, passenger_count, ingest_date,
+           'merge_new.parquet' AS source_file_name, loaded_at
+    FROM trip_clean WHERE day(ingest_date) = 1
+""")
 
 ORACLES["schema_evolution_merge"] = with_trips("""
     SELECT day(ingest_date) <= 15 AS old_schema,

@@ -84,3 +84,30 @@ def test_vacuum_drops_unreachable_only(spark, table):
     assert txnlog.snapshot(spark, path).count() == 1
     with pytest.raises(Exception):
         txnlog.snapshot(spark, path, 0)  # vacuumed away
+
+
+def test_merge_upsert_rewrites_only_affected_dirs(spark, table):
+    """Copy-on-write MERGE: untouched commits' data dirs carry into
+    the new manifest byte-for-byte; only dirs containing matched keys
+    are replaced; prior versions stay time-travelable."""
+    path, df = table
+    txnlog.commit(df.where("id < 4"), path, "overwrite")   # dir A
+    txnlog.commit(df.where("id >= 4 and id < 7"), path, "append")  # B
+    txnlog.commit(df.where("id >= 7"), path, "append")     # dir C
+    before = txnlog._read_manifest(path, 2)["dirs"]
+
+    updates = spark.createDataFrame(
+        [(5, 500), (99, 990)], "id long, v long")  # update id=5, insert 99
+    v = txnlog.merge_upsert(spark, path, updates, ["id"])
+    man = txnlog._read_manifest(path, v)
+    # dir B (holding id=5) was rewritten; A and C carried over
+    assert man["meta"]["rewrote"] == [before[1]]
+    assert before[0] in man["dirs"] and before[2] in man["dirs"]
+    assert before[1] not in man["dirs"]
+
+    snap = {r["id"]: r["v"] for r in txnlog.snapshot(spark, path).collect()}
+    assert snap[5] == 500 and snap[99] == 990
+    assert len(snap) == 11  # 10 original + 1 insert
+    assert snap[4] == 8     # untouched row in the rewritten dir kept
+    # time travel unaffected
+    assert txnlog.snapshot(spark, path, 2).count() == 10
