@@ -71,14 +71,33 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _col_stats(df: DataFrame, cols: list[str]) -> dict:
+    """Per-column [min, max] of ``df`` as JSON-safe values (dates and
+    timestamps as ISO strings — string order == time order)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+
+    def js(v):
+        return v if isinstance(v, (int, float, str, type(None))) \
+            else v.isoformat()
+
+    return {c: [js(row[f"__lo_{c}"]), js(row[f"__hi_{c}"])] for c in cols}
+
+
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
-           meta: dict | None = None) -> int:
+           meta: dict | None = None,
+           stats_cols: list[str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     mode='overwrite' → the new version is exactly df's rows;
     mode='append'    → the new version is the parent's dirs + df's.
     ``meta`` rides in the manifest (e.g. the streaming sink stores the
     micro-batch id there for exactly-once redelivery skips).
+    ``stats_cols`` records per-dir [min, max] column envelopes in the
+    manifest (Iceberg-style file stats at dir grain) — snapshot() can
+    then prune dirs whose envelope misses a predicate's range.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -89,12 +108,16 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     data_dir = _claim_data_dir(path, version)
     # the data write is invisible until the manifest rename lands
     df.write.mode("overwrite").parquet(data_dir)
-    dirs = [os.path.basename(data_dir)]
+    name = os.path.basename(data_dir)
+    dirs = [name]
+    stats = {name: _col_stats(df, stats_cols)} if stats_cols else {}
     if mode == "append" and parent is not None:
-        dirs = _read_manifest(path, parent)["dirs"] + dirs
+        pman = _read_manifest(path, parent)
+        dirs = pman["dirs"] + dirs
+        stats = {**pman.get("stats", {}), **stats}
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
-    return _commit_manifest(path, version, mode, dirs, meta)
+    return _commit_manifest(path, version, mode, dirs, meta, stats)
 
 
 def _claim_data_dir(path: str, version: int) -> str:
@@ -113,12 +136,13 @@ def _claim_data_dir(path: str, version: int) -> str:
 
 
 def _commit_manifest(path: str, version: int, mode: str,
-                     dirs: list[str], meta: dict | None) -> int:
+                     dirs: list[str], meta: dict | None,
+                     stats: dict | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "mode": mode, "dirs": dirs,
-                   "meta": meta or {}}, fh)
+                   "meta": meta or {}, "stats": stats or {}}, fh)
     final = _manifest_path(path, version)
     try:
         # atomic commit point; os.rename overwrites silently, so guard
@@ -160,8 +184,19 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     man = _read_manifest(path, parent)
     keys = updates.select(*key_cols).distinct()
     bkeys = F.broadcast(keys)
+    # stats fast path: a dir whose key envelope misses the updates'
+    # key range can't contain matches — skip its probe scan entirely
+    candidates = man["dirs"]
+    stats = man.get("stats", {})
+    if len(key_cols) == 1 and any(
+            key_cols[0] in s for s in stats.values()):
+        kc = key_cols[0]
+        krow = keys.agg(F.min(kc).alias("lo"), F.max(kc).alias("hi")) \
+            .collect()[0]
+        candidates = [d for d in candidates
+                      if _overlaps(stats, d, kc, krow["lo"], krow["hi"])]
     affected = [
-        d for d in man["dirs"]
+        d for d in candidates
         if spark.read.parquet(os.path.join(path, d))
         .join(bkeys, key_cols, "left_semi").limit(1).count() > 0
     ]
@@ -176,8 +211,15 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     rewritten.write.mode("overwrite").parquet(data_dir)
     dirs = ([d for d in man["dirs"] if d not in affected]
             + [os.path.basename(data_dir)])
+    # carry surviving dirs' stats; restate the rewritten dir's over
+    # the same column set so pruning keeps working after a merge
+    kept_stats = {d: s for d, s in stats.items() if d in dirs}
+    stat_cols = sorted({c for s in stats.values() for c in s})
+    if stat_cols:
+        kept_stats[os.path.basename(data_dir)] = _col_stats(
+            rewritten, stat_cols)
     return _commit_manifest(path, version, "merge", dirs,
-                            {"rewrote": affected})
+                            {"rewrote": affected}, kept_stats)
 
 
 def latest_meta(path: str) -> dict:
@@ -188,16 +230,41 @@ def latest_meta(path: str) -> dict:
     return _read_manifest(path, v).get("meta", {})
 
 
+def _overlaps(stats: dict, d: str, col: str, lo, hi) -> bool:
+    """True unless dir ``d``'s recorded [min, max] for ``col`` is
+    disjoint from [lo, hi].  Dirs without stats are always read
+    (pruning must be conservative)."""
+    env = stats.get(d, {}).get(col)
+    if not env or env[0] is None or env[1] is None:
+        return True
+    return not (env[1] < lo or env[0] > hi)
+
+
 def snapshot(spark: SparkSession, path: str,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             prune: tuple | None = None) -> DataFrame:
     """Snapshot-isolated read of ``path`` at ``version`` (default:
     latest).  Reads exactly the dirs that version's manifest lists —
-    concurrent commits and crashed half-writes are invisible."""
+    concurrent commits and crashed half-writes are invisible.
+
+    ``prune=(col, lo, hi)`` skips dirs whose manifest [min, max]
+    envelope for ``col`` misses the range (Iceberg-style stats
+    pruning).  Pruning only narrows WHICH dirs are scanned; callers
+    still apply their row predicate — surviving dirs may carry rows
+    outside the range."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
-    dirs = [os.path.join(path, d) for d in man["dirs"]]
+    names = man["dirs"]
+    if prune is not None:
+        col, lo, hi = prune
+        names = [d for d in names
+                 if _overlaps(man.get("stats", {}), d, col, lo, hi)]
+        if not names:
+            return spark.read.parquet(
+                os.path.join(path, man["dirs"][0])).limit(0)
+    dirs = [os.path.join(path, d) for d in names]
     # one multi-path scan, not a union chain: a long-appended table
     # (thousands of commits) stays a single FileScan node
     return spark.read.parquet(*dirs)

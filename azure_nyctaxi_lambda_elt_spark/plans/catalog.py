@@ -1068,6 +1068,42 @@ def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txnlog.snapshot(spark, out)
 
 
+def q_txn_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style manifest stats pruning (operators/txnlog.py):
+    three day-range commits record per-dir [min, max] envelopes for
+    ingest_date; a mid-month ranged read prunes to the ONE dir whose
+    envelope overlaps (asserted in tests/test_txnlog.py), then applies
+    the row predicate.  The content must equal the unpruned filter —
+    pruning may only skip dirs that cannot hold matching rows."""
+    import datetime
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnstats", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 10), out, "overwrite",
+                  stats_cols=["ingest_date"])
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append",
+                  stats_cols=["ingest_date"])
+    txnlog.commit(clean.where(day >= 21), out, "append",
+                  stats_cols=["ingest_date"])
+    lo, hi = "2024-01-12", "2024-01-18"
+    snap = txnlog.snapshot(spark, out, prune=("ingest_date", lo, hi))
+    return (
+        snap.where(F.col("ingest_date").between(
+            datetime.date(2024, 1, 12), datetime.date(2024, 1, 18)))
+        .groupBy("ingest_date")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+             .cast("double").alias("fare_sum"))
+    )
+
+
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across producer generations: the first half of
     the month landed from a producer WITHOUT tip_amount, the second
@@ -1622,6 +1658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
     "txn_merge_upsert": q_txn_merge_upsert,
+    "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "schema_evolution_merge": q_schema_evolution_merge,
     **LLM_QUERIES,
     **EXT_QUERIES,
@@ -1733,6 +1770,7 @@ _CHECK_FIRST: list[str] = [
     "bpe_apply",
     "quality_weighted_sample",
     "txn_merge_upsert",
+    "txn_stats_pruned_read",
 ]
 
 
@@ -2040,6 +2078,16 @@ ORACLES["payment_map_scd"] = with_trips(f"""
 # the replayed store must equal the straight typed load (same oracle as
 # stg_typed_load: the corrupt-then-heal path leaves no residue)
 ORACLES["file_scoped_replay"] = with_trips("SELECT * FROM typed_trips")
+
+ORACLES["txn_stats_pruned_read"] = with_trips("""
+    SELECT ingest_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum
+    FROM trip_clean
+    WHERE ingest_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
+    GROUP BY 1
+""")
 
 ORACLES["txn_merge_upsert"] = with_trips("""
     SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,

@@ -111,3 +111,49 @@ def test_merge_upsert_rewrites_only_affected_dirs(spark, table):
     assert snap[4] == 8     # untouched row in the rewritten dir kept
     # time travel unaffected
     assert txnlog.snapshot(spark, path, 2).count() == 10
+
+
+def test_stats_pruning_skips_disjoint_dirs(spark, table):
+    """Manifest [min,max] envelopes prune dirs whose range misses the
+    predicate; dirs without stats are conservatively read; a merge
+    carries stats forward."""
+    path, df = table
+    txnlog.commit(df.where("id < 4"), path, "overwrite",
+                  stats_cols=["id"])                     # ids 0-3
+    txnlog.commit(df.where("id >= 4 and id < 7"), path, "append",
+                  stats_cols=["id"])                     # ids 4-6
+    txnlog.commit(df.where("id >= 7"), path, "append",
+                  stats_cols=["id"])                     # ids 7-9
+    # range [4,6] overlaps only dir B
+    pruned = txnlog.snapshot(spark, path, prune=("id", 4, 6))
+    assert sorted(r["id"] for r in pruned.collect()) == [4, 5, 6]
+    # fully-disjoint range -> empty (schema preserved)
+    assert txnlog.snapshot(spark, path, prune=("id", 100, 200)).count() == 0
+    # merge restates stats over the rewritten dir: pruning still works
+    updates = spark.createDataFrame([(5, 500)], "id long, v long")
+    txnlog.merge_upsert(spark, path, updates, ["id"])
+    man = txnlog._read_manifest(path, txnlog.latest_version(path))
+    assert all(d in man["stats"] for d in man["dirs"])
+    after = txnlog.snapshot(spark, path, prune=("id", 0, 3))
+    assert sorted(r["id"] for r in after.collect()) == [0, 1, 2, 3]
+
+
+def test_merge_probe_uses_key_stats(spark, table, monkeypatch):
+    """With key stats recorded, the merge probe never scans dirs whose
+    key envelope misses the updates' range."""
+    path, df = table
+    txnlog.commit(df.where("id < 5"), path, "overwrite", stats_cols=["id"])
+    txnlog.commit(df.where("id >= 5"), path, "append", stats_cols=["id"])
+    scanned = []
+    real_read = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        scanned.extend(paths)
+        return real_read(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    updates = spark.createDataFrame([(9, 900)], "id long, v long")
+    txnlog.merge_upsert(spark, path, updates, ["id"])
+    monkeypatch.undo()
+    probed = [p for p in scanned if "data-v00000000" in p]
+    assert probed == []  # dir A (ids 0-4) never probed for key 9
