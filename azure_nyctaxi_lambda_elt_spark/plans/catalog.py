@@ -1068,6 +1068,51 @@ def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txnlog.snapshot(spark, out)
 
 
+def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the daily revenue rollup is
+    maintained across two loads (the base feed, then the late-arriving
+    files) by SUM-MERGING each delta's partial aggregates into the
+    stored state — only the delta is ever aggregated, never the full
+    history (the batch-grain form of a continuous aggregate refresh;
+    the streaming_run_quality_log entry is the same contract per
+    micro-batch).  State persists fare sums as DECIMAL so the merge
+    is exact; the final state must equal the full recompute (the
+    oracle), which is what makes sum-merge maintenance CORRECT for
+    additive measures."""
+    import shutil
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "increll", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    sl = tf.clean_slice(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("ingest_date").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").alias("fare_sum_dec"))
+
+    is_late = F.col("source_file_name").startswith("late_")
+    for pred in (~is_late, is_late):
+        delta = rollup(sl.where(pred))
+        try:
+            prev = spark.read.parquet(out)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("ingest_date")
+                .agg(F.sum("n_rows").cast("bigint").alias("n_rows"),
+                     F.sum("fare_sum_dec").cast("decimal(28,2)")
+                     .alias("fare_sum_dec"))
+            ).localCheckpoint()  # materialize before self-overwrite
+        except Exception:
+            merged = delta
+        merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(
+        "ingest_date", "n_rows",
+        F.col("fare_sum_dec").cast("double").alias("fare_sum"))
+
+
 def q_txn_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style manifest stats pruning (operators/txnlog.py):
     three day-range commits record per-dir [min, max] envelopes for
@@ -1659,6 +1704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_time_travel": q_txn_time_travel,
     "txn_merge_upsert": q_txn_merge_upsert,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
+    "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
     **LLM_QUERIES,
     **EXT_QUERIES,
@@ -1771,6 +1817,7 @@ _CHECK_FIRST: list[str] = [
     "quality_weighted_sample",
     "txn_merge_upsert",
     "txn_stats_pruned_read",
+    "incremental_rollup_maintain",
 ]
 
 
@@ -2078,6 +2125,14 @@ ORACLES["payment_map_scd"] = with_trips(f"""
 # the replayed store must equal the straight typed load (same oracle as
 # stg_typed_load: the corrupt-then-heal path leaves no residue)
 ORACLES["file_scoped_replay"] = with_trips("SELECT * FROM typed_trips")
+
+ORACLES["incremental_rollup_maintain"] = with_trips("""
+    SELECT ingest_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum
+    FROM clean_slice GROUP BY 1
+""")
 
 ORACLES["txn_stats_pruned_read"] = with_trips("""
     SELECT ingest_date,
