@@ -1818,6 +1818,7 @@ _CHECK_FIRST: list[str] = [
     "txn_merge_upsert",
     "txn_stats_pruned_read",
     "incremental_rollup_maintain",
+    "lang_id_confusion",
 ]
 
 

@@ -112,6 +112,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("predicted_lang", F.expr(pick))
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix of the lang-ID
+    heuristic against the labeled `lang` column — (true, predicted)
+    counts plus per-true-language recall.  The eval loop every
+    heuristic quality filter needs before it gates a corpus; one
+    partial-aggregated groupBy over the map-side scorer."""
+    preds = q_lang_id(spark, sf_dir).select("doc_id", "lang",
+                                            "predicted_lang")
+    cm = preds.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"))
+    totals = cm.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("__t"))
+    return (
+        cm.join(totals, "lang")
+        .select("lang", "predicted_lang", "n_docs",
+                F.round(F.col("n_docs") / F.col("__t"), 6).alias("frac"))
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = _docs(spark, sf_dir)
@@ -1105,6 +1124,25 @@ def _ann_ivfpq_oracle(k: int = ANN_K, n_centroids: int = 16,
 
 LLM_ORACLES["ann_ivfpq"] = _ann_ivfpq_oracle()
 
+
+def _lang_confusion_oracle() -> str:
+    """Confusion-matrix rollup over the lang_id oracle chain."""
+    lang_sql = LLM_ORACLES["lang_id"]
+    return f"""
+        WITH preds AS ({lang_sql}),
+        cm AS (
+          SELECT lang, predicted_lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM preds GROUP BY 1, 2),
+        t AS (SELECT lang, SUM(n_docs) AS tt FROM cm GROUP BY 1)
+        SELECT cm.lang, cm.predicted_lang, cm.n_docs,
+               round(CAST(cm.n_docs AS DOUBLE) / t.tt, 6) AS frac
+        FROM cm JOIN t USING (lang)
+    """
+
+
+LLM_ORACLES["lang_id_confusion"] = _lang_confusion_oracle()
+
 LLM_ORACLES["ann_lsh_bucket"] = f"""
     WITH v AS (
       SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
@@ -1145,6 +1183,7 @@ LLM_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_transform": q_multimodal_transform,
+    "lang_id_confusion": q_lang_id_confusion,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_bigstar": q_dedup_clusters_bigstar,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
