@@ -135,6 +135,32 @@ def _claim_data_dir(path: str, version: int) -> str:
             attempt += 1
 
 
+def _publish_manifest(final: str, tmp: str) -> None:
+    """The commit primitive: make ``tmp`` visible at ``final`` IF AND
+    ONLY IF ``final`` does not already exist — a true test-and-set, so
+    exactly one of two racing writers can ever succeed.
+
+    Default implementation is POSIX ``os.link``: hard-linking is atomic
+    and raises ``FileExistsError`` when the target exists (unlike
+    ``os.rename``, which silently replaces — a rename-based commit
+    would let writer B clobber writer A's already-verified manifest and
+    both would report success).
+
+    Object-store contract: on S3/ABFS/GCS, where rename/link are
+    neither atomic nor exclusive, swap this seam for a conditional put
+    (S3 ``If-None-Match: *``, ABFS ETag precondition, GCS
+    ``x-goog-if-generation-match: 0``) or an external log store
+    (Delta's DynamoDB/az-blob LogStore) with the same semantics:
+    create-if-absent or raise.  Everything above this function is
+    store-agnostic."""
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise TxnConflict(
+            f"lost the commit race: {os.path.basename(final)} "
+            "already published") from e
+
+
 def _commit_manifest(path: str, version: int, mode: str,
                      dirs: list[str], meta: dict | None,
                      stats: dict | None = None) -> int:
@@ -145,14 +171,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                    "meta": meta or {}, "stats": stats or {}}, fh)
     final = _manifest_path(path, version)
     try:
-        # atomic commit point; os.rename overwrites silently, so guard
-        # with an exclusive link-style check: create via rename only if
-        # absent (POSIX rename can't test-and-set, so re-check after)
-        if os.path.exists(final):
-            raise TxnConflict(f"version {version} already committed")
-        os.rename(tmp, final)
-        if _read_manifest(path, version)["dirs"] != dirs:
-            raise TxnConflict(f"lost the race for version {version}")
+        # atomic-exclusive commit point (see _publish_manifest)
+        _publish_manifest(final, tmp)
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
@@ -195,11 +215,23 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
             .collect()[0]
         candidates = [d for d in candidates
                       if _overlaps(stats, d, kc, krow["lo"], krow["hi"])]
-    affected = [
-        d for d in candidates
-        if spark.read.parquet(os.path.join(path, d))
-        .join(bkeys, key_cols, "left_semi").limit(1).count() > 0
-    ]
+    # ONE probe job over all candidate dirs (not one job per dir — a
+    # long-appended table would otherwise pay thousands of serial tiny
+    # jobs): multi-path scan tagged with the owning dir via
+    # input_file_name(), broadcast semi-join, distinct surviving dirs.
+    if candidates:
+        tagged = (
+            spark.read.parquet(
+                *[os.path.join(path, d) for d in candidates])
+            .withColumn(
+                "__dir",
+                F.element_at(F.split(F.input_file_name(), "/"), -2))
+            .join(bkeys, key_cols, "left_semi"))
+        hit = {r["__dir"]
+               for r in tagged.select("__dir").distinct().collect()}
+        affected = [d for d in candidates if d in hit]
+    else:
+        affected = []
     if affected:
         existing = spark.read.parquet(
             *[os.path.join(path, d) for d in affected])
@@ -270,10 +302,21 @@ def snapshot(spark: SparkSession, path: str,
     return spark.read.parquet(*dirs)
 
 
-def vacuum(path: str, keep_latest: int = 2) -> list[str]:
+def vacuum(path: str, keep_latest: int = 2,
+           grace_seconds: float = 3600.0) -> list[str]:
     """Drop data dirs unreachable from the ``keep_latest`` newest
     manifests (and the older manifests themselves) — Delta VACUUM.
-    Returns the removed dir names."""
+    Returns the removed dir names.
+
+    ``grace_seconds`` is the retention window protecting in-flight
+    writers: a dir claimed by a commit/merge whose manifest has not
+    landed yet is unreachable from every manifest, and removing it
+    would delete the data that writer is about to publish.  Dirs whose
+    mtime is within the grace window are skipped (Delta's VACUUM
+    retention check plays the same role).  Pass ``grace_seconds=0``
+    only when no writer can be concurrent."""
+    import time
+
     latest = latest_version(path)
     if latest is None:
         return []
@@ -282,10 +325,14 @@ def vacuum(path: str, keep_latest: int = 2) -> list[str]:
     live: set[str] = set()
     for v in keep_versions:
         live |= set(_read_manifest(path, v)["dirs"])
+    now = time.time()
     removed = []
     for entry in sorted(os.listdir(path)):
         if entry.startswith("data-v") and entry not in live:
-            shutil.rmtree(os.path.join(path, entry))
+            full = os.path.join(path, entry)
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue  # possibly an in-flight writer's claim
+            shutil.rmtree(full)
             removed.append(entry)
     for v in range(latest + 1):
         if v not in keep_versions:

@@ -75,30 +75,57 @@ def replay_file_scoped(
     Iceberg-table scale the same lookup is a manifest-stats query."""
     spark = fresh.sparkSession
     existing = spark.read.parquet(path)
+    fresh_scoped = fresh.where(F.col(file_col) == source_file)
+    # The affected set must cover BOTH sides of the heal: partitions
+    # holding the blob's OLD rows and partitions receiving its NEW rows.
+    # A fresh row can land in a partition the blob never touched before
+    # (brand-new blob, or a corrected partition value — exactly the
+    # healing use case); rewriting that partition without its existing
+    # sibling rows would silently delete other blobs' data.
     affected = (
         existing.where(F.col(file_col) == source_file)
-        .select(*partition_cols).distinct().collect())
+        .select(*partition_cols)
+        .unionByName(fresh_scoped.select(*partition_cols))
+        .distinct().collect())
     if not affected:
-        replacement = fresh.where(F.col(file_col) == source_file)
+        return
+    if len(partition_cols) == 1:
+        in_affected = F.col(partition_cols[0]).isin(
+            [r[0] for r in affected])
     else:
-        if len(partition_cols) == 1:
-            in_affected = F.col(partition_cols[0]).isin(
-                [r[0] for r in affected])
-        else:
-            in_affected = F.lit(False)
-            for r in affected:
-                clause = F.lit(True)
-                for c, v in zip(partition_cols, r):
-                    clause = clause & (F.col(c) == F.lit(v))
-                in_affected = in_affected | clause
-        kept = existing.where(
-            in_affected & (F.col(file_col) != source_file))
-        replacement = kept.unionByName(
-            fresh.where(F.col(file_col) == source_file))
+        in_affected = F.lit(False)
+        for r in affected:
+            clause = F.lit(True)
+            for c, v in zip(partition_cols, r):
+                clause = clause & (F.col(c) == F.lit(v))
+            in_affected = in_affected | clause
+    kept = existing.where(
+        in_affected & (F.col(file_col) != source_file))
+    replacement = kept.unionByName(fresh_scoped)
     # materialize BEFORE overwriting: the replacement reads the same
     # files the dynamic overwrite is about to delete
     replacement = replacement.localCheckpoint()
+    # Dynamic overwrite only replaces partitions it writes rows INTO.
+    # A partition the blob fully vacates (its rows moved elsewhere and
+    # no sibling rows remain) gets zero replacement rows, so the stale
+    # files would survive — drop those partition dirs explicitly, the
+    # same file-removal a Delta/Iceberg MERGE's delete half performs.
+    present = {
+        tuple(r) for r in
+        replacement.select(*partition_cols).distinct().collect()}
+    emptied = [r for r in affected if tuple(r) not in present]
     write_partition_overwrite(replacement, path, partition_cols)
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for r in emptied:
+            # hive-style dir per partition value (str() matches how our
+            # date/string partition values are rendered by the writer)
+            subdir = "/".join(
+                f"{c}={v}" for c, v in zip(partition_cols, r))
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{subdir}")
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
 
 
 def write_partition_overwrite(

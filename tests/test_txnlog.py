@@ -76,14 +76,90 @@ def test_vacuum_drops_unreachable_only(spark, table):
     txnlog.commit(df.where("id < 5"), path, "overwrite")   # v0
     txnlog.commit(df.where("id >= 5"), path, "append")     # v1
     txnlog.commit(df.where("id = 0"), path, "overwrite")   # v2
-    removed = txnlog.vacuum(path, keep_latest=2)
+    removed = txnlog.vacuum(path, keep_latest=2, grace_seconds=0)
     # v1 references data-v0 + data-v1; v2 references data-v2 -> all live
     assert removed == []
-    removed = txnlog.vacuum(path, keep_latest=1)
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
     assert sorted(removed) == ["data-v00000000-0000", "data-v00000001-0000"]
     assert txnlog.snapshot(spark, path).count() == 1
     with pytest.raises(Exception):
         txnlog.snapshot(spark, path, 0)  # vacuumed away
+
+
+def test_vacuum_grace_protects_inflight_claim(spark, table):
+    """A data dir claimed by an in-flight commit (manifest not yet
+    landed) is unreachable from every manifest — the default retention
+    grace must keep vacuum's hands off it."""
+    path, df = table
+    txnlog.commit(df, path, "overwrite")
+    claimed = txnlog._claim_data_dir(path, 7)  # writer mid-commit
+    assert txnlog.vacuum(path, keep_latest=1) == []  # default grace
+    assert os.path.isdir(claimed)
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    assert os.path.basename(claimed) in removed
+
+
+def test_commit_race_loser_raises_and_winner_survives(spark, table,
+                                                      monkeypatch):
+    """The commit point is test-and-set: if another writer publishes
+    the same version between our tmp write and our publish, we raise
+    TxnConflict and the winner's manifest survives byte-for-byte —
+    a rename-based publish would silently clobber it."""
+    path, df = table
+    txnlog.commit(df, path, "overwrite")  # v0
+    real_publish = txnlog._publish_manifest
+    winner_payload = json.dumps({"version": 1, "mode": "overwrite",
+                                 "dirs": ["data-winner"], "meta": {},
+                                 "stats": {}})
+
+    def racing_publish(final, tmp):
+        # writer B lands v1 first, in the window after A's exists-check
+        with open(final, "w") as fh:
+            fh.write(winner_payload)
+        real_publish(final, tmp)
+
+    monkeypatch.setattr(txnlog, "_publish_manifest", racing_publish)
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.commit(df.where("id < 3"), path, "overwrite")
+    monkeypatch.undo()
+    man = os.path.join(path, "_txn", "v00000001.json")
+    assert json.load(open(man))["dirs"] == ["data-winner"]
+    # the loser's tmp manifest was cleaned up
+    assert not [f for f in os.listdir(os.path.join(path, "_txn"))
+                if ".tmp-" in f]
+
+
+def test_merge_probe_job_count_is_constant_in_dirs(spark):
+    """The matched-dir probe must be ONE multi-path scan, not one Spark
+    job per candidate dir: tripling the number of appended commits must
+    not change the merge's job count (the per-dir loop added one probe
+    job per dir, so its count grew linearly)."""
+    df = spark.range(12).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    sc = spark.sparkContext
+
+    def merged_job_count(n_dirs, tag):
+        path = os.path.join(OUT, f"probe_{n_dirs}")
+        shutil.rmtree(path, ignore_errors=True)
+        step = 12 // n_dirs
+        for i in range(n_dirs):
+            part = df.where(
+                (F.col("id") >= i * step) & (F.col("id") < (i + 1) * step))
+            txnlog.commit(part, path, "overwrite" if i == 0 else "append")
+        updates = spark.createDataFrame([(5, 500)], "id long, v long")
+        sc.setJobGroup(tag, "job-count audit")
+        try:
+            txnlog.merge_upsert(spark, path, updates, ["id"])
+        finally:
+            sc.setJobGroup("", "")
+        snap = {r["id"]: r["v"]
+                for r in txnlog.snapshot(spark, path).collect()}
+        assert snap[5] == 500 and len(snap) == 12
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    small = merged_job_count(4, "probe_audit_small")
+    large = merged_job_count(12, "probe_audit_large")
+    assert large <= small, (
+        f"merge job count grew with dir count: {small} -> {large}")
 
 
 def test_merge_upsert_rewrites_only_affected_dirs(spark, table):

@@ -91,3 +91,67 @@ def test_file_scoped_replay_heals_one_blob_only(spark):
     # (c) untouched partitions keep their exact files (no rewrite)
     assert sorted(glob.glob(os.path.join(
         out, "ingest_date=2024-01-07", "*.parquet"))) == other_day_files
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "d string, f string, v int")
+
+
+def test_file_scoped_replay_new_blob_keeps_siblings(spark):
+    """A brand-new blob (zero existing rows) whose fresh rows land in a
+    partition that already holds OTHER blobs' rows must not delete those
+    sibling rows when its partition is rewritten."""
+    from azure_nyctaxi_lambda_elt_spark.operators.upsert import (
+        replay_file_scoped, write_partition_overwrite)
+
+    out = os.path.join(OUT, "fsr_new_blob")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partition_overwrite(
+        _mk(spark, [("2024-01-01", "a.json", 1),
+                    ("2024-01-01", "b.json", 2),
+                    ("2024-01-02", "b.json", 3)]),
+        out, ["d"])
+
+    fresh = _mk(spark, [("2024-01-01", "c.json", 10),
+                        ("2024-01-02", "c.json", 11)])
+    replay_file_scoped(out, fresh, "f", "c.json", ["d"])
+    # partition-dir type inference reads "d" back as a date
+    back = {(str(r["d"]), r["f"], r["v"])
+            for r in spark.read.parquet(out).collect()}
+    assert back == {("2024-01-01", "a.json", 1),
+                    ("2024-01-01", "b.json", 2),
+                    ("2024-01-02", "b.json", 3),
+                    ("2024-01-01", "c.json", 10),
+                    ("2024-01-02", "c.json", 11)}
+
+
+def test_file_scoped_replay_partition_move_heals_both_sides(spark):
+    """Healed rows whose partition value CHANGED (corrected ingest
+    date): the new partition keeps its siblings, the old partition
+    loses exactly the blob's rows — and if that empties it, the
+    partition dir is dropped (no stale files survive)."""
+    from azure_nyctaxi_lambda_elt_spark.operators.upsert import (
+        replay_file_scoped, write_partition_overwrite)
+
+    out = os.path.join(OUT, "fsr_move")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partition_overwrite(
+        _mk(spark, [("2024-01-01", "x.json", 1),   # sole occupant
+                    ("2024-01-02", "x.json", 2),   # shares with y
+                    ("2024-01-02", "y.json", 3),
+                    ("2024-01-03", "y.json", 4)]),
+        out, ["d"])
+
+    # the heal corrects BOTH x rows to day 03 (shared with y's row)
+    fresh = _mk(spark, [("2024-01-03", "x.json", 1),
+                        ("2024-01-03", "x.json", 2)])
+    replay_file_scoped(out, fresh, "f", "x.json", ["d"])
+    # partition-dir type inference reads "d" back as a date
+    back = {(str(r["d"]), r["f"], r["v"])
+            for r in spark.read.parquet(out).collect()}
+    assert back == {("2024-01-02", "y.json", 3),
+                    ("2024-01-03", "y.json", 4),
+                    ("2024-01-03", "x.json", 1),
+                    ("2024-01-03", "x.json", 2)}
+    # day-01 held only x's rows → fully vacated → dir dropped
+    assert not os.path.exists(os.path.join(out, "d=2024-01-01"))

@@ -105,6 +105,12 @@ def main():
               f"({len(srows)} rows) {time.time()-t0:.1f}s", flush=True)
     print(f"\n{len(names)-len(fails)}/{len(names)} match "
           f"({n_full} full, {n_rows_only} rows-only); fails={fails}")
+    if ONLY is None:
+        try:  # structural staleness sidecar for the next verdict
+            from tools.freshness_report import write_report
+            write_report()
+        except Exception as ex:
+            print(f"freshness report skipped: {ex}")
     spark.stop()
     sys.exit(1 if fails else 0)
 
