@@ -724,57 +724,23 @@ def column_stats_histogram(lineitem: DataFrame,
 
     The mergeable sketches (approx_quantile_sketch /
     tdigest_quantiles) remain the bounded-error twin when approximate
-    boundaries suffice."""
+    boundaries suffice.  (The rank machinery lives in
+    operators/ranks.py since round 5 — the pareto/ntile serving
+    entries share it.)"""
+    from ..operators.ranks import ntile_expr, with_global_rank
+
     spark = lineitem.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = lineitem.select(
         F.col("l_extendedprice").cast("double").alias("v"),
         F.col("l_orderkey").alias("k1"),
         F.col("l_linenumber").alias("k2"))
-    ranged = (
-        base.repartitionByRange(nparts, F.asc("v"), F.asc("k1"), F.asc("k2"))
-        .withColumn("__pid", F.spark_partition_id())
-        # pin ONE materialization: the counts branch and the rank
-        # branch must see identical range boundaries (re-sampling the
-        # partitioner across two jobs shifts pids and corrupts the
-        # offsets — observed as +-260-row bucket drift at sf0.01)
-        .localCheckpoint()
-    )
-    counts = sorted(
-        (r["__pid"], r["cnt"]) for r in
-        ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect())
-    n = sum(c for _, c in counts)
+    ranked, totals = with_global_rank(
+        base, [F.asc("v"), F.asc("k1"), F.asc("k2")])
+    n, _ = totals.get((), (0, None))
     if n == 0:
         return spark.createDataFrame(
             [], "bucket int, n_rows bigint, lo double, hi double")
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off = F.broadcast(spark.createDataFrame(
-        offsets, "__pid int, __off bigint"))
-    w = (Window.partitionBy("__pid")
-         .orderBy(F.asc("v"), F.asc("k1"), F.asc("k2")))
-    ranked = (
-        ranged.withColumn("__lr", F.row_number().over(w))
-        .join(off, "__pid")
-        .withColumn("__r", F.col("__off") + F.col("__lr"))
-    )
-    # NTILE(b) over n rows: buckets 1..rem hold q+1 rows, the rest q.
-    # ceil-division stays in INTEGER arithmetic ((x + d - 1) DIV d):
-    # F.ceil over a double quotient misassigns boundary ranks once n is
-    # large enough for the division to pick up float error (observed at
-    # sf0.01: 30085/6017 -> 5.0000000000000009 -> an 11th bucket).
-    q, rem = divmod(n, buckets)
-    big = rem * (q + 1)  # ranks <= big land in the q+1-sized buckets
-    if q == 0:
-        bucket = F.col("__r")
-    else:
-        bucket = F.when(
-            F.col("__r") <= F.lit(big),
-            F.expr(f"(__r + {q}) DIV {q + 1}")
-        ).otherwise(
-            F.expr(f"{rem} + (__r - {big} + {q - 1}) DIV {q}"))
+    bucket = ntile_expr("__r", n, buckets)
     return (
         ranked.select("v", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")

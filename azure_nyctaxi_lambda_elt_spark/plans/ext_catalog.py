@@ -118,18 +118,27 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer spend quartiles via NTILE(4) over a fully-tiebroken
-    order.  The window runs on the AGGREGATED per-customer table (tiny
-    next to orders); at web scale replace with approx-quantile cut
-    points + a map-side bucket assignment."""
+    """Customer spend quartiles — NTILE(4) output over a fully-
+    tiebroken order, but computed as a DISTRIBUTED rank + closed-form
+    bucket assignment (operators/ranks.py), not an unpartitioned
+    Window: the per-customer frame grows linearly with the business,
+    and NTILE over a known row count is pure integer arithmetic on the
+    global rank.  Bit-identical to the Window form."""
+    from ..operators.ranks import ntile_expr, with_global_rank
+
     apply_engine_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice", "decimal(12,2)")).alias("spend"))
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    return spend.select(
+    ranked, totals = with_global_rank(
+        spend, [F.desc("spend"), F.asc("o_custkey")])
+    n, _ = totals.get((), (0, None))
+    if n == 0:
+        return spark.createDataFrame(
+            [], "o_custkey bigint, spend double, quartile int")
+    return ranked.select(
         "o_custkey", F.col("spend").cast("double").alias("spend"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        ntile_expr("__r", n, 4).cast("int").alias("quartile"),
     )
 
 

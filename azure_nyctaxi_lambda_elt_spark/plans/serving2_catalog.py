@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranks import with_global_rank
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
 from . import trips_feed as tf
@@ -216,28 +217,36 @@ def q_pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend ranked with exact cumulative share and an
     in-top-80% flag (Pareto / ABC analysis).
 
-    Scale: spend first reduces to |customers| rows (one even shuffle on
-    o_custkey); the global running sum is a window over the REDUCED
-    frame — the same single shared sort customer_value_rank uses.  The
-    80% gate is decimal multiply-through (cum*10 ≤ total*8): no double
-    division before the filter, exact and order-independent."""
+    Scale: spend first reduces to |customers| rows (one even shuffle
+    on o_custkey) — but that frame still grows linearly with the
+    business, so the rank and running sum are computed DISTRIBUTED via
+    operators/ranks.py (range-repartition + per-partition offsets; the
+    only Window is partitioned by spark_partition_id), not through an
+    unpartitioned Window's single reducer.  The 80% gate is decimal
+    multiply-through (cum*10 ≤ total*8): no double division before the
+    filter, exact and order-independent — the corpus total arrives as
+    an exact Decimal literal from the offset pass, no second scan."""
     apply_engine_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
     spend = (orders.groupBy("o_custkey")
              .agg(F.sum(_dec("o_totalprice", "decimal(12,2)"))
                   .alias("total_spend")))
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = Window.partitionBy()
-    cum = F.sum("total_spend").over(wsum)
-    tot = F.sum("total_spend").over(total)
-    return spend.select(
+    ranked, totals = with_global_rank(
+        spend, [F.col("total_spend").desc(), F.col("o_custkey").asc()],
+        value_col="total_spend")
+    _n, tot = totals.get((), (0, None))
+    if tot is None:
+        return spark.createDataFrame(
+            [], "o_custkey bigint, total_spend double, spend_rank "
+                "bigint, cum_share double, in_top80 boolean")
+    cum = F.col("__cum")
+    return ranked.select(
         _dec("o_custkey", "bigint").alias("o_custkey"),
         _dec("total_spend", "decimal(18,2)").cast("double").alias("total_spend"),
-        F.row_number().over(w).cast("bigint").alias("spend_rank"),
-        F.round(cum.cast("double") / tot.cast("double"), 6)
+        F.col("__r").alias("spend_rank"),
+        F.round(cum.cast("double") / F.lit(float(tot)), 6)
         .alias("cum_share"),
-        (cum * 10 <= tot * 8).alias("in_top80"),
+        (cum * 10 <= F.lit(tot) * 8).alias("in_top80"),
     )
 
 

@@ -482,10 +482,19 @@ def q_customer_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (dense_rank / percent_rank / cume_dist) over exact-decimal
     totals with a full deterministic tiebreak.
 
-    Scale: the windows run over the ALREADY-AGGREGATED |customers|
-    frame (one fact shuffle on o_custkey, then one window shuffle on
-    the segment), never over orders; all three window functions share
-    ONE sort."""
+    Scale: the frame is the ALREADY-AGGREGATED |customers| table (one
+    fact shuffle on o_custkey), but with only ~5 segments a
+    segment-partitioned Window still sorts |customers|/5 rows per
+    reducer — linear in the business.  Since round 5 the rank is
+    DISTRIBUTED (operators/ranks.py: range-repartition on
+    (segment, spend desc, custkey) + per-(partition, segment) offsets),
+    and because the order is fully tiebroken (custkey is unique) all
+    three distribution functions are closed-form in the group rank r
+    and group size n: dense_rank == r, percent_rank == (r-1)/(n-1),
+    cume_dist == r/n — bit-identical to the Window forms, no
+    per-segment single-reducer sort anywhere in the plan."""
+    from ..operators.ranks import with_global_rank
+
     apply_engine_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
@@ -495,15 +504,27 @@ def q_customer_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("total_spend")))
     j = spend.join(F.broadcast(cust),
                    spend.o_custkey == cust.c_custkey)
-    w = (Window.partitionBy("c_mktsegment")
-         .orderBy(F.col("total_spend").desc(), F.col("c_custkey")))
-    return j.select(
+    ranked, totals = with_global_rank(
+        j, [F.col("total_spend").desc(), F.col("c_custkey").asc()],
+        group_cols=["c_mktsegment"])
+    if not totals:
+        return spark.createDataFrame(
+            [], "c_custkey bigint, c_mktsegment string, total_spend "
+                "double, seg_rank bigint, pct_rank double, cume double")
+    n_map = F.create_map(*[
+        lit for (seg,), (n, _v) in sorted(totals.items())
+        for lit in (F.lit(seg), F.lit(n))])
+    n = F.element_at(n_map, F.col("c_mktsegment")).cast("bigint")
+    r = F.col("__r")
+    pct = F.when(n > 1, (r - 1).cast("double") / (n - 1).cast("double")
+                 ).otherwise(F.lit(0.0))
+    return ranked.select(
         F.col("c_custkey").cast("bigint").alias("c_custkey"),
         "c_mktsegment",
         F.col("total_spend").cast("double").alias("total_spend"),
-        F.dense_rank().over(w).cast("bigint").alias("seg_rank"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        r.alias("seg_rank"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(r.cast("double") / n.cast("double"), 6).alias("cume"))
 
 
 # ---------------------------------------------------------------------------
