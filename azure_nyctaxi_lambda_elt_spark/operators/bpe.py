@@ -21,9 +21,25 @@ oracle possible (plans/ext3_catalog._bpe_oracle unrolls the same
 iterations in SQL).
 
 Scale notes: corpus strings never shuffle — only (pair, count) rows
-move, and the per-iteration state is one pair.  At real vocab scale
-you batch merges per round (pick top-k compatible pairs) to cut
-round count; the loop structure is unchanged.
+move, and the per-round model state is a handful of pairs.
+
+**Batched rounds (round 5):** the expensive part of a round is the
+corpus pass (pair-count scan + merge projection + recount), so at real
+vocab scale one merge per corpus pass is O(vocab) passes.  The trainer
+therefore accepts up to ``batch_k`` pairs per round, greedily in
+(cnt DESC, l, r) order, each TOKEN-DISJOINT from the pairs already
+accepted this round: merging (a,b) only destroys adjacencies involving
+a or b and only creates adjacencies involving a+b, so the counts of
+token-disjoint pairs are invariant under each other's merges — the
+recorded counts are exact, and the k replaces fold into ONE corpus
+projection.  Round count drops to O(vocab / k).  The batch is a
+faithful prefix of the sequential greedy order whenever no pair
+created/boosted by an earlier batch member would outrank a later one
+(tests/test_bpe_batched.py proves table equivalence on such a corpus);
+on adversarial corpora it is the standard batched-BPE approximation,
+and the driver oracle replays the batched rule literally either way.
+``corpus_tokens_after`` is recounted once per ROUND (every merge of a
+round reports the same post-round count).
 """
 
 from __future__ import annotations
@@ -32,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BPE_MERGES = 5
+BPE_BATCH_K = 3      # max token-disjoint merges folded per round
 SEP = "  "           # two-space token delimiter (see module docstring)
 JOIN_CH = "+"        # merged-token glue
 
@@ -59,32 +76,60 @@ def _pair_counts(strings: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def _select_batch(pc: DataFrame, want: int) -> list[tuple[str, str, int]]:
+    """Greedy token-disjoint batch: walk the (cnt DESC, l, r) order,
+    accept a pair iff neither of its tokens appears in an already-
+    accepted pair.  Each accept is a tiny argmax over the REDUCED
+    (pair, count) frame — no corpus pass."""
+    accepted: list[tuple[str, str, int]] = []
+    used: list[str] = []
+    for _ in range(want):
+        cand = pc
+        if used:
+            cand = cand.where(
+                ~F.col("l").isin(used) & ~F.col("r").isin(used))
+        top = cand.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        accepted.append((left, right, cnt))
+        for t in (left, right):
+            if t not in used:
+                used.append(t)
+    return accepted
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
+              batch_k: int = BPE_BATCH_K) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the documents corpus; returns
     one row per merge: (merge_rank, merge_left, merge_right,
     pair_count, corpus_tokens_after) — the merge table a tokenizer
     ships.  (Column names avoid the SQL keywords LEFT/RIGHT so the
-    oracle needs no quoting.)"""
+    oracle needs no quoting.)  ``batch_k=1`` is the classic one-merge-
+    per-corpus-pass loop; the default folds up to BPE_BATCH_K
+    token-disjoint merges into each corpus pass (see module
+    docstring)."""
     strings = _corpus_strings(docs).localCheckpoint()
     out = []
-    for rank in range(1, n_merges + 1):
-        top = (
-            _pair_counts(strings)
-            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1).collect())
-        if not top:
+    rank = 0
+    while rank < n_merges:
+        pc = _pair_counts(strings).localCheckpoint()
+        batch = _select_batch(pc, min(batch_k, n_merges - rank))
+        if not batch:
             break
-        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        expr = "s"
+        for left, right, _cnt in batch:
+            expr = (f"replace({expr}, {_sql_str(left + SEP + right)}, "
+                    f"{_sql_str(left + JOIN_CH + right)})")
         strings = strings.select(
-            "doc_id",
-            F.expr(
-                "replace(s, "
-                f"{_sql_str(left + SEP + right)}, "
-                f"{_sql_str(left + JOIN_CH + right)})").alias("s")
-        ).localCheckpoint()
-        tokens_after = strings.select(
-            F.sum(F.size(F.split(F.col("s"), SEP)))).collect()[0][0]
-        out.append((rank, left, right, cnt, int(tokens_after)))
+            "doc_id", F.expr(expr).alias("s")).localCheckpoint()
+        tokens_after = int(strings.select(
+            F.sum(F.size(F.split(F.col("s"), SEP)))).collect()[0][0])
+        for left, right, cnt in batch:
+            rank += 1
+            out.append((rank, left, right, cnt, tokens_after))
     return docs.sparkSession.createDataFrame(
         out, "merge_rank int, merge_left string, merge_right string, "
              "pair_count bigint, corpus_tokens_after bigint")

@@ -1015,14 +1015,17 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge training (operators/bpe.py): 5 iterations
-    of most-frequent-adjacent-pair merge over the documents corpus —
-    the tokenizer-training loop of an LLM pipeline as a Spark
-    iteration (only (pair, count) rows shuffle; corpus strings stay
-    map-side; merges fold in as literal replaces).  Full oracle:
-    the identical iterations unroll into SQL (two-space delimiter
-    makes non-overlapping replace == greedy BPE application in both
-    engines)."""
+    """Distributed BPE merge training (operators/bpe.py): 5 merges of
+    most-frequent-adjacent-pair over the documents corpus, learned in
+    BATCHED rounds (up to BPE_BATCH_K token-disjoint merges fold into
+    one corpus pass — O(vocab/k) rounds at real vocab scale) — the
+    tokenizer-training loop of an LLM pipeline as a Spark iteration
+    (only (pair, count) rows shuffle; corpus strings stay map-side;
+    merges fold in as literal replaces).  Full oracle: the identical
+    batched rounds unroll into SQL (two-space delimiter makes
+    non-overlapping replace == greedy BPE application in both
+    engines; the greedy token-disjoint selection replays as chained
+    NOT IN argmaxes)."""
     from ..operators.bpe import bpe_train
 
     return bpe_train(_docs(spark, sf_dir))
@@ -1569,13 +1572,32 @@ EXT3_ORACLES["skew_profile"] = f"""
     FROM st CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN hot
 """
 
-def _bpe_chain(n_merges: int = 5) -> str:
-    """Unrolled literal replay of the BPE training loop: per
-    iteration, bigram counts from the 2-space-delimited corpus, the
-    (cnt DESC, l, r) argmax pair, and the plain-replace merge
-    application — identical greedy non-overlapping semantics in
-    DuckDB and Spark.  Ends at CTEs m{k}/s{k}/t{k}; bpe_train reads
-    the merge table, bpe_apply reads the fully-merged corpus s{n}."""
+def _bpe_rounds(n_merges: int, batch_k: int) -> list[int]:
+    rounds, remaining = [], n_merges
+    while remaining > 0:
+        rounds.append(min(batch_k, remaining))
+        remaining -= rounds[-1]
+    return rounds
+
+
+def _bpe_chain(n_merges: int = 5, batch_k: int | None = None) -> str:
+    """Unrolled literal replay of the BATCHED BPE training loop
+    (operators/bpe.py bpe_train): per round k, bigram counts p{k} from
+    the 2-space-delimited corpus, then up to batch_k greedy TOKEN-
+    DISJOINT argmax pairs m{k}_1..m{k}_b (each the (cnt DESC, l, r)
+    argmax among pairs sharing no token with earlier members — the
+    token sets accumulate in u{k}_i), then ALL of the round's merges
+    applied as one nested plain-replace projection s{k} — identical
+    greedy non-overlapping semantics in DuckDB and Spark.  A missing
+    member (vocab exhausted) degrades to a chr(1) no-op needle via
+    COALESCE, matching the Spark loop's early stop.  Ends at CTEs
+    m{k}_i/s{k}/t{k}; bpe_train reads the merge table, bpe_apply the
+    fully-merged corpus s{n_rounds}."""
+    from ..operators.bpe import BPE_BATCH_K
+
+    if batch_k is None:
+        batch_k = BPE_BATCH_K
+    rounds = _bpe_rounds(n_merges, batch_k)
     sql = ["""
         WITH s0 AS (
           SELECT doc_id,
@@ -1583,7 +1605,7 @@ def _bpe_chain(n_merges: int = 5) -> str:
                    list_filter(string_split(lower(text), ' '),
                                t -> t <> ''), '  ') AS s
           FROM documents)"""]
-    for k in range(1, n_merges + 1):
+    for k, b in enumerate(rounds, start=1):
         prev = f"s{k - 1}"
         sql.append(f""",
         p{k} AS (
@@ -1591,34 +1613,74 @@ def _bpe_chain(n_merges: int = 5) -> str:
             SELECT t[i] AS l, t[i + 1] AS r
             FROM (SELECT string_split(s, '  ') AS t FROM {prev}) x,
                  UNNEST(generate_series(1, len(t) - 1)) u(i))
-          GROUP BY 1, 2),
-        m{k} AS (
+          GROUP BY 1, 2)""")
+        for i in range(1, b + 1):
+            if i == 1:
+                sql.append(f""",
+        m{k}_1 AS (
           SELECT l, r, cnt FROM p{k}
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        u{k}_1 AS (
+          SELECT l AS tok FROM m{k}_1
+          UNION SELECT r AS tok FROM m{k}_1)""")
+            else:
+                sql.append(f""",
+        m{k}_{i} AS (
+          SELECT l, r, cnt FROM p{k}
+          WHERE l NOT IN (SELECT tok FROM u{k}_{i - 1})
+            AND r NOT IN (SELECT tok FROM u{k}_{i - 1})
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        u{k}_{i} AS (
+          SELECT tok FROM u{k}_{i - 1}
+          UNION SELECT l AS tok FROM m{k}_{i}
+          UNION SELECT r AS tok FROM m{k}_{i})""")
+        body = "s"
+        for i in range(1, b + 1):
+            needle = (f"COALESCE((SELECT l || '  ' || r FROM m{k}_{i}),"
+                      " chr(1))")
+            merged = (f"COALESCE((SELECT l || '+' || r FROM m{k}_{i}),"
+                      " chr(1))")
+            body = f"replace({body}, {needle}, {merged})"
+        sql.append(f""",
         s{k} AS (
-          SELECT doc_id,
-                 replace(s, m.l || '  ' || m.r, m.l || '+' || m.r) AS s
-          FROM {prev} CROSS JOIN m{k} m),
+          SELECT doc_id, {body} AS s FROM {prev}),
         t{k} AS (
           SELECT CAST(SUM(len(string_split(s, '  '))) AS BIGINT) AS tok
           FROM s{k})""")
     return "".join(sql)
 
 
-def _bpe_train_oracle(n_merges: int = 5) -> str:
-    selects = " UNION ALL ".join(
-        f"""SELECT CAST({k} AS INT) AS merge_rank, l AS merge_left,
-                   r AS merge_right, cnt AS pair_count,
-                   (SELECT tok FROM t{k}) AS corpus_tokens_after
-            FROM m{k}"""
-        for k in range(1, n_merges + 1))
-    return _bpe_chain(n_merges) + "\n" + selects
+def _bpe_train_oracle(n_merges: int = 5,
+                      batch_k: int | None = None) -> str:
+    from ..operators.bpe import BPE_BATCH_K
+
+    if batch_k is None:
+        batch_k = BPE_BATCH_K
+    rounds = _bpe_rounds(n_merges, batch_k)
+    selects, rank = [], 0
+    for k, b in enumerate(rounds, start=1):
+        for i in range(1, b + 1):
+            rank += 1
+            selects.append(
+                f"""SELECT CAST({rank} AS INT) AS merge_rank,
+                       l AS merge_left, r AS merge_right,
+                       cnt AS pair_count,
+                       (SELECT tok FROM t{k}) AS corpus_tokens_after
+                FROM m{k}_{i}""")
+    return _bpe_chain(n_merges, batch_k) + "\n" + \
+        " UNION ALL ".join(selects)
 
 
-def _bpe_apply_oracle(n_merges: int = 5) -> str:
-    """Per-source compression of the fully-merged corpus s{n}."""
+def _bpe_apply_oracle(n_merges: int = 5,
+                      batch_k: int | None = None) -> str:
+    """Per-source compression of the fully-merged corpus s{rounds}."""
+    from ..operators.bpe import BPE_BATCH_K
+
+    if batch_k is None:
+        batch_k = BPE_BATCH_K
+    last = len(_bpe_rounds(n_merges, batch_k))
     nb = "len(list_filter(string_split(lower(d.text), ' '), t -> t <> ''))"
-    return _bpe_chain(n_merges) + f"""
+    return _bpe_chain(n_merges, batch_k) + f"""
         SELECT d.source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM({nb}) AS BIGINT) AS tokens_before,
@@ -1626,7 +1688,7 @@ def _bpe_apply_oracle(n_merges: int = 5) -> str:
                  AS tokens_after,
                round(CAST(SUM(len(string_split(a.s, '  '))) AS DOUBLE)
                      / SUM({nb}), 6) AS compression
-        FROM s{n_merges} a JOIN documents d USING (doc_id)
+        FROM s{last} a JOIN documents d USING (doc_id)
         GROUP BY 1"""
 
 
