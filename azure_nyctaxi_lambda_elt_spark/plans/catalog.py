@@ -1241,6 +1241,21 @@ def q_streaming_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "txn_sink", sf_dir))
 
 
+def q_streaming_raw_archive_txn(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exactly-once raw archive: the ASA third-output passthrough
+    (asa-wire.sh:73/:246) upgraded from at-least-once blob appends to
+    manifest-committed appends with redelivery skips
+    (streaming/lane.py run_raw_archive_txn — the txn-sink pattern on
+    the archive lane; redelivery pytest mirrors the sink's).  Full
+    identity oracle: append through the log is batching-independent."""
+    from ..streaming.lane import run_raw_archive_txn
+
+    apply_engine_conf(spark)
+    return run_raw_archive_txn(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "raw_archive_txn", sf_dir))
+
+
 WM_CANDIDATE_DELAYS_MIN = [0, 10, 30, 60]
 
 
@@ -1701,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "payment_map_scd": q_payment_map_scd,
     "file_scoped_replay": q_file_scoped_replay,
     "streaming_raw_archive": q_streaming_raw_archive,
+    "streaming_raw_archive_txn": q_streaming_raw_archive_txn,
     "streaming_txn_sink": q_streaming_txn_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
@@ -2220,6 +2236,9 @@ ORACLES["txn_time_travel"] = with_trips("""
 ORACLES["streaming_raw_archive"] = """
     SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
+# ...and so is its exactly-once txn-log variant (append through the
+# manifest log is batching-independent; redelivered batches skipped)
+ORACLES["streaming_raw_archive_txn"] = ORACLES["streaming_raw_archive"]
 
 # append-through-txn-log is batching-independent -> the batch rollup of
 # the whole feed is a FULL oracle for the exactly-once sink

@@ -217,6 +217,52 @@ def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
         "event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def run_raw_archive_txn(spark: SparkSession, sf_dir: str, out_dir: str,
+                        max_files_per_trigger: int | None = None,
+                        source_dir: str | None = None,
+                        resume: bool = False) -> DataFrame:
+    """EXACTLY-ONCE variant of the raw archive: the passthrough copy
+    appends through the transaction log (operators/txnlog.py) with the
+    micro-batch id in the manifest meta, so a redelivered batch
+    (checkpoint rollback — foreachBatch's at-least-once contract) is
+    skipped instead of re-landing duplicate raw rows.  This is
+    run_txn_sink's idempotent-commit pattern applied to the archive
+    lane: consumers that dedupe on event_id keep using the plain
+    at-least-once archive (run_raw_archive, faithful to the ASA blob
+    output); consumers that want the archive itself to be a clean
+    replay substrate read this table's snapshots.
+
+    The date/hour partition keys ride as ordinary columns (the txn
+    log's data dirs are commit-scoped; at warehouse scale the data
+    write inside a commit would additionally partitionBy them).
+    Returns the input-identity projection of the final snapshot —
+    append is batching-independent, so the batch events table is a
+    FULL oracle."""
+    from ..operators import txnlog
+
+    table = os.path.join(out_dir, "raw_txn")
+    ckpt = os.path.join(out_dir, "ckpt")
+    if not resume:
+        _reset(table, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        committed = txnlog.latest_meta(table).get("batch_id", -1)
+        if batch_id <= committed:
+            return  # redelivery: already durably committed
+        txnlog.commit(
+            batch.withColumn("__date", F.to_date("ts"))
+            .withColumn("__hour", F.hour("ts")),
+            table, "append", meta={"batch_id": batch_id})
+
+    _run_available_now(
+        ev.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt))
+    snap = txnlog.snapshot(spark, table)
+    return snap.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def run_windowed_audit(spark: SparkSession, sf_dir: str, out_dir: str,
                        max_files_per_trigger: int | None = None,
                        source_dir: str | None = None) -> DataFrame:

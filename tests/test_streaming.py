@@ -393,6 +393,39 @@ def test_distinct_sketch_mid_swap_crash_recovery(spark, feed_dir):
     assert spark.read.parquet(state).count() == expected
 
 
+def test_raw_archive_txn_exactly_once_under_redelivery(spark, feed_dir):
+    """The exactly-once archive variant: wiping the checkpoint
+    redelivers every batch; the manifest batch-id skips must keep the
+    archive identical to the input feed — no duplicate raw rows, no
+    new versions."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_raw_archive_txn)
+
+    out = os.path.join(OUT, "raw_archive_txn")
+    shutil.rmtree(out, ignore_errors=True)
+    first = run_raw_archive_txn(spark, SF_SMOKE, out,
+                                max_files_per_trigger=1,
+                                source_dir=feed_dir)
+    table = os.path.join(out, "raw_txn")
+    v_before = txnlog.latest_version(table)
+    n_before = first.count()
+    assert v_before >= 2  # 3 feed files -> 3 committed batches
+
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    again = run_raw_archive_txn(spark, SF_SMOKE, out,
+                                max_files_per_trigger=1,
+                                source_dir=feed_dir, resume=True)
+    assert txnlog.latest_version(table) == v_before
+    assert again.count() == n_before
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert n_before == src.count()
+    # identity: the archive carries the feed verbatim
+    assert again.exceptAll(src.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "props")).count() == 0
+
+
 def test_txn_sink_exactly_once_under_redelivery(spark, feed_dir):
     """foreachBatch is at-least-once: wiping the checkpoint (the
     classic rollback) redelivers every batch.  The txn-log sink must
