@@ -254,6 +254,76 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                             {"rewrote": affected}, kept_stats)
 
 
+def change_feed(spark: SparkSession, path: str, from_version: int,
+                to_version: int, key_cols: list[str]) -> DataFrame:
+    """Change-data-feed between two committed versions (Delta CDF /
+    `table_changes` analog): every row delta classified as
+    ``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage`` in a ``_change_type`` column.
+
+    Scale: data dirs carried UNCHANGED between the two manifests are
+    skipped entirely — immutability means a dir present in both
+    versions contributed no change, so the scan cost is proportional
+    to the symmetric difference (the dirs the intervening commits and
+    merges actually touched), not the table.  The diff itself is two
+    full-row exceptAlls over those dirs; rows whose key appears on
+    both sides are update pre/post images, the rest are
+    inserts/deletes."""
+    man_a = _read_manifest(path, from_version)
+    man_b = _read_manifest(path, to_version)
+    only_a = [d for d in man_a["dirs"] if d not in set(man_b["dirs"])]
+    only_b = [d for d in man_b["dirs"] if d not in set(man_a["dirs"])]
+
+    def read(dirs: list[str], like: list[str]) -> DataFrame:
+        src = dirs or like  # empty side: borrow a dir for the schema
+        df = spark.read.parquet(*[os.path.join(path, d) for d in src])
+        return df.limit(0) if not dirs else df
+
+    old = read(only_a, man_b["dirs"])
+    # exceptAll aligns columns POSITIONALLY — pin the new side to the
+    # old side's column order (a merge-written dir can serialize its
+    # columns in a different order than the original commit)
+    new = read(only_b, man_a["dirs"]).select(*old.columns)
+    removed = old.exceptAll(new)
+    added = new.exceptAll(old)
+    both = (removed.select(*key_cols)
+            .intersect(added.select(*key_cols)))
+    bkeys = F.broadcast(both)
+    pre = removed.join(bkeys, key_cols, "left_semi") \
+        .withColumn("_change_type", F.lit("update_preimage"))
+    post = added.join(bkeys, key_cols, "left_semi") \
+        .withColumn("_change_type", F.lit("update_postimage"))
+    dels = removed.join(bkeys, key_cols, "left_anti") \
+        .withColumn("_change_type", F.lit("delete"))
+    ins = added.join(bkeys, key_cols, "left_anti") \
+        .withColumn("_change_type", F.lit("insert"))
+    return pre.unionByName(post).unionByName(dels).unionByName(ins)
+
+
+def compact(spark: SparkSession, path: str,
+            target_dirs: int = 1) -> int | None:
+    """Bin-pack the table's data dirs (Delta OPTIMIZE compaction): a
+    long-appended table accumulates one dir per commit; compaction
+    rewrites the CURRENT snapshot into one fresh dir and commits it as
+    the next version.  Content is untouched (pure layout change),
+    prior versions stay time-travelable (old dirs remain until
+    vacuum), and manifest stats are restated over the compacted dir so
+    pruning keeps working.  No-op (returns None) when the table
+    already has <= ``target_dirs`` dirs."""
+    v = latest_version(path)
+    if v is None:
+        return None
+    man = _read_manifest(path, v)
+    if len(man["dirs"]) <= target_dirs:
+        return None
+    snap = snapshot(spark, path)
+    stat_cols = sorted({c for s in man.get("stats", {}).values()
+                        for c in s})
+    return commit(snap, path, "overwrite",
+                  meta={"compacted_from": len(man["dirs"])},
+                  stats_cols=stat_cols or None)
+
+
 def latest_meta(path: str) -> dict:
     """The latest committed manifest's meta dict ({} if none)."""
     v = latest_version(path)

@@ -1043,13 +1043,26 @@ def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten — the other commits' files carry into the new manifest
     untouched (asserted in tests/test_txnlog.py) — and prior versions
     stay time-travelable.  Readback = the full merged table, oracle =
-    trip_clean with the same update + insert applied."""
+    trip_clean with the same update + insert applied.  (The commit
+    sequence lives in _txn_merge_scenario, shared with the
+    change-feed entry.)"""
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _txn_merge_scenario(spark, sf_dir, "txnmerge")
+    return txnlog.snapshot(spark, out)
+
+
+def _txn_merge_scenario(spark: SparkSession, sf_dir: str, name: str):
+    """Shared seed for the txn merge-family entries: trip_clean split
+    into three day-range commits, then one MERGE that updates ONE
+    source file's fares (+2.00) and inserts cloned new-key rows.
+    Returns the table path (versions 0..3)."""
     import shutil
 
     from ..operators import txnlog
 
-    apply_engine_conf(spark)
-    out = _out_dir(_WRITE_TMP, "txnmerge", sf_dir)
+    out = _out_dir(_WRITE_TMP, name, sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(
         tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
@@ -1066,7 +1079,58 @@ def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source_file_name", F.lit("merge_new.parquet")))
     txnlog.merge_upsert(spark, out, matched.unionByName(inserts),
                         ["trip_uid"])
-    return txnlog.snapshot(spark, out)
+    return out
+
+
+def q_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read between two table versions (Delta CDF
+    `table_changes` analog, operators/txnlog.py change_feed): replay
+    the merge scenario, then diff version 2 (pre-merge) against
+    version 3 (post-merge).  The merge's fare updates surface as
+    update_preimage/update_postimage pairs and the cloned rows as
+    inserts — full oracle: trip_clean reconstructs all three classes
+    literally.  Scale: only the SYMMETRIC-DIFFERENCE dirs scan (dirs
+    carried between manifests are skipped — immutability makes them
+    changeless), so CDF cost tracks what the commits touched, not the
+    table."""
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _txn_merge_scenario(spark, sf_dir, "txncdf")
+    return txnlog.change_feed(spark, out, 2, 3, ["trip_uid"])
+
+
+def q_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing on the transaction log
+    (operators/txnlog.py compact): a per-day-range appended table is
+    rewritten into ONE data dir in a new committed version — pure
+    layout change, content byte-identical (the oracle is the plain
+    trip_clean rollup), prior versions still time-travelable, stats
+    restated.  The dir-count and version assertions live in
+    tests/test_txnlog.py::test_compact_*."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txncompact", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 10), out, "overwrite",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day >= 21), out, "append",
+                  stats_cols=["trip_uid"])
+    txnlog.compact(spark, out)
+    snap = txnlog.snapshot(spark, out)
+    return snap.groupBy("ingest_date").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"),
+        F.countDistinct("trip_uid").cast("bigint").alias("n_trips"))
 
 
 def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,6 +1785,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
     "txn_merge_upsert": q_txn_merge_upsert,
+    "txn_change_feed": q_txn_change_feed,
+    "txn_compact": q_txn_compact,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
@@ -2191,6 +2257,41 @@ ORACLES["txn_merge_upsert"] = with_trips("""
            do_loc_id, passenger_count, ingest_date,
            'merge_new.parquet' AS source_file_name, loaded_at
     FROM trip_clean WHERE day(ingest_date) = 1
+""")
+
+# change feed v2->v3 of the merge scenario: the blob's fare updates as
+# pre/post image pairs, the cloned rows as inserts, no deletes
+_CDF_COLS = """vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km, {fare} AS fare_amount, payment_type,
+           rate_code_nk, flag_nk, is_night_ride, tip_amount, pu_loc_id,
+           do_loc_id, passenger_count, ingest_date,
+           {src} AS source_file_name, loaded_at"""
+ORACLES["txn_change_feed"] = with_trips(f"""
+    SELECT 'update_preimage' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount", src="source_file_name")}
+    FROM trip_clean
+    WHERE source_file_name = 'events_2024-01-05.parquet'
+    UNION ALL
+    SELECT 'update_postimage' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount + 2.0",
+                             src="source_file_name")}
+    FROM trip_clean
+    WHERE source_file_name = 'events_2024-01-05.parquet'
+    UNION ALL
+    SELECT 'insert' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount",
+                             src="'merge_new.parquet'")}
+    FROM (SELECT * REPLACE (trip_uid + 10000000 AS trip_uid)
+          FROM trip_clean WHERE day(ingest_date) = 1) t
+""")
+
+# compaction is a pure layout change: the rollup equals trip_clean's
+ORACLES["txn_compact"] = with_trips("""
+    SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips
+    FROM trip_clean GROUP BY 1
 """)
 
 ORACLES["schema_evolution_merge"] = with_trips("""

@@ -70,7 +70,10 @@ def test_bpe_greedy_merge_on_repeats(spark):
     docs = spark.createDataFrame(
         [(0, "a a a"), (1, "a a b"), (2, "b b b b")],
         "doc_id long, text string")
-    out = {r["merge_rank"]: r for r in bpe_train(docs, 2).collect()}
+    # batch_k=1: this test pins the SEQUENTIAL per-merge recount
+    # semantics (batched rounds recount once per round instead)
+    out = {r["merge_rank"]: r
+           for r in bpe_train(docs, 2, batch_k=1).collect()}
     # pair counts: (a,a)=3 (docs 0 has 2, doc 1 has 1), (b,b)=3,
     # (a,b)=1 -> tie (a,a) vs (b,b) broken lexicographically to (a,a)
     assert (out[1]["merge_left"], out[1]["merge_right"]) == ("a", "a")

@@ -214,6 +214,65 @@ def test_stats_pruning_skips_disjoint_dirs(spark, table):
     assert sorted(r["id"] for r in after.collect()) == [0, 1, 2, 3]
 
 
+def test_change_feed_classifies_and_skips_carried_dirs(spark, table,
+                                                       monkeypatch):
+    """CDF between two versions: updates surface as pre/post image
+    pairs, new keys as inserts, vanished keys as deletes — and dirs
+    carried unchanged between the manifests are never scanned."""
+    path, df = table
+    txnlog.commit(df.where("id < 6"), path, "overwrite")          # A
+    txnlog.commit(df.where("id >= 6"), path, "append")            # B
+    updates = spark.createDataFrame(
+        [(7, 700), (99, 990)], "id long, v long")
+    txnlog.merge_upsert(spark, path, updates, ["id"])   # rewrites B
+    scanned = []
+    real_read = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        scanned.extend(paths)
+        return real_read(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    cf = txnlog.change_feed(spark, path, 1, 2, ["id"]).collect()
+    monkeypatch.undo()
+    # dir A carried unchanged: never read by the diff
+    assert not [p for p in scanned if "data-v00000000" in p]
+    got = {(r["_change_type"], r["id"], r["v"]) for r in cf}
+    assert got == {("update_preimage", 7, 14),
+                   ("update_postimage", 7, 700),
+                   ("insert", 99, 990)}
+
+
+def test_change_feed_sees_deletes(spark, table):
+    path, df = table
+    txnlog.commit(df, path, "overwrite")
+    txnlog.commit(df.where("id <> 3"), path, "overwrite")
+    cf = txnlog.change_feed(spark, path, 0, 1, ["id"]).collect()
+    assert {(r["_change_type"], r["id"]) for r in cf} == {("delete", 3)}
+
+
+def test_compact_binpacks_preserving_content_and_history(spark, table):
+    path, df = table
+    for i in range(5):
+        txnlog.commit(df.where(F.col("id") % 5 == i), path,
+                      "overwrite" if i == 0 else "append",
+                      stats_cols=["id"])
+    v = txnlog.compact(spark, path)
+    man = txnlog._read_manifest(path, v)
+    assert len(man["dirs"]) == 1
+    assert man["meta"]["compacted_from"] == 5
+    # content identical, history intact, stats restated
+    assert sorted(r["id"] for r in
+                  txnlog.snapshot(spark, path).collect()) == list(range(10))
+    assert txnlog.snapshot(spark, path, v - 1).count() == 10
+    assert "id" in man["stats"][man["dirs"][0]]
+    # pruning still works post-compact
+    assert txnlog.snapshot(
+        spark, path, prune=("id", 100, 200)).count() == 0
+    # already compact -> no-op
+    assert txnlog.compact(spark, path) is None
+
+
 def test_merge_probe_uses_key_stats(spark, table, monkeypatch):
     """With key stats recorded, the merge probe never scans dirs whose
     key envelope misses the updates' range."""
