@@ -415,3 +415,51 @@ def ivfpq_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
         .where(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "approx_sim", "rnk")
     )
+
+
+def int8_quantize_stats(embeddings: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        group_col: str = "label") -> DataFrame:
+    """Symmetric per-vector int8 quantization + reconstruction-error
+    audit — the storage-shrink step before shipping an embedding
+    corpus to an ANN index (FAISS SQ8 / scalar-quantizer shape): each
+    vector gets scale s = max|x|/127, codes q_i = clamp(round(x_i/s)),
+    and the audit reports per-group mean scale, mean |x - q*s|
+    reconstruction error, and the worst vector's error.
+
+    Map-only (one narrow pass, array HOFs inside codegen, no shuffle
+    until the tiny per-group rollup) — at 100 TB the quantization
+    itself would write q as binary; the stats here are the QUALITY
+    GATE that decides whether int8 is acceptable for the corpus.
+    Error/scale quantize to DECIMAL(18,6) before summing so the
+    per-group averages are order-independent and oracle-exact."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    s = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(0.0))
+    base = embeddings.select(
+        F.col(group_col), F.col(id_col), e.alias("e"), s.alias("s"))
+
+    def recon_err(x: Column) -> Column:
+        q = F.least(F.lit(127.0), F.greatest(
+            F.lit(-127.0), F.round(x / F.col("s"))))
+        return F.abs(x - q * F.col("s"))
+
+    err = F.when(
+        F.col("s") > 0,
+        F.aggregate(F.col("e"), F.lit(0.0),
+                    lambda acc, x: acc + recon_err(x))
+        / F.size("e")).otherwise(F.lit(0.0))
+    perv = base.select(
+        group_col,
+        err.cast("decimal(18,6)").alias("err"),
+        F.col("s").cast("decimal(18,6)").alias("sc"))
+    return (
+        perv.groupBy(group_col)
+        .agg(F.count("*").cast("bigint").alias("n_vecs"),
+             F.round(F.sum("sc").cast("double") / F.count("*"), 6)
+             .alias("avg_scale"),
+             F.round(F.sum("err").cast("double") / F.count("*"), 6)
+             .alias("avg_err"),
+             F.max("err").cast("double").alias("max_err"))
+    )

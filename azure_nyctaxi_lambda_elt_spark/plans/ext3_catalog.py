@@ -1014,6 +1014,76 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_weighted_sample(_docs(spark, sf_dir))
 
 
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type winsorized (1%/99%-clipped) value statistics —
+    the robust-mean telemetry rollup that tames burst outliers before
+    they poison a mean (MAD/zscore entries flag outliers; this one
+    reports the clipped aggregate a dashboard actually plots).
+
+    The exact cut points are RANK-BASED (value at rank ceil(0.01 n) /
+    ceil(0.99 n) under a fully-tiebroken order), computed per group on
+    the distributed-rank machinery (operators/ranks.py — range
+    repartition + per-(partition, group) offsets; no per-group
+    single-reducer Window, unlike a naive PERCENTILE_DISC).  Ranks use
+    integer ceil-division; sums quantize to DECIMAL(18,6) so the
+    means are order-independent and oracle-exact."""
+    from ..operators.ranks import with_global_rank
+
+    spark = events.sparkSession
+    ev = events.select("event_type", "event_id",
+                       F.col("value").cast("double").alias("value"))
+    ranked, totals = with_global_rank(
+        ev, [F.asc("value"), F.asc("event_id")],
+        group_cols=["event_type"])
+    if not totals:
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, lo_cut double, "
+                "hi_cut double, mean_raw double, mean_winsor double")
+    targets = []
+    for (etype,), (n, _v) in sorted(totals.items()):
+        targets.append((etype, (n + 99) // 100, (99 * n + 99) // 100))
+    tgt = F.broadcast(spark.createDataFrame(
+        targets, "event_type string, lo_rank bigint, hi_rank bigint"))
+    cut_rows = (
+        ranked.join(tgt, "event_type")
+        .where((F.col("__r") == F.col("lo_rank"))
+               | (F.col("__r") == F.col("hi_rank")))
+        .select("event_type", "__r", "lo_rank", "hi_rank", "value")
+        .collect())
+    cuts = {}
+    for r in cut_rows:
+        lo, hi = cuts.get(r["event_type"], (None, None))
+        if r["__r"] == r["lo_rank"]:
+            lo = r["value"]
+        if r["__r"] == r["hi_rank"]:  # not elif: ranks can coincide
+            hi = r["value"]
+        cuts[r["event_type"]] = (lo, hi)
+    cut_df = F.broadcast(spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in sorted(cuts.items())],
+        "event_type string, lo_cut double, hi_cut double"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo_cut")),
+                      F.col("hi_cut"))
+    return (
+        ev.join(cut_df, "event_type")
+        .select("event_type", "lo_cut", "hi_cut",
+                F.col("value").cast("decimal(18,6)").alias("v_raw"),
+                clipped.cast("decimal(18,6)").alias("v_win"))
+        .groupBy("event_type", "lo_cut", "hi_cut")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.round(F.sum("v_raw").cast("double") / F.count("*"), 6)
+             .alias("mean_raw"),
+             F.round(F.sum("v_win").cast("double") / F.count("*"), 6)
+             .alias("mean_winsor"))
+        .select("event_type", "n_events", "lo_cut", "hi_cut",
+                "mean_raw", "mean_winsor")
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (operators/bpe.py): 5 merges of
     most-frequent-adjacent-pair over the documents corpus, learned in
@@ -1695,6 +1765,35 @@ def _bpe_apply_oracle(n_merges: int = 5,
 EXT3_ORACLES["bpe_train"] = _bpe_train_oracle()
 EXT3_ORACLES["bpe_apply"] = _bpe_apply_oracle()
 
+# winsorized stats: rank-based cut points under the identical
+# tiebroken order + integer ceil-division ranks; the window here is
+# DuckDB-side only (the Spark plan uses the distributed rank)
+EXT3_ORACLES["winsorized_stats"] = """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n + 99) // 100 THEN value END)
+               AS lo_cut,
+             MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END)
+               AS hi_cut
+      FROM r GROUP BY 1)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           c.lo_cut, c.hi_cut,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw,
+           round(CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo_cut),
+                                     c.hi_cut) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.lo_cut, c.hi_cut
+"""
+
 
 def _qws_oracle() -> str:
     lm = EXT3_ORACLES["ngram_lm_score"]
@@ -1750,6 +1849,7 @@ EXT3_QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_apply": q_bpe_apply,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 

@@ -1167,8 +1167,54 @@ LLM_ORACLES["ann_lsh_bucket"] = f"""
     QUALIFY rnk <= {ANN_K}
 """
 
+def q_embedding_int8_quantize(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit
+    (operators/ann.py int8_quantize_stats — the FAISS SQ8 storage-
+    shrink step): per label, mean scale, mean reconstruction error,
+    and worst-vector error.  Map-only array HOFs; DECIMAL(18,6)
+    error quantization makes the rollup order-independent; the
+    oracle replays the identical fold arithmetic with DuckDB list
+    HOFs (both engines fold left-to-right)."""
+    from ..operators.ann import int8_quantize_stats
+
+    apply_engine_conf(spark)
+    return int8_quantize_stats(_emb(spark, sf_dir))
+
+
+LLM_ORACLES["embedding_int8_quantize"] = """
+    WITH base AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    scaled AS (
+      SELECT label, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                  THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                  ELSE 0.0 END AS s
+      FROM base),
+    perv AS (
+      SELECT label,
+             CAST(CASE WHEN s > 0 THEN
+               list_reduce(
+                 list_prepend(0.0, list_transform(e,
+                   x -> abs(x - LEAST(127.0, GREATEST(-127.0,
+                                round(x / s))) * s))),
+                 (a, b) -> a + b) / len(e)
+             ELSE 0.0 END AS DECIMAL(18,6)) AS err,
+             CAST(s AS DECIMAL(18,6)) AS sc
+      FROM scaled)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(sc) AS DOUBLE) / COUNT(*), 6) AS avg_scale,
+           round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS avg_err,
+           CAST(MAX(err) AS DOUBLE) AS max_err
+    FROM perv GROUP BY 1
+"""
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "embedding_int8_quantize": q_embedding_int8_quantize,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

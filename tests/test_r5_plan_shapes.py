@@ -15,6 +15,7 @@ ENTRIES = [
     "ntile_quartiles",
     "column_stats_histogram",
     "customer_value_rank",
+    "winsorized_stats",
 ]
 
 
@@ -59,6 +60,25 @@ def test_rank_values_match_window_form(name, spark):
                         F.ntile(4).over(w).cast("int")
                         .alias("want")).collect()
         assert all(r["quartile"] == r["want"] for r in got)
+    elif name == "winsorized_stats":
+        # cut points equal the PERCENTILE_DISC-style rank selection
+        rows = {r["event_type"]: r for r in df.collect()}
+        from azure_nyctaxi_lambda_elt_spark.sources.tables import (
+            load_table)
+        ev = load_table(spark, SF_SMOKE, "events")
+        for etype, r in rows.items():
+            vals = sorted(
+                (x["value"], x["event_id"]) for x in
+                ev.where(F.col("event_type") == etype)
+                .select("value", "event_id").collect())
+            n = len(vals)
+            assert r["n_events"] == n
+            assert r["lo_cut"] == vals[(n + 99) // 100 - 1][0]
+            assert r["hi_cut"] == vals[(99 * n + 99) // 100 - 1][0]
+            clipped = [min(max(v, r["lo_cut"]), r["hi_cut"])
+                       for v, _ in vals]
+            assert abs(r["mean_winsor"]
+                       - round(sum(clipped) / n, 6)) < 1e-5
     elif name == "customer_value_rank":
         w = (Window.partitionBy("c_mktsegment")
              .orderBy(F.desc("total_spend"), F.asc("c_custkey")))
