@@ -463,3 +463,52 @@ def int8_quantize_stats(embeddings: DataFrame,
              .alias("avg_err"),
              F.max("err").cast("double").alias("max_err"))
     )
+
+
+def hard_negative_mine(embeddings: DataFrame, query_pred: Column,
+                       k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining — the contrastive-pair construction step
+    of an embedding-training pipeline: for each query vector, the
+    top-k most-cosine-similar corpus vectors with a DIFFERENT label
+    (the negatives nearest the decision boundary, which drive most of
+    the training signal).
+
+    Exact brute-force with the usual guard; ranking orders by the
+    ROUNDED similarity (6 dp) + neighbor_id tiebreak so the output is
+    engine-independent.  At 100 TB the candidate set comes from the
+    IVF cell join (``ivf_topk``'s broadcast-codebook path) with the
+    label-mismatch predicate pushed into the candidates — identical
+    composition to dedup_embedding_cosine's LSH-then-verify split."""
+    from pyspark.sql import Window
+
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_vec(vec_col).alias("e"),
+            F.col(label_col).alias("label"))
+        .withColumn("ssq", vec_ssq(F.col("e")))
+        .localCheckpoint())
+    queries = corpus.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("ssq").alias("qssq"), F.col("label").alias("q_label"))
+    _guard_brute(queries.count(), MAX_BRUTE_QUERIES,
+                 "hard_negative_mine query set",
+                 "ivf_topk + label filter")
+    cos = F.round(
+        vec_dot(F.col("qe"), F.col("e"))
+        / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("ssq"))), 6)
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("label") != F.col("q_label"))
+        .select("q_id", "q_label",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neg_label"),
+                cos.alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )

@@ -71,10 +71,11 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _col_stats(df: DataFrame, cols: list[str]) -> dict:
-    """Per-column [min, max] of ``df`` as JSON-safe values (dates and
-    timestamps as ISO strings — string order == time order)."""
-    aggs = []
+def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
+    """Per-column [min, max] of ``df`` plus its row count, as JSON-safe
+    values (dates and timestamps as ISO strings — string order == time
+    order).  One aggregation job covers all columns and the count."""
+    aggs = [F.count("*").alias("__n")]
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
@@ -83,7 +84,8 @@ def _col_stats(df: DataFrame, cols: list[str]) -> dict:
         return v if isinstance(v, (int, float, str, type(None))) \
             else v.isoformat()
 
-    return {c: [js(row[f"__lo_{c}"]), js(row[f"__hi_{c}"])] for c in cols}
+    return ({c: [js(row[f"__lo_{c}"]), js(row[f"__hi_{c}"])]
+             for c in cols}, int(row["__n"]))
 
 
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
@@ -110,14 +112,19 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     df.write.mode("overwrite").parquet(data_dir)
     name = os.path.basename(data_dir)
     dirs = [name]
-    stats = {name: _col_stats(df, stats_cols)} if stats_cols else {}
+    stats, rows = {}, {}
+    if stats_cols:
+        cstats, n = _col_stats(df, stats_cols)
+        stats, rows = {name: cstats}, {name: n}
     if mode == "append" and parent is not None:
         pman = _read_manifest(path, parent)
         dirs = pman["dirs"] + dirs
         stats = {**pman.get("stats", {}), **stats}
+        rows = {**pman.get("rows", {}), **rows}
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
-    return _commit_manifest(path, version, mode, dirs, meta, stats)
+    return _commit_manifest(path, version, mode, dirs, meta, stats,
+                            rows)
 
 
 def _claim_data_dir(path: str, version: int) -> str:
@@ -163,12 +170,14 @@ def _publish_manifest(final: str, tmp: str) -> None:
 
 def _commit_manifest(path: str, version: int, mode: str,
                      dirs: list[str], meta: dict | None,
-                     stats: dict | None = None) -> int:
+                     stats: dict | None = None,
+                     rows: dict | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "mode": mode, "dirs": dirs,
-                   "meta": meta or {}, "stats": stats or {}}, fh)
+                   "meta": meta or {}, "stats": stats or {},
+                   "rows": rows or {}}, fh)
     final = _manifest_path(path, version)
     try:
         # atomic-exclusive commit point (see _publish_manifest)
@@ -243,15 +252,20 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     rewritten.write.mode("overwrite").parquet(data_dir)
     dirs = ([d for d in man["dirs"] if d not in affected]
             + [os.path.basename(data_dir)])
-    # carry surviving dirs' stats; restate the rewritten dir's over
-    # the same column set so pruning keeps working after a merge
+    # carry surviving dirs' stats/rows; restate the rewritten dir's
+    # over the same column set so pruning keeps working after a merge
     kept_stats = {d: s for d, s in stats.items() if d in dirs}
+    prows = man.get("rows", {})
+    kept_rows = {d: n for d, n in prows.items() if d in dirs}
     stat_cols = sorted({c for s in stats.values() for c in s})
     if stat_cols:
-        kept_stats[os.path.basename(data_dir)] = _col_stats(
-            rewritten, stat_cols)
+        cstats, n = _col_stats(rewritten, stat_cols)
+        new_name = os.path.basename(data_dir)
+        kept_stats[new_name] = cstats
+        kept_rows[new_name] = n
     return _commit_manifest(path, version, "merge", dirs,
-                            {"rewrote": affected}, kept_stats)
+                            {"rewrote": affected}, kept_stats,
+                            kept_rows)
 
 
 def change_feed(spark: SparkSession, path: str, from_version: int,
@@ -322,6 +336,24 @@ def compact(spark: SparkSession, path: str,
     return commit(snap, path, "overwrite",
                   meta={"compacted_from": len(man["dirs"])},
                   stats_cols=stat_cols or None)
+
+
+def metadata_count(path: str, version: int | None = None) -> int | None:
+    """Row count of a version answered from MANIFEST METADATA ALONE —
+    no data-file scan, no Spark job (Iceberg's `snapshot summary` /
+    Delta's stats-based `SELECT COUNT(*)` pushdown): every commit that
+    records stats also records each dir's row count, and a version's
+    count is their sum.  Returns None when any dir in the version
+    predates row-count recording (the caller falls back to a scan —
+    conservative, like stats pruning)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        return None
+    man = _read_manifest(path, v)
+    rows = man.get("rows", {})
+    if any(d not in rows for d in man["dirs"]):
+        return None
+    return sum(rows[d] for d in man["dirs"])
 
 
 def latest_meta(path: str) -> dict:

@@ -1133,6 +1133,35 @@ def q_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("trip_uid").cast("bigint").alias("n_trips"))
 
 
+def q_txn_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): every version's row count answered from
+    the manifest row-count stats with NO data scan and no Spark job
+    (operators/txnlog.py metadata_count — Iceberg snapshot-summary /
+    Delta stats-pushdown parity).  The entry commits three day-range
+    loads with stats, reads each version's count from metadata alone,
+    and the oracle recomputes the cumulative counts from trip_clean —
+    a hash match proves the manifest numbers equal the data."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnmeta", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 10), out, "overwrite",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day >= 21), out, "append",
+                  stats_cols=["trip_uid"])
+    rows = [(v, txnlog.metadata_count(out, v)) for v in (0, 1, 2)]
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint")
+
+
 def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: the daily revenue rollup is
     maintained across two loads (the base feed, then the late-arriving
@@ -1787,6 +1816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_merge_upsert": q_txn_merge_upsert,
     "txn_change_feed": q_txn_change_feed,
     "txn_compact": q_txn_compact,
+    "txn_metadata_count": q_txn_metadata_count,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
@@ -2283,6 +2313,19 @@ ORACLES["txn_change_feed"] = with_trips(f"""
                              src="'merge_new.parquet'")}
     FROM (SELECT * REPLACE (trip_uid + 10000000 AS trip_uid)
           FROM trip_clean WHERE day(ingest_date) = 1) t
+""")
+
+# metadata-only counts: cumulative day-range totals from trip_clean
+ORACLES["txn_metadata_count"] = with_trips("""
+    SELECT CAST(0 AS INT) AS version,
+           CAST(COUNT(*) FILTER (day(ingest_date) <= 10) AS BIGINT)
+             AS n_rows FROM trip_clean
+    UNION ALL
+    SELECT CAST(1 AS INT),
+           CAST(COUNT(*) FILTER (day(ingest_date) <= 20) AS BIGINT)
+    FROM trip_clean
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT) FROM trip_clean
 """)
 
 # compaction is a pure layout change: the rollup equals trip_clean's

@@ -1182,6 +1182,44 @@ def q_embedding_int8_quantize(spark: SparkSession,
     return int8_quantize_stats(_emb(spark, sf_dir))
 
 
+def q_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training
+    (operators/ann.py hard_negative_mine): per query vector, the
+    top-{k} most-similar corpus vectors with a DIFFERENT label —
+    exact brute with guard; the IVF cell join is the 100 TB candidate
+    path.  Same query set as the other ANN entries."""
+    from ..operators.ann import hard_negative_mine
+
+    apply_engine_conf(spark)
+    return hard_negative_mine(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % ANN_QUERY_MOD == 0, k=ANN_K)
+
+
+LLM_ORACLES["hard_negative_mine"] = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+      FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 list_sum([x * x FOR x IN e]) AS ssq FROM v),
+    q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe, ssq AS qssq
+          FROM n WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    p AS (
+      SELECT q_id, q_label, vec_id AS neighbor_id, label AS neg_label,
+             round(list_sum([qe[i] * e[i]
+                             FOR i IN generate_series(1, len(e))])
+                   / (sqrt(qssq) * sqrt(ssq)), 6) AS cos_sim
+      FROM q JOIN n ON label <> q_label)
+    SELECT q_id, q_label, neighbor_id, neg_label, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+    FROM p
+    QUALIFY rnk <= {ANN_K}
+"""
+
+
 LLM_ORACLES["embedding_int8_quantize"] = """
     WITH base AS (
       SELECT label,
@@ -1215,6 +1253,7 @@ LLM_ORACLES["embedding_int8_quantize"] = """
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "embedding_int8_quantize": q_embedding_int8_quantize,
+    "hard_negative_mine": q_hard_negative_mine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

@@ -273,6 +273,27 @@ def test_compact_binpacks_preserving_content_and_history(spark, table):
     assert txnlog.compact(spark, path) is None
 
 
+def test_metadata_count_answers_without_scanning(spark, table):
+    """COUNT(*) from manifest row stats alone: correct per version,
+    carried through merges, None (scan fallback) when any dir
+    predates row recording."""
+    path, df = table
+    txnlog.commit(df.where("id < 4"), path, "overwrite",
+                  stats_cols=["id"])
+    txnlog.commit(df.where("id >= 4"), path, "append",
+                  stats_cols=["id"])
+    assert txnlog.metadata_count(path, 0) == 4
+    assert txnlog.metadata_count(path, 1) == 10
+    # a merge restates the rewritten dir's rows
+    updates = spark.createDataFrame([(5, 500), (77, 770)],
+                                    "id long, v long")
+    txnlog.merge_upsert(spark, path, updates, ["id"])
+    assert txnlog.metadata_count(path) == 11
+    # statless commit -> unknown rows -> conservative None
+    txnlog.commit(df.where("id = 0"), path, "append")
+    assert txnlog.metadata_count(path) is None
+
+
 def test_merge_probe_uses_key_stats(spark, table, monkeypatch):
     """With key stats recorded, the merge probe never scans dirs whose
     key envelope misses the updates' range."""
