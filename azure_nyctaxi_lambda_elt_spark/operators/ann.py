@@ -138,7 +138,8 @@ def cosine_pairs(embeddings: DataFrame, tau: float,
 def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
              n_centroids: int = 16, n_probes: int = 3,
              train_iters: int = 3,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_label_col: str | None = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells,
     probe only the query's ``n_probes`` nearest cells.
 
@@ -160,6 +161,13 @@ def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     from .clustering import fit_centroids
 
     corpus = _prep(embeddings, id_col, vec_col)
+    if exclude_label_col:
+        # hard-negative mode: carry the label so candidates can be
+        # restricted to label mismatches (contrastive mining)
+        corpus = corpus.join(
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(exclude_label_col).alias("label")),
+            "vec_id")
     codebook = fit_centroids(embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         n_centroids, train_iters)
@@ -180,11 +188,13 @@ def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
         .withColumn("__ccos", cent_cos)
         .withColumn("__r", F.row_number().over(w_assign))
         .where(F.col("__r") == 1)
-        .select("vec_id", "e", "ssq", F.col("c_id").alias("cell"))
+        .select("vec_id", "e", "ssq", F.col("c_id").alias("cell"),
+                *(["label"] if exclude_label_col else []))
     )
     queries = assigned.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
         F.col("ssq").alias("qssq"),
+        *([F.col("label").alias("q_label")] if exclude_label_col else []),
     )
     probes = (
         queries.crossJoin(F.broadcast(cent))
@@ -195,18 +205,28 @@ def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
             Window.partitionBy("q_id").orderBy(
                 F.col("__ccos").desc(), F.col("c_id").asc())))
         .where(F.col("__r") <= n_probes)
-        .select("q_id", "qe", "qssq", F.col("c_id").alias("cell"))
+        .select("q_id", "qe", "qssq", F.col("c_id").alias("cell"),
+                *(["q_label"] if exclude_label_col else []))
     )
     cos = F.round(
         vec_dot(F.col("qe"), F.col("e"))
         / (F.sqrt(F.col("qssq")) * F.sqrt(F.col("ssq"))),
         6,
     )
-    pairs = (
+    joined = (
         assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
-    )
+        .where(F.col("vec_id") != F.col("q_id")))
+    if exclude_label_col:
+        pairs = (
+            joined.where(F.col("label") != F.col("q_label"))
+            .select("q_id", "q_label",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("neg_label"),
+                    cos.alias("cos_sim")))
+    else:
+        pairs = joined.select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -924,11 +924,26 @@ LLM_ORACLES["dedup_clusters_bigstar"] = LLM_ORACLES["dedup_clusters"]
 # reuse that chain (k=16, iters=3 — ivf_topk's training params), then
 # replay the cosine assignment, 3-cell probing, and exact re-rank.
 def _ann_ivf_oracle(k: int = ANN_K, n_centroids: int = 16,
-                    n_probes: int = 3, train_iters: int = 3) -> str:
+                    n_probes: int = 3, train_iters: int = 3,
+                    hard_negatives: bool = False) -> str:
     from .ext_catalog import _kmeans_replay_chain
 
     chain = _kmeans_replay_chain(n_centroids, train_iters, 64)
     fin = f"cx{train_iters}"
+    if hard_negatives:
+        label_join = ("JOIN embeddings eq ON eq.vec_id = pr.q_id\n"
+                      "          JOIN embeddings en "
+                      "ON en.vec_id = a.vec_id")
+        label_pred = " AND en.label <> eq.label"
+        final_select = """
+        SELECT t.q_id, eq.label AS q_label, t.neighbor_id,
+               en.label AS neg_label, t.cos_sim, t.rnk
+        FROM ranked t
+        JOIN embeddings eq ON eq.vec_id = t.q_id
+        JOIN embeddings en ON en.vec_id = t.neighbor_id"""
+    else:
+        label_join, label_pred = "", ""
+        final_select = "SELECT q_id, neighbor_id, cos_sim, rnk FROM ranked"
     return chain + f""",
         cssq AS (SELECT cid, SUM(cx * cx) AS cs FROM {fin} GROUP BY 1),
         vssq AS (SELECT vec_id, SUM(x * x) AS vs FROM px GROUP BY 1),
@@ -956,7 +971,8 @@ def _ann_ivf_oracle(k: int = ANN_K, n_centroids: int = 16,
         cand AS (
           SELECT pr.q_id, a.vec_id AS neighbor_id
           FROM probes pr JOIN assigned a ON a.cell = pr.cell
-          WHERE a.vec_id != pr.q_id),
+          {label_join}
+          WHERE a.vec_id != pr.q_id{label_pred}),
         pcos AS (
           SELECT c.q_id, c.neighbor_id,
                  round(SUM(pq.x * pn.x)
@@ -966,16 +982,21 @@ def _ann_ivf_oracle(k: int = ANN_K, n_centroids: int = 16,
           JOIN px pn ON pn.vec_id = c.neighbor_id AND pn.i = pq.i
           JOIN vssq vq ON vq.vec_id = c.q_id
           JOIN vssq vn ON vn.vec_id = c.neighbor_id
-          GROUP BY c.q_id, c.neighbor_id, vq.vs, vn.vs)
-        SELECT q_id, neighbor_id, cos_sim,
-               CAST(row_number() OVER (
-                 PARTITION BY q_id
-                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
-        FROM pcos
-        QUALIFY rnk <= {k}"""
+          GROUP BY c.q_id, c.neighbor_id, vq.vs, vn.vs),
+        ranked AS (
+          SELECT q_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT)
+                   AS rnk
+          FROM pcos
+          QUALIFY rnk <= {k})
+        {final_select}"""
 
 
 LLM_ORACLES["ann_ivf"] = _ann_ivf_oracle()
+LLM_ORACLES["hard_negative_mine_ivf"] = _ann_ivf_oracle(
+    hard_negatives=True)
 
 
 # ann_ivfpq full literal-replay oracle (r4): the same unroll technique
@@ -1220,6 +1241,24 @@ LLM_ORACLES["hard_negative_mine"] = f"""
 """
 
 
+def q_hard_negative_mine_ivf(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The SCALE PATH for hard-negative mining: IVF coarse cells
+    generate the candidates (broadcast codebook, cell-equality join
+    touching ~n_probes/M of the corpus) and the label-mismatch
+    predicate rides the candidate join (operators/ann.py ivf_topk
+    with exclude_label_col) — no corpus×queries brute pass.  Full
+    literal-replay oracle: the ann_ivf Lloyd chain with the label
+    filter on candidates.  Recall-vs-brute pinned in pytest."""
+    from ..operators.ann import ivf_topk
+
+    apply_engine_conf(spark)
+    return ivf_topk(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % ANN_QUERY_MOD == 0, k=ANN_K,
+        exclude_label_col="label")
+
+
 LLM_ORACLES["embedding_int8_quantize"] = """
     WITH base AS (
       SELECT label,
@@ -1254,6 +1293,7 @@ LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "embedding_int8_quantize": q_embedding_int8_quantize,
     "hard_negative_mine": q_hard_negative_mine,
+    "hard_negative_mine_ivf": q_hard_negative_mine_ivf,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

@@ -117,6 +117,24 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert len(ivf) <= len(brute)
 
 
+def test_hard_negative_ivf_recall_and_label_purity(spark):
+    from azure_nyctaxi_lambda_elt_spark.operators.ann import (
+        hard_negative_mine, ivf_topk)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pred = F.col("vec_id") % 50 == 0
+    brute_rows = hard_negative_mine(emb, pred, 5).collect()
+    ivf_rows = ivf_topk(emb, pred, 5, exclude_label_col="label").collect()
+    # every mined negative must genuinely mismatch the query label
+    assert all(r["q_label"] != r["neg_label"]
+               for r in brute_rows + ivf_rows)
+    brute = {(r["q_id"], r["neighbor_id"]) for r in brute_rows}
+    ivf = {(r["q_id"], r["neighbor_id"]) for r in ivf_rows}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"hard-negative IVF recall {recall:.2f} too low"
+    assert len(ivf) <= len(brute)
+
+
 def test_multimodal_decode_real_formats(spark):
     from azure_nyctaxi_lambda_elt_spark.operators.multimodal import (
         decode_media, decode_one, _encode_bmp, _encode_wav, _encode_gif,
