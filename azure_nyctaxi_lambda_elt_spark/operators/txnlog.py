@@ -204,14 +204,37 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     (kept rows ANTI JOIN keys) ∪ updates into one fresh claimed dir;
     (3) commit parent_dirs − affected + [new] atomically.  Raises
     TxnConflict like commit() if another writer lands first."""
+    return _merge_impl(spark, path, updates, updates, key_cols)
+
+
+def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
+                key_cols: list[str], delete_col: str) -> int:
+    """Full I/U/D row-level MERGE (Delta's WHEN MATCHED DELETE branch
+    added to merge_upsert's upsert form): ``changes`` rows with
+    ``delete_col`` true DELETE their keys from the table, the rest
+    upsert.  Same copy-on-write shape — only dirs containing touched
+    keys (updated OR deleted) rewrite; a delete whose key is absent is
+    a no-op; prior versions stay time-travelable."""
+    keys_src = changes.select(*key_cols).distinct()
+    upserts = changes.where(~F.col(delete_col)).drop(delete_col)
     parent = latest_version(path)
     if parent is None:
-        return commit(updates, path, "overwrite")
+        return commit(upserts, path, "overwrite")
+    return _merge_impl(spark, path, keys_src, upserts, key_cols)
+
+
+def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
+                upserts: DataFrame, key_cols: list[str]) -> int:
+    """Shared copy-on-write merge core: remove ``keys_src``'s keys
+    from the affected dirs, land ``upserts`` in the fresh dir."""
+    parent = latest_version(path)
+    if parent is None:
+        return commit(upserts, path, "overwrite")
     version = parent + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
     man = _read_manifest(path, parent)
-    keys = updates.select(*key_cols).distinct()
+    keys = keys_src.select(*key_cols).distinct()
     bkeys = F.broadcast(keys)
     # stats fast path: a dir whose key envelope misses the updates'
     # key range can't contain matches — skip its probe scan entirely
@@ -245,9 +268,9 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         existing = spark.read.parquet(
             *[os.path.join(path, d) for d in affected])
         rewritten = existing.join(bkeys, key_cols, "left_anti") \
-            .unionByName(updates)
+            .unionByName(upserts)
     else:
-        rewritten = updates
+        rewritten = upserts
     data_dir = _claim_data_dir(path, version)
     rewritten.write.mode("overwrite").parquet(data_dir)
     dirs = ([d for d in man["dirs"] if d not in affected]

@@ -1133,6 +1133,45 @@ def q_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("trip_uid").cast("bigint").alias("n_trips"))
 
 
+def q_txn_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC applied THROUGH the transaction log with the full I/U/D
+    contract (operators/txnlog.py merge_apply — Delta MERGE's WHEN
+    MATCHED DELETE branch added to the upsert form): seed the table
+    with the first half-month's latest per-user state, then apply the
+    second half's change-set where 'error' ops are tombstones — those
+    keys DELETE, the rest upsert, and only dirs containing touched
+    keys rewrite.  Because latest-state-apply composes (latest of
+    second half onto latest of first half == latest overall), the
+    final snapshot equals cdc_apply_changes over the whole feed —
+    that entry's oracle is reused verbatim."""
+    import shutil
+
+    from ..operators import txnlog
+    from ..operators.dedupe import latest_wins
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txncdc", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    ev = tf.events_ts_fixed(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value")
+
+    def state(df: DataFrame) -> DataFrame:
+        last = latest_wins(df, ["user_id"],
+                           [F.col("ts").desc(), F.col("event_id").desc()])
+        return last.select(
+            "user_id", F.col("event_type").alias("last_op"),
+            F.round(F.col("value").cast("double"), 6).alias("last_value"),
+            F.col("ts").alias("updated_at"))
+
+    first_half = F.dayofmonth("ts") <= 15
+    base = state(ev.where(first_half)).where(F.col("last_op") != "error")
+    txnlog.commit(base, out, "overwrite", stats_cols=["user_id"])
+    changes = state(ev.where(~first_half)).withColumn(
+        "__del", F.col("last_op") == "error")
+    txnlog.merge_apply(spark, out, changes, ["user_id"], "__del")
+    return txnlog.snapshot(spark, out)
+
+
 def q_txn_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT(*): every version's row count answered from
     the manifest row-count stats with NO data scan and no Spark job
@@ -1817,6 +1856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_change_feed": q_txn_change_feed,
     "txn_compact": q_txn_compact,
     "txn_metadata_count": q_txn_metadata_count,
+    "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
@@ -1837,6 +1877,9 @@ ORACLES.update(SERVING3_ORACLES)
 ORACLES.update(LLM2_ORACLES)
 ORACLES.update(EXT2_ORACLES)
 ORACLES.update(EXT3_ORACLES)
+# latest-state-apply composes: CDC-through-the-txn-log over the split
+# feed ends in exactly the cdc_apply_changes final state
+ORACLES["txn_cdc_merge"] = EXT3_ORACLES["cdc_apply_changes"]
 # streaming session windows emit in APPEND mode: the drained sink holds
 # exactly the sessions whose end <= final watermark (max ts - 2 h).
 # NB the cutoff lives ONLY in the oracle: filtering the Spark batch twin

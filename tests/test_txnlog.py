@@ -273,6 +273,31 @@ def test_compact_binpacks_preserving_content_and_history(spark, table):
     assert txnlog.compact(spark, path) is None
 
 
+def test_merge_apply_full_iud_contract(spark, table):
+    """merge_apply: deletes remove their keys, upserts
+    update-or-insert, absent-key deletes are no-ops, and only dirs
+    containing touched keys rewrite."""
+    path, df = table
+    txnlog.commit(df.where("id < 5"), path, "overwrite")   # dir A
+    txnlog.commit(df.where("id >= 5"), path, "append")     # dir B
+    before = txnlog._read_manifest(path, 1)["dirs"]
+    changes = spark.createDataFrame(
+        [(7, 700, False),    # update (dir B)
+         (99, 990, False),   # insert
+         (8, 0, True),       # delete (dir B)
+         (555, 0, True)],    # delete of absent key: no-op
+        "id long, v long, is_del boolean")
+    v = txnlog.merge_apply(spark, path, changes, ["id"], "is_del")
+    man = txnlog._read_manifest(path, v)
+    assert before[0] in man["dirs"]      # dir A untouched
+    assert before[1] not in man["dirs"]  # dir B rewritten
+    snap = {r["id"]: r["v"] for r in txnlog.snapshot(spark, path).collect()}
+    assert 8 not in snap and snap[7] == 700 and snap[99] == 990
+    assert len(snap) == 10  # 10 - 1 delete + 1 insert
+    # prior version still time-travels with id=8 present
+    assert 8 in {r["id"] for r in txnlog.snapshot(spark, path, 1).collect()}
+
+
 def test_metadata_count_answers_without_scanning(spark, table):
     """COUNT(*) from manifest row stats alone: correct per version,
     carried through merges, None (scan fallback) when any dir
