@@ -1241,6 +1241,133 @@ LLM_ORACLES["hard_negative_mine"] = f"""
 """
 
 
+def q_corpus_curation_pipeline(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PRODUCTION COMPOSITION — the end-to-end curation run an LLM
+    data pipeline actually executes, chained from the individually-
+    tested stages: (1) Gopher-style heuristic_filter quality gate;
+    (2) exact dedup (normalized-md5 content hash, min-id canonical);
+    (3) near-dup collapse (char-n-gram Jaccard pairs ≥ τ → connected
+    components → canonical survivors only); (4) per-source survivor
+    accounting after every stage — the funnel report a curation run
+    ships with its output.  Each stage consumes only the previous
+    stage's survivors (the real cost profile: the expensive pair pass
+    runs on the post-filter, post-exact corpus).  Full oracle: the
+    stage CTEs compose the same way in SQL, with the shingle pass
+    scoped to the stage-2 survivors."""
+    apply_engine_conf(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    hf = cp.heuristic_filter(docs, lt.STOPWORDS["en"])
+    kept1 = docs.join(
+        hf.where("keep").select("doc_id"), "doc_id").localCheckpoint()
+    ex = lt.exact_dedup(kept1)
+    k2docs = kept1.join(
+        ex.where(~F.col("is_duplicate")).select("doc_id"),
+        "doc_id").localCheckpoint()
+    pairs = lt.ngram_jaccard_pairs(k2docs, JACCARD_N, JACCARD_TAU)
+    kept3 = dedup_clusters(k2docs, pairs) \
+        .where("is_canonical").select("doc_id")
+
+    def per_source(df, name):
+        return df.groupBy("source").agg(
+            F.count("*").cast("bigint").alias(name))
+
+    raw_s = per_source(docs, "n_raw")
+    f_s = per_source(kept1, "n_filtered")
+    e_s = per_source(k2docs, "n_exact")
+    fin = (k2docs.join(kept3, "doc_id").groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n_final"),
+                F.sum(F.length("text")).cast("bigint")
+                .alias("chars_final")))
+    z = F.lit(0).cast("bigint")
+    return (
+        raw_s.join(f_s, "source", "left")
+        .join(e_s, "source", "left")
+        .join(fin, "source", "left")
+        .select("source", "n_raw",
+                F.coalesce("n_filtered", z).alias("n_filtered"),
+                F.coalesce("n_exact", z).alias("n_exact"),
+                F.coalesce("n_final", z).alias("n_final"),
+                F.coalesce("chars_final", z).alias("chars_final"))
+    )
+
+
+def _curation_oracle() -> str:
+    from .ext_catalog import EXT_ORACLES
+
+    hf = EXT_ORACLES["heuristic_filter"]
+    shingles_scoped = _SHINGLES_CTE.replace("FROM documents",
+                                            "FROM k2docs")
+    return f"""
+    WITH RECURSIVE
+    hf AS ({hf}),
+    kept1 AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN hf ON hf.doc_id = d.doc_id AND hf.keep),
+    ex AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+      FROM kept1),
+    kept2 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS c
+        FROM ex) t
+      WHERE doc_id = c),
+    k2docs AS (
+      SELECT k.doc_id, k.text, k.source
+      FROM kept1 k JOIN kept2 USING (doc_id)),
+    {shingles_scoped},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+    shf AS (
+      SELECT * FROM sh WHERE hg NOT IN (
+        SELECT hg FROM sh GROUP BY hg
+        HAVING COUNT(*) > {lt.MAX_SHINGLE_DF})),
+    inter AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+      FROM shf a JOIN shf b ON a.hg = b.hg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_i, doc_j FROM inter
+      JOIN sz sa ON sa.doc_id = doc_i
+      JOIN sz sb ON sb.doc_id = doc_j
+      WHERE round(CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sg + sb.n_sg - n_inter AS DOUBLE), 6)
+            >= {JACCARD_TAU}),
+    edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+              UNION ALL SELECT doc_j AS a, doc_i AS b FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM k2docs
+      UNION
+      SELECT e.a AS node, r.lbl
+      FROM edges e JOIN reach r ON r.node = e.b),
+    labels AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY 1),
+    kept3 AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+    raw_s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+              FROM documents GROUP BY 1),
+    f_s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_filtered
+            FROM kept1 GROUP BY 1),
+    e_s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM k2docs GROUP BY 1),
+    fin AS (
+      SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_final,
+             CAST(SUM(length(k.text)) AS BIGINT) AS chars_final
+      FROM k2docs k JOIN kept3 USING (doc_id) GROUP BY 1)
+    SELECT r.source, r.n_raw,
+           CAST(COALESCE(f.n_filtered, 0) AS BIGINT) AS n_filtered,
+           CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(fn.n_final, 0) AS BIGINT) AS n_final,
+           CAST(COALESCE(fn.chars_final, 0) AS BIGINT) AS chars_final
+    FROM raw_s r
+    LEFT JOIN f_s f USING (source)
+    LEFT JOIN e_s e USING (source)
+    LEFT JOIN fin fn USING (source)
+    """
+
+
+LLM_ORACLES["corpus_curation_pipeline"] = _curation_oracle()
+
+
 def q_hard_negative_mine_ivf(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """The SCALE PATH for hard-negative mining: IVF coarse cells
@@ -1294,6 +1421,7 @@ LLM_QUERIES = {
     "embedding_int8_quantize": q_embedding_int8_quantize,
     "hard_negative_mine": q_hard_negative_mine,
     "hard_negative_mine_ivf": q_hard_negative_mine_ivf,
+    "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
