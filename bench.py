@@ -70,6 +70,11 @@ BENCH_NEW_QUERIES = [
     "multimodal_transform",
     "zorder_cluster_stats",
     "dup_graph_pagerank",
+    # round-5 additions
+    "corpus_curation_pipeline",
+    "hard_negative_mine_ivf",
+    "winsorized_stats",
+    "pareto_customer_share",   # distributed-rank rebuild
 ]
 
 
