@@ -48,3 +48,43 @@ def test_latest_wins_one_row_per_key_and_is_max(spark, rows):
         if k not in best or cand > best[k]:
             best[k] = cand
     assert {r["k"]: (r["v"], r["t"], r["x"]) for r in out} == best
+
+
+RANK_ROW = st.tuples(
+    st.integers(0, 3),             # group
+    st.integers(-100, 100),        # value (ties likely)
+    st.integers(0, 10_000),        # unique-ish id (tiebreak)
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(RANK_ROW, min_size=1, max_size=60, unique_by=lambda r: r[2]))
+def test_global_rank_matches_window_form(spark, rows):
+    """with_global_rank (range-repartition + offsets) must be
+    bit-identical to the unpartitioned-Window rank it replaces, for
+    any grouping, tie pattern, and partition spread — including the
+    running sum and per-group totals."""
+    from pyspark.sql import Window
+
+    from azure_nyctaxi_lambda_elt_spark.operators.ranks import (
+        with_global_rank)
+
+    df = spark.createDataFrame(rows, "g int, v int, id int")
+    ranked, totals = with_global_rank(
+        df, [F.asc("v"), F.asc("id")], value_col="v", group_cols=["g"])
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = df.select(
+        "g", "id",
+        F.row_number().over(w).cast("bigint").alias("want_r"),
+        F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("want_cum"))
+    got = {(r["g"], r["id"]): (r["__r"], r["__cum"])
+           for r in ranked.collect()}
+    for r in want.collect():
+        assert got[(r["g"], r["id"])] == (r["want_r"], r["want_cum"])
+    by_g = {}
+    for g, v, _ in rows:
+        n, s = by_g.get(g, (0, 0))
+        by_g[g] = (n + 1, s + v)
+    assert {k[0]: v for k, v in totals.items()} == by_g
