@@ -22,6 +22,9 @@ ENTRIES = [
     "heaps_law_curve",
     "column_stats_histogram",
     "fuzzy_name_linkage",
+    # round-5 lazy entries (side-effectful r5 entries are audited by
+    # their own suites; these build a plan without executing)
+    "embedding_int8_quantize",
 ]
 
 
