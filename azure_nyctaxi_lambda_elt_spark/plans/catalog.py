@@ -144,6 +144,46 @@ def q_bi_view_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.bi_view(spark, sf_dir)
 
 
+def q_sql_bi_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL API surface parity: the reference's consumers speak
+    T-SQL, so the engine must be reachable through the SQL front end,
+    not just the DataFrame API.  This entry registers core.trip_clean
+    as a temp view and defines the BI view ITSELF as Spark SQL text —
+    essentially the reference's view DDL body
+    (mdl/views/vw_fact_trip_bi.view.sql: ratio metrics with NULL-safe
+    denominators) executed via spark.sql.  Catalyst compiles it to the
+    same plan as the DataFrame twin (bi_view_flat), and the oracle is
+    reused verbatim — a hash match proves DataFrame/SQL front-end
+    equivalence on top of the usual engine-vs-DuckDB check."""
+    apply_engine_conf(spark)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean.createOrReplaceTempView("trip_clean_sqlv")
+    return spark.sql("""
+        SELECT
+          CAST(year(pickup_ts_utc)*10000 + month(pickup_ts_utc)*100
+               + day(pickup_ts_utc) AS INT) AS pickup_date_key,
+          CAST(pickup_ts_utc AS DATE) AS pickup_date,
+          hour(pickup_ts_utc) AS pickup_hour,
+          is_night_ride,
+          COALESCE(vendor_code, 'UNKNOWN') AS vendor_code,
+          COALESCE(payment_type, 'UNKNOWN') AS payment_type,
+          trip_distance_km,
+          fare_amount,
+          tip_amount,
+          CASE WHEN CAST(fare_amount AS DOUBLE) > 0
+               THEN round(CAST(tip_amount AS DOUBLE)
+                          / CAST(fare_amount AS DOUBLE), 6)
+          END AS tip_pct,
+          CASE WHEN trip_distance_km > 0
+               THEN round(CAST(fare_amount AS DOUBLE)
+                          / trip_distance_km, 6)
+          END AS fare_per_km,
+          ingest_date,
+          source_file_name
+        FROM trip_clean_sqlv
+    """)
+
+
 def q_upsert_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
@@ -1805,6 +1845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surrogate_key_sha256": q_surrogate_key_sha256,
     "fact_build_star": q_fact_build_star,
     "bi_view_flat": q_bi_view_flat,
+    "sql_bi_view": q_sql_bi_view,
     "upsert_merge_latest": q_upsert_merge_latest,
     "dq_checks": q_dq_checks,
     "run_metrics": q_run_metrics,
@@ -1880,6 +1921,8 @@ ORACLES.update(EXT3_ORACLES)
 # latest-state-apply composes: CDC-through-the-txn-log over the split
 # feed ends in exactly the cdc_apply_changes final state
 ORACLES["txn_cdc_merge"] = EXT3_ORACLES["cdc_apply_changes"]
+# SQL front-end twin of the DataFrame BI view — same contract
+ORACLES["sql_bi_view"] = ORACLES["bi_view_flat"]
 # streaming session windows emit in APPEND mode: the drained sink holds
 # exactly the sessions whose end <= final watermark (max ts - 2 h).
 # NB the cutoff lives ONLY in the oracle: filtering the Spark batch twin
