@@ -810,6 +810,22 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "session_windows", sf_dir))
 
 
+def q_streaming_two_level_rollup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregation (streaming/lane.py
+    run_two_level_rollup): 5-minute tumbling counts feed an hourly
+    rollup in the SAME query — watermark propagates through the first
+    aggregate via window_time(), hours emit append-mode at the
+    watermark.  The engine-native streaming twin of multi_res_rollup's
+    continuous-aggregate hierarchy; the oracle carries the final-
+    watermark cutoff like the other append-mode entries."""
+    from ..streaming.lane import run_two_level_rollup
+
+    apply_engine_conf(spark)
+    return run_two_level_rollup(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "two_level", sf_dir))
+
+
 def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable distinct-cardinality sketch per event_type
     (streaming/lane.py run_distinct_sketch): bounded survivor-set state
@@ -1878,6 +1894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_run_quality_log": q_streaming_run_quality_log,
     "streaming_distinct_sketch": q_streaming_distinct_sketch,
     "streaming_session_windows": q_streaming_session_windows,
+    "streaming_two_level_rollup": q_streaming_two_level_rollup,
     "late_dim_reconcile": q_late_dim_reconcile,
     "format_orc_roundtrip": q_format_orc_roundtrip,
     "rate_limit_per_key": q_rate_limit_per_key,
@@ -1923,6 +1940,19 @@ ORACLES.update(EXT3_ORACLES)
 ORACLES["txn_cdc_merge"] = EXT3_ORACLES["cdc_apply_changes"]
 # SQL front-end twin of the DataFrame BI view — same contract
 ORACLES["sql_bi_view"] = ORACLES["bi_view_flat"]
+
+# chained streaming aggregation: hours finalized by the final
+# watermark (max ts − 2 h); n_windows = distinct 5-min buckets inside
+ORACLES["streaming_two_level_rollup"] = """
+    WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT time_bucket(INTERVAL '5 minutes', ts))
+                AS BIGINT) AS n_windows
+    FROM events CROSS JOIN mx
+    GROUP BY 1, 2, mx.wm
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.wm
+"""
 # streaming session windows emit in APPEND mode: the drained sink holds
 # exactly the sessions whose end <= final watermark (max ts - 2 h).
 # NB the cutoff lives ONLY in the oracle: filtering the Spark batch twin

@@ -726,6 +726,57 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     )
 
 
+def run_two_level_rollup(spark: SparkSession, sf_dir: str, out_dir: str,
+                         max_files_per_trigger: int | None = None,
+                         source_dir: str | None = None) -> DataFrame:
+    """CHAINED stateful streaming aggregation (multiple stateful
+    operators in one query — the engine-native continuous-aggregate
+    hierarchy): a 5-minute tumbling count feeds an hourly rollup of
+    the finalized windows, with the event-time watermark propagating
+    through the first aggregate via window_time() so the second can
+    finalize its hours (the streaming twin of the batch
+    multi_res_rollup 'daily FROM hourly partials' shape).
+
+    Append mode: an hour row emits exactly once, when the watermark
+    passes its end — after the availableNow drain the sink holds every
+    hour whose end ≤ final watermark (global max ts − 2 h), which is
+    the cutoff the batch oracle carries.  n_windows counts the
+    distinct finalized 5-minute buckets inside the hour (the partials
+    a continuous-aggregate refresh would sum)."""
+    roll_dir = os.path.join(out_dir, "hourly")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(roll_dir, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+    five = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n5"))
+    )
+    hourly = (
+        five
+        .groupBy(F.window(F.window_time("w5"), "1 hour").alias("wh"),
+                 "event_type")
+        .agg(F.sum("n5").cast("bigint").alias("n_events"),
+             F.count("*").cast("bigint").alias("n_windows"))
+        .select(F.col("wh.start").alias("hour_start"), "event_type",
+                "n_events", "n_windows")
+    )
+
+    def append_hours(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("append").parquet(roll_dir)
+
+    _run_available_now(
+        hourly.writeStream.outputMode("append")
+        .foreachBatch(append_hours)
+        .option("checkpointLocation", ckpt))
+    try:
+        return spark.read.parquet(roll_dir)
+    except Exception:
+        return hourly.limit(0)  # nothing finalized (empty/short feed)
+
+
 def run_session_windows(spark: SparkSession, sf_dir: str, out_dir: str,
                         max_files_per_trigger: int | None = None,
                         source_dir: str | None = None) -> DataFrame:

@@ -393,6 +393,37 @@ def test_distinct_sketch_mid_swap_crash_recovery(spark, feed_dir):
     assert spark.read.parquet(state).count() == expected
 
 
+def test_two_level_rollup_multibatch_matches_batch_cutoff(spark, feed_dir):
+    """Chained stateful aggregation (5-min counts -> hourly rollup in
+    one query): over the 3-file time-ordered feed, the drained sink
+    must equal the batch rollup cut at the final watermark —
+    regardless of micro-batch boundaries."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_two_level_rollup)
+
+    out = os.path.join(OUT, "two_level")
+    shutil.rmtree(out, ignore_errors=True)
+    got = run_two_level_rollup(spark, SF_SMOKE, out,
+                               max_files_per_trigger=1,
+                               source_dir=feed_dir)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    wm = ev.agg(F.max("ts")).collect()[0][0]
+    five = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n5")))
+    want = (
+        five.groupBy(F.window(F.col("w5.start"), "1 hour").alias("wh"),
+                     "event_type")
+        .agg(F.sum("n5").cast("bigint").alias("n_events"),
+             F.count("*").cast("bigint").alias("n_windows"))
+        .where(F.col("wh.end") <= F.lit(wm) - F.expr("INTERVAL 2 HOURS"))
+        .select(F.col("wh.start").alias("hour_start"), "event_type",
+                "n_events", "n_windows"))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
 def test_raw_archive_txn_exactly_once_under_redelivery(spark, feed_dir):
     """The exactly-once archive variant: wiping the checkpoint
     redelivers every batch; the manifest batch-id skips must keep the
