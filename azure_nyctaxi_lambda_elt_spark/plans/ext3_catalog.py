@@ -1669,7 +1669,7 @@ def _bpe_chain(n_merges: int = 5, batch_k: int | None = None) -> str:
         batch_k = BPE_BATCH_K
     rounds = _bpe_rounds(n_merges, batch_k)
     sql = ["""
-        WITH s0 AS (
+        WITH s0 AS MATERIALIZED (
           SELECT doc_id,
                  array_to_string(
                    list_filter(string_split(lower(text), ' '),
@@ -1678,7 +1678,7 @@ def _bpe_chain(n_merges: int = 5, batch_k: int | None = None) -> str:
     for k, b in enumerate(rounds, start=1):
         prev = f"s{k - 1}"
         sql.append(f""",
-        p{k} AS (
+        p{k} AS MATERIALIZED (
           SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
             SELECT t[i] AS l, t[i + 1] AS r
             FROM (SELECT string_split(s, '  ') AS t FROM {prev}) x,
@@ -1687,20 +1687,20 @@ def _bpe_chain(n_merges: int = 5, batch_k: int | None = None) -> str:
         for i in range(1, b + 1):
             if i == 1:
                 sql.append(f""",
-        m{k}_1 AS (
+        m{k}_1 AS MATERIALIZED (
           SELECT l, r, cnt FROM p{k}
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        u{k}_1 AS (
+        u{k}_1 AS MATERIALIZED (
           SELECT l AS tok FROM m{k}_1
           UNION SELECT r AS tok FROM m{k}_1)""")
             else:
                 sql.append(f""",
-        m{k}_{i} AS (
+        m{k}_{i} AS MATERIALIZED (
           SELECT l, r, cnt FROM p{k}
           WHERE l NOT IN (SELECT tok FROM u{k}_{i - 1})
             AND r NOT IN (SELECT tok FROM u{k}_{i - 1})
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        u{k}_{i} AS (
+        u{k}_{i} AS MATERIALIZED (
           SELECT tok FROM u{k}_{i - 1}
           UNION SELECT l AS tok FROM m{k}_{i}
           UNION SELECT r AS tok FROM m{k}_{i})""")
@@ -1712,9 +1712,9 @@ def _bpe_chain(n_merges: int = 5, batch_k: int | None = None) -> str:
                       " chr(1))")
             body = f"replace({body}, {needle}, {merged})"
         sql.append(f""",
-        s{k} AS (
+        s{k} AS MATERIALIZED (
           SELECT doc_id, {body} AS s FROM {prev}),
-        t{k} AS (
+        t{k} AS MATERIALIZED (
           SELECT CAST(SUM(len(string_split(s, '  '))) AS BIGINT) AS tok
           FROM s{k})""")
     return "".join(sql)
