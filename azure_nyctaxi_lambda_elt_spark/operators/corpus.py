@@ -27,10 +27,11 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOP_K,
 
     Scale shape: explode → partial-aggregated groupBy(token) — the
     shuffle carries (token, partial_count), not token occurrences.
-    The ranking window runs on the AGGREGATED vocab (|V| rows, tiny
-    next to the corpus), so the single-partition window sort is cheap;
-    at web scale swap the window for orderBy().limit(k)
-    (TakeOrderedAndProject — no full sort)."""
+    The top-k selection is orderBy().limit(k) — Catalyst compiles it
+    to TakeOrderedAndProject, a per-partition bounded heap merged on
+    the driver, so the |V|-row vocab (Heaps-law large at 100 TB) is
+    never sorted through one reducer; the rank window then runs over
+    the k-row result only."""
     ex = docs.select(
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
         F.col("doc_id"),
@@ -39,11 +40,9 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOP_K,
         F.count("*").alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    w = Window.orderBy(F.desc("tf"), F.asc("token"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= k)
-    )
+    top = agg.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))  # k rows only
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -270,11 +269,10 @@ def bigram_topk(docs: DataFrame, k: int = BIGRAM_TOP_K,
         F.count("*").alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    # TakeOrderedAndProject heap, then rank the k-row result only
+    top = agg.orderBy(F.desc("tf"), F.asc("bigram")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("bigram"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= k)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -595,11 +595,25 @@ def run_dim_enrich(spark: SparkSession, sf_dir: str, out_dir: str,
     _reset(enriched_dir, ckpt)
 
     batch_ev = tf.events_ts_fixed(spark, sf_dir)
-    w = Window.orderBy(F.col("__total").desc(), F.col("user_id"))
-    profile = (
-        batch_ev.groupBy("user_id")
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("__total"))
-        .select("user_id", F.ntile(4).over(w).alias("user_tier")))
+    # user tiers via the DISTRIBUTED rank + closed-form NTILE
+    # (operators/ranks.py) — the per-user frame grows linearly with
+    # the business, so no unpartitioned Window (same rebuild as
+    # ntile_quartiles; output bit-identical)
+    from ..operators.ranks import ntile_expr, with_global_rank
+
+    spend = (batch_ev.groupBy("user_id")
+             .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                  .alias("__total")))
+    ranked, totals = with_global_rank(
+        spend, [F.col("__total").desc(), F.col("user_id").asc()])
+    n_users, _ = totals.get((), (0, None))
+    if n_users:
+        profile = ranked.select(
+            "user_id", ntile_expr("__r", n_users, 4).cast("int")
+            .alias("user_tier"))
+    else:
+        profile = spend.select(
+            "user_id", F.lit(None).cast("int").alias("user_tier"))
 
     st = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
     enriched = st.join(F.broadcast(profile), "user_id").select(
