@@ -196,14 +196,21 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("__n"),
         F.sum("__nll").alias("__s"),
     )
+    # avg at 6 dp in EXACT integer micro-units: __s is DECIMAL(18,6),
+    # so s*1e6 is an exact integer and round-half-up(s_micro/n) =
+    # (2*s_micro + n) DIV (2*n) — engine round(double, 6) differs on
+    # knife-edge quotients (seen at sf0.1: 3.4140895 → Spark
+    # 3.414089, DuckDB 3.41409); integer DIV cannot
     return (
         docs.select("doc_id")
         .join(agg, "doc_id", "left")
+        .withColumn("__sm", (F.col("__s") * 1000000).cast("bigint"))
         .select(
             "doc_id",
             F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_bigrams"),
             F.coalesce(
-                F.round(F.col("__s").cast("double") / F.col("__n"), 6),
+                F.expr("CAST((2 * __sm + __n) DIV (2 * __n) AS DOUBLE)"
+                       " / 1000000.0"),
                 F.lit(0.0)).alias("avg_nll"))
     )
 
@@ -1270,7 +1277,9 @@ EXT3_ORACLES: dict[str, str] = {
                 FROM term GROUP BY 1)
         SELECT d.doc_id,
                COALESCE(n, 0) AS n_bigrams,
-               COALESCE(round(CAST(s AS DOUBLE) / n, 6), 0.0) AS avg_nll
+               COALESCE(CAST((2 * CAST(s * 1000000 AS BIGINT) + n)
+                             // (2 * n) AS DOUBLE) / 1000000.0,
+                        0.0) AS avg_nll
         FROM documents d LEFT JOIN agg USING (doc_id)
     """,
     "heavy_hitters_cms": f"""

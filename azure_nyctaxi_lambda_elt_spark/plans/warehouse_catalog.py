@@ -454,13 +454,21 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(region),
                   nation.n_regionkey == region.r_regionkey)
             .select("s_suppkey", "s_name", F.col("n_name").alias("nation")))
-    unit_price = F.round(
-        F.col("l_extendedprice").cast("double")
-        / F.col("l_quantity").cast("double"), 6)
+    # 6-dp unit price in EXACT integer micro-units: prices are 2-dp
+    # and quantities whole numbers, so round-half-up((ep*1e6)/qty) =
+    # (ep_cents*20000 + qty) DIV (2*qty) — engine round(double, 6)
+    # implementations disagree on knife-edge doubles (seen at sf0.1:
+    # 266.9078125 → Spark .907813, DuckDB .907812); integer DIV
+    # cannot
     priced = (li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+              .withColumn("__epc", F.round(
+                  F.col("l_extendedprice") * 100).cast("bigint"))
+              .withColumn("__q", F.col("l_quantity").cast("bigint"))
               .select("l_partkey", "l_orderkey", "l_linenumber",
                       "s_name", "nation",
-                      unit_price.alias("unit_price")))
+                      F.expr("CAST((__epc * 20000 + __q) DIV (__q * 2)"
+                             " AS DOUBLE) / 1000000.0")
+                      .alias("unit_price")))
     w = (Window.partitionBy("l_partkey")
          .orderBy("unit_price", "s_name", "l_orderkey", "l_linenumber"))
     best = (priced.withColumn("__rn", F.row_number().over(w))
@@ -705,8 +713,10 @@ WAREHOUSE_ORACLES: dict[str, str] = {
         priced AS (
           SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
                  sp.s_name, sp.nation,
-                 round(CAST(l.l_extendedprice AS DOUBLE)
-                       / CAST(l.l_quantity AS DOUBLE), 6) AS unit_price
+                 CAST((CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * 20000 + CAST(l.l_quantity AS BIGINT))
+                      // (CAST(l.l_quantity AS BIGINT) * 2)
+                      AS DOUBLE) / 1000000.0 AS unit_price
           FROM lineitem l JOIN supp sp ON l.l_suppkey = sp.s_suppkey
           WHERE l.l_quantity > 0),
         ranked AS (
