@@ -477,10 +477,15 @@ def int8_quantize_stats(embeddings: DataFrame,
     return (
         perv.groupBy(group_col)
         .agg(F.count("*").cast("bigint").alias("n_vecs"),
-             F.round(F.sum("sc").cast("double") / F.count("*"), 6)
-             .alias("avg_scale"),
-             F.round(F.sum("err").cast("double") / F.count("*"), 6)
-             .alias("avg_err"),
+             # 6-dp averages in exact integer micro-units (the sums
+             # are DECIMAL(18,6), values non-negative) — engine
+             # round(double, 6) diverges on knife-edge quotients
+             F.expr("CAST((2 * CAST(SUM(sc) * 1000000 AS BIGINT)"
+                    " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+                    " / 1000000.0").alias("avg_scale"),
+             F.expr("CAST((2 * CAST(SUM(err) * 1000000 AS BIGINT)"
+                    " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+                    " / 1000000.0").alias("avg_err"),
              F.max("err").cast("double").alias("max_err"))
     )
 

@@ -1077,10 +1077,15 @@ def winsorized_stats(events: DataFrame) -> DataFrame:
                 clipped.cast("decimal(18,6)").alias("v_win"))
         .groupBy("event_type", "lo_cut", "hi_cut")
         .agg(F.count("*").cast("bigint").alias("n_events"),
-             F.round(F.sum("v_raw").cast("double") / F.count("*"), 6)
-             .alias("mean_raw"),
-             F.round(F.sum("v_win").cast("double") / F.count("*"), 6)
-             .alias("mean_winsor"))
+             # 6-dp means in exact integer micro-units (the sums are
+             # DECIMAL(18,6)) — engine round(double, 6) diverges on
+             # knife-edge quotients, integer DIV cannot
+             F.expr("CAST((2 * CAST(SUM(v_raw) * 1000000 AS BIGINT)"
+                    " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+                    " / 1000000.0").alias("mean_raw"),
+             F.expr("CAST((2 * CAST(SUM(v_win) * 1000000 AS BIGINT)"
+                    " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE)"
+                    " / 1000000.0").alias("mean_winsor"))
         .select("event_type", "n_events", "lo_cut", "hi_cut",
                 "mean_raw", "mean_winsor")
     )
@@ -1794,11 +1799,13 @@ EXT3_ORACLES["winsorized_stats"] = """
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            c.lo_cut, c.hi_cut,
-           round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_raw,
-           round(CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo_cut),
-                                     c.hi_cut) AS DECIMAL(18,6)))
-                      AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+           CAST((2 * CAST(SUM(CAST(e.value AS DECIMAL(18,6)))
+                          * 1000000 AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_raw,
+           CAST((2 * CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo_cut),
+                                         c.hi_cut) AS DECIMAL(18,6)))
+                          * 1000000 AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_winsor
     FROM events e JOIN cuts c USING (event_type)
     GROUP BY e.event_type, c.lo_cut, c.hi_cut
 """

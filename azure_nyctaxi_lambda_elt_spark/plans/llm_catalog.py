@@ -1409,8 +1409,10 @@ LLM_ORACLES["embedding_int8_quantize"] = """
              CAST(s AS DECIMAL(18,6)) AS sc
       FROM scaled)
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           round(CAST(SUM(sc) AS DOUBLE) / COUNT(*), 6) AS avg_scale,
-           round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS avg_err,
+           CAST((2 * CAST(SUM(sc) * 1000000 AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_scale,
+           CAST((2 * CAST(SUM(err) * 1000000 AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_err,
            CAST(MAX(err) AS DOUBLE) AS max_err
     FROM perv GROUP BY 1
 """
