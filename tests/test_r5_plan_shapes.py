@@ -38,6 +38,19 @@ def test_no_single_reducer_window(name, spark):
     assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.parametrize("name", ["vocab_topk", "bigram_topk"])
+def test_topk_uses_bounded_heap_not_global_sort(name, spark):
+    """Corpus top-k must compile to TakeOrderedAndProject (per-
+    partition bounded heaps) — ranking the whole aggregated
+    vocabulary through one reducer was the regression this pins."""
+    from azure_nyctaxi_lambda_elt_spark.plans.catalog import QUERIES
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, name
+    assert "Exchange rangepartitioning" not in plan, name
+
+
 @pytest.mark.parametrize("name", ENTRIES)
 def test_rank_values_match_window_form(name, spark):
     """The distributed rank must be bit-identical to the Window form
