@@ -141,6 +141,41 @@ def test_plan_order_is_complete_and_risk_sorted():
     assert tail == sorted(tail)
 
 
+def test_dep_change_detection_end_to_end(monkeypatch):
+    """A behavioral edit to a dependency's source at the attested
+    commit must flag the dep changed; a docstring-only edit must not
+    — the property the whole rotation policy rests on."""
+    rel = "azure_nyctaxi_lambda_elt_spark/operators/ranks.py"
+    current = open(f"/root/repo/{rel}").read()
+    behavioral = current.replace(
+        "q, rem = divmod(n, buckets)", "q, rem = divmod(n + 1, buckets)")
+    assert behavioral != current
+    cosmetic = current.replace(
+        "Attach a global dense total-order rank",
+        "Attach a RENAMED-IN-DOCSTRING global rank")
+    assert cosmetic != current
+
+    def fake_src(commit, r):
+        if r != rel:
+            return freshness._src_at.__wrapped__(commit, r)
+        return {"behav": behavioral, "cosm": cosmetic}[commit]
+
+    monkeypatch.setattr(freshness, "_src_at", fake_src)
+    freshness._mod_at.cache_clear()
+    freshness._fingerprint.cache_clear()
+    try:
+        dep = (rel, "ntile_expr")
+        assert freshness._dep_changed(dep, "behav") is True
+        assert freshness._dep_changed(dep, "cosm") is False
+        # whole-module comparison follows the same rule
+        assert freshness._dep_changed((rel, None), "behav") is True
+        assert freshness._dep_changed((rel, None), "cosm") is False
+    finally:
+        monkeypatch.undo()
+        freshness._mod_at.cache_clear()
+        freshness._fingerprint.cache_clear()
+
+
 def test_catalog_query_order_matches_structural_plan():
     order = freshness.plan_order(catalog.QUERIES, catalog.ORACLES)
     assert list(catalog.QUERIES) == order

@@ -298,6 +298,25 @@ def test_merge_apply_full_iud_contract(spark, table):
     assert 8 in {r["id"] for r in txnlog.snapshot(spark, path, 1).collect()}
 
 
+def test_compact_then_vacuum_reclaims_old_layout(spark, table):
+    """After compaction, vacuum (grace 0, keep_latest=1) reclaims the
+    pre-compact dirs; the compacted snapshot still reads fully and
+    older versions are gone — the standard OPTIMIZE + VACUUM
+    maintenance cycle."""
+    path, df = table
+    for i in range(4):
+        txnlog.commit(df.where(F.col("id") % 4 == i), path,
+                      "overwrite" if i == 0 else "append")
+    v = txnlog.compact(spark, path)
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    assert len(removed) == 4  # every pre-compact dir reclaimed
+    assert txnlog.snapshot(spark, path).count() == 10
+    assert txnlog.latest_version(path) == v
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        txnlog.snapshot(spark, path, v - 1)  # history vacuumed
+
+
 def test_metadata_count_answers_without_scanning(spark, table):
     """COUNT(*) from manifest row stats alone: correct per version,
     carried through merges, None (scan fallback) when any dir
