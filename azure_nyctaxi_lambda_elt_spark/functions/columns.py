@@ -81,6 +81,45 @@ def safe_ratio(num: Column | str, den: Column | str, scale: int = 6) -> Column:
     return F.when(d > 0, F.round(n.cast("double") / d.cast("double"), scale))
 
 
+def exact_round_div(num: str, den: str, scale: int = 6, *,
+                    mult: int = 1, signed: bool = False,
+                    dialect: str = "spark") -> str:
+    """SQL fragment: ``round-half-up(mult * num / den, scale)`` as DOUBLE
+    via exact integer arithmetic — the portable form of the reference's
+    ratio metrics (vw_fact_trip_bi.view.sql:33-38 computes them in T-SQL
+    decimal; engines' ``round(double, n)`` disagree on knife-edge
+    quotients, e.g. 266.9078125 at sf0.1).
+
+    ``num``/``den`` must be SQL fragments of EXACT decimal values with
+    scale <= 6 and |value| < 10^21 (they are cast through DECIMAL(27,6)
+    so the *1e6 shift stays exact under Spark's precision-38 cap);
+    ``den`` must be > 0.  For non-negative a and b > 0,
+    round-half-up(a/b) at 10^-s = (2*a*10^s + b) DIV (2*b) on integers;
+    ``signed=True`` mirrors through CASE for half-away-from-zero on
+    negative numerators (NULLs propagate).  ``dialect`` picks Spark
+    (``DIV`` on DECIMAL(38,0)) or DuckDB (``//`` on HUGEINT) spellings;
+    both evaluate the identical rational, so oracle hashes cannot
+    diverge on representation.  At 100 TB this is still one scalar
+    expression per row/group — no extra shuffle, stays in codegen.
+    """
+    if dialect == "spark":
+        big, div = "DECIMAL(38,0)", "DIV"
+    elif dialect == "duckdb":
+        big, div = "HUGEINT", "//"
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown dialect {dialect!r}")
+    f = 2 * mult * 10 ** scale
+    nu = f"CAST(CAST(({num}) AS DECIMAL(27,6)) * 1000000 AS {big})"
+    du = f"CAST(CAST(({den}) AS DECIMAL(27,6)) * 1000000 AS {big})"
+    pos = f"(({nu}) * {f} + ({du})) {div} (({du}) * 2)"
+    if signed:
+        neg = f"-(((-({nu})) * {f} + ({du})) {div} (({du}) * 2))"
+        core = f"(CASE WHEN ({nu}) < 0 THEN {neg} ELSE {pos} END)"
+    else:
+        core = f"({pos})"
+    return f"(CAST({core} AS DOUBLE) / {10 ** scale}.0)"
+
+
 def ts_iso(ts: Column | str) -> Column:
     """ISO-8601 text with microseconds — the CONVERT(...,126) analog used
     inside the SHA-256 business key (40_fact_trip.load.sql:85-86).

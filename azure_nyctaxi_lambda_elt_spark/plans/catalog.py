@@ -19,7 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import hour_bucket, sha256_key, ts_iso, norm_str
+from ..functions.columns import (
+    exact_round_div, hour_bucket, sha256_key, ts_iso, norm_str)
 from ..operators.clean import Rule, split_good_bad
 from ..operators.dims import build_dim_date, build_dim_time
 from ..operators.dq import check_counts, run_metrics
@@ -325,8 +326,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_sp").cast("double").alias("sum_base_price"),
         F.round(F.col("_sd"), 2).cast("double").alias("sum_disc_price"),
         F.round(F.col("_sc"), 2).cast("double").alias("sum_charge"),
-        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        # exact integer round-half-up at 6 dp: double division of a
+        # high-scale decimal cast is 1-ulp fragile across engines
+        F.expr(exact_round_div("_sq", "count_order", 6)).alias("avg_qty"),
+        F.expr(exact_round_div("_sp", "count_order", 6)).alias("avg_price"),
         "count_order",
     )
 
@@ -528,14 +531,20 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue_expr()).alias("_rev"))
     )
     w = Window.orderBy("ship_date").rowsBetween(-6, 0)
-    return daily.select(
+    windowed = daily.select(
+        "ship_date",
+        F.col("_rev"),
+        F.sum("_rev").over(w).alias("__s"),
+        F.count("*").over(w).alias("__n"),
+    )
+    return windowed.select(
         "ship_date",
         F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
-        F.round(F.sum("_rev").over(w), 2).cast("double").alias("rev_7d_sum"),
-        F.count("*").over(w).cast("int").alias("n_days_in_window"),
-        F.round(
-            F.sum("_rev").over(w).cast("double") / F.count("*").over(w), 2
-        ).alias("rev_7d_avg"),
+        F.round(F.col("__s"), 2).cast("double").alias("rev_7d_sum"),
+        F.col("__n").cast("int").alias("n_days_in_window"),
+        # exact integer round-half-up at 2 dp (engine round(double)
+        # knife-edge divergence on rational quotients)
+        F.expr(exact_round_div("__s", "__n", 2)).alias("rev_7d_avg"),
     )
 
 
@@ -550,14 +559,16 @@ def q_mom_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("month")
     prev = F.lag("_rev").over(w)
-    return monthly.select(
+    lagged = monthly.select(
+        "month", F.col("_rev"), prev.alias("__prev"))
+    return lagged.select(
         "month",
         F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
-        F.round(prev, 2).cast("double").alias("prev_revenue"),
-        F.round(
-            (F.col("_rev").cast("double") - prev.cast("double"))
-            / prev.cast("double"), 6,
-        ).alias("pct_change"),
+        F.round(F.col("__prev"), 2).cast("double").alias("prev_revenue"),
+        # signed exact round-half-away-from-zero at 6 dp; first month's
+        # NULL lag propagates to a NULL pct_change as before
+        F.expr(exact_round_div("_rev - __prev", "__prev", 6, signed=True))
+            .alias("pct_change"),
     )
 
 
@@ -1641,14 +1652,16 @@ ORACLES: dict[str, str] = {
           FROM typed_trips) t
         GROUP BY 1
     """),
-    "pricing_summary": """
+    "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_disc_price,
           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,4))) * (1 + CAST(l_tax AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_charge,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          {exact_round_div("SUM(CAST(l_quantity AS DECIMAL(12,2)))",
+                           "COUNT(*)", 6, dialect="duckdb")} AS avg_qty,
+          {exact_round_div("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))",
+                           "COUNT(*)", 6, dialect="duckdb")} AS avg_price,
           COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1776,8 +1789,8 @@ ORACLES: dict[str, str] = {
                CAST(round(_rev, 2) AS DOUBLE) AS revenue,
                CAST(round(SUM(_rev) OVER w, 2) AS DOUBLE) AS rev_7d_sum,
                CAST(COUNT(*) OVER w AS INT) AS n_days_in_window,
-               round(CAST(SUM(_rev) OVER w AS DOUBLE) / (COUNT(*) OVER w), 2)
-                 AS rev_7d_avg
+               {exact_round_div("SUM(_rev) OVER w", "COUNT(*) OVER w",
+                                2, dialect="duckdb")} AS rev_7d_avg
         FROM daily
         WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -1789,9 +1802,9 @@ ORACLES: dict[str, str] = {
                CAST(round(_rev, 2) AS DOUBLE) AS revenue,
                CAST(round(lag(_rev) OVER (ORDER BY month), 2) AS DOUBLE)
                  AS prev_revenue,
-               round((CAST(_rev AS DOUBLE)
-                      - CAST(lag(_rev) OVER (ORDER BY month) AS DOUBLE))
-                     / CAST(lag(_rev) OVER (ORDER BY month) AS DOUBLE), 6)
+               {exact_round_div("_rev - lag(_rev) OVER (ORDER BY month)",
+                                "lag(_rev) OVER (ORDER BY month)",
+                                6, signed=True, dialect="duckdb")}
                  AS pct_change
         FROM monthly
     """,

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.columns import exact_round_div
 from ..session import apply_engine_conf
 from ..sources.tables import load_table
 
@@ -88,7 +89,9 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: part is broadcast (REPLICATE analog) so the lineitem scan
     pipelines scan→join→partial-agg in one stage; the only shuffle
-    carries ≤ 12 partial rows per task."""
+    carries ≤ 12 partial rows per task.  The percentage is computed by
+    exact_round_div on the exact decimal sums — engine round(double, 6)
+    diverges on knife-edge quotients (the r5 sf0.1 find)."""
     apply_engine_conf(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01")
@@ -96,17 +99,19 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     month = F.date_trunc("month", F.col("l_shipdate")).cast("date")
-    promo = F.coalesce(
-        F.sum(F.when(F.col("p_type") == "PROMO", _rev())),
-        F.lit(0).cast("decimal(22,6)"))
-    total = F.sum(_rev())
-    return (
+    agg = (
         j.groupBy(month.alias("ship_month"))
         .agg(
-            F.round(F.lit(100.0) * promo.cast("double")
-                    / total.cast("double"), 6).alias("promo_pct"),
-            F.round(total, 2).cast("double").alias("total_revenue"),
+            F.coalesce(
+                F.sum(F.when(F.col("p_type") == "PROMO", _rev())),
+                F.lit(0).cast("decimal(22,6)")).alias("__p"),
+            F.sum(_rev()).alias("__t"),
         ))
+    return agg.select(
+        "ship_month",
+        F.expr(exact_round_div("__p", "__t", 6, mult=100))
+            .alias("promo_pct"),
+        F.round(F.col("__t"), 2).cast("double").alias("total_revenue"))
 
 
 # ---------------------------------------------------------------------------
@@ -318,9 +323,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ALL dim sides — part (filtered), the customer→nation→region
     subtree, and the supplier→nation subtree — broadcast; lineitem and
-    orders join once on the high-cardinality orderkey.  The ratio is
-    computed double/double with identical parenthesization both
-    engines."""
+    orders join once on the high-cardinality orderkey.  The share is
+    computed by exact_round_div on the exact decimal sums (engine
+    round(double, 6) knife-edge divergence, the r5 sf0.1 find)."""
     apply_engine_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = (load_table(spark, sf_dir, "part")
@@ -354,12 +359,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     year = F.year("o_orderdate").cast("int")
     target = F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()))
     total = F.sum(_rev())
-    return (j.groupBy(year.alias("o_year"))
-            .agg(
-                F.round(F.coalesce(target, F.lit(0).cast("decimal(22,6)"))
-                        .cast("double") / total.cast("double"), 6)
-                    .alias("mkt_share"),
-                F.round(total, 2).cast("double").alias("total_revenue")))
+    agg = (j.groupBy(year.alias("o_year"))
+           .agg(F.coalesce(target, F.lit(0).cast("decimal(22,6)"))
+                .alias("__tgt"),
+                total.alias("__t")))
+    return agg.select(
+        "o_year",
+        F.expr(exact_round_div("__tgt", "__t", 6)).alias("mkt_share"),
+        F.round(F.col("__t"), 2).cast("double").alias("total_revenue"))
 
 
 # ---------------------------------------------------------------------------
@@ -553,10 +560,11 @@ WAREHOUSE_ORACLES: dict[str, str] = {
     """,
     "promo_revenue_ratio": f"""
         SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
-               round(100.0 * CAST(COALESCE(
-                       SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END),
-                       CAST(0 AS DECIMAL(22,6))) AS DOUBLE)
-                     / CAST(SUM({_REV}) AS DOUBLE), 6) AS promo_pct,
+               {exact_round_div(
+                   "COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN "
+                   + _REV + " END), CAST(0 AS DECIMAL(22,6)))",
+                   "SUM(" + _REV + ")", 6, mult=100, dialect="duckdb")}
+                 AS promo_pct,
                CAST(round(SUM({_REV}), 2) AS DOUBLE) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -645,11 +653,11 @@ WAREHOUSE_ORACLES: dict[str, str] = {
     """,
     "market_share": f"""
         SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-               round(CAST(COALESCE(
-                       SUM(CASE WHEN sn.n_name = 'NATION_3'
-                                THEN {_REV} END),
-                       CAST(0 AS DECIMAL(22,6))) AS DOUBLE)
-                     / CAST(SUM({_REV}) AS DOUBLE), 6) AS mkt_share,
+               {exact_round_div(
+                   "COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN "
+                   + _REV + " END), CAST(0 AS DECIMAL(22,6)))",
+                   "SUM(" + _REV + ")", 6, dialect="duckdb")}
+                 AS mkt_share,
                CAST(round(SUM({_REV}), 2) AS DOUBLE) AS total_revenue
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
