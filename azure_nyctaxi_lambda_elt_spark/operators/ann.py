@@ -24,6 +24,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import pin
+
 DIM = 64
 N_PLANES = 6
 
@@ -82,7 +84,7 @@ def cosine_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     """
     from pyspark.sql import Window
 
-    corpus = _prep(embeddings, id_col, vec_col).localCheckpoint()
+    corpus = _prep(embeddings, id_col, vec_col).transform(pin)
     queries = corpus.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
         F.col("ssq").alias("qssq"),
@@ -116,7 +118,7 @@ def cosine_pairs(embeddings: DataFrame, tau: float,
     (``lsh_bucket_topk``'s signature-equality join generates them);
     all-pairs is only run directly at oracle scale — the guard REFUSES
     larger inputs rather than planning a corpus² nested-loop join."""
-    corpus = _prep(embeddings, id_col, vec_col).localCheckpoint()
+    corpus = _prep(embeddings, id_col, vec_col).transform(pin)
     _guard_brute(corpus.count(), MAX_BRUTE_CORPUS,
                  "cosine_pairs corpus", "semantic_dedup / lsh_bucket_topk")
     a = corpus.select(F.col("vec_id").alias("id_i"), F.col("e").alias("ea"),
@@ -366,7 +368,7 @@ def ivfpq_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     unit = corpus.select(
         "vec_id",
         F.transform("e", lambda x: x / F.sqrt(F.col("ssq"))).alias("__e"),
-    ).localCheckpoint()
+    ).transform(pin)
     dim = DIM
     sub_d = dim // m
 
@@ -514,7 +516,7 @@ def hard_negative_mine(embeddings: DataFrame, query_pred: Column,
             as_double_vec(vec_col).alias("e"),
             F.col(label_col).alias("label"))
         .withColumn("ssq", vec_ssq(F.col("e")))
-        .localCheckpoint())
+        .transform(pin))
     queries = corpus.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
         F.col("ssq").alias("qssq"), F.col("label").alias("q_label"))

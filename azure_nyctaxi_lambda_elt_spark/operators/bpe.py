@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import pin
+
 BPE_MERGES = 5
 BPE_BATCH_K = 3      # max token-disjoint merges folded per round
 SEP = "  "           # two-space token delimiter (see module docstring)
@@ -111,11 +113,11 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
     per-corpus-pass loop; the default folds up to BPE_BATCH_K
     token-disjoint merges into each corpus pass (see module
     docstring)."""
-    strings = _corpus_strings(docs).localCheckpoint()
+    strings = _corpus_strings(docs).transform(pin)
     out = []
     rank = 0
     while rank < n_merges:
-        pc = _pair_counts(strings).localCheckpoint()
+        pc = _pair_counts(strings).transform(pin)
         batch = _select_batch(pc, min(batch_k, n_merges - rank))
         if not batch:
             break
@@ -124,7 +126,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
             expr = (f"replace({expr}, {_sql_str(left + SEP + right)}, "
                     f"{_sql_str(left + JOIN_CH + right)})")
         strings = strings.select(
-            "doc_id", F.expr(expr).alias("s")).localCheckpoint()
+            "doc_id", F.expr(expr).alias("s")).transform(pin)
         tokens_after = int(strings.select(
             F.sum(F.size(F.split(F.col("s"), SEP)))).collect()[0][0])
         for left, right, cnt in batch:

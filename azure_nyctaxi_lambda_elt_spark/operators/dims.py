@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..session import pin
+
 from .dedupe import latest_wins  # noqa: F401  (re-export convenience)
 
 from ..functions.columns import hour_bucket
@@ -102,7 +104,7 @@ def build_dims_fused(clean: DataFrame,
         .otherwise(F.col("nk")) if pad_dims else F.col("nk"))
     w = Window.partitionBy("d").orderBy(sort_key.asc())
     return melted.withColumn(
-        "k", F.dense_rank().over(w).cast("int")).localCheckpoint()
+        "k", F.dense_rank().over(w).cast("int")).transform(pin)
 
 
 def slice_fused_dim(ranked: DataFrame, d: str, key_col: str,

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import pin
+
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
                          src: str = "src", dst: str = "dst",
@@ -70,7 +72,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
             .agg(F.min("lbl").alias("lbl"))
             # truncate lineage per round: without this the logical plan
             # (and task binary) doubles every iteration
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         new_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
         lbl.unpersist()
@@ -134,12 +136,12 @@ def connected_components_bigstar(edges: DataFrame, vertices: DataFrame,
         )).alias("e"))
         .select("e.a", "e.b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # capture the edge-touched node set once, up front, for the
     # final root/singleton labeling
     touched = sym.select(F.col("a").alias("node")).distinct() \
-        .localCheckpoint(eager=True)
+        .transform(pin)
 
     cur = sym
     prev_chk = None
@@ -170,7 +172,7 @@ def connected_components_bigstar(edges: DataFrame, vertices: DataFrame,
             )).alias("e"))
             .select("e.a", "e.b")
             .distinct()
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            .transform(pin)  # truncate per-round lineage
         )
         chk = tuple(small.agg(
             F.count("*"), F.sum("a"), F.sum("b")).collect()[0])
@@ -247,10 +249,10 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
-        .distinct().localCheckpoint()
+        .distinct().transform(pin)
     )
     deg = sym.groupBy("src").agg(
-        F.count("*").cast("bigint").alias("deg")).localCheckpoint()
+        F.count("*").cast("bigint").alias("deg")).transform(pin)
     n = deg.count()
     pr = deg.select(
         F.col("src").alias("node"),
@@ -270,7 +272,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
                     F.round(F.lit((1.0 - damping)) / F.lit(float(n))
                             + F.lit(damping) * F.col("s").cast("double"),
                             12).alias("pr"))
-            .localCheckpoint()
+            .transform(pin)
         )
     return (
         pr.join(deg.select(F.col("src").alias("node"), "deg"), "node")

@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import pin
+
 
 def with_global_rank(
     df: DataFrame,
@@ -60,7 +62,7 @@ def with_global_rank(
     ranged = (
         df.repartitionByRange(nparts, *range_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin)
     )
     key = ["__pid", *group_cols]
     aggs = [F.count("*").alias("__cnt")]

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import pin
+
 from .dedupe import latest_wins
 
 
@@ -104,7 +106,7 @@ def replay_file_scoped(
     replacement = kept.unionByName(fresh_scoped)
     # materialize BEFORE overwriting: the replacement reads the same
     # files the dynamic overwrite is about to delete
-    replacement = replacement.localCheckpoint()
+    replacement = replacement.transform(pin)
     # Dynamic overwrite only replaces partitions it writes rows INTO.
     # A partition the blob fully vacates (its rows moved elsewhere and
     # no sibling rows remain) gets zero replacement rows, so the stale

@@ -26,7 +26,7 @@ from ..operators.dims import build_dim_date, build_dim_time
 from ..operators.dq import check_counts, run_metrics
 from ..operators.temporal import asof_join, range_join_buckets
 from ..operators.upsert import merge_latest
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, pin
 from ..sources.tables import load_table
 from . import trips_feed as tf
 from .ext_catalog import EXT_ORACLES, EXT_QUERIES
@@ -885,7 +885,7 @@ def q_late_dim_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join ambiguity, exactly like a written dim table would
     dim_full = upsert_dim_append(
         dim_early, clean.select(nk),
-        ["location_id_nk"], "location_key", unknown_nk=-1).localCheckpoint()
+        ["location_id_nk"], "location_key", unknown_nk=-1).transform(pin)
     pending = f_early.where(F.col("location_key") == -1).drop("location_key")
     fixed = resolve_fk(
         pending, dim_full, [("pu_loc_id", "location_id_nk")], "location_key")
@@ -1132,7 +1132,7 @@ def _txn_merge_scenario(spark: SparkSession, sf_dir: str, name: str):
     out = _out_dir(_WRITE_TMP, name, sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(
-        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
     day = F.dayofmonth("ingest_date")
     txnlog.commit(clean.where(day <= 10), out, "overwrite")
     txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append")
@@ -1183,7 +1183,7 @@ def q_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _out_dir(_WRITE_TMP, "txncompact", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(
-        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
     day = F.dayofmonth("ingest_date")
     txnlog.commit(clean.where(day <= 10), out, "overwrite",
                   stats_cols=["trip_uid"])
@@ -1255,7 +1255,7 @@ def q_txn_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _out_dir(_WRITE_TMP, "txnmeta", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(
-        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
     day = F.dayofmonth("ingest_date")
     txnlog.commit(clean.where(day <= 10), out, "overwrite",
                   stats_cols=["trip_uid"])
@@ -1285,7 +1285,7 @@ def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame
     out = _out_dir(_WRITE_TMP, "increll", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     sl = tf.clean_slice(
-        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy("ingest_date").agg(
@@ -1304,7 +1304,7 @@ def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame
                 .agg(F.sum("n_rows").cast("bigint").alias("n_rows"),
                      F.sum("fare_sum_dec").cast("decimal(28,2)")
                      .alias("fare_sum_dec"))
-            ).localCheckpoint()  # materialize before self-overwrite
+            ).transform(pin)  # materialize before self-overwrite
         except Exception:
             merged = delta
         merged.write.mode("overwrite").parquet(out)
@@ -1329,7 +1329,7 @@ def q_txn_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _out_dir(_WRITE_TMP, "txnstats", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(
-        tf.typed_trips(tf.raw_trips(spark, sf_dir))).localCheckpoint()
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
     day = F.dayofmonth("ingest_date")
     txnlog.commit(clean.where(day <= 10), out, "overwrite",
                   stats_cols=["ingest_date"])
@@ -1397,7 +1397,7 @@ def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _out_dir(_WRITE_TMP, "txn", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
-    clean = clean.localCheckpoint()  # one derivation feeds 3 commits
+    clean = clean.transform(pin)  # one derivation feeds 3 commits
     v0 = txnlog.commit(
         clean.where(F.dayofmonth("ingest_date") <= 15), out, "overwrite")
     v1 = txnlog.commit(

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, pin
 from ..sources.tables import load_table
 
 GRAM_TOKENS = 8
@@ -81,8 +81,8 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the two doc-sized aggregates eagerly, then release the
     # gram cache (the largest intermediate) so it doesn't stay pinned in
     # executor memory for the rest of a long-lived session
-    n_grams = n_grams.localCheckpoint()
-    n_dup = n_dup.localCheckpoint()
+    n_grams = n_grams.transform(pin)
+    n_dup = n_dup.transform(pin)
     grams.unpersist()
     return (
         docs.select("doc_id")

@@ -18,7 +18,7 @@ from ..operators.ann import (cosine_pairs, cosine_topk, ivf_topk,
 from ..operators.graph import dedup_clusters, dedup_clusters_bigstar
 from ..operators.multimodal import (decode_media, transform_media,
                                     with_media_payload)
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, pin
 from ..sources.tables import load_table
 
 JACCARD_N = 3
@@ -1259,11 +1259,11 @@ def q_corpus_curation_pipeline(spark: SparkSession,
     docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
     hf = cp.heuristic_filter(docs, lt.STOPWORDS["en"])
     kept1 = docs.join(
-        hf.where("keep").select("doc_id"), "doc_id").localCheckpoint()
+        hf.where("keep").select("doc_id"), "doc_id").transform(pin)
     ex = lt.exact_dedup(kept1)
     k2docs = kept1.join(
         ex.where(~F.col("is_duplicate")).select("doc_id"),
-        "doc_id").localCheckpoint()
+        "doc_id").transform(pin)
     pairs = lt.ngram_jaccard_pairs(k2docs, JACCARD_N, JACCARD_TAU)
     kept3 = dedup_clusters(k2docs, pairs) \
         .where("is_canonical").select("doc_id")

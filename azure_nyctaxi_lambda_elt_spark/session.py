@@ -17,9 +17,55 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+CHECKPOINT_MODE_CONF = "spark.graft.checkpoint.mode"
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a frame and truncate its lineage.
+
+    Every iterative operator (connected components, Lloyd iterations,
+    BPE merge rounds, the ranged-boundary frames in operators/ranks.py)
+    pins intermediate frames so lineage stays O(1) across rounds and a
+    repartitionByRange sample is taken exactly once.  This helper is
+    the single seam that picks HOW:
+
+    - ``local`` (default): ``localCheckpoint`` — executor-local blocks,
+      no distributed-FS round-trip.  Right for local[n] and for
+      clusters where executor loss mid-query is acceptable (the job
+      restarts).
+    - ``reliable``: ``checkpoint`` to ``spark.checkpoint.dir`` — the
+      1000-executor posture, where an executor loss must not kill a
+      multi-hour iterative job.  The directory comes from the session
+      conf (``spark.checkpoint.dir``) if the SparkContext has none set.
+
+    Mode is read per call from session conf ``spark.graft.checkpoint.mode``
+    so the same plan code serves both deployments unchanged.
+    """
+    spark = df.sparkSession
+    mode = "local"
+    try:
+        mode = spark.conf.get(CHECKPOINT_MODE_CONF, "local")
+    except Exception:
+        pass
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = None
+            try:
+                ckdir = spark.conf.get("spark.checkpoint.dir", None)
+            except Exception:
+                pass
+            if ckdir is None:
+                raise ValueError(
+                    f"{CHECKPOINT_MODE_CONF}=reliable requires "
+                    "spark.checkpoint.dir (or SparkContext.setCheckpointDir)")
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def get_spark(app_name: str = "azure-nyctaxi-lambda-elt-spark") -> SparkSession:
