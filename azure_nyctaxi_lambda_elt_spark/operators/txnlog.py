@@ -46,6 +46,78 @@ class TxnConflict(RuntimeError):
     """Another writer committed the same version first."""
 
 
+class LogStore:
+    """The commit primitive, isolated: publish ``tmp``'s bytes at key
+    ``final`` IF AND ONLY IF ``final`` is not already published —
+    create-if-absent or raise ``TxnConflict``.  Everything above this
+    interface is store-agnostic; deployments pick the store that gives
+    their storage a true test-and-set (Delta ships the same seam as its
+    LogStore for S3/ABFS/GCS)."""
+
+    def publish(self, final: str, tmp: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLinkLogStore(LogStore):
+    """Default: POSIX hard-link.  ``os.link`` is atomic and raises
+    ``FileExistsError`` when the target exists (unlike ``os.rename``,
+    which silently replaces — a rename-based commit would let writer B
+    clobber writer A's already-verified manifest and both would report
+    success)."""
+
+    def publish(self, final: str, tmp: str) -> None:
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise TxnConflict(
+                f"lost the commit race: {os.path.basename(final)} "
+                "already published") from e
+
+
+class InMemoryConditionalPutLogStore(LogStore):
+    """Object-store double: models a conditional PUT (S3
+    ``If-None-Match: *``, ABFS ETag precondition, GCS
+    ``x-goog-if-generation-match: 0``) against an in-memory bucket.
+
+    The test-and-set happens on the BUCKET under a lock — exactly the
+    store-side atomicity those preconditions provide — and only the
+    winner materializes ``final`` for readers; the loser raises
+    ``TxnConflict`` without touching the key.  Used by the
+    racing-writer tests to execute the documented object-store
+    contract rather than assert it from a docstring."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._bucket: dict[str, bytes] = {}
+
+    def publish(self, final: str, tmp: str) -> None:
+        with open(tmp, "rb") as fh:
+            body = fh.read()
+        with self._lock:
+            if final in self._bucket:
+                raise TxnConflict(
+                    f"lost the commit race: {os.path.basename(final)} "
+                    "already published (precondition failed)")
+            self._bucket[final] = body
+        # winner's PUT is visible to readers: materialize the key
+        with open(final, "wb") as fh:
+            fh.write(body)
+
+
+_LOG_STORE: LogStore = PosixLinkLogStore()
+
+
+def set_log_store(store: LogStore | None) -> LogStore:
+    """Swap the commit primitive (None restores the POSIX default);
+    returns the previously active store."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store if store is not None else PosixLinkLogStore()
+    return prev
+
+
 def _txn_dir(path: str) -> str:
     return os.path.join(path, "_txn")
 
@@ -147,25 +219,16 @@ def _publish_manifest(final: str, tmp: str) -> None:
     ONLY IF ``final`` does not already exist — a true test-and-set, so
     exactly one of two racing writers can ever succeed.
 
-    Default implementation is POSIX ``os.link``: hard-linking is atomic
-    and raises ``FileExistsError`` when the target exists (unlike
-    ``os.rename``, which silently replaces — a rename-based commit
-    would let writer B clobber writer A's already-verified manifest and
-    both would report success).
-
-    Object-store contract: on S3/ABFS/GCS, where rename/link are
-    neither atomic nor exclusive, swap this seam for a conditional put
-    (S3 ``If-None-Match: *``, ABFS ETag precondition, GCS
-    ``x-goog-if-generation-match: 0``) or an external log store
-    (Delta's DynamoDB/az-blob LogStore) with the same semantics:
-    create-if-absent or raise.  Everything above this function is
-    store-agnostic."""
-    try:
-        os.link(tmp, final)
-    except FileExistsError as e:
-        raise TxnConflict(
-            f"lost the commit race: {os.path.basename(final)} "
-            "already published") from e
+    Dispatches to the active ``LogStore``: POSIX ``os.link`` by default
+    (atomic-exclusive on any POSIX filesystem); on S3/ABFS/GCS, where
+    rename/link are neither atomic nor exclusive, ``set_log_store`` a
+    conditional-put implementation (S3 ``If-None-Match: *``, ABFS ETag
+    precondition, GCS ``x-goog-if-generation-match: 0``) or an external
+    log store (Delta's DynamoDB/az-blob LogStore) with the same
+    create-if-absent-or-raise semantics —
+    ``InMemoryConditionalPutLogStore`` is the executable double of that
+    contract.  Everything above this function is store-agnostic."""
+    _LOG_STORE.publish(final, tmp)
 
 
 def _commit_manifest(path: str, version: int, mode: str,

@@ -357,3 +357,88 @@ def test_merge_probe_uses_key_stats(spark, table, monkeypatch):
     monkeypatch.undo()
     probed = [p for p in scanned if "data-v00000000" in p]
     assert probed == []  # dir A (ids 0-4) never probed for key 9
+
+
+# ------------------------------------------------------- log-store double
+
+
+@pytest.fixture()
+def memory_store():
+    store = txnlog.InMemoryConditionalPutLogStore()
+    prev = txnlog.set_log_store(store)
+    yield store
+    txnlog.set_log_store(prev)
+    assert isinstance(txnlog._LOG_STORE, txnlog.PosixLinkLogStore)
+
+
+def test_conditional_put_double_end_to_end(spark, table, memory_store):
+    """The full commit protocol runs unchanged through the object-store
+    double: commits land in the bucket, readers see them, and history
+    is intact — proving everything above the LogStore seam really is
+    store-agnostic."""
+    path, df = table
+    v0 = txnlog.commit(df.where("id < 5"), path, "overwrite")
+    v1 = txnlog.commit(df.where("id >= 5"), path, "append")
+    assert (v0, v1) == (0, 1)
+    assert txnlog.snapshot(spark, path).count() == 10
+    assert txnlog.snapshot(spark, path, version=v0).count() == 5
+    # both manifests went through the conditional PUT
+    assert len(memory_store._bucket) == 2
+
+
+def test_conditional_put_is_exclusive(table, memory_store, tmp_path):
+    """Sequential contract: the second PUT against a published key
+    fails the precondition and leaves the first body untouched."""
+    final = str(tmp_path / "v1.json")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    open(a, "w").write("writer-a")
+    open(b, "w").write("writer-b")
+    memory_store.publish(final, a)
+    with pytest.raises(txnlog.TxnConflict):
+        memory_store.publish(final, b)
+    assert open(final).read() == "writer-a"
+
+
+def test_racing_writers_through_double_exactly_one_wins(
+        spark, table, memory_store, tmp_path):
+    """TRUE race: two writers build manifests for the same version and
+    publish concurrently through the conditional-put double.  Exactly
+    one commit succeeds; the loser raises TxnConflict without
+    corrupting the winner's manifest."""
+    import threading
+
+    path, df = table
+    txnlog.commit(df, path, "overwrite")  # v0 parent for both
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    orig_publish = memory_store.publish
+
+    def synced_publish(final, tmp):
+        barrier.wait(timeout=30)  # both writers reach the commit point
+        orig_publish(final, tmp)
+
+    memory_store.publish = synced_publish
+
+    def writer(name, frame):
+        try:
+            results[name] = txnlog.commit(frame, path, "overwrite")
+        except txnlog.TxnConflict as e:
+            results[name] = e
+
+    lo = df.where("id < 3").localCheckpoint()
+    hi = df.where("id >= 3").localCheckpoint()
+    ta = threading.Thread(target=writer, args=("a", lo))
+    tb = threading.Thread(target=writer, args=("b", hi))
+    ta.start(); tb.start(); ta.join(30); tb.join(30)
+
+    wins = [k for k, v in results.items() if v == 1]
+    losses = [k for k, v in results.items()
+              if isinstance(v, txnlog.TxnConflict)]
+    assert len(wins) == 1 and len(losses) == 1, results
+    # the committed v1 is exactly the winner's frame
+    n = txnlog.snapshot(spark, path).count()
+    assert n == (3 if wins[0] == "a" else 7)
+    # loser's orphaned data dir is unreferenced garbage, never visible
+    man = txnlog._read_manifest(path, 1)
+    assert len(man["dirs"]) == 1
