@@ -164,26 +164,47 @@ def run_dlq_routing(spark: SparkSession, sf_dir: str, out_dir: str,
     return spark.read.parquet(curated_dir), spark.read.parquet(dlq_dir)
 
 
+def _commit_raw_batch(table: str, batch: DataFrame,
+                      batch_id: int) -> None:
+    """Idempotent raw-archive commit: append the micro-batch through
+    the transaction log with its batch id in the manifest meta, so a
+    redelivered batch (checkpoint rollback — foreachBatch's
+    at-least-once contract) is SKIPPED instead of re-landing duplicate
+    raw rows.  The skip test reads only the latest manifest's meta —
+    O(1), no data scan.  Shared by run_raw_archive (default path) and
+    run_raw_archive_txn."""
+    from ..operators import txnlog
+
+    committed = txnlog.latest_meta(table).get("batch_id", -1)
+    if batch_id <= committed:
+        return  # redelivery: already durably committed
+    txnlog.commit(
+        batch.withColumn("__date", F.to_date("ts"))
+        .withColumn("__hour", F.hour("ts")),
+        table, "append", meta={"batch_id": batch_id})
+
+
 def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
                     max_files_per_trigger: int | None = None,
-                    source_dir: str | None = None) -> DataFrame:
+                    source_dir: str | None = None,
+                    exactly_once: bool = True) -> DataFrame:
     """The ASA job's THIRD output — the raw passthrough sink
     (infra/scripts/asa-wire.sh:73 'raw JSON lines' outBlob, :246
     '/* 3) keep raw */ SELECT * INTO [outBlob] FROM [inEH]'): archive
     every input record verbatim alongside the curated/DLQ routing, so
     replay and audit never depend on the parse staying correct.
 
-    One batch scan feeds all three sinks; the raw copy is partitioned
-    date/hour mirroring the blob pathPattern 'date={date}/{time}'.
-    Returns the read-back archive — by construction the identity of
-    the input feed, which is the FULL oracle.
+    One batch scan feeds all three sinks.  Returns the read-back
+    archive — by construction the identity of the input feed, which is
+    the FULL oracle.
 
-    Delivery semantics: at-least-once, faithful to the ASA blob output
-    (plain appends; a foreachBatch retry after a checkpoint rollback
-    could re-land a batch).  That is the CORRECT contract for a replay
-    substrate — replayers dedupe on event_id — and any consumer that
-    needs exactly-once reads through run_txn_sink's manifest-committed
-    table instead."""
+    Delivery semantics: EXACTLY-ONCE by default — the raw copy commits
+    through the transaction log with batch-id idempotency
+    (_commit_raw_batch), so the archive is a clean replay substrate
+    out of the box.  ``exactly_once=False`` restores the plain
+    at-least-once blob append (faithful to the ASA output pathPattern
+    'date={date}/{time}'; a foreachBatch retry could re-land a batch,
+    and replayers dedupe on event_id)."""
     raw_dir = os.path.join(out_dir, "raw")
     curated_dir = os.path.join(out_dir, "curated")
     dlq_dir = os.path.join(out_dir, "dlq")
@@ -194,11 +215,14 @@ def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
     def route(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            (batch
-             .withColumn("__date", F.to_date("ts"))
-             .withColumn("__hour", F.hour("ts"))
-             .write.mode("append").partitionBy("__date", "__hour")
-             .parquet(raw_dir))
+            if exactly_once:
+                _commit_raw_batch(raw_dir, batch, batch_id)
+            else:
+                (batch
+                 .withColumn("__date", F.to_date("ts"))
+                 .withColumn("__hour", F.hour("ts"))
+                 .write.mode("append").partitionBy("__date", "__hour")
+                 .parquet(raw_dir))
             flagged = _flagged(batch).persist()
             try:
                 flagged.where(F.col("reason").isNull()).drop(
@@ -212,7 +236,12 @@ def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
     _run_available_now(
         ev.writeStream.foreachBatch(route)
         .option("checkpointLocation", ckpt))
-    back = spark.read.parquet(raw_dir)
+    if exactly_once:
+        from ..operators import txnlog
+
+        back = txnlog.snapshot(spark, raw_dir)
+    else:
+        back = spark.read.parquet(raw_dir)
     return back.select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
 
@@ -247,13 +276,7 @@ def run_raw_archive_txn(spark: SparkSession, sf_dir: str, out_dir: str,
     ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        committed = txnlog.latest_meta(table).get("batch_id", -1)
-        if batch_id <= committed:
-            return  # redelivery: already durably committed
-        txnlog.commit(
-            batch.withColumn("__date", F.to_date("ts"))
-            .withColumn("__hour", F.hour("ts")),
-            table, "append", meta={"batch_id": batch_id})
+        _commit_raw_batch(table, batch, batch_id)
 
     _run_available_now(
         ev.writeStream.foreachBatch(commit_batch)

@@ -368,6 +368,57 @@ def test_multibatch_raw_archive_is_input_identity(spark, feed_dir):
     # the companion sinks exist and are non-empty
     assert spark.read.parquet(os.path.join(out, "curated")).count() > 0
     assert spark.read.parquet(os.path.join(out, "dlq")).count() > 0
+    # the DEFAULT archive is the txn-committed exactly-once table
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    raw_table = os.path.join(out, "raw")
+    assert txnlog.latest_version(raw_table) is not None
+
+
+def test_raw_archive_default_redelivery_is_idempotent(spark, feed_dir):
+    """run_raw_archive's default raw lane commits through
+    _commit_raw_batch: redelivering an already-committed micro-batch
+    (foreachBatch retry after checkpoint rollback) must be a no-op —
+    no duplicate rows, no new version — while a NEW batch id appends."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        _commit_raw_batch)
+
+    table = os.path.join(OUT, "raw_commit_unit")
+    shutil.rmtree(table, ignore_errors=True)
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(20)
+    _commit_raw_batch(table, batch, 0)
+    v0 = txnlog.latest_version(table)
+    n0 = txnlog.snapshot(spark, table).count()
+    assert n0 == 20
+
+    _commit_raw_batch(table, batch, 0)  # redelivery of batch 0
+    assert txnlog.latest_version(table) == v0
+    assert txnlog.snapshot(spark, table).count() == n0
+
+    _commit_raw_batch(table, batch.limit(5), 1)  # genuinely new batch
+    assert txnlog.latest_version(table) == v0 + 1
+    assert txnlog.snapshot(spark, table).count() == n0 + 5
+
+    _commit_raw_batch(table, batch, 1)  # redelivery of batch 1
+    assert txnlog.snapshot(spark, table).count() == n0 + 5
+
+
+def test_raw_archive_at_least_once_mode_still_lands_blob_layout(
+        spark, feed_dir):
+    """exactly_once=False keeps the ASA-faithful plain blob append
+    (date/hour partition dirs, no txn log)."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_raw_archive)
+
+    out = os.path.join(OUT, "raw_archive_alo")
+    shutil.rmtree(out, ignore_errors=True)
+    back = run_raw_archive(spark, SF_SMOKE, out, max_files_per_trigger=1,
+                           source_dir=feed_dir, exactly_once=False)
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert back.count() == src.count()
+    raw = os.path.join(out, "raw")
+    assert not os.path.isdir(os.path.join(raw, "_txn"))
+    assert any(d.startswith("__date=") for d in os.listdir(raw))
 
 
 def test_distinct_sketch_mid_swap_crash_recovery(spark, feed_dir):
