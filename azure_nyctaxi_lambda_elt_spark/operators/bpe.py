@@ -20,8 +20,10 @@ identical semantics, which is what makes the full literal-replay
 oracle possible (plans/ext3_catalog._bpe_oracle unrolls the same
 iterations in SQL).
 
-Scale notes: corpus strings never shuffle — only (pair, count) rows
-move, and the per-round model state is a handful of pairs.
+Scale notes: the corpus is read once (the dedup groupBy that builds
+the (s, w) vocab table); per round only (pair, count) rows and the
+|distinct|-row vocab table shuffle, and the per-round model state is a
+handful of pairs.
 
 **Batched rounds (round 5):** the expensive part of a round is the
 corpus pass (pair-count scan + merge projection + recount), so at real
@@ -64,17 +66,19 @@ def _corpus_strings(docs: DataFrame) -> DataFrame:
         "doc_id", F.array_join(toks, SEP).alias("s"))
 
 
-def _pair_counts(strings: DataFrame) -> DataFrame:
-    toks = F.split(F.col("s"), SEP)
+def _pair_counts(table: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over a weighted sequence table (s, w):
+    each distinct sequence contributes (occurrences within s) × w —
+    with w=1 per corpus row this is the plain corpus count, with the
+    dedup'd vocab table it is Sennrich's frequency-weighted count."""
     pairs = F.expr(
         "transform(slice(split(s, '  '), 1, size(split(s, '  ')) - 1),"
         " (t, i) -> struct(t as l, element_at(split(s, '  '), i + 2) as r))")
-    _ = toks
     return (
-        strings.where(F.size(F.split(F.col("s"), SEP)) >= 2)
-        .select(F.explode(pairs).alias("p"))
+        table.where(F.size(F.split(F.col("s"), SEP)) >= 2)
+        .select(F.explode(pairs).alias("p"), "w")
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
     )
 
 
@@ -104,7 +108,8 @@ def _select_batch(pc: DataFrame, want: int) -> list[tuple[str, str, int]]:
 
 
 def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
-              batch_k: int = BPE_BATCH_K) -> DataFrame:
+              batch_k: int = BPE_BATCH_K,
+              on_vocab: bool = True) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the documents corpus; returns
     one row per merge: (merge_rank, merge_left, merge_right,
     pair_count, corpus_tokens_after) — the merge table a tokenizer
@@ -112,12 +117,36 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
     oracle needs no quoting.)  ``batch_k=1`` is the classic one-merge-
     per-corpus-pass loop; the default folds up to BPE_BATCH_K
     token-disjoint merges into each corpus pass (see module
-    docstring)."""
-    strings = _corpus_strings(docs).transform(pin)
+    docstring).
+
+    **Vocab-table training (default, round 6):** classic BPE (Sennrich
+    ACL'16 §3) never iterates the corpus — it iterates the DISTINCT
+    sequence table with frequencies, weighting pair counts by sequence
+    count and rewriting only the distinct rows each round.  The analog
+    here: the training state is ``(s, w) = distinct corpus string ×
+    occurrence count``, pair counts are w-weighted sums (identical
+    totals by linearity), merges rewrite |distinct| rows and re-dedupe
+    (a merge can make two sequences collide), and
+    ``corpus_tokens_after = Σ w·|s|``.  The corpus itself is touched
+    exactly once, at dedup; per-round work scales with the distinct
+    count — at 100 TB, where near-duplicate text is the norm, that is
+    the difference between re-tokenizing the lake per merge round and
+    iterating a reduced table.  The merge table is bit-identical to
+    corpus training (``on_vocab=False``, kept for the equivalence
+    test): same counts ⇒ same (cnt DESC, l, r) argmax ⇒ same merges ⇒
+    same oracle."""
+    strings = _corpus_strings(docs)
+    if on_vocab:
+        table = (strings.groupBy("s")
+                 .agg(F.count("*").cast("bigint").alias("w"))
+                 .transform(pin))
+    else:
+        table = strings.select(
+            "s", F.lit(1).cast("bigint").alias("w")).transform(pin)
     out = []
     rank = 0
     while rank < n_merges:
-        pc = _pair_counts(strings).transform(pin)
+        pc = _pair_counts(table).transform(pin)
         batch = _select_batch(pc, min(batch_k, n_merges - rank))
         if not batch:
             break
@@ -125,10 +154,14 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
         for left, right, _cnt in batch:
             expr = (f"replace({expr}, {_sql_str(left + SEP + right)}, "
                     f"{_sql_str(left + JOIN_CH + right)})")
-        strings = strings.select(
-            "doc_id", F.expr(expr).alias("s")).transform(pin)
-        tokens_after = int(strings.select(
-            F.sum(F.size(F.split(F.col("s"), SEP)))).collect()[0][0])
+        table = table.select(F.expr(expr).alias("s"), "w")
+        if on_vocab:
+            table = table.groupBy("s").agg(
+                F.sum("w").cast("bigint").alias("w"))
+        table = table.transform(pin)
+        tokens_after = int(table.select(
+            F.sum(F.size(F.split(F.col("s"), SEP)) * F.col("w"))
+        ).collect()[0][0])
         for left, right, cnt in batch:
             rank += 1
             out.append((rank, left, right, cnt, tokens_after))

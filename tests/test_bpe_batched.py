@@ -93,3 +93,46 @@ def test_tokens_after_matches_recount_semantics(safe_docs):
     assert len({r["corpus_tokens_after"] for r in round1}) == 1
     assert round1[0]["corpus_tokens_after"] == \
         total_before - sum(r["pair_count"] for r in round1)
+
+
+def test_train_on_vocab_equals_train_on_corpus(spark):
+    """The Sennrich vocab-table trainer (default) must produce a
+    bit-identical merge table to corpus-row training on a corpus WITH
+    heavy duplication and within-doc repeats — the weighted pair
+    counts, the argmax order, the per-round rewrites, and the weighted
+    token recount all have to agree."""
+    rows = []
+    i = 0
+    texts = ["the cat sat on the mat", "the cat sat", "on the mat",
+             "a b a b a b", "the cat"]
+    for t, n in zip(texts, [40, 25, 25, 10, 1]):
+        for _ in range(n):
+            rows.append((i, t, f"s{i % 3}"))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    for k in (1, 3):
+        vocab = bpe.bpe_train(docs, n_merges=5, batch_k=k,
+                              on_vocab=True).collect()
+        corpus = bpe.bpe_train(docs, n_merges=5, batch_k=k,
+                               on_vocab=False).collect()
+        assert [tuple(r) for r in vocab] == [tuple(r) for r in corpus]
+    assert vocab, "corpus must yield merges"
+
+
+def test_vocab_table_redupes_after_colliding_merge(spark):
+    """After a merge two distinct sequences can become equal ('a b c'
+    and pre-merged 'a+b c'); the vocab trainer re-dedupes so weights
+    consolidate and later pair counts stay exact."""
+    rows = ([(i, "a b c", "s") for i in range(10)]
+            + [(100 + i, "x y", "s") for i in range(20)])
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = bpe.bpe_train(docs, n_merges=2, batch_k=1).collect()
+    # merge 1: (x,y) 20 > (a,b)=(b,c) 10 -> x+y; merge 2: a+b (tie l,r)
+    assert (out[0]["merge_left"], out[0]["merge_right"]) == ("x", "y")
+    assert out[0]["pair_count"] == 20
+    assert (out[1]["merge_left"], out[1]["merge_right"]) == ("a", "b")
+    assert out[1]["pair_count"] == 10
+    # weighted recount: 10 docs x ['a+b','c'] + 20 x ['x+y'] = 40
+    assert out[1]["corpus_tokens_after"] == 40
