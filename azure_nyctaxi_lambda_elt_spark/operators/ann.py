@@ -539,3 +539,51 @@ def hard_negative_mine(embeddings: DataFrame, query_pred: Column,
         pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
     )
+
+
+# ------------------------------------------------------ random projection
+
+K_PROJ = 8
+
+
+def rp_signs(k: int = K_PROJ, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 Rademacher matrix: sign(j, i) from md5 parity
+    of "rp:j:i" — no RNG, so the projection is reproducible across
+    sessions/engines and the oracle interpolates the SAME literals."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"rp:{j}:{i}".encode())
+                      .hexdigest(), 16) % 2 == 0 else -1
+             for i in range(dim)] for j in range(k)]
+
+
+def random_projection(embeddings: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      group_col: str = "label",
+                      k: int = K_PROJ) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a Rademacher
+    (±1) matrix (Achlioptas, JCSS'03: database-friendly random
+    projections) — the preprocessing that shrinks an embedding corpus
+    before ANN indexing / clustering: x'_j = (1/√k) Σ_i s_{j,i} x_i
+    preserves pairwise distances within ε w.h.p. while cutting the
+    vector bytes DIM/k-fold.
+
+    Scale: map-only — k dot products per row against a BROADCAST-free
+    literal sign matrix folded into codegen (vec_dot's sequential
+    fold, oracle-stable); no shuffle at any corpus size.  ±1
+    multiplication is an exact sign flip in IEEE double, so both
+    engines produce bit-identical projections."""
+    import math
+
+    signs = rp_signs(k)
+    base = embeddings.select(
+        F.col(id_col), F.col(group_col),
+        as_double_vec(vec_col).alias("e"))
+    scale = F.lit(math.sqrt(float(k)))
+    cols = [F.col(id_col), F.col(group_col)]
+    for j in range(k):
+        sj = F.array(*[F.lit(float(s)) for s in signs[j]])
+        cols.append(
+            (vec_dot(F.col("e"), sj) / scale).alias(f"proj_{j}"))
+    return base.select(*cols)

@@ -424,6 +424,53 @@ def compact(spark: SparkSession, path: str,
                   stats_cols=stat_cols or None)
 
 
+def restore(path: str, to_version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION`` — roll the table back by
+    committing a NEW version whose dirs / stats / row counts are
+    exactly ``to_version``'s manifest.  Metadata-only: no data file is
+    read, written, or deleted, so restoring a 100 TB table after a bad
+    load is one tiny JSON commit, the bad version stays time-travelable
+    for the post-mortem, and concurrent-writer safety is the same
+    test-and-set as any commit."""
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, to_version)
+    return _commit_manifest(
+        path, v + 1, "overwrite", man["dirs"],
+        {"restored_from": to_version},
+        man.get("stats", {}), man.get("rows", {}))
+
+
+def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
+    """Delta ``SHALLOW CLONE`` — create table ``dst`` whose v0 manifest
+    references ``src``'s data dirs BY ABSOLUTE PATH: zero data copied,
+    so forking a 100 TB table for an experiment is one JSON write.
+    Commits to the clone land in the clone's own dirs and never touch
+    the source (data files are immutable); the source evolves
+    independently.  Caveat shared with Delta: vacuuming the SOURCE can
+    drop dirs the clone still references — retention policy must cover
+    live clones."""
+    v = latest_version(src) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {src}")
+    if latest_version(dst) is not None:
+        raise ValueError(f"clone target {dst} already has commits")
+    man = _read_manifest(src, v)
+    src_abs = os.path.abspath(src)
+    # os.path.join(dst, d) passes absolute dirs through untouched, so
+    # snapshot()/merge/compact on the clone need no special casing
+    abs_dirs = [os.path.join(src_abs, d) for d in man["dirs"]]
+    stats = {os.path.join(src_abs, d): s
+             for d, s in man.get("stats", {}).items() if d in man["dirs"]}
+    rows = {os.path.join(src_abs, d): r
+            for d, r in man.get("rows", {}).items() if d in man["dirs"]}
+    os.makedirs(dst, exist_ok=True)
+    return _commit_manifest(
+        dst, 0, "overwrite", abs_dirs,
+        {"cloned_from": src_abs, "source_version": v}, stats, rows)
+
+
 def metadata_count(path: str, version: int | None = None) -> int | None:
     """Row count of a version answered from MANIFEST METADATA ALONE —
     no data-file scan, no Spark job (Iceberg's `snapshot summary` /

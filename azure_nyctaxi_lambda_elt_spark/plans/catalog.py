@@ -1268,6 +1268,105 @@ def q_txn_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "version int, n_rows bigint")
 
 
+def _txn_version_rollup(spark: SparkSession, txnlog, out: str,
+                        versions: list[int]) -> DataFrame:
+    """Per-version (n_rows, fare_sum, n_days) rollup of a trip_clean
+    txn table — the readback shape shared by the time-travel / restore
+    entries."""
+    parts = []
+    for v in versions:
+        snap = txnlog.snapshot(spark, out, v)
+        parts.append(snap.groupBy().agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+            .cast("double").alias("fare_sum"),
+            F.countDistinct("ingest_date").cast("bigint").alias("n_days"),
+        ).select("version", "n_rows", "fare_sum", "n_days"))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def q_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (operators/txnlog.py restore): after a
+    bad load overwrites the table (v2 = a fat-fingered day-1-only
+    backfill), restore rolls back to v1 as a NEW metadata-only commit
+    — no data file is read or rewritten, the bad version stays
+    time-travelable for the post-mortem, and the restored version's
+    manifest row count must answer COUNT(*) with no scan.  The
+    warehouse-recovery half of the reference's transactional-load
+    guarantees (Synapse loads are recoverable by re-running the proc;
+    a parquet lake needs the log to roll back).  Output: per-version
+    rollups v0..v3 (v3 == v1 content) + the manifest-only count of the
+    restored version, all derivable from trip_clean — a full oracle."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnrestore", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    v0 = txnlog.commit(clean.where(day <= 15), out, "overwrite",
+                       stats_cols=["trip_uid"])
+    v1 = txnlog.commit(clean.where(day >= 16), out, "append",
+                       stats_cols=["trip_uid"])
+    v2 = txnlog.commit(clean.where(day == 1), out, "overwrite",
+                       stats_cols=["trip_uid"])  # the bad load
+    v3 = txnlog.restore(out, v1)
+    res = _txn_version_rollup(spark, txnlog, out, [v0, v1, v2, v3])
+    return res.withColumn(
+        "restored_meta_rows",
+        F.lit(txnlog.metadata_count(out, v3)).cast("bigint"))
+
+
+def q_txn_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (operators/txnlog.py shallow_clone): fork the
+    table zero-copy — the clone's v0 manifest references the source's
+    immutable data dirs by path — then append an experimental
+    correction (day-1 fares +1.00) to the CLONE only.  The source must
+    be byte-identical to before the fork and the clone = source + the
+    correction rows; at 100 TB the fork costs one JSON write.  Output:
+    (table, n_rows, fare_sum, n_days) rollups for source and clone,
+    both derivable from trip_clean — a full oracle."""
+    import os
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    base = _out_dir(_WRITE_TMP, "txnclone", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "clone")
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), src, "overwrite",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day >= 16), src, "append",
+                  stats_cols=["trip_uid"])
+    txnlog.shallow_clone(src, dst)
+    correction = (clean.where(day == 1)
+                  .withColumn("fare_amount", F.col("fare_amount") + F.lit(1.0)))
+    txnlog.commit(correction, dst, "append", stats_cols=["trip_uid"])
+
+    def rollup(path: str, name: str) -> DataFrame:
+        return txnlog.snapshot(spark, path).groupBy().agg(
+            F.lit(name).alias("table"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+            .cast("double").alias("fare_sum"),
+            F.countDistinct("ingest_date").cast("bigint").alias("n_days"),
+        ).select("table", "n_rows", "fare_sum", "n_days")
+
+    return rollup(src, "source").unionByName(rollup(dst, "clone"))
+
+
 def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: the daily revenue rollup is
     maintained across two loads (the base feed, then the late-arriving
@@ -1927,6 +2026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_change_feed": q_txn_change_feed,
     "txn_compact": q_txn_compact,
     "txn_metadata_count": q_txn_metadata_count,
+    "txn_restore": q_txn_restore,
+    "txn_shallow_clone": q_txn_shallow_clone,
     "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
@@ -2503,6 +2604,60 @@ ORACLES["txn_time_travel"] = with_trips("""
       FROM trip_clean)
     SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
     SELECT * FROM v2
+""")
+
+# restore readback: v0 first half, v1 full, v2 the bad day-1 load,
+# v3 (the restore) == v1 again; manifest count == full count
+ORACLES["txn_restore"] = with_trips("""
+    , r0 AS (
+      SELECT CAST(0 AS INT) AS version,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS fare_sum,
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT) AS n_days
+      FROM trip_clean WHERE day(ingest_date) <= 15),
+    r1 AS (
+      SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean),
+    r2 AS (
+      SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean WHERE day(ingest_date) = 1),
+    r3 AS (
+      SELECT CAST(3 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean)
+    SELECT u.*, (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean)
+             AS restored_meta_rows
+    FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL
+          SELECT * FROM r2 UNION ALL SELECT * FROM r3) u
+""")
+
+# zero-copy clone: source untouched by the clone's append; the clone
+# carries the correction rows on top of the full table
+ORACLES["txn_shallow_clone"] = with_trips("""
+    , s AS (
+      SELECT 'source' AS "table",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS fare_sum,
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT) AS n_days
+      FROM trip_clean),
+    c AS (
+      SELECT 'clone',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(fare_sel AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM (SELECT fare_amount AS fare_sel, ingest_date
+            FROM trip_clean
+            UNION ALL
+            SELECT fare_amount + 1.0, ingest_date
+            FROM trip_clean WHERE day(ingest_date) = 1) t)
+    SELECT * FROM s UNION ALL SELECT * FROM c
 """)
 
 # the raw passthrough archive is the identity of the input feed

@@ -1203,6 +1203,20 @@ def q_embedding_int8_quantize(spark: SparkSession,
     return int8_quantize_stats(_emb(spark, sf_dir))
 
 
+def q_embedding_random_projection(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """JL / Rademacher random projection (operators/ann.py
+    random_projection): 64-dim embeddings → 8 dims with a
+    deterministic ±1 matrix, the byte-shrink preprocessing before ANN
+    indexing or k-means at corpus scale.  Map-only (no shuffle at any
+    size); ±1 multiplies are exact sign flips so the oracle's
+    identical-literal replay is bit-exact."""
+    from ..operators.ann import random_projection
+
+    apply_engine_conf(spark)
+    return random_projection(_emb(spark, sf_dir))
+
+
 def q_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive embedding training
     (operators/ann.py hard_negative_mine): per query vector, the
@@ -1386,6 +1400,23 @@ def q_hard_negative_mine_ivf(spark: SparkSession,
         exclude_label_col="label")
 
 
+# JL projection: identical ±1 literals, identical sequential fold
+# (list_sum == Spark aggregate's left fold), sqrt(k) is IEEE-exact
+from ..operators.ann import K_PROJ as _K_PROJ  # noqa: E402
+from ..operators.ann import rp_signs as _rp_signs  # noqa: E402
+
+_RP = _rp_signs()
+LLM_ORACLES["embedding_random_projection"] = (
+    "WITH v AS (SELECT vec_id, label, "
+    "[CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings) "
+    "SELECT vec_id, label, "
+    + ", ".join(
+        "list_sum([e[i] * ([" + ",".join(str(s) for s in _RP[j]) + "])[i]"
+        f" FOR i IN generate_series(1, {len(_RP[j])})])"
+        f" / sqrt({_K_PROJ}) AS proj_{j}"
+        for j in range(_K_PROJ))
+    + " FROM v")
+
 LLM_ORACLES["embedding_int8_quantize"] = """
     WITH base AS (
       SELECT label,
@@ -1421,6 +1452,7 @@ LLM_ORACLES["embedding_int8_quantize"] = """
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "embedding_int8_quantize": q_embedding_int8_quantize,
+    "embedding_random_projection": q_embedding_random_projection,
     "hard_negative_mine": q_hard_negative_mine,
     "hard_negative_mine_ivf": q_hard_negative_mine_ivf,
     "corpus_curation_pipeline": q_corpus_curation_pipeline,

@@ -75,6 +75,9 @@ BENCH_NEW_QUERIES = [
     "hard_negative_mine_ivf",
     "winsorized_stats",
     "pareto_customer_share",   # distributed-rank rebuild
+    # round-6 additions
+    "txn_restore",
+    "embedding_random_projection",
 ]
 
 

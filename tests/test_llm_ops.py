@@ -210,3 +210,30 @@ def test_ann_ivfpq_recall_and_refinement(spark):
     all_probe = {(r["q_id"], r["neighbor_id"])
                  for r in ivfpq_topk(emb, pred, 5, n_probes=16).collect()}
     assert len(set(brute) & all_probe) / len(brute) >= recall
+
+
+def test_random_projection_hand_example_and_plan(spark):
+    """proj_j = dot(e, signs_j)/sqrt(k) with the md5-derived ±1 matrix;
+    the plan is map-only (no Exchange at any corpus size)."""
+    import math
+
+    from azure_nyctaxi_lambda_elt_spark.operators.ann import (
+        DIM, K_PROJ, random_projection, rp_signs)
+
+    signs = rp_signs()
+    vec = [float(i % 7) - 3.0 for i in range(DIM)]
+    df = spark.createDataFrame(
+        [(1, vec, 0)], "vec_id bigint, embedding array<float>, label int")
+    out = random_projection(df)
+    row = out.collect()[0]
+    assert [f.name for f in out.schema.fields] == (
+        ["vec_id", "label"] + [f"proj_{j}" for j in range(K_PROJ)])
+    fvec = [float(__import__("struct").unpack(
+        "f", __import__("struct").pack("f", x))[0]) for x in vec]
+    for j in range(K_PROJ):
+        acc = 0.0
+        for x, s in zip(fvec, signs[j]):
+            acc += x * s
+        assert row[f"proj_{j}"] == acc / math.sqrt(float(K_PROJ))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

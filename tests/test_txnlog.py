@@ -442,3 +442,55 @@ def test_racing_writers_through_double_exactly_one_wins(
     # loser's orphaned data dir is unreferenced garbage, never visible
     man = txnlog._read_manifest(path, 1)
     assert len(man["dirs"]) == 1
+
+
+# ------------------------------------------------- restore / shallow clone
+
+
+def test_restore_is_metadata_only_and_keeps_history(spark, table):
+    path, df = table
+    v0 = txnlog.commit(df.where("id < 5"), path, "overwrite",
+                       stats_cols=["id"])
+    v1 = txnlog.commit(df.where("id >= 5"), path, "append",
+                       stats_cols=["id"])
+    v2 = txnlog.commit(df.where("id = 0"), path, "overwrite",
+                       stats_cols=["id"])  # bad load
+    dirs_before = sorted(d for d in os.listdir(path)
+                         if d.startswith("data-v"))
+    v3 = txnlog.restore(path, v1)
+    assert v3 == v2 + 1
+    # metadata-only: no new data dir was created
+    assert sorted(d for d in os.listdir(path)
+                  if d.startswith("data-v")) == dirs_before
+    # content rolled back, bad version still time-travelable
+    assert txnlog.snapshot(spark, path).count() == 10
+    assert txnlog.snapshot(spark, path, version=v2).count() == 1
+    assert txnlog.snapshot(spark, path, version=v0).count() == 5
+    # manifest-only count survives the restore
+    assert txnlog.metadata_count(path, v3) == 10
+    assert txnlog.latest_meta(path)["restored_from"] == v1
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, table):
+    path, df = table
+    src = os.path.join(path, "src")
+    dst = os.path.join(path, "clone")
+    txnlog.commit(df, src, "overwrite", stats_cols=["id"])
+    src_dirs = sorted(d for d in os.listdir(src)
+                      if d.startswith("data-v"))
+    txnlog.shallow_clone(src, dst)
+    # zero-copy: the clone holds NO data dirs, only a manifest
+    assert not [d for d in os.listdir(dst) if d.startswith("data-v")]
+    assert txnlog.snapshot(spark, dst).count() == 10
+    assert txnlog.metadata_count(dst, 0) == 10  # stats carried over
+    # clone evolves independently; source is untouched
+    extra = df.limit(3).select(
+        (F.col("id") + 100).alias("id"), "v")
+    txnlog.commit(extra, dst, "append", stats_cols=["id"])
+    assert txnlog.snapshot(spark, dst).count() == 13
+    assert txnlog.snapshot(spark, src).count() == 10
+    assert sorted(d for d in os.listdir(src)
+                  if d.startswith("data-v")) == src_dirs
+    # re-cloning onto an existing table is refused
+    with pytest.raises(ValueError):
+        txnlog.shallow_clone(src, dst)
