@@ -1,0 +1,177 @@
+"""Bloom-filter directory index for transaction-log tables — the
+point-lookup half of data skipping.
+
+The manifest's per-dir [min, max] envelopes (txnlog ``stats_cols`` /
+``snapshot(prune=...)``) skip dirs for RANGE predicates, but a needle
+query on a high-cardinality key (trip_uid, document id) gains nothing
+from min/max when every dir spans most of the key space.  Parquet
+solves this with per-column Bloom filters in the file footer; Delta
+with per-file bloom index files.  This module is that index at the
+txn log's dir grain:
+
+- one Bloom bitmap per (data dir, column), built by a single Spark
+  aggregation over the dir (k salted ``xxhash64`` bit positions per
+  row, distinct positions collected — bounded by m bits, i.e. O(m)
+  driver metadata no matter how many rows the dir holds);
+- stored as a write-once JSON sidecar under ``<table>/_txn/bloom/``.
+  Data dirs are immutable, so a sidecar never needs invalidation; a
+  dir without a sidecar is always scanned (pruning stays
+  conservative, exactly like manifest stats);
+- probes hash with the SAME Spark expression (one tiny job over the
+  probe values), so build and probe can never disagree on the hash —
+  a false negative is structurally impossible;
+- a pruned read keeps a dir iff ANY probe value has all k bits set
+  in that dir's bitmap; missing rows are impossible, extra dirs are
+  only a false-positive cost (~0.9% per key at the default m=32768,
+  k=4, ~3k keys/dir).
+
+Scale shape: building is one narrow agg job per NEW dir at commit
+time (never rescans old dirs); the index itself is O(m/8) bytes per
+dir — at 100 TB a point lookup reads the manifest + a few KB of
+sidecars and opens O(1) data dirs instead of all of them.
+
+Reference parity: the reference's point lookups hit Synapse B-tree
+/ columnstore segment elimination (sql/batchELT/core/
+12_trip_clean.dedupe_load.sql's key probes); a parquet lake needs an
+explicit skipping index.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# same-package txn internals: the index is a txn-log companion and
+# reads manifests directly (dir lists are not part of snapshot()'s
+# public surface on purpose — readers normally never see dir names)
+from . import txnlog
+
+BLOOM_M = 1 << 15   # bits per bitmap (4 KiB packed)
+BLOOM_K = 4         # hash functions
+
+
+def _bloom_root(path: str) -> str:
+    return os.path.join(path, "_txn", "bloom")
+
+
+def _sidecar_path(path: str, dirname: str, col: str) -> str:
+    return os.path.join(_bloom_root(path), f"{dirname}.{col}.json")
+
+
+def _positions(col: str, m: int, k: int):
+    """Array of the k bit positions for ``col`` — salted xxhash64,
+    pmod to [0, m).  Pure Column expression: the one hash definition
+    both the build and the probe evaluate."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m))
+        for i in range(k)
+    ])
+
+
+def _pack_bits(positions: list[int], m: int) -> str:
+    buf = bytearray(m // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bit_set(packed: bytes, p: int) -> bool:
+    return bool(packed[p >> 3] & (1 << (p & 7)))
+
+
+def build_bloom_index(spark: SparkSession, path: str, col: str,
+                      version: int | None = None,
+                      m: int = BLOOM_M, k: int = BLOOM_K) -> list[str]:
+    """Build the (dir, ``col``) Bloom sidecars missing for ``version``
+    (default latest) and return the dir names built.  Incremental by
+    construction: dirs already indexed are skipped, so appending the
+    Nth commit costs one agg job over the NEW dir only."""
+    v = txnlog.latest_version(path) if version is None else version
+    if v is None:
+        return []
+    man = txnlog._read_manifest(path, v)
+    os.makedirs(_bloom_root(path), exist_ok=True)
+    built = []
+    for d in man["dirs"]:
+        side = _sidecar_path(path, d, col)
+        if os.path.exists(side):
+            continue
+        df = spark.read.parquet(os.path.join(path, d))
+        # distinct bit positions: ≤ m rows regardless of dir size —
+        # the collect is index metadata, not data (same class as the
+        # manifest min/max stats collect in txnlog._col_stats)
+        pos = [
+            r["p"] for r in
+            df.select(F.explode(_positions(col, m, k)).alias("p"))
+            .distinct().collect()
+        ]
+        body = {"col": col, "m": m, "k": k,
+                "bits": _pack_bits(pos, m)}
+        # write-once publish: dirs are immutable so two builders can
+        # only ever produce identical bytes — last replace wins
+        tmp = f"{side}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        os.replace(tmp, side)
+        built.append(d)
+    return built
+
+
+def _probe_positions(spark: SparkSession, values: list,
+                     col: str, m: int, k: int) -> dict:
+    """Bit positions per probe value, computed with the SAME Spark
+    hash expression the build used (one tiny job over the values)."""
+    vdf = spark.createDataFrame([(v,) for v in values], [col])
+    rows = vdf.select(F.col(col).alias("__v"),
+                      _positions(col, m, k).alias("__p")).collect()
+    return {r["__v"]: list(r["__p"]) for r in rows}
+
+
+def prune_dirs(spark: SparkSession, path: str, col: str,
+               values: list, version: int | None = None
+               ) -> tuple[list[str], list[str]]:
+    """(kept_dirs, all_dirs) for a ``col IN values`` point lookup at
+    ``version`` (default latest).  A dir is kept iff it has no sidecar
+    (conservative) or ANY probe value has all k bits set in its
+    bitmap — so every dir that could hold a matching row is kept."""
+    v = txnlog.latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = txnlog._read_manifest(path, v)
+    all_dirs = list(man["dirs"])
+    probes: dict | None = None
+    kept = []
+    for d in all_dirs:
+        side = _sidecar_path(path, d, col)
+        if not os.path.exists(side):
+            kept.append(d)
+            continue
+        with open(side) as fh:
+            idx = json.load(fh)
+        if probes is None or idx["m"] != BLOOM_M or idx["k"] != BLOOM_K:
+            probes = _probe_positions(
+                spark, values, col, idx["m"], idx["k"])
+        packed = base64.b64decode(idx["bits"])
+        if any(all(_bit_set(packed, p) for p in pos)
+               for pos in probes.values()):
+            kept.append(d)
+    return kept, all_dirs
+
+
+def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
+                          values: list,
+                          version: int | None = None) -> DataFrame:
+    """Snapshot read for a ``col IN values`` lookup scanning only the
+    Bloom-surviving dirs.  Like ``txnlog.snapshot(prune=...)``, this
+    narrows WHICH dirs are scanned; callers still apply the row
+    predicate (surviving dirs may be false positives)."""
+    kept, all_dirs = prune_dirs(spark, path, col, values, version)
+    if not kept:
+        return (spark.read.parquet(os.path.join(path, all_dirs[0]))
+                .limit(0))
+    return spark.read.parquet(
+        *[os.path.join(path, d) for d in kept])

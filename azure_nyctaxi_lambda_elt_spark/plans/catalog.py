@@ -1448,6 +1448,47 @@ def q_txn_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup on the txn table (operators/
+    bloomindex.py): manifest min/max envelopes prune RANGES, but a
+    needle query on the high-cardinality trip_uid gains nothing from
+    them when every commit spans the key space — the parquet-footer /
+    Delta bloom-index role.  Three day-range commits get per-dir
+    Bloom sidecars (one agg job per new dir, O(m)-bounded metadata);
+    a 5-key lookup probes with the SAME Spark hash expression the
+    build used (false negatives structurally impossible) and scans
+    only surviving dirs.  The content must equal the unpruned filter
+    — tests/test_bloomindex.py asserts the pruning actually skips
+    dirs; here the oracle proves no row went missing.  Reference
+    parity: Synapse key probes ride B-tree/columnstore segment
+    elimination (sql/batchELT/core/12_trip_clean.dedupe_load.sql);
+    a parquet lake needs the explicit skipping index."""
+    import shutil
+
+    from ..operators import bloomindex, txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnbloom", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 10), out, "overwrite")
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append")
+    txnlog.commit(clean.where(day >= 21), out, "append")
+    bloomindex.build_bloom_index(spark, out, "trip_uid")
+    # probe keys: the 5 smallest day-3 trip_uids — deterministic
+    # (trip_uid is unique post-dedupe), SQL-expressible, and a
+    # TakeOrdered job, not a full sort
+    keys = [r["trip_uid"] for r in
+            clean.where(day == 3).select("trip_uid")
+            .orderBy("trip_uid").limit(5).collect()]
+    snap = bloomindex.bloom_pruned_snapshot(spark, out, "trip_uid",
+                                            keys)
+    return snap.where(F.col("trip_uid").isin(keys)).select(
+        "trip_uid", "vendor_code", "ingest_date", "fare_amount")
+
+
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across producer generations: the first half of
     the month landed from a producer WITHOUT tip_amount, the second
@@ -2030,6 +2071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_shallow_clone": q_txn_shallow_clone,
     "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
+    "txn_bloom_pruned_read": q_txn_bloom_pruned_read,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
     **LLM_QUERIES,
@@ -2499,6 +2541,15 @@ ORACLES["txn_stats_pruned_read"] = with_trips("""
     FROM trip_clean
     WHERE ingest_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
     GROUP BY 1
+""")
+
+ORACLES["txn_bloom_pruned_read"] = with_trips("""
+    SELECT trip_uid, vendor_code, ingest_date, fare_amount
+    FROM trip_clean
+    WHERE trip_uid IN (
+      SELECT trip_uid FROM trip_clean
+      WHERE day(ingest_date) = 3
+      ORDER BY trip_uid LIMIT 5)
 """)
 
 ORACLES["txn_merge_upsert"] = with_trips("""
