@@ -1148,6 +1148,77 @@ def q_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey")
 
 
+def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skipping HALF of Z-order clustering: zorder_cluster_stats
+    computes the per-bucket envelopes; this entry executes the
+    physical rewrite AND the pruned read they exist for (Delta
+    OPTIMIZE ZORDER + file skipping, end to end).  lineitem is
+    clustered into Morton buckets over (l_orderkey, l_suppkey) — one
+    range shuffle, one dir per bucket — then a corner-rectangle query
+    (both keys in the bottom eighth of their ranges) keeps only the
+    buckets whose envelope reaches the rectangle and scans those dirs
+    alone (partition pruning; a 1-D sort would prune on ONE key only,
+    Z-order prunes on both at once).  Output pins the pruning
+    decision itself: n_buckets_read vs n_buckets_total comes from the
+    same envelope rule the oracle replays, and the rollup must equal
+    the unpruned filter.
+
+    Scale shape: stats agg broadcasts back, bucket id is a map-side
+    integer expression, the rewrite is ONE repartitionByRange
+    shuffle, the envelope readback is a partial-agg groupBy, and the
+    kept-bucket set is ≤256 rows of metadata — at 100 TB the pruned
+    query opens a handful of the table's dirs."""
+    import os
+    import shutil
+
+    from ..operators.maintenance import Z_BUCKET_SHIFT, zorder_value
+
+    apply_engine_conf(spark)
+    out = os.path.join(
+        "/tmp/spark_graft_write",
+        f"zorderpr_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    a = F.col("l_orderkey").cast("bigint")
+    b = F.col("l_suppkey").cast("bigint")
+    stats = li.agg(
+        F.min(a).alias("__zs_amin"), F.max(a).alias("__zs_amax"),
+        F.min(b).alias("__zs_bmin"), F.max(b).alias("__zs_bmax"))
+    clustered = (
+        li.crossJoin(F.broadcast(stats))
+        .withColumn("z_bucket",
+                    F.shiftright(zorder_value(a, b), Z_BUCKET_SHIFT)
+                    .cast("int"))
+        .select("z_bucket", a.alias("a"), b.alias("b"),
+                "l_extendedprice", "l_discount"))
+    # OPTIMIZE ZORDER's physical rewrite: range-shuffle on the bucket
+    # id so each bucket lands contiguous, one dir per bucket
+    (clustered.repartitionByRange(32, "z_bucket")
+     .write.partitionBy("z_bucket").mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    # per-dir envelopes from the WRITTEN layout (the parquet-footer /
+    # manifest-stats analog); lower bounds suffice because the query
+    # rectangle starts at the global minima
+    env = back.groupBy("z_bucket").agg(
+        F.min("a").alias("a_min"), F.min("b").alias("b_min"))
+    st = stats.collect()[0]
+    a_hi = st["__zs_amin"] + (st["__zs_amax"] - st["__zs_amin"]) // 8
+    b_hi = st["__zs_bmin"] + (st["__zs_bmax"] - st["__zs_bmin"]) // 8
+    envs = env.collect()  # <=256 rows — metadata, not data
+    kept = [r["z_bucket"] for r in envs
+            if r["a_min"] <= a_hi and r["b_min"] <= b_hi]
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,4)")))
+    return (
+        back.where(F.col("z_bucket").isin(kept))  # partition pruning
+        .where((F.col("a") <= F.lit(a_hi)) & (F.col("b") <= F.lit(b_hi)))
+        .agg(F.lit(len(envs)).cast("bigint").alias("n_buckets_total"),
+             F.lit(len(kept)).cast("bigint").alias("n_buckets_read"),
+             F.count("*").cast("bigint").alias("n_rows"),
+             F.round(F.sum(rev), 2).cast("double").alias("revenue")))
+
+
 def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census over the exact-Jaccard near-dup pairs (same
     edge set dedup_clusters closes over)."""
@@ -1577,6 +1648,61 @@ def _zorder_oracle() -> str:
 EXT3_ORACLES["zorder_cluster_stats"] = _zorder_oracle()
 
 
+def _zorder_pruned_oracle() -> str:
+    from ..operators.maintenance import Z_BITS, Z_BUCKET_SHIFT
+
+    kmax = (1 << Z_BITS) - 1
+    terms = " + ".join(
+        f"((qa >> {b}) & 1) * {1 << (2 * b + 1)}"
+        f" + ((qb >> {b}) & 1) * {1 << (2 * b)}"
+        for b in range(Z_BITS))
+    rev = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+           " * (1 - CAST(l_discount AS DECIMAL(4,4)))")
+    return f"""
+        WITH base AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS a,
+                 CAST(l_suppkey AS BIGINT) AS b,
+                 l_extendedprice, l_discount
+          FROM lineitem),
+        st AS MATERIALIZED (
+          SELECT MIN(a) AS amin, MAX(a) AS amax,
+                 MIN(b) AS bmin, MAX(b) AS bmax
+          FROM base),
+        q AS (
+          SELECT a, b, l_extendedprice, l_discount,
+                 CAST(floor(CAST((a - amin) * {kmax} AS DOUBLE)
+                            / greatest(amax - amin, 1)) AS BIGINT) AS qa,
+                 CAST(floor(CAST((b - bmin) * {kmax} AS DOUBLE)
+                            / greatest(bmax - bmin, 1)) AS BIGINT) AS qb
+          FROM base CROSS JOIN st),
+        zb AS MATERIALIZED (
+          SELECT CAST(({terms}) >> {Z_BUCKET_SHIFT} AS INT) AS z_bucket,
+                 a, b, l_extendedprice, l_discount
+          FROM q),
+        env AS MATERIALIZED (
+          SELECT z_bucket, MIN(a) AS a_min, MIN(b) AS b_min
+          FROM zb GROUP BY 1),
+        rect AS MATERIALIZED (
+          SELECT amin + (amax - amin) // 8 AS a_hi,
+                 bmin + (bmax - bmin) // 8 AS b_hi
+          FROM st),
+        kept AS (
+          SELECT z_bucket FROM env CROSS JOIN rect
+          WHERE a_min <= a_hi AND b_min <= b_hi)
+        SELECT CAST((SELECT COUNT(*) FROM env) AS BIGINT)
+                 AS n_buckets_total,
+               CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+                 AS n_buckets_read,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(round(SUM({rev}), 2) AS DOUBLE) AS revenue
+        FROM zb CROSS JOIN rect
+        WHERE a <= a_hi AND b <= b_hi
+    """
+
+
+EXT3_ORACLES["zorder_pruned_read"] = _zorder_pruned_oracle()
+
+
 def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank replay over the
     dedup_ngram_jaccard edge set.  The (1-d)/N base constant is
@@ -1859,6 +1985,7 @@ EXT3_QUERIES = {
     "session_window_agg": q_session_window_agg,
     "fuzzy_name_linkage": q_fuzzy_name_linkage,
     "zorder_cluster_stats": q_zorder_cluster_stats,
+    "zorder_pruned_read": q_zorder_pruned_read,
     "dup_graph_pagerank": q_dup_graph_pagerank,
     "skew_profile": q_skew_profile,
     "cdc_apply_changes": q_cdc_apply_changes,

@@ -78,6 +78,8 @@ BENCH_NEW_QUERIES = [
     # round-6 additions
     "txn_restore",
     "embedding_random_projection",
+    "txn_bloom_pruned_read",
+    "zorder_pruned_read",
 ]
 
 
