@@ -34,6 +34,7 @@ play that role here.)
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
@@ -231,12 +232,20 @@ def _publish_manifest(final: str, tmp: str) -> None:
     _LOG_STORE.publish(final, tmp)
 
 
+_TMP_SEQ = itertools.count()
+
+
 def _commit_manifest(path: str, version: int, mode: str,
                      dirs: list[str], meta: dict | None,
                      stats: dict | None = None,
                      rows: dict | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
-    tmp = _manifest_path(path, version) + f".tmp-{os.getpid()}"
+    # tmp name is unique PER ATTEMPT (pid + sequence), not just per
+    # process: two threads of one driver racing to commit the same
+    # version must not share a tmp file, or the loser's cleanup races
+    # the winner's and a successful commit can crash post-publish
+    tmp = (_manifest_path(path, version)
+           + f".tmp-{os.getpid()}-{next(_TMP_SEQ)}")
     with open(tmp, "w") as fh:
         json.dump({"version": version, "mode": mode, "dirs": dirs,
                    "meta": meta or {}, "stats": stats or {},
@@ -575,3 +584,38 @@ def vacuum(path: str, keep_latest: int = 2,
             if os.path.exists(m):
                 os.remove(m)
     return removed
+
+
+def commit_with_retry(fn, max_attempts: int = 3,
+                      backoff_seconds: float = 0.0):
+    """Run ``fn()`` — any operation ending in a commit (``commit``,
+    ``merge_upsert``, ``merge_apply``, ``compact``, ``restore``) —
+    retrying on ``TxnConflict``: Delta's automatic
+    concurrent-modification retry, where the losing writer recomputes
+    against the winner's result instead of surfacing the conflict.
+
+    Correctness hinges on ``fn`` re-resolving table state per call,
+    which every operation in this module does (each resolves
+    ``latest_version`` at call time) — so a read-modify-write like
+    MERGE re-probes the NEW parent's dirs on retry and cannot lose
+    the winner's update (write skew is impossible: the recompute sees
+    every committed row).  Static appends/overwrites are trivially
+    retryable for the same reason.
+
+    Each lost attempt orphans one claimed data dir; orphans are
+    unreferenced by any manifest (never visible) and reclaimed by
+    ``vacuum`` after its retention grace.  ``backoff_seconds`` jitters
+    linearly (attempt * backoff) to de-synchronize herds of writers.
+    Re-raises the final ``TxnConflict`` after ``max_attempts``."""
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except TxnConflict:
+            attempt += 1
+            if attempt >= max_attempts:
+                raise
+            if backoff_seconds:
+                time.sleep(attempt * backoff_seconds)

@@ -444,6 +444,52 @@ def test_racing_writers_through_double_exactly_one_wins(
     assert len(man["dirs"]) == 1
 
 
+def test_commit_with_retry_recomputes_against_new_parent(
+        spark, table, memory_store):
+    """Automatic conflict retry: a competing writer lands v1 between
+    our version resolution and our publish; the retry must recompute
+    against the NEW parent (append sees the winner's rows) and land
+    as v2 — nobody's write is lost."""
+    path, df = table
+    txnlog.commit(df.where("id < 5"), path, "overwrite")  # v0: 5 rows
+
+    orig = memory_store.publish
+    state = {"injected": False}
+
+    def hijack(final, tmp):
+        if not state["injected"]:
+            state["injected"] = True
+            memory_store.publish = orig
+            # the competing writer wins v1 while we're mid-commit
+            # (its tmp manifest is attempt-unique, so it cannot
+            # disturb ours)
+            txnlog.commit(df.where("id >= 8"), path, "append")
+        orig(final, tmp)
+
+    memory_store.publish = hijack
+    v = txnlog.commit_with_retry(
+        lambda: txnlog.commit(
+            df.where("id >= 5 and id < 8"), path, "append"))
+    assert v == 2  # lost v1, recomputed, landed after the winner
+    # append recomputed against the winner's parent: ALL rows present
+    assert txnlog.snapshot(spark, path).count() == 10
+    assert len(txnlog._read_manifest(path, 2)["dirs"]) == 3
+
+
+def test_commit_with_retry_exhausts_and_reraises(table, memory_store):
+    """A writer that loses every race surfaces the final TxnConflict
+    after exactly max_attempts tries."""
+    calls = {"n": 0}
+
+    def always_loses():
+        calls["n"] += 1
+        raise txnlog.TxnConflict("perpetual loser")
+
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.commit_with_retry(always_loses, max_attempts=3)
+    assert calls["n"] == 3
+
+
 # ------------------------------------------------- restore / shallow clone
 
 
