@@ -28,7 +28,13 @@ txn log's dir grain:
 Scale shape: building is one narrow agg job per NEW dir at commit
 time (never rescans old dirs); the index itself is O(m/8) bytes per
 dir — at 100 TB a point lookup reads the manifest + a few KB of
-sidecars and opens O(1) data dirs instead of all of them.
+sidecars and opens O(1) data dirs instead of all of them.  Size m to
+the dir's expected key count (the classic m ≈ 1.44 · n · log2(1/p)
+bits for false-positive rate p, what parquet's builder does from
+NDV): a saturated bitmap never loses rows — it just stops pruning —
+so undersizing degrades cost, not correctness.  The default m=2^15
+suits the test-scale ~3k-90k keys/dir; pass m per table at larger
+dir grain.
 
 Reference parity: the reference's point lookups hit Synapse B-tree
 / columnstore segment elimination (sql/batchELT/core/
