@@ -88,6 +88,29 @@ def test_pruned_content_equals_plain_filter(spark, table):
     assert got == want
 
 
+def test_pack_bits_roundtrip_property():
+    """Bitmap packing: exactly the given positions read back set —
+    membership can neither lose a bit (false negative) nor invent
+    one outside the set (spurious survivor beyond real collisions)."""
+    import base64
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    m = bloomindex.BLOOM_M
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sets(st.integers(0, m - 1), max_size=300))
+    def check(positions):
+        packed = base64.b64decode(
+            bloomindex._pack_bits(sorted(positions), m))
+        assert all(bloomindex._bit_set(packed, p) for p in positions)
+        others = {(p + 1) % m for p in positions} - positions
+        assert not any(bloomindex._bit_set(packed, p) for p in others)
+
+    check()
+
+
 def test_empty_survivor_set_yields_schema_only(spark, table):
     path, _ = table
     bloomindex.build_bloom_index(spark, path, "id")
