@@ -1021,6 +1021,78 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_weighted_sample(_docs(spark, sf_dir))
 
 
+def quality_calibration(docs: DataFrame) -> DataFrame:
+    """Reliability diagram + ECE of the LM quality signal against the
+    rule-based keep verdict — the calibration check a curation
+    pipeline runs before trusting a score to drive sampling
+    (quality_weighted_sample uses this exact signal as a keep
+    probability; this entry measures whether that probability means
+    what it claims).  Score = 1/(1+avg_nll) (the CCNet-style LM
+    weight), label = the Gopher heuristic keep flag; docs bucket by
+    score decile and each bucket reports mean score vs observed keep
+    fraction, plus the expected calibration error
+    ECE = Σ n_b/N · |mean_b − frac_b| repeated on every row.
+
+    Buckets are EQUAL-FREQUENCY deciles of the score order (LM scores
+    cluster tightly, so fixed-width bins would collapse to one bar) —
+    assigned with the shared distributed-rank operator
+    (operators/ranks.py) + closed-form integer NTILE, never an
+    unpartitioned Window.  Exactness: avg_nll is already an exact
+    6-dp value (ngram_lm_score's integer micro-unit average), the
+    score rounds through exact_round_div, decile ids are pure integer
+    arithmetic on the global rank, and every ratio (mean/frac/ECE) is
+    the integer round-half-up form — bit-exact in both engines.
+    Scale: two narrow corpus passes joined on doc_id, one range
+    shuffle for the rank, a 10-group aggregate, a 1-row ECE
+    broadcast."""
+    from ..functions.columns import exact_round_div
+    from ..operators import corpus as cp
+    from ..operators.llm_text import STOPWORDS
+    from ..operators.ranks import ntile_expr, with_global_rank
+
+    spark = docs.sparkSession
+    scores = ngram_lm_score(docs).select("doc_id", "avg_nll")
+    keeps = cp.heuristic_filter(docs, STOPWORDS["en"]).select(
+        "doc_id", "keep")
+    j = (scores.join(keeps, "doc_id")
+         .select("doc_id", "keep",
+                 F.expr(exact_round_div("1.0", "(1.0 + avg_nll)"))
+                 .cast("decimal(18,6)").alias("__sd")))
+    ranked, totals = with_global_rank(
+        j, [F.asc("__sd"), F.asc("doc_id")])
+    n, _ = totals.get((), (0, None))
+    if n == 0:
+        return spark.createDataFrame(
+            [], "bucket int, n_docs bigint, mean_score double, "
+                "frac_keep double, ece double")
+    bk = ranked.select(
+        "keep", "__sd",
+        ntile_expr("__r", n, 10).cast("int").alias("bucket"))
+    per = (bk.groupBy("bucket")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("__sd").alias("__ssum"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("bigint").alias("__k"))
+           .select("bucket", "n_docs",
+                   F.expr(exact_round_div("__ssum", "n_docs"))
+                   .alias("mean_score"),
+                   F.expr(exact_round_div("__k", "n_docs"))
+                   .alias("frac_keep")))
+    ece = (per.agg(
+        F.sum("n_docs").alias("__n_all"),
+        F.sum(F.expr(
+            "n_docs * ABS(CAST(mean_score AS DECIMAL(18,6))"
+            " - CAST(frac_keep AS DECIMAL(18,6)))")).alias("__g"))
+        .select(F.expr(exact_round_div("__g", "__n_all")).alias("ece")))
+    return (per.crossJoin(F.broadcast(ece))
+            .select("bucket", "n_docs", "mean_score", "frac_keep",
+                    "ece"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_calibration(_docs(spark, sf_dir))
+
+
 def winsorized_stats(events: DataFrame) -> DataFrame:
     """Per-event-type winsorized (1%/99%-clipped) value statistics —
     the robust-mean telemetry rollup that tames burst outliers before
@@ -1955,6 +2027,70 @@ def _qws_oracle() -> str:
 
 EXT3_ORACLES["quality_weighted_sample"] = _qws_oracle()
 
+
+def _quality_calibration_oracle() -> str:
+    from ..functions.columns import exact_round_div
+    from .ext_catalog import EXT_ORACLES
+
+    lm = EXT3_ORACLES["ngram_lm_score"]
+    hf = EXT_ORACLES["heuristic_filter"]
+    score6 = exact_round_div("1.0", "(1.0 + lm.avg_nll)",
+                             dialect="duckdb")
+    mean6 = exact_round_div("ssum", "n_docs", dialect="duckdb")
+    frac6 = exact_round_div("k", "n_docs", dialect="duckdb")
+    ece6 = exact_round_div("t.g", "t.n_all", dialect="duckdb")
+    return f"""
+        WITH lm AS MATERIALIZED ({lm}),
+        hf AS MATERIALIZED ({hf}),
+        j AS (
+          SELECT doc_id, hf.keep,
+                 CAST({score6} AS DECIMAL(18,6)) AS sd
+          FROM lm JOIN hf USING (doc_id)),
+        r AS (
+          SELECT keep, sd,
+                 ROW_NUMBER() OVER (ORDER BY sd ASC, doc_id ASC)
+                   AS rn
+          FROM j),
+        nt AS (
+          SELECT CAST(COUNT(*) // 10 AS BIGINT) AS q,
+                 CAST(COUNT(*) % 10 AS BIGINT) AS rem
+          FROM j),
+        -- closed-form integer NTILE(10), identical to
+        -- operators/ranks.py ntile_expr: buckets 1..rem hold q+1 rows
+        bk AS (
+          SELECT keep, sd,
+                 CAST(CASE
+                   WHEN q = 0 THEN rn
+                   WHEN rn <= rem * (q + 1)
+                     THEN (rn + q) // (q + 1)
+                   ELSE rem + (rn - rem * (q + 1) + q - 1) // q
+                 END AS INT) AS bucket
+          FROM r CROSS JOIN nt),
+        per AS (
+          SELECT bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(sd) AS ssum,
+                 SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS k
+          FROM bk GROUP BY 1),
+        per2 AS MATERIALIZED (
+          SELECT bucket, n_docs,
+                 {mean6} AS mean_score,
+                 {frac6} AS frac_keep
+          FROM per),
+        tot AS (
+          SELECT SUM(n_docs) AS n_all,
+                 SUM(n_docs * ABS(CAST(mean_score AS DECIMAL(18,6))
+                                  - CAST(frac_keep AS DECIMAL(18,6))))
+                   AS g
+          FROM per2)
+        SELECT p.bucket, p.n_docs, p.mean_score, p.frac_keep,
+               {ece6} AS ece
+        FROM per2 p CROSS JOIN tot t
+    """
+
+
+EXT3_ORACLES["quality_calibration"] = _quality_calibration_oracle()
+
 EXT3_ORACLES["cdc_apply_changes"] = """
     WITH last AS (
       SELECT user_id, event_type, value, ts FROM (
@@ -1992,6 +2128,7 @@ EXT3_QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_apply": q_bpe_apply,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "quality_calibration": q_quality_calibration,
     "winsorized_stats": q_winsorized_stats,
 }
 

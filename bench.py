@@ -80,6 +80,7 @@ BENCH_NEW_QUERIES = [
     "embedding_random_projection",
     "txn_bloom_pruned_read",
     "zorder_pruned_read",
+    "quality_calibration",
 ]
 
 

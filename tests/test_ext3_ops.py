@@ -384,3 +384,32 @@ def test_fuzzy_linkage_complete_vs_brute_force(spark):
     assert got == brute
     assert ("ID#0001", "ID#0002") in got and got[("ID#0001", "ID#0002")] == 1
     assert ("ID#0001", "ID#9999") not in got
+
+
+def test_quality_calibration_deciles_and_ece(spark):
+    """Equal-frequency deciles: bucket sizes differ by at most one,
+    every scored+flagged doc lands in exactly one bucket, frac_keep
+    is a true fraction, and ECE is the n-weighted mean absolute gap
+    (in [0, 1], constant across rows)."""
+    from conftest import SF_SMOKE
+
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        q_quality_calibration)
+
+    rows = q_quality_calibration(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 10
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equal-frequency NTILE
+    assert len({r["bucket"] for r in rows}) == len(rows)
+    eces = {r["ece"] for r in rows}
+    assert len(eces) == 1  # one corpus-level ECE, repeated
+    ece = eces.pop()
+    assert 0.0 <= ece <= 1.0
+    for r in rows:
+        assert 0.0 <= r["frac_keep"] <= 1.0
+        assert 0.0 <= r["mean_score"] <= 1.0
+    # ECE really is the n-weighted mean |mean_score - frac_keep|
+    n_all = sum(sizes)
+    want = sum(r["n_docs"] * abs(r["mean_score"] - r["frac_keep"])
+               for r in rows) / n_all
+    assert abs(ece - want) < 1e-6
