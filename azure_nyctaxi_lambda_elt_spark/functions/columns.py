@@ -93,7 +93,12 @@ def exact_round_div(num: str, den: str, scale: int = 6, *,
     ``num``/``den`` must be SQL fragments of EXACT decimal values with
     scale <= 6 and |value| < 10^21 (they are cast through DECIMAL(27,6)
     so the *1e6 shift stays exact under Spark's precision-38 cap);
-    ``den`` must be > 0.  For non-negative a and b > 0,
+    ``den`` must be > 0.  The QUOTIENT must satisfy
+    |mult * num / den| < ~9.2e12 at scale 6: Spark's ``DIV`` returns
+    BIGINT and silently NULLs above 2^63 where DuckDB's HUGEINT ``//``
+    stays exact, so a larger quotient diverges between the dialects
+    (every call site is a ratio/average/share, orders of magnitude
+    inside the bound).  For non-negative a and b > 0,
     round-half-up(a/b) at 10^-s = (2*a*10^s + b) DIV (2*b) on integers;
     ``signed=True`` mirrors through CASE for half-away-from-zero on
     negative numerators (NULLs propagate).  ``dialect`` picks Spark

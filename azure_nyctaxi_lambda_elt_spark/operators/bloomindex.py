@@ -47,6 +47,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,7 +66,13 @@ def _bloom_root(path: str) -> str:
 
 
 def _sidecar_path(path: str, dirname: str, col: str) -> str:
-    return os.path.join(_bloom_root(path), f"{dirname}.{col}.json")
+    # manifest dir entries may be absolute paths (a shallow clone
+    # references the source's dirs absolutely) — percent-encode the
+    # separator so the sidecar always lands INSIDE this table's
+    # _txn/bloom (os.path.join would reset on an absolute component
+    # and scatter sidecars into the source table's root)
+    safe = urllib.parse.quote(dirname, safe="")
+    return os.path.join(_bloom_root(path), f"{safe}.{col}.json")
 
 
 def _positions(col: str, m: int, k: int):
@@ -127,13 +134,18 @@ def build_bloom_index(spark: SparkSession, path: str, col: str,
     return built
 
 
-def _probe_positions(spark: SparkSession, values: list,
-                     col: str, m: int, k: int) -> dict:
+def _probe_positions(spark: SparkSession, values: list, col: str,
+                     m: int, k: int, dtype) -> dict:
     """Bit positions per probe value, computed with the SAME Spark
-    hash expression the build used (one tiny job over the values)."""
+    hash expression the build used (one tiny job over the values).
+    ``dtype`` is the table column's physical type: xxhash64 hashes an
+    INT and a LONG differently, so the probe values must be cast to
+    the type the build hashed or every bit test misses (silent false
+    negatives through Python type inference)."""
     vdf = spark.createDataFrame([(v,) for v in values], [col])
-    rows = vdf.select(F.col(col).alias("__v"),
-                      _positions(col, m, k).alias("__p")).collect()
+    cast = vdf.select(F.col(col).cast(dtype).alias(col))
+    rows = cast.select(F.col(col).alias("__v"),
+                       _positions(col, m, k).alias("__p")).collect()
     return {r["__v"]: list(r["__p"]) for r in rows}
 
 
@@ -143,13 +155,18 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
     """(kept_dirs, all_dirs) for a ``col IN values`` point lookup at
     ``version`` (default latest).  A dir is kept iff it has no sidecar
     (conservative) or ANY probe value has all k bits set in its
-    bitmap — so every dir that could hold a matching row is kept."""
+    bitmap — so every dir that could hold a matching row is kept.
+    An empty ``values`` list matches nothing: kept is empty."""
     v = txnlog.latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = txnlog._read_manifest(path, v)
     all_dirs = list(man["dirs"])
+    if not values:
+        return [], all_dirs
+    dtype = None
     probes: dict | None = None
+    probes_mk: tuple | None = None  # the (m, k) probes were built for
     kept = []
     for d in all_dirs:
         side = _sidecar_path(path, d, col)
@@ -158,9 +175,16 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
             continue
         with open(side) as fh:
             idx = json.load(fh)
-        if probes is None or idx["m"] != BLOOM_M or idx["k"] != BLOOM_K:
+        if probes is None or probes_mk != (idx["m"], idx["k"]):
+            if dtype is None:
+                # the build hashed the column's parquet type — probe
+                # values must cast to it (one schema-only read)
+                dtype = spark.read.parquet(
+                    os.path.join(path, all_dirs[0])
+                ).schema[col].dataType
             probes = _probe_positions(
-                spark, values, col, idx["m"], idx["k"])
+                spark, values, col, idx["m"], idx["k"], dtype)
+            probes_mk = (idx["m"], idx["k"])
         packed = base64.b64decode(idx["bits"])
         if any(all(_bit_set(packed, p) for p in pos)
                for pos in probes.values()):

@@ -324,16 +324,27 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     # jobs): multi-path scan tagged with the owning dir via
     # input_file_name(), broadcast semi-join, distinct surviving dirs.
     if candidates:
+        # tag rows with their owning dir's full path (scheme stripped,
+        # final /part-file component dropped): manifest dir entries may
+        # be bare names OR absolute paths (shallow clones reference the
+        # source's dirs absolutely), and two tables' dirs can share a
+        # basename — only the full path identifies the dir
         tagged = (
             spark.read.parquet(
                 *[os.path.join(path, d) for d in candidates])
             .withColumn(
                 "__dir",
-                F.element_at(F.split(F.input_file_name(), "/"), -2))
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.input_file_name(),
+                        r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"),
+                    r"/[^/]*$", ""))
             .join(bkeys, key_cols, "left_semi"))
         hit = {r["__dir"]
                for r in tagged.select("__dir").distinct().collect()}
-        affected = [d for d in candidates if d in hit]
+        affected = [
+            d for d in candidates
+            if os.path.abspath(os.path.join(path, d)) in hit]
     else:
         affected = []
     if affected:
@@ -574,6 +585,8 @@ def vacuum(path: str, keep_latest: int = 2,
     for entry in sorted(os.listdir(path)):
         if entry.startswith("data-v") and entry not in live:
             full = os.path.join(path, entry)
+            if not os.path.isdir(full):
+                continue  # stray data-v*-named FILE is not ours to GC
             if now - os.path.getmtime(full) < grace_seconds:
                 continue  # possibly an in-flight writer's claim
             shutil.rmtree(full)

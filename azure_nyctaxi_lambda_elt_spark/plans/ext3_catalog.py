@@ -1220,6 +1220,16 @@ def q_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey")
 
 
+def _zorder_out_dir(sf_dir: str) -> str:
+    """The clustered-layout scratch dir — one rule, shared with the
+    plan-shape test."""
+    import os
+
+    return os.path.join(
+        "/tmp/spark_graft_write",
+        f"zorderpr_{os.path.basename(sf_dir.rstrip('/'))}")
+
+
 def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skipping HALF of Z-order clustering: zorder_cluster_stats
     computes the per-bucket envelopes; this entry executes the
@@ -1240,25 +1250,28 @@ def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, the envelope readback is a partial-agg groupBy, and the
     kept-bucket set is ≤256 rows of metadata — at 100 TB the pruned
     query opens a handful of the table's dirs."""
-    import os
     import shutil
 
     from ..operators.maintenance import Z_BUCKET_SHIFT, zorder_value
 
     apply_engine_conf(spark)
-    out = os.path.join(
-        "/tmp/spark_graft_write",
-        f"zorderpr_{os.path.basename(sf_dir.rstrip('/'))}")
+    out = _zorder_out_dir(sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     a = F.col("l_orderkey").cast("bigint")
     b = F.col("l_suppkey").cast("bigint")
-    stats = li.agg(
-        F.min(a).alias("__zs_amin"), F.max(a).alias("__zs_amax"),
-        F.min(b).alias("__zs_bmin"), F.max(b).alias("__zs_bmax"))
+    # ONE stats job; the four bounds fold into the bucket expression
+    # and the query rectangle as literals (a broadcast-join of the
+    # 1-row frame would scan lineitem a second time for .collect())
+    st = li.agg(
+        F.min(a).alias("amin"), F.max(a).alias("amax"),
+        F.min(b).alias("bmin"), F.max(b).alias("bmax")).collect()[0]
     clustered = (
-        li.crossJoin(F.broadcast(stats))
+        li.withColumn("__zs_amin", F.lit(st["amin"]))
+        .withColumn("__zs_amax", F.lit(st["amax"]))
+        .withColumn("__zs_bmin", F.lit(st["bmin"]))
+        .withColumn("__zs_bmax", F.lit(st["bmax"]))
         .withColumn("z_bucket",
                     F.shiftright(zorder_value(a, b), Z_BUCKET_SHIFT)
                     .cast("int"))
@@ -1274,9 +1287,8 @@ def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rectangle starts at the global minima
     env = back.groupBy("z_bucket").agg(
         F.min("a").alias("a_min"), F.min("b").alias("b_min"))
-    st = stats.collect()[0]
-    a_hi = st["__zs_amin"] + (st["__zs_amax"] - st["__zs_amin"]) // 8
-    b_hi = st["__zs_bmin"] + (st["__zs_bmax"] - st["__zs_bmin"]) // 8
+    a_hi = st["amin"] + (st["amax"] - st["amin"]) // 8
+    b_hi = st["bmin"] + (st["bmax"] - st["bmin"]) // 8
     envs = env.collect()  # <=256 rows — metadata, not data
     kept = [r["z_bucket"] for r in envs
             if r["a_min"] <= a_hi and r["b_min"] <= b_hi]

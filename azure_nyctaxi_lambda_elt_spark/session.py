@@ -87,6 +87,13 @@ def get_spark(app_name: str = "azure-nyctaxi-lambda-elt-spark") -> SparkSession:
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.driver.extraJavaOptions",
                 "-Dderby.system.home=/tmp/spark_graft_derby")
+        # reliable-checkpoint GC (pin() in 'reliable' mode): without
+        # this, every iterative round's checkpoint persists on the
+        # checkpoint FS forever — a multi-hour CC/PageRank/BPE job
+        # would leak one table-sized copy per round.  Core-cleaner
+        # conf: must be set at context build, not via spark.conf.set
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                "true")
     )
     return builder.getOrCreate()
 

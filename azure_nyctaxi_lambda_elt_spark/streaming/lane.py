@@ -170,18 +170,45 @@ def _commit_raw_batch(table: str, batch: DataFrame,
     the transaction log with its batch id in the manifest meta, so a
     redelivered batch (checkpoint rollback — foreachBatch's
     at-least-once contract) is SKIPPED instead of re-landing duplicate
-    raw rows.  The skip test reads only the latest manifest's meta —
-    O(1), no data scan.  Shared by run_raw_archive (default path) and
-    run_raw_archive_txn."""
+    raw rows.  The skip test walks manifest metas newest-first to the
+    most recent batch_id (robust to interleaved compact/restore/merge
+    commits that carry none) — metadata-only, no data scan.  Shared by
+    run_raw_archive (default path) and run_raw_archive_txn."""
     from ..operators import txnlog
 
-    committed = txnlog.latest_meta(table).get("batch_id", -1)
-    if batch_id <= committed:
+    if batch_id <= _committed_batch_high(table):
         return  # redelivery: already durably committed
     txnlog.commit(
         batch.withColumn("__date", F.to_date("ts"))
         .withColumn("__hour", F.hour("ts")),
         table, "append", meta={"batch_id": batch_id})
+
+
+def _committed_batch_high(table: str) -> int:
+    """Highest batch_id durably committed to ``table`` — walking the
+    manifest history NEWEST-FIRST and returning the first batch_id
+    found.  Reading only the latest manifest is wrong: an interleaved
+    non-stream commit (compact / restore / merge on the raw table)
+    carries no batch_id, and a latest-only read would reset the
+    watermark to -1 and let a redelivered batch re-land duplicates.
+    Stream batch ids are monotone, so the NEWEST manifest carrying one
+    holds the high watermark; the walk costs one tiny JSON read per
+    non-stream commit since the last batch (O(1) in steady state).
+    Manifests vacuumed away can only predate retained ones — never
+    the watermark holder."""
+    from ..operators import txnlog
+
+    v = txnlog.latest_version(table)
+    while v is not None and v >= 0:
+        try:
+            man = txnlog._read_manifest(table, v)
+        except FileNotFoundError:  # vacuumed tail: nothing older helps
+            break
+        b = man.get("meta", {}).get("batch_id")
+        if b is not None:
+            return b
+        v -= 1
+    return -1
 
 
 def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,

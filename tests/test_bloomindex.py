@@ -111,6 +111,85 @@ def test_pack_bits_roundtrip_property():
     check()
 
 
+def test_int_typed_column_has_no_false_negatives(spark):
+    """xxhash64 hashes INT and LONG differently — probe values must
+    cast to the column's parquet type, not Python inference's LONG,
+    or every indexed dir gets pruned (regression)."""
+    path = os.path.join(OUT, "t_int")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 3).alias("v"))
+    txnlog.commit(df.where("id < 50"), path, "overwrite")
+    txnlog.commit(df.where("id >= 50"), path, "append")
+    bloomindex.build_bloom_index(spark, path, "id")
+    kept, all_dirs = bloomindex.prune_dirs(spark, path, "id", [7, 80])
+    assert len(all_dirs) == 2
+    assert len(kept) == 2  # one probe key lives in each dir
+    snap = bloomindex.bloom_pruned_snapshot(spark, path, "id", [7, 80])
+    got = sorted(r["id"] for r in
+                 snap.where(F.col("id").isin([7, 80])).collect())
+    assert got == [7, 80]
+
+
+def test_mixed_bitmap_sizes_probe_correctly(spark, table):
+    """Sidecars with different m coexist (the sizing rule says pass m
+    per table as dirs grow): probes must be recomputed per (m, k),
+    keyed on the CACHED parameters, not the module defaults."""
+    path, df = table
+    # index the existing three dirs at a custom size...
+    built = bloomindex.build_bloom_index(spark, path, "id", m=1 << 16)
+    assert len(built) == 3
+    # ...then append a fourth commit indexed at the default size
+    txnlog.commit(df.where("id = 5").select(
+        (F.col("id") + 500).alias("id"), "v"), path, "append")
+    built2 = bloomindex.build_bloom_index(spark, path, "id")
+    assert len(built2) == 1
+    kept, all_dirs = bloomindex.prune_dirs(spark, path, "id",
+                                           [7, 505])
+    assert len(all_dirs) == 4
+    # key 7 -> dir 1 (m=65536 bitmap), key 505 -> dir 4 (m=32768)
+    assert all_dirs[0] in kept and all_dirs[-1] in kept
+    snap = bloomindex.bloom_pruned_snapshot(spark, path, "id",
+                                            [7, 505])
+    got = sorted(r["id"] for r in
+                 snap.where(F.col("id").isin([7, 505])).collect())
+    assert got == [7, 505]
+
+
+def test_clone_sidecars_stay_inside_clone(spark, table):
+    """A shallow clone's manifest holds ABSOLUTE dir paths; the
+    sidecar name must encode them so the index lands under the
+    CLONE's _txn/bloom, never inside the source table root (where a
+    stray data-v*-named file would disturb the source's vacuum)."""
+    path, df = table
+    clone = os.path.join(OUT, "clone")
+    shutil.rmtree(clone, ignore_errors=True)
+    txnlog.shallow_clone(path, clone)
+    built = bloomindex.build_bloom_index(spark, clone, "id")
+    assert len(built) == 3
+    # every sidecar lives under the clone; the source root gained no
+    # stray entries and its vacuum still runs clean
+    root = os.path.join(clone, "_txn", "bloom")
+    assert len(os.listdir(root)) == 3
+    assert not [e for e in os.listdir(path)
+                if e.endswith(".json") and e.startswith("data-v")]
+    txnlog.vacuum(path, grace_seconds=0.0)
+    kept, all_dirs = bloomindex.prune_dirs(spark, clone, "id", [7])
+    assert len(kept) == 1 and len(all_dirs) == 3
+    snap = bloomindex.bloom_pruned_snapshot(spark, clone, "id", [7])
+    assert [r["id"] for r in snap.where("id = 7").collect()] == [7]
+
+
+def test_empty_probe_list_keeps_nothing(spark, table):
+    """An empty IN-list matches no row — kept must be empty, not a
+    crash in probe-position inference."""
+    path, _ = table
+    bloomindex.build_bloom_index(spark, path, "id")
+    kept, all_dirs = bloomindex.prune_dirs(spark, path, "id", [])
+    assert kept == [] and len(all_dirs) == 3
+
+
 def test_empty_survivor_set_yields_schema_only(spark, table):
     path, _ = table
     bloomindex.build_bloom_index(spark, path, "id")

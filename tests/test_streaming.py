@@ -403,6 +403,37 @@ def test_raw_archive_default_redelivery_is_idempotent(spark, feed_dir):
     assert txnlog.snapshot(spark, table).count() == n0 + 5
 
 
+def test_raw_archive_watermark_survives_interleaved_commits(
+        spark, feed_dir):
+    """An interleaved NON-stream commit on the raw table (compact /
+    restore carry no batch_id in their manifest meta) must not reset
+    the exactly-once watermark: a latest-manifest-only read would see
+    batch_id=-1 and re-land a redelivered batch as duplicates
+    (regression)."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        _commit_raw_batch)
+
+    table = os.path.join(OUT, "raw_commit_interleave")
+    shutil.rmtree(table, ignore_errors=True)
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(20)
+    _commit_raw_batch(table, batch, 0)
+    _commit_raw_batch(table, batch.limit(8), 1)
+    n = txnlog.snapshot(spark, table).count()
+    assert n == 28
+
+    # maintenance interleaves: OPTIMIZE writes a manifest with no
+    # batch_id in meta
+    assert txnlog.compact(spark, table) is not None
+    assert "batch_id" not in txnlog.latest_meta(table)
+
+    _commit_raw_batch(table, batch.limit(8), 1)  # redelivery post-compact
+    assert txnlog.snapshot(spark, table).count() == n  # no duplicates
+
+    _commit_raw_batch(table, batch.limit(3), 2)  # new batch still lands
+    assert txnlog.snapshot(spark, table).count() == n + 3
+
+
 def test_raw_archive_at_least_once_mode_still_lands_blob_layout(
         spark, feed_dir):
     """exactly_once=False keeps the ASA-faithful plain blob append

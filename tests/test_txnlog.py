@@ -540,3 +540,37 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, table):
     # re-cloning onto an existing table is refused
     with pytest.raises(ValueError):
         txnlog.shallow_clone(src, dst)
+
+
+def test_merge_on_shallow_clone_rewrites_not_duplicates(spark, table):
+    """MERGE on a clone whose manifest references the source's dirs by
+    ABSOLUTE path: affected-dir detection must match those dirs (full
+    path, not basename) so matched keys are anti-joined out — a miss
+    keeps the stale rows AND appends the update, silently duplicating
+    every updated key (regression)."""
+    path, df = table
+    src = os.path.join(path, "src")
+    dst = os.path.join(path, "clone")
+    txnlog.commit(df.where("id < 5"), src, "overwrite",
+                  stats_cols=["id"])
+    txnlog.commit(df.where("id >= 5"), src, "append",
+                  stats_cols=["id"])
+    txnlog.shallow_clone(src, dst)
+    updates = df.where("id = 3 or id = 7").select(
+        "id", (F.col("v") + 1000).alias("v"))
+    txnlog.merge_upsert(spark, dst, updates, ["id"])
+    got = {r["id"]: r["v"] for r in txnlog.snapshot(spark, dst).collect()}
+    assert len(got) == 10  # no duplicated keys
+    assert got[3] == 3 * 2 + 1000 and got[7] == 7 * 2 + 1000
+    assert got[0] == 0 and got[9] == 18  # untouched rows intact
+    # the source saw nothing
+    src_got = {r["id"]: r["v"]
+               for r in txnlog.snapshot(spark, src).collect()}
+    assert src_got[3] == 6 and src_got[7] == 14
+    # merge deletes work on the clone too (full I/U/D on cloned dirs)
+    changes = spark.createDataFrame(
+        [(1, 0, True), (42, 84, False)], "id long, v long, is_delete boolean")
+    txnlog.merge_apply(spark, dst, changes, ["id"], "is_delete")
+    after = {r["id"]: r["v"] for r in txnlog.snapshot(spark, dst).collect()}
+    assert 1 not in after and after[42] == 84
+    assert len(after) == 10  # 10 - deleted + inserted

@@ -50,14 +50,11 @@ def test_pruned_rollup_equals_plain_filter(spark, result_row):
 def test_kept_buckets_become_partition_filters(spark):
     """The kept-bucket predicate must reach the scan as a partition
     filter (dir-level skipping), not survive as a post-scan Filter."""
-    import os
-
     from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
-        q_zorder_pruned_read)
+        _zorder_out_dir, q_zorder_pruned_read)
 
     q_zorder_pruned_read(spark, SF_SMOKE)  # materializes the layout
-    out = (f"/tmp/spark_graft_write/"
-           f"zorderpr_{os.path.basename(SF_SMOKE.rstrip('/'))}")
+    out = _zorder_out_dir(SF_SMOKE)
     back = spark.read.parquet(out).where(
         F.col("z_bucket").isin([0, 1, 2]))
     plan = back._sc._jvm.PythonSQLUtils.explainString(
