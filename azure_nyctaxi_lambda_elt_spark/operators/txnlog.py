@@ -127,11 +127,52 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_txn_dir(path), f"v{version:08d}.json")
 
 
+def _head_hint_path(path: str) -> str:
+    return os.path.join(_txn_dir(path), "_head")
+
+
+def _write_head_hint(path: str, version: int) -> None:
+    """Best-effort version hint (Delta's ``_last_checkpoint`` role):
+    written AFTER a successful publish, atomically replaced,
+    last-writer-wins.  A stale hint is always safe — readers probe
+    FORWARD from it — and a lost/corrupt hint only costs the listing
+    fallback, so the hint needs no coordination with the commit's
+    test-and-set."""
+    hint = _head_hint_path(path)
+    tmp = f"{hint}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, hint)
+    except OSError:  # hint is an optimization, never a failure
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def latest_version(path: str) -> int | None:
-    """Highest committed version, or None for an uninitialized table."""
+    """Highest committed version, or None for an uninitialized table.
+
+    O(1) on the steady-state path: read the ``_head`` hint and probe
+    forward (hint, hint+1, ...) until the first missing manifest —
+    the hint is written after every commit, so the probe usually
+    checks exactly two keys instead of LISTING the log directory
+    (O(commits), and a paginated LIST call on an object store).
+    Falls back to the full listing when the hint is absent, corrupt,
+    or points at a vacuumed manifest."""
     d = _txn_dir(path)
     if not os.path.isdir(d):
         return None
+    hint = None
+    try:
+        with open(_head_hint_path(path)) as fh:
+            hint = int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
+    if hint is not None and os.path.exists(_manifest_path(path, hint)):
+        v = hint
+        while os.path.exists(_manifest_path(path, v + 1)):
+            v += 1
+        return v
     versions = [
         int(f[1:-5]) for f in os.listdir(d)
         if f.startswith("v") and f.endswith(".json")
@@ -257,6 +298,7 @@ def _commit_manifest(path: str, version: int, mode: str,
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+    _write_head_hint(path, version)  # only the publish WINNER advances
     return version
 
 

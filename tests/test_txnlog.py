@@ -444,6 +444,32 @@ def test_racing_writers_through_double_exactly_one_wins(
     assert len(man["dirs"]) == 1
 
 
+def test_head_hint_fast_path_and_fallbacks(spark, table):
+    """latest_version rides the _head hint (O(1): no directory LIST on
+    the steady path) and must stay correct when the hint is stale,
+    corrupt, or missing — forward probe / listing fallback."""
+    path, df = table
+    txnlog.commit(df.where("id < 5"), path, "overwrite")
+    txnlog.commit(df.where("id >= 5"), path, "append")
+    hint = os.path.join(path, "_txn", "_head")
+    assert open(hint).read() == "1"
+    assert txnlog.latest_version(path) == 1
+    # stale hint (a crashed writer never advanced it): probe forward
+    with open(hint, "w") as fh:
+        fh.write("0")
+    assert txnlog.latest_version(path) == 1
+    # corrupt hint: listing fallback
+    with open(hint, "w") as fh:
+        fh.write("not-a-version")
+    assert txnlog.latest_version(path) == 1
+    # missing hint: listing fallback, next commit rewrites it
+    os.remove(hint)
+    assert txnlog.latest_version(path) == 1
+    txnlog.commit(df.where("id = 0"), path, "append")
+    assert open(hint).read() == "2"
+    assert txnlog.latest_version(path) == 2
+
+
 def test_commit_with_retry_recomputes_against_new_parent(
         spark, table, memory_store):
     """Automatic conflict retry: a competing writer lands v1 between
