@@ -38,6 +38,7 @@ import itertools
 import json
 import os
 import shutil
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -185,20 +186,29 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _json_safe(v):
+    """Normalize a collected stats value for the manifest (and for
+    probes compared AGAINST manifest envelopes — both sides must go
+    through the same mapping or comparisons cross types): dates and
+    timestamps as ISO strings (string order == time order), Decimal
+    as float (exact under 2^53 — money at scale 2 stays exact to
+    ~9e15; pruning only needs order)."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v if isinstance(v, (int, float, str, type(None))) \
+        else v.isoformat()
+
+
 def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
     """Per-column [min, max] of ``df`` plus its row count, as JSON-safe
-    values (dates and timestamps as ISO strings — string order == time
-    order).  One aggregation job covers all columns and the count."""
+    values.  One aggregation job covers all columns and the count."""
     aggs = [F.count("*").alias("__n")]
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
-
-    def js(v):
-        return v if isinstance(v, (int, float, str, type(None))) \
-            else v.isoformat()
-
-    return ({c: [js(row[f"__lo_{c}"]), js(row[f"__hi_{c}"])]
+    return ({c: [_json_safe(row[f"__lo_{c}"]), _json_safe(row[f"__hi_{c}"])]
              for c in cols}, int(row["__n"]))
 
 
@@ -228,7 +238,13 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     dirs = [name]
     stats, rows = {}, {}
     if stats_cols:
-        cstats, n = _col_stats(df, stats_cols)
+        # stats come from the WRITTEN files, not a re-aggregation of
+        # df: a nondeterministic lineage (rand/sample/range-sample)
+        # could evaluate differently the second time and record an
+        # envelope that excludes rows actually in the dir — pruning
+        # would then silently drop them
+        cstats, n = _col_stats(
+            df.sparkSession.read.parquet(data_dir), stats_cols)
         stats, rows = {name: cstats}, {name: n}
     if mode == "append" and parent is not None:
         pman = _read_manifest(path, parent)
@@ -330,7 +346,11 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
     keys (updated OR deleted) rewrite; a delete whose key is absent is
     a no-op; prior versions stay time-travelable."""
     keys_src = changes.select(*key_cols).distinct()
-    upserts = changes.where(~F.col(delete_col)).drop(delete_col)
+    # NULL delete flag means NOT a delete: bare ~col(delete_col) is
+    # NULL for NULL input, silently dropping the row from upserts
+    # while its key still gets removed — an accidental delete
+    upserts = changes.where(
+        ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
     parent = latest_version(path)
     if parent is None:
         return commit(upserts, path, "overwrite")
@@ -359,8 +379,15 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         kc = key_cols[0]
         krow = keys.agg(F.min(kc).alias("lo"), F.max(kc).alias("hi")) \
             .collect()[0]
-        candidates = [d for d in candidates
-                      if _overlaps(stats, d, kc, krow["lo"], krow["hi"])]
+        # probe values go through the SAME normalization the manifest
+        # stats did (ISO strings for timestamps, float for Decimal) —
+        # raw collect() values would compare cross-type and throw
+        lo, hi = _json_safe(krow["lo"]), _json_safe(krow["hi"])
+        if lo is None or hi is None:
+            candidates = []  # empty updates: no key can match any dir
+        else:
+            candidates = [d for d in candidates
+                          if _overlaps(stats, d, kc, lo, hi)]
     # ONE probe job over all candidate dirs (not one job per dir — a
     # long-appended table would otherwise pay thousands of serial tiny
     # jobs): multi-path scan tagged with the owning dir via
@@ -382,7 +409,10 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                         r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"),
                     r"/[^/]*$", ""))
             .join(bkeys, key_cols, "left_semi"))
-        hit = {r["__dir"]
+        # input_file_name is a URI: percent-decode so paths with
+        # spaces/non-ASCII compare equal to os.path.abspath (unquote,
+        # not unquote_plus — a literal '+' must survive)
+        hit = {urllib.parse.unquote(r["__dir"])
                for r in tagged.select("__dir").distinct().collect()}
         affected = [
             d for d in candidates
@@ -407,7 +437,11 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     kept_rows = {d: n for d, n in prows.items() if d in dirs}
     stat_cols = sorted({c for s in stats.values() for c in s})
     if stat_cols:
-        cstats, n = _col_stats(rewritten, stat_cols)
+        # from the WRITTEN dir, not the rewritten lineage: avoids
+        # re-executing the anti-join ∪ upserts and pins the envelope
+        # to the rows actually on disk (see commit())
+        cstats, n = _col_stats(
+            spark.read.parquet(data_dir), stat_cols)
         new_name = os.path.basename(data_dir)
         kept_stats[new_name] = cstats
         kept_rows[new_name] = n
@@ -478,12 +512,29 @@ def compact(spark: SparkSession, path: str,
     man = _read_manifest(path, v)
     if len(man["dirs"]) <= target_dirs:
         return None
-    snap = snapshot(spark, path)
+    # pin BOTH the snapshot version and the commit target: routing
+    # through commit() would re-resolve the parent, so a writer
+    # landing v+1 between our snapshot and our publish would be
+    # silently overwritten by v's compacted content (lost update);
+    # pinning makes that race a TxnConflict instead — retryable via
+    # commit_with_retry, never silent
+    version = v + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    snap = snapshot(spark, path, v)
+    data_dir = _claim_data_dir(path, version)
+    snap.write.mode("overwrite").parquet(data_dir)
+    name = os.path.basename(data_dir)
     stat_cols = sorted({c for s in man.get("stats", {}).values()
                         for c in s})
-    return commit(snap, path, "overwrite",
-                  meta={"compacted_from": len(man["dirs"])},
-                  stats_cols=stat_cols or None)
+    stats, rows = {}, {}
+    if stat_cols:
+        cstats, n = _col_stats(
+            spark.read.parquet(data_dir), stat_cols)
+        stats, rows = {name: cstats}, {name: n}
+    return _commit_manifest(
+        path, version, "overwrite", [name],
+        {"compacted_from": len(man["dirs"])}, stats, rows)
 
 
 def restore(path: str, to_version: int) -> int:
@@ -638,6 +689,18 @@ def vacuum(path: str, keep_latest: int = 2,
             m = _manifest_path(path, v)
             if os.path.exists(m):
                 os.remove(m)
+    # GC bloom sidecars of the dropped dirs (operators/bloomindex.py
+    # names them <quote(dirname)>.<col>.json under _txn/bloom) — a
+    # sidecar for a vacuumed dir is dead weight; sidecars for a
+    # CLONE's source-referencing dirs encode absolute paths and are
+    # untouched by the clone's own dir removals
+    bloom_root = os.path.join(_txn_dir(path), "bloom")
+    if removed and os.path.isdir(bloom_root):
+        prefixes = tuple(
+            urllib.parse.quote(name, safe="") + "." for name in removed)
+        for f in os.listdir(bloom_root):
+            if f.startswith(prefixes):
+                os.remove(os.path.join(bloom_root, f))
     return removed
 
 

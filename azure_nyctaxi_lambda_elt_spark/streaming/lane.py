@@ -130,6 +130,33 @@ def _reset(*dirs: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _crash_safe_swap(state_dir: str) -> None:
+    """Promote ``state_dir + '_tmp'`` to ``state_dir``, parking the
+    previous copy at ``state_dir + '_old'`` during the swap: a crash
+    between the renames leaves a COMPLETE recoverable copy (tmp or
+    old) — a bare delete-then-rename has a window where no state
+    exists at all, and on resume the checkpoint marks the source
+    files as seen so lost accumulations are never rebuilt."""
+    tmp, old = state_dir + "_tmp", state_dir + "_old"
+    _reset(old)
+    if os.path.exists(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    _reset(old)
+
+
+def _read_state(spark_b: SparkSession, state_dir: str):
+    """Current accumulated state, recovering the parked ``_old`` copy
+    if a crash hit mid-swap.  None when no state exists yet."""
+    try:
+        return spark_b.read.parquet(state_dir)
+    except Exception:
+        try:
+            return spark_b.read.parquet(state_dir + "_old")
+        except Exception:
+            return None
+
+
 def _run_available_now(writer_builder) -> None:
     q = writer_builder.trigger(availableNow=True).start()
     q.awaitTermination()
@@ -182,33 +209,64 @@ def _commit_raw_batch(table: str, batch: DataFrame,
         batch.withColumn("__date", F.to_date("ts"))
         .withColumn("__hour", F.hour("ts")),
         table, "append", meta={"batch_id": batch_id})
+    _advance_stream_high(table, batch_id)
+
+
+def _stream_high_path(table: str) -> str:
+    return os.path.join(table, "_txn", "_stream_high")
+
+
+def _advance_stream_high(table: str, batch_id: int) -> None:
+    """Best-effort monotone watermark sidecar, written AFTER the txn
+    commit lands.  Belt to the manifest walk's braces: if vacuum has
+    dropped every manifest that carried a batch_id (a long maintenance
+    run after the last batch), the walk alone would return -1 and
+    reopen the duplicate-redelivery hole; the sidecar survives vacuum.
+    A crash between commit and sidecar write is covered the other way
+    round — the manifest walk still sees the committed batch."""
+    p = _stream_high_path(table)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, p)
+    except OSError:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _committed_batch_high(table: str) -> int:
-    """Highest batch_id durably committed to ``table`` — walking the
-    manifest history NEWEST-FIRST and returning the first batch_id
-    found.  Reading only the latest manifest is wrong: an interleaved
-    non-stream commit (compact / restore / merge on the raw table)
-    carries no batch_id, and a latest-only read would reset the
-    watermark to -1 and let a redelivered batch re-land duplicates.
-    Stream batch ids are monotone, so the NEWEST manifest carrying one
-    holds the high watermark; the walk costs one tiny JSON read per
-    non-stream commit since the last batch (O(1) in steady state).
-    Manifests vacuumed away can only predate retained ones — never
-    the watermark holder."""
+    """Highest batch_id durably committed to ``table``: max of the
+    manifest-history walk (newest-first, first batch_id found — batch
+    ids are monotone so the newest holder is the max) and the
+    ``_stream_high`` sidecar.  Reading only the LATEST manifest is
+    wrong — an interleaved non-stream commit (compact / restore /
+    merge) carries no batch_id and would reset the watermark to -1,
+    re-landing a redelivered batch as duplicates.  The walk covers a
+    crash between commit and sidecar write; the sidecar covers
+    manifests vacuumed past the last stream commit.  O(1) JSON reads
+    in steady state."""
     from ..operators import txnlog
 
+    walk = -1
     v = txnlog.latest_version(table)
     while v is not None and v >= 0:
         try:
             man = txnlog._read_manifest(table, v)
-        except FileNotFoundError:  # vacuumed tail: nothing older helps
+        except FileNotFoundError:  # vacuumed tail
             break
         b = man.get("meta", {}).get("batch_id")
         if b is not None:
-            return b
+            walk = b
+            break
         v -= 1
-    return -1
+    side = -1
+    try:
+        with open(_stream_high_path(table)) as fh:
+            side = int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
+    return max(walk, side)
 
 
 def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -351,18 +409,13 @@ def run_windowed_audit(spark: SparkSession, sf_dir: str, out_dir: str,
         # update-mode emissions are the COMPLETE current totals per
         # window → merge is replace-by-key (latest emission wins)
         spark_b = batch.sparkSession
-        try:
-            prev = spark_b.read.parquet(audit_dir)
-        except Exception:
-            prev = None
+        prev = _read_state(spark_b, audit_dir)
         merged = batch if prev is None else (
             prev.join(batch.select("hour_bucket"), "hour_bucket", "left_anti")
             .unionByName(batch)
         )
-        tmp = audit_dir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        _reset(audit_dir)
-        os.rename(tmp, audit_dir)
+        merged.write.mode("overwrite").parquet(audit_dir + "_tmp")
+        _crash_safe_swap(audit_dir)
 
     _run_available_now(
         agg.writeStream.outputMode("update").foreachBatch(merge_counts)
@@ -420,20 +473,15 @@ def run_quality_log(spark: SparkSession, sf_dir: str, out_dir: str,
             one(~F.col("__miss") & F.col("__neg")).alias("negative_values"),
             one(~F.col("__miss") & ~F.col("__neg") & F.col("__bad"))
             .alias("bad_duration")))
-        try:
-            prev = spark_b.read.parquet(log_dir)
-        except Exception:
-            prev = None
+        prev = _read_state(spark_b, log_dir)
         merged = part if prev is None else (
             prev.unionByName(part)
             .groupBy("run_id", "hour_bucket")
             .agg(*[F.sum(c).cast("bigint").alias(c)
                    for c in ("good_rows", "dlq_rows", "missing_required",
                              "negative_values", "bad_duration")]))
-        tmp = log_dir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        _reset(log_dir)
-        os.rename(tmp, log_dir)
+        merged.write.mode("overwrite").parquet(log_dir + "_tmp")
+        _crash_safe_swap(log_dir)
 
     _run_available_now(
         flagged.writeStream.foreachBatch(merge_log)
@@ -608,16 +656,11 @@ def run_upsert(spark: SparkSession, sf_dir: str, out_dir: str,
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         incoming = latest_wins(batch, ["trip_uid"], _order_by())
-        try:
-            prev = spark_b.read.parquet(wh_dir)
-        except Exception:
-            prev = None
+        prev = _read_state(spark_b, wh_dir)
         merged = incoming if prev is None else latest_wins(
             prev.unionByName(incoming), ["trip_uid"], _order_by())
-        tmp = wh_dir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        _reset(wh_dir)
-        os.rename(tmp, wh_dir)
+        merged.write.mode("overwrite").parquet(wh_dir + "_tmp")
+        _crash_safe_swap(wh_dir)
 
     _run_available_now(
         slice_stream.writeStream.foreachBatch(upsert)
@@ -718,25 +761,10 @@ def run_distinct_sketch(spark: SparkSession, sf_dir: str,
     def merge_survivors(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         part = batch.distinct()
-        try:
-            prev = spark_b.read.parquet(state_dir)
-        except Exception:
-            try:  # mid-swap crash: the parked copy is the state
-                prev = spark_b.read.parquet(state_dir + "_old")
-            except Exception:
-                prev = None
+        prev = _read_state(spark_b, state_dir)
         merged = part if prev is None else prev.unionByName(part).distinct()
-        tmp = state_dir + "_tmp"
-        old = state_dir + "_old"
-        merged.write.mode("overwrite").parquet(tmp)
-        # crash-safe swap: park the old state aside before promoting the
-        # new one, so a crash between the two renames leaves a complete
-        # recoverable copy (either tmp or old) instead of nothing
-        _reset(old)
-        if os.path.exists(state_dir):
-            os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
-        _reset(old)
+        merged.write.mode("overwrite").parquet(state_dir + "_tmp")
+        _crash_safe_swap(state_dir)
 
     _run_available_now(
         surv.writeStream.foreachBatch(merge_survivors)
@@ -773,11 +801,14 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        committed = txnlog.latest_meta(table).get("batch_id", -1)
-        if batch_id <= committed:
+        # same watermark rule as _commit_raw_batch: latest-only meta
+        # would reset to -1 after an interleaved compact/restore and
+        # re-land a redelivered batch
+        if batch_id <= _committed_batch_high(table):
             return  # redelivery: already durably committed
         txnlog.commit(batch, table, "append",
                       meta={"batch_id": batch_id})
+        _advance_stream_high(table, batch_id)
 
     _run_available_now(
         ev.writeStream.foreachBatch(commit_batch)

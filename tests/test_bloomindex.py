@@ -88,6 +88,24 @@ def test_pruned_content_equals_plain_filter(spark, table):
     assert got == want
 
 
+def test_vacuum_drops_sidecars_of_removed_dirs(spark, table):
+    """VACUUM reclaims the bloom sidecars of the dirs it removes —
+    dead index bytes must not accumulate with table churn."""
+    path, _ = table
+    bloomindex.build_bloom_index(spark, path, "id")
+    root = os.path.join(path, "_txn", "bloom")
+    assert len(os.listdir(root)) == 3
+    # overwrite makes the three old dirs unreachable, vacuum drops
+    # them and their sidecars together
+    df2 = spark.range(5).select(F.col("id"), F.lit(0).alias("v"))
+    txnlog.commit(df2, path, "overwrite")
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0.0)
+    assert len(removed) == 3
+    assert os.listdir(root) == []
+    # the live table still reads fine
+    assert txnlog.snapshot(spark, path).count() == 5
+
+
 def test_pack_bits_roundtrip_property():
     """Bitmap packing: exactly the given positions read back set —
     membership can neither lose a bit (false negative) nor invent

@@ -434,6 +434,61 @@ def test_raw_archive_watermark_survives_interleaved_commits(
     assert txnlog.snapshot(spark, table).count() == n + 3
 
 
+def test_raw_archive_watermark_survives_vacuumed_manifests(
+        spark, feed_dir):
+    """Even when VACUUM has dropped every manifest that carried a
+    batch_id (long maintenance run after the last stream batch), the
+    _stream_high sidecar must hold the watermark — the manifest walk
+    alone would return -1 and re-land a redelivered batch."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        _commit_raw_batch, _committed_batch_high)
+
+    table = os.path.join(OUT, "raw_commit_vacuum")
+    shutil.rmtree(table, ignore_errors=True)
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(10)
+    _commit_raw_batch(table, batch, 0)
+    _commit_raw_batch(table, batch.limit(4), 1)
+    n = txnlog.snapshot(spark, table).count()
+    # two maintenance commits, then vacuum retains only them — every
+    # batch_id-carrying manifest is gone
+    txnlog.compact(spark, table)
+    txnlog.restore(table, txnlog.latest_version(table))
+    txnlog.vacuum(table, keep_latest=2, grace_seconds=0.0)
+    assert _committed_batch_high(table) == 1  # sidecar survives
+    _commit_raw_batch(table, batch.limit(4), 1)  # redelivery
+    assert txnlog.snapshot(spark, table).count() == n
+    _commit_raw_batch(table, batch.limit(2), 2)  # new batch lands
+    assert txnlog.snapshot(spark, table).count() == n + 2
+
+
+def test_state_swap_recovers_from_mid_swap_crash(spark):
+    """_crash_safe_swap + _read_state: a crash between the park and
+    the promote leaves the state readable from the parked copy; the
+    next merge heals it."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        _crash_safe_swap, _read_state)
+
+    state = os.path.join(OUT, "swap_state")
+    for suffix in ("", "_tmp", "_old"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    df1 = spark.range(5)
+    df1.write.parquet(state)
+    # normal swap: tmp promotes, no _old residue
+    spark.range(7).write.parquet(state + "_tmp")
+    _crash_safe_swap(state)
+    assert _read_state(spark, state).count() == 7
+    assert not os.path.exists(state + "_old")
+    # simulated mid-swap crash: old parked, promote never happened
+    os.rename(state, state + "_old")
+    assert _read_state(spark, state).count() == 7  # recovered from _old
+    # the next round's swap heals the layout
+    spark.range(9).write.parquet(state + "_tmp")
+    _crash_safe_swap(state)
+    assert _read_state(spark, state).count() == 9
+    assert not os.path.exists(state + "_old")
+
+
 def test_raw_archive_at_least_once_mode_still_lands_blob_layout(
         spark, feed_dir):
     """exactly_once=False keeps the ASA-faithful plain blob append

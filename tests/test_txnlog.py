@@ -444,6 +444,97 @@ def test_racing_writers_through_double_exactly_one_wins(
     assert len(man["dirs"]) == 1
 
 
+def test_compact_race_conflicts_instead_of_losing_update(
+        spark, table, memory_store):
+    """A commit landing between compact's snapshot and its publish
+    must surface as TxnConflict (retryable), NEVER be silently
+    overwritten by the compacted old content (lost update)."""
+    path, df = table
+    txnlog.commit(df.where("id < 5"), path, "overwrite")
+    txnlog.commit(df.where("id >= 5 and id < 8"), path, "append")
+
+    orig = memory_store.publish
+    state = {"injected": False}
+
+    def hijack(final, tmp):
+        if not state["injected"]:
+            state["injected"] = True
+            memory_store.publish = orig
+            # a writer lands v2 while compact is mid-flight
+            txnlog.commit(df.where("id >= 8"), path, "append")
+        orig(final, tmp)
+
+    memory_store.publish = hijack
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.compact(spark, path)
+    # nothing lost: the concurrent append's rows are all present
+    assert txnlog.snapshot(spark, path).count() == 10
+    # and the standard retry path compacts the WINNER's table state
+    v = txnlog.commit_with_retry(lambda: txnlog.compact(spark, path))
+    assert v == 3
+    assert txnlog.snapshot(spark, path).count() == 10
+    assert len(txnlog._read_manifest(path, v)["dirs"]) == 1
+
+
+def test_merge_apply_null_delete_flag_is_upsert(spark, table):
+    """A NULL delete flag means NOT a delete: the row must upsert,
+    not silently vanish (regression: ~NULL filtered it from upserts
+    while its key was still removed)."""
+    path, df = table
+    txnlog.commit(df, path, "overwrite")
+    changes = spark.createDataFrame(
+        [(3, 999, None), (4, 444, False), (5, 0, True)],
+        "id long, v long, is_delete boolean")
+    txnlog.merge_apply(spark, path, changes, ["id"], "is_delete")
+    got = {r["id"]: r["v"] for r in txnlog.snapshot(spark, path).collect()}
+    assert got[3] == 999  # NULL flag -> upserted, not deleted
+    assert got[4] == 444
+    assert 5 not in got   # true flag -> deleted
+    assert len(got) == 9
+
+
+def test_merge_stats_fast_path_handles_typed_and_empty_keys(
+        spark, table):
+    """The single-key stats fast path compares probe values against
+    JSON-normalized manifest envelopes: timestamp keys must not
+    cross-compare str vs datetime, and an EMPTY updates frame is a
+    no-op merge, not a TypeError on None bounds."""
+    import datetime
+
+    path, _ = table
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), i) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    txnlog.commit(df.where("v < 5"), path, "overwrite",
+                  stats_cols=["ts"])
+    txnlog.commit(df.where("v >= 5"), path, "append", stats_cols=["ts"])
+    upd = spark.createDataFrame(
+        [(base + datetime.timedelta(days=2), 222)], "ts timestamp, v long")
+    txnlog.merge_upsert(spark, path, upd, ["ts"])
+    got = {r["v"] for r in txnlog.snapshot(spark, path).collect()}
+    assert 222 in got and 2 not in got and len(got) == 10
+    # empty updates: merge commits cleanly with nothing rewritten
+    txnlog.merge_upsert(spark, path, upd.limit(0), ["ts"])
+    assert txnlog.snapshot(spark, path).count() == 10
+
+
+def test_decimal_stats_column_commits_and_prunes(spark, table):
+    """stats_cols on a DECIMAL column (the money convention) must
+    record a numeric envelope, not crash on Decimal.isoformat."""
+    path, _ = table
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5).cast("decimal(18,2)").alias("amount"))
+    txnlog.commit(df.where("id < 5"), path, "overwrite",
+                  stats_cols=["amount"])
+    txnlog.commit(df.where("id >= 5"), path, "append",
+                  stats_cols=["amount"])
+    assert txnlog.metadata_count(path) == 10
+    # pruning on the decimal envelope skips the disjoint dir
+    snap = txnlog.snapshot(spark, path, prune=("amount", 0.0, 1.0))
+    assert snap.count() == 5  # only the id<5 dir survives
+
+
 def test_head_hint_fast_path_and_fallbacks(spark, table):
     """latest_version rides the _head hint (O(1): no directory LIST on
     the steady path) and must stay correct when the hint is stale,
