@@ -18,8 +18,11 @@ txn log's dir grain:
   dir without a sidecar is always scanned (pruning stays
   conservative, exactly like manifest stats);
 - probes hash with the SAME Spark expression (one tiny job over the
-  probe values), so build and probe can never disagree on the hash —
-  a false negative is structurally impossible;
+  probe values) and each sidecar RECORDS the physical dtype it hashed
+  (xxhash64 hashes an INT and a LONG differently), so build and probe
+  can never disagree on hash or type — even when dirs drift types
+  across commits via schema evolution — and a false negative is
+  structurally impossible;
 - a pruned read keeps a dir iff ANY probe value has all k bits set
   in that dir's bitmap; missing rows are impossible, extra dirs are
   only a false-positive cost (~0.9% per key at the default m=32768,
@@ -98,31 +101,50 @@ def _bit_set(packed: bytes, p: int) -> bool:
 
 def build_bloom_index(spark: SparkSession, path: str, col: str,
                       version: int | None = None,
-                      m: int = BLOOM_M, k: int = BLOOM_K) -> list[str]:
+                      m: int = BLOOM_M, k: int = BLOOM_K,
+                      only_dirs: list[str] | None = None) -> list[str]:
     """Build the (dir, ``col``) Bloom sidecars missing for ``version``
     (default latest) and return the dir names built.  Incremental by
     construction: dirs already indexed are skipped, so appending the
-    Nth commit costs one agg job over the NEW dir only."""
+    Nth commit costs one agg job over the NEW dir only.
+    ``only_dirs`` narrows the candidate set further (the commit-time
+    hook passes exactly the dir it just wrote, skipping even the
+    existence probes on old sidecars).
+
+    Each sidecar records the ``simpleString`` of the Spark dtype it
+    hashed: per-dir physical types can DRIFT across commits (schema
+    evolution, e.g. int→bigint), and a probe hashed at the wrong
+    dtype silently misses every bit — sidecar-recorded dtype makes
+    the probe side per-dir exact.  A dir whose parquet schema lacks
+    ``col`` entirely gets an all-zero bitmap with dtype ``"absent"``:
+    its rows read back NULL for the column, and an IN-list predicate
+    never matches NULL, so pruning such a dir can never drop a row."""
     v = txnlog.latest_version(path) if version is None else version
     if v is None:
         return []
     man = txnlog._read_manifest(path, v)
     os.makedirs(_bloom_root(path), exist_ok=True)
     built = []
-    for d in man["dirs"]:
+    targets = man["dirs"] if only_dirs is None else [
+        d for d in man["dirs"] if d in set(only_dirs)]
+    for d in targets:
         side = _sidecar_path(path, d, col)
         if os.path.exists(side):
             continue
         df = spark.read.parquet(os.path.join(path, d))
-        # distinct bit positions: ≤ m rows regardless of dir size —
-        # the collect is index metadata, not data (same class as the
-        # manifest min/max stats collect in txnlog._col_stats)
-        pos = [
-            r["p"] for r in
-            df.select(F.explode(_positions(col, m, k)).alias("p"))
-            .distinct().collect()
-        ]
-        body = {"col": col, "m": m, "k": k,
+        if col not in df.columns:
+            pos, dtype = [], "absent"
+        else:
+            dtype = df.schema[col].dataType.simpleString()
+            # distinct bit positions: ≤ m rows regardless of dir size
+            # — the collect is index metadata, not data (same class as
+            # the manifest min/max stats collect in txnlog._col_stats)
+            pos = [
+                r["p"] for r in
+                df.select(F.explode(_positions(col, m, k)).alias("p"))
+                .distinct().collect()
+            ]
+        body = {"col": col, "m": m, "k": k, "dtype": dtype,
                 "bits": _pack_bits(pos, m)}
         # write-once publish: dirs are immutable so two builders can
         # only ever produce identical bytes — last replace wins
@@ -135,18 +157,20 @@ def build_bloom_index(spark: SparkSession, path: str, col: str,
 
 
 def _probe_positions(spark: SparkSession, values: list, col: str,
-                     m: int, k: int, dtype) -> dict:
-    """Bit positions per probe value, computed with the SAME Spark
-    hash expression the build used (one tiny job over the values).
-    ``dtype`` is the table column's physical type: xxhash64 hashes an
-    INT and a LONG differently, so the probe values must be cast to
-    the type the build hashed or every bit test misses (silent false
-    negatives through Python type inference)."""
+                     m: int, k: int, dtype: str) -> list[list[int]]:
+    """Bit-position lists for the probe values, computed with the SAME
+    Spark hash expression the build used (one tiny job over the
+    values).  ``dtype`` is the sidecar-recorded physical type the
+    build hashed: xxhash64 hashes an INT and a LONG differently, so
+    the probe values must cast to exactly that type or every bit test
+    misses (silent false negatives through Python type inference).
+    Values that cast to NULL for this dtype are dropped — NULL never
+    matches an IN-list equality, so they cannot keep a dir alive."""
     vdf = spark.createDataFrame([(v,) for v in values], [col])
-    cast = vdf.select(F.col(col).cast(dtype).alias(col))
-    rows = cast.select(F.col(col).alias("__v"),
-                       _positions(col, m, k).alias("__p")).collect()
-    return {r["__v"]: list(r["__p"]) for r in rows}
+    cast = vdf.select(F.col(col).cast(dtype).alias(col)) \
+        .where(F.col(col).isNotNull())
+    rows = cast.select(_positions(col, m, k).alias("__p")).collect()
+    return [list(r["__p"]) for r in rows]
 
 
 def prune_dirs(spark: SparkSession, path: str, col: str,
@@ -156,7 +180,16 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
     ``version`` (default latest).  A dir is kept iff it has no sidecar
     (conservative) or ANY probe value has all k bits set in its
     bitmap — so every dir that could hold a matching row is kept.
-    An empty ``values`` list matches nothing: kept is empty."""
+    An empty ``values`` list matches nothing: kept is empty.
+
+    Probe positions are computed (one tiny Spark job) and cached PER
+    (m, k, dtype) GROUP: each sidecar recorded the dtype its dir was
+    hashed at, so dirs whose physical types drifted across commits
+    (schema evolution) each get probes hashed at their own type —
+    never the first dir's.  Legacy sidecars without a recorded dtype
+    fall back to THAT dir's own parquet schema; a sidecar recorded as
+    ``"absent"`` (column missing from the dir) can never match a
+    non-NULL probe and is pruned outright."""
     v = txnlog.latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
@@ -164,9 +197,11 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
     all_dirs = list(man["dirs"])
     if not values:
         return [], all_dirs
-    dtype = None
-    probes: dict | None = None
-    probes_mk: tuple | None = None  # the (m, k) probes were built for
+    nn_values = [x for x in values if x is not None]
+    if not nn_values:
+        return [], all_dirs
+    # (m, k, dtype) -> list of per-value position lists
+    probe_cache: dict[tuple, list[list[int]]] = {}
     kept = []
     for d in all_dirs:
         side = _sidecar_path(path, d, col)
@@ -175,19 +210,22 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
             continue
         with open(side) as fh:
             idx = json.load(fh)
-        if probes is None or probes_mk != (idx["m"], idx["k"]):
-            if dtype is None:
-                # the build hashed the column's parquet type — probe
-                # values must cast to it (one schema-only read)
-                dtype = spark.read.parquet(
-                    os.path.join(path, all_dirs[0])
-                ).schema[col].dataType
-            probes = _probe_positions(
-                spark, values, col, idx["m"], idx["k"], dtype)
-            probes_mk = (idx["m"], idx["k"])
+        dtype = idx.get("dtype")
+        if dtype == "absent":
+            continue  # all rows NULL for col: IN-list can't match
+        if dtype is None:
+            # legacy sidecar: the build hashed THIS dir's parquet type
+            sch = spark.read.parquet(os.path.join(path, d)).schema
+            if col not in sch.names:
+                continue
+            dtype = sch[col].dataType.simpleString()
+        key = (idx["m"], idx["k"], dtype)
+        if key not in probe_cache:
+            probe_cache[key] = _probe_positions(
+                spark, nn_values, col, idx["m"], idx["k"], dtype)
         packed = base64.b64decode(idx["bits"])
         if any(all(_bit_set(packed, p) for p in pos)
-               for pos in probes.values()):
+               for pos in probe_cache[key]):
             kept.append(d)
     return kept, all_dirs
 
@@ -200,8 +238,13 @@ def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
     narrows WHICH dirs are scanned; callers still apply the row
     predicate (surviving dirs may be false positives)."""
     kept, all_dirs = prune_dirs(spark, path, col, values, version)
+    v = txnlog.latest_version(path) if version is None else version
+    man = txnlog._read_manifest(path, v)
     if not kept:
-        return (spark.read.parquet(os.path.join(path, all_dirs[0]))
-                .limit(0))
-    return spark.read.parquet(
-        *[os.path.join(path, d) for d in kept])
+        # schema-only frame, under the manifest-recorded table schema
+        # (not all_dirs[0]'s, which is narrower under evolution): the
+        # empty result must carry the same columns a non-empty one
+        # and the plain snapshot would
+        return txnlog._read_dirs(
+            spark, path, all_dirs[:1], man).limit(0)
+    return txnlog._read_dirs(spark, path, kept, man)

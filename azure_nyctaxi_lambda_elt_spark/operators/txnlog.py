@@ -201,6 +201,33 @@ def _json_safe(v):
         else v.isoformat()
 
 
+def _schema_json(df: DataFrame) -> str:
+    return df.schema.json()
+
+
+def _merge_schema_json(parent_json: str | None,
+                       new_json: str) -> str:
+    """Table schema after a write: the parent's field order with the
+    new write's fields merged in (Delta mergeSchema semantics) — new
+    columns append at the end; a field present in both takes the NEW
+    write's type, so an int→bigint generation change reads back as
+    the widened type (Spark's parquet reader upcasts the old files;
+    narrowing would need an explicit overwrite of history, which a
+    plain commit never does)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    new_st = StructType.fromJson(_json.loads(new_json))
+    if not parent_json:
+        return new_json
+    parent_st = StructType.fromJson(_json.loads(parent_json))
+    new_by_name = {f.name: f for f in new_st.fields}
+    fields = [new_by_name.pop(f.name, f) for f in parent_st.fields]
+    fields += [f for f in new_st.fields if f.name in new_by_name]
+    return StructType(fields).json()
+
+
 def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
     """Per-column [min, max] of ``df`` plus its row count, as JSON-safe
     values.  One aggregation job covers all columns and the count."""
@@ -214,7 +241,8 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
 
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
            meta: dict | None = None,
-           stats_cols: list[str] | None = None) -> int:
+           stats_cols: list[str] | None = None,
+           bloom_cols: list[str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     mode='overwrite' → the new version is exactly df's rows;
@@ -224,6 +252,16 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     ``stats_cols`` records per-dir [min, max] column envelopes in the
     manifest (Iceberg-style file stats at dir grain) — snapshot() can
     then prune dirs whose envelope misses a predicate's range.
+    ``bloom_cols`` builds the per-dir Bloom sidecars for point-lookup
+    skipping (operators/bloomindex.py) AT COMMIT TIME, over the NEW
+    dir only, and records the column list in the manifest so every
+    later commit / merge / compact on the table maintains the index
+    without being asked — an index that requires remembering a second
+    job after each commit is missing exactly when needed (the
+    reference's columnstore segment elimination is always-on:
+    sql/batchELT/core/12_trip_clean.dedupe_load.sql's key probes).
+    On append the declared sets UNION with the parent manifest's, so
+    declaring once at table creation is enough.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -246,15 +284,45 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         cstats, n = _col_stats(
             df.sparkSession.read.parquet(data_dir), stats_cols)
         stats, rows = {name: cstats}, {name: n}
+    bcols = sorted(set(bloom_cols or []))
+    # the table schema rides in the manifest (Delta-style): snapshot
+    # reads apply it explicitly, so columns added by later commits
+    # null-backfill over old dirs instead of being silently dropped
+    # by the first-dir-schema default of a multi-path parquet read
+    written = _schema_json(df.sparkSession.read.parquet(data_dir))
+    schema = written
     if mode == "append" and parent is not None:
         pman = _read_manifest(path, parent)
         dirs = pman["dirs"] + dirs
         stats = {**pman.get("stats", {}), **stats}
         rows = {**pman.get("rows", {}), **rows}
+        bcols = sorted(set(bcols) | set(pman.get("bloom_cols", [])))
+        schema = _merge_schema_json(pman.get("schema"), written)
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
-    return _commit_manifest(path, version, mode, dirs, meta, stats,
-                            rows)
+    v = _commit_manifest(path, version, mode, dirs, meta, stats,
+                         rows, bcols, schema)
+    _maintain_bloom(df.sparkSession, path, v, bcols, [name])
+    return v
+
+
+def _maintain_bloom(spark: SparkSession, path: str, version: int,
+                    bloom_cols: list[str],
+                    new_dirs: list[str]) -> None:
+    """Build the declared Bloom sidecars for a commit's NEW dirs —
+    called by the publish WINNER after its manifest lands.  One
+    narrow agg job per (new dir, column); old dirs' sidecars are
+    write-once and never rescanned.  Running after publish keeps the
+    commit's atomicity untouched: a crash here leaves the dir
+    unindexed, which pruning treats conservatively (full scan), never
+    incorrectly."""
+    if not bloom_cols:
+        return
+    from . import bloomindex  # function-scoped: bloomindex imports us
+
+    for c in bloom_cols:
+        bloomindex.build_bloom_index(
+            spark, path, c, version=version, only_dirs=new_dirs)
 
 
 def _claim_data_dir(path: str, version: int) -> str:
@@ -295,7 +363,9 @@ _TMP_SEQ = itertools.count()
 def _commit_manifest(path: str, version: int, mode: str,
                      dirs: list[str], meta: dict | None,
                      stats: dict | None = None,
-                     rows: dict | None = None) -> int:
+                     rows: dict | None = None,
+                     bloom_cols: list[str] | None = None,
+                     schema: str | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -304,9 +374,13 @@ def _commit_manifest(path: str, version: int, mode: str,
     tmp = (_manifest_path(path, version)
            + f".tmp-{os.getpid()}-{next(_TMP_SEQ)}")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "mode": mode, "dirs": dirs,
-                   "meta": meta or {}, "stats": stats or {},
-                   "rows": rows or {}}, fh)
+        body = {"version": version, "mode": mode, "dirs": dirs,
+                "meta": meta or {}, "stats": stats or {},
+                "rows": rows or {},
+                "bloom_cols": bloom_cols or []}
+        if schema is not None:
+            body["schema"] = schema
+        json.dump(body, fh)
     final = _manifest_path(path, version)
     try:
         # atomic-exclusive commit point (see _publish_manifest)
@@ -357,6 +431,9 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
     return _merge_impl(spark, path, keys_src, upserts, key_cols)
 
 
+MERGE_BLOOM_PROBE_CAP = 4096
+
+
 def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                 upserts: DataFrame, key_cols: list[str]) -> int:
     """Shared copy-on-write merge core: remove ``keys_src``'s keys
@@ -388,6 +465,27 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         else:
             candidates = [d for d in candidates
                           if _overlaps(stats, d, kc, lo, hi)]
+    # bloom fast path: on a HIGH-CARDINALITY key whose per-dir
+    # envelopes each span most of the key space, the min/max test
+    # above never prunes (exactly the gap the bloom index exists
+    # for) — probe the declared sidecars with the update keys and
+    # drop dirs whose bitmaps reject every key.  Only engaged for
+    # SMALL update sets (≤ MERGE_BLOOM_PROBE_CAP distinct keys,
+    # checked with a limit-probe, never a full count): the point of
+    # a bloom probe is turning a small MERGE into an O(dirs-touched)
+    # rewrite; a bulk merge's distributed semi-join probe below
+    # already scales and needs no driver-side key list
+    if (len(key_cols) == 1 and candidates
+            and key_cols[0] in man.get("bloom_cols", [])):
+        sample = keys.limit(MERGE_BLOOM_PROBE_CAP + 1).collect()
+        if len(sample) <= MERGE_BLOOM_PROBE_CAP:
+            from . import bloomindex  # function-scoped: imports us
+
+            kept, _ = bloomindex.prune_dirs(
+                spark, path, key_cols[0],
+                [r[0] for r in sample], version=parent)
+            kept_set = set(kept)
+            candidates = [d for d in candidates if d in kept_set]
     # ONE probe job over all candidate dirs (not one job per dir — a
     # long-appended table would otherwise pay thousands of serial tiny
     # jobs): multi-path scan tagged with the owning dir via
@@ -445,9 +543,18 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         new_name = os.path.basename(data_dir)
         kept_stats[new_name] = cstats
         kept_rows[new_name] = n
-    return _commit_manifest(path, version, "merge", dirs,
-                            {"rewrote": affected}, kept_stats,
-                            kept_rows)
+    bcols = man.get("bloom_cols", [])
+    schema = _merge_schema_json(
+        man.get("schema"),
+        _schema_json(spark.read.parquet(data_dir)))
+    v = _commit_manifest(path, version, "merge", dirs,
+                         {"rewrote": affected}, kept_stats,
+                         kept_rows, bcols, schema)
+    # surviving dirs keep their write-once sidecars; only the fresh
+    # dir needs indexing, so the index stays always-on through MERGE
+    _maintain_bloom(spark, path, v, bcols,
+                    [os.path.basename(data_dir)])
+    return v
 
 
 def change_feed(spark: SparkSession, path: str, from_version: int,
@@ -532,9 +639,98 @@ def compact(spark: SparkSession, path: str,
         cstats, n = _col_stats(
             spark.read.parquet(data_dir), stat_cols)
         stats, rows = {name: cstats}, {name: n}
-    return _commit_manifest(
+    bcols = man.get("bloom_cols", [])
+    out = _commit_manifest(
         path, version, "overwrite", [name],
-        {"compacted_from": len(man["dirs"])}, stats, rows)
+        {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
+        man.get("schema"))
+    _maintain_bloom(spark, path, out, bcols, [name])
+    return out
+
+
+def optimize_zorder(spark: SparkSession, path: str, col_a: str,
+                    col_b: str, shuffle_partitions: int = 32) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY (a, b)`` as a TRANSACTION-LOG
+    commit: rewrite the current snapshot clustered by the Morton
+    interleave of (``col_a``, ``col_b``) — one manifest dir per
+    Z-bucket, each with restated per-dir [min, max] envelopes over
+    the zorder columns (plus any previously tracked stats columns) —
+    and publish it atomically as the next version.
+
+    Content is untouched (pure layout change, like compact()); prior
+    versions stay time-travelable; and because the envelopes live in
+    MANIFEST STATS, the pruned read is the ordinary
+    ``snapshot(prune=[(a, lo, hi), (b, lo, hi)])`` every other
+    skipping read uses — no ad-hoc sidecar path.  A rectangle query
+    then opens only the buckets whose envelope reaches it, and
+    Z-order keeps both dimensions' envelopes tight at once (a 1-D
+    sort would prune on one column only).
+
+    Scale shape: one stats agg (4 scalars), one map-side bucket-id
+    expression, ONE repartitionByRange shuffle for the rewrite, one
+    partial-agg groupBy over the written layout for the envelopes
+    (≤2^(64-2·Z_BITS+...) — bounded by the ≤256 bucket count), two
+    JSON I/Os for the commit.  Declared bloom columns are re-indexed
+    per bucket dir by the same commit-time hook as every write."""
+    from .maintenance import Z_BUCKET_SHIFT, zorder_value
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    # pin BOTH ends like compact(): a writer landing v+1 between our
+    # snapshot and our publish must surface as TxnConflict, not a
+    # silent lost update
+    version = v + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    snap = snapshot(spark, path, v)
+    a = F.col(col_a).cast("bigint")
+    b = F.col(col_b).cast("bigint")
+    st = snap.agg(
+        F.min(a).alias("amin"), F.max(a).alias("amax"),
+        F.min(b).alias("bmin"), F.max(b).alias("bmax")).collect()[0]
+    clustered = (
+        snap.withColumn("__zs_amin", F.lit(st["amin"]))
+        .withColumn("__zs_amax", F.lit(st["amax"]))
+        .withColumn("__zs_bmin", F.lit(st["bmin"]))
+        .withColumn("__zs_bmax", F.lit(st["bmax"]))
+        .withColumn("__zb",
+                    F.shiftright(zorder_value(a, b), Z_BUCKET_SHIFT)
+                    .cast("int"))
+        .drop("__zs_amin", "__zs_amax", "__zs_bmin", "__zs_bmax"))
+    data_dir = _claim_data_dir(path, version)
+    # partitionBy folds __zb into the dir names, so each bucket dir
+    # reads back with exactly the table schema — the bucket id is a
+    # layout artifact, not a data column
+    (clustered.repartitionByRange(shuffle_partitions, "__zb")
+     .write.partitionBy("__zb").mode("overwrite").parquet(data_dir))
+    name = os.path.basename(data_dir)
+    stat_cols = sorted({c for s in man.get("stats", {}).values()
+                        for c in s} | {col_a, col_b})
+    # per-bucket envelopes + row counts in ONE partial-agg job over
+    # the written layout (stats from disk, not lineage — see commit())
+    aggs = [F.count("*").alias("__n")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"),
+                 F.max(c).alias(f"__hi_{c}")]
+    brows = (spark.read.parquet(data_dir)
+             .groupBy("__zb").agg(*aggs).collect())
+    dirs, stats, rows = [], {}, {}
+    for r in sorted(brows, key=lambda r: r["__zb"]):
+        d = f"{name}/__zb={r['__zb']}"
+        dirs.append(d)
+        stats[d] = {c: [_json_safe(r[f"__lo_{c}"]),
+                        _json_safe(r[f"__hi_{c}"])] for c in stat_cols}
+        rows[d] = int(r["__n"])
+    bcols = man.get("bloom_cols", [])
+    out = _commit_manifest(
+        path, version, "overwrite", dirs,
+        {"zorder_by": [col_a, col_b],
+         "clustered_from": len(man["dirs"])}, stats, rows, bcols,
+        man.get("schema"))
+    _maintain_bloom(spark, path, out, bcols, dirs)
+    return out
 
 
 def restore(path: str, to_version: int) -> int:
@@ -552,7 +748,8 @@ def restore(path: str, to_version: int) -> int:
     return _commit_manifest(
         path, v + 1, "overwrite", man["dirs"],
         {"restored_from": to_version},
-        man.get("stats", {}), man.get("rows", {}))
+        man.get("stats", {}), man.get("rows", {}),
+        man.get("bloom_cols", []), man.get("schema"))
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -581,7 +778,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     os.makedirs(dst, exist_ok=True)
     return _commit_manifest(
         dst, 0, "overwrite", abs_dirs,
-        {"cloned_from": src_abs, "source_version": v}, stats, rows)
+        {"cloned_from": src_abs, "source_version": v}, stats, rows,
+        man.get("bloom_cols", []), man.get("schema"))
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -620,33 +818,72 @@ def _overlaps(stats: dict, d: str, col: str, lo, hi) -> bool:
     return not (env[1] < lo or env[0] > hi)
 
 
+def prune_plan(path: str, version: int | None,
+               predicates: list[tuple]) -> tuple[list[str], list[str]]:
+    """(kept_dir_names, all_dir_names) for a conjunction of range
+    predicates ``[(col, lo, hi), ...]`` against a version's manifest
+    stats — the skipping DECISION without the read, so callers (and
+    tests) can observe how many dirs a predicate opens.  A dir
+    survives only if its envelope overlaps EVERY range; dirs without
+    stats always survive (conservative)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    stats = man.get("stats", {})
+    kept = [d for d in man["dirs"]
+            if all(_overlaps(stats, d, col, lo, hi)
+                   for (col, lo, hi) in predicates)]
+    return kept, list(man["dirs"])
+
+
 def snapshot(spark: SparkSession, path: str,
              version: int | None = None,
-             prune: tuple | None = None) -> DataFrame:
+             prune: tuple | list | None = None) -> DataFrame:
     """Snapshot-isolated read of ``path`` at ``version`` (default:
     latest).  Reads exactly the dirs that version's manifest lists —
     concurrent commits and crashed half-writes are invisible.
 
     ``prune=(col, lo, hi)`` skips dirs whose manifest [min, max]
     envelope for ``col`` misses the range (Iceberg-style stats
-    pruning).  Pruning only narrows WHICH dirs are scanned; callers
-    still apply their row predicate — surviving dirs may carry rows
-    outside the range."""
+    pruning); a LIST of such triples prunes on their conjunction —
+    the multi-column form a Z-ordered layout exists for, where each
+    clustered dir is tight on SEVERAL columns at once
+    (optimize_zorder).  Pruning only narrows WHICH dirs are scanned;
+    callers still apply their row predicate — surviving dirs may
+    carry rows outside the range."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
     names = man["dirs"]
     if prune is not None:
-        col, lo, hi = prune
-        names = [d for d in names
-                 if _overlaps(man.get("stats", {}), d, col, lo, hi)]
+        preds = prune if isinstance(prune[0], (list, tuple)) \
+            else [prune]
+        names, _ = prune_plan(path, v, list(preds))
         if not names:
-            return spark.read.parquet(
-                os.path.join(path, man["dirs"][0])).limit(0)
-    dirs = [os.path.join(path, d) for d in names]
+            names = man["dirs"][:1]
+            return _read_dirs(spark, path, names, man).limit(0)
     # one multi-path scan, not a union chain: a long-appended table
     # (thousands of commits) stays a single FileScan node
+    return _read_dirs(spark, path, names, man)
+
+
+def _read_dirs(spark: SparkSession, path: str, names: list[str],
+               man: dict) -> DataFrame:
+    """Scan manifest dirs under the manifest-recorded table schema
+    when present: an explicit read schema makes columns added by
+    later commits null-backfill over pre-evolution dirs (and old
+    narrower int files upcast), where the multi-path parquet default
+    would silently take the FIRST dir's schema and drop them.
+    Manifests from before schema recording read as before."""
+    dirs = [os.path.join(path, d) for d in names]
+    sch = man.get("schema")
+    if sch:
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(sch))
+        return spark.read.schema(st).parquet(*dirs)
     return spark.read.parquet(*dirs)
 
 
@@ -676,7 +913,11 @@ def vacuum(path: str, keep_latest: int = 2,
     now = time.time()
     removed = []
     for entry in sorted(os.listdir(path)):
-        if entry.startswith("data-v") and entry not in live:
+        # a manifest may reference a SUBDIR of a claimed dir (one
+        # entry per Z-bucket after optimize_zorder) — the top-level
+        # dir stays protected while any subpath of it is live
+        if entry.startswith("data-v") and entry not in live and \
+                not any(d.startswith(entry + "/") for d in live):
             full = os.path.join(path, entry)
             if not os.path.isdir(full):
                 continue  # stray data-v*-named FILE is not ours to GC
@@ -697,7 +938,11 @@ def vacuum(path: str, keep_latest: int = 2,
     bloom_root = os.path.join(_txn_dir(path), "bloom")
     if removed and os.path.isdir(bloom_root):
         prefixes = tuple(
-            urllib.parse.quote(name, safe="") + "." for name in removed)
+            urllib.parse.quote(name, safe="") + sep
+            for name in removed
+            # subdir-grain sidecars (zorder buckets) quote the "/" —
+            # cover both "name.col.json" and "name%2F<sub>.col.json"
+            for sep in (".", urllib.parse.quote("/", safe="")))
         for f in os.listdir(bloom_root):
             if f.startswith(prefixes):
                 os.remove(os.path.join(bloom_root, f))

@@ -691,3 +691,119 @@ def test_merge_on_shallow_clone_rewrites_not_duplicates(spark, table):
     after = {r["id"]: r["v"] for r in txnlog.snapshot(spark, dst).collect()}
     assert 1 not in after and after[42] == 84
     assert len(after) == 10  # 10 - deleted + inserted
+
+
+# --------------------------------------------- OPTIMIZE ZORDER as txn
+
+def _zorder_table(spark):
+    path = os.path.join(OUT, "tz")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(4096).select(
+        F.col("id").alias("a"),
+        F.pmod(F.col("id") * 37, F.lit(4096)).alias("b"),
+        (F.col("id") % 10).alias("v"))
+    # three appends in row order: every dir spans the full (a, b)
+    # space, so nothing prunes before clustering
+    txnlog.commit(df.where("id % 3 = 0"), path, "overwrite",
+                  stats_cols=["a", "b"])
+    txnlog.commit(df.where("id % 3 = 1"), path, "append",
+                  stats_cols=["a", "b"])
+    txnlog.commit(df.where("id % 3 = 2"), path, "append",
+                  stats_cols=["a", "b"])
+    return path, df
+
+
+def test_optimize_zorder_commits_pruned_layout(spark):
+    path, df = _zorder_table(spark)
+    pre = txnlog.latest_version(path)
+    # premise: a corner rectangle prunes NOTHING before clustering
+    rect = [("a", 0, 511), ("b", 0, 511)]
+    kept0, all0 = txnlog.prune_plan(path, pre, rect)
+    assert len(kept0) == len(all0) == 3
+    v = txnlog.optimize_zorder(spark, path, "a", "b")
+    assert v == pre + 1
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["zorder_by"] == ["a", "b"]
+    # layout change only: content identical
+    assert txnlog.snapshot(spark, path, v).orderBy("a").collect() == \
+        df.orderBy("a").collect()
+    # the clustered envelopes now prune the rectangle hard
+    kept, all_dirs = txnlog.prune_plan(path, v, rect)
+    assert len(all_dirs) > 4
+    assert 0 < len(kept) < len(all_dirs) / 2
+    # and the pruned snapshot still returns every matching row
+    got = (txnlog.snapshot(spark, path, v, prune=rect)
+           .where("a <= 511 and b <= 511").count())
+    want = df.where("a <= 511 and b <= 511").count()
+    assert got == want
+    # prior version stays time-travelable
+    assert txnlog.snapshot(spark, path, pre).count() == 4096
+
+
+def test_optimize_zorder_vacuum_protects_live_buckets(spark):
+    path, _ = _zorder_table(spark)
+    v = txnlog.optimize_zorder(spark, path, "a", "b")
+    # vacuum to the clustered version only: the three pre-cluster
+    # dirs go, the bucket PARENT dir (referenced via subdirs) stays
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0.0)
+    assert len(removed) == 3
+    assert txnlog.snapshot(spark, path, v).count() == 4096
+    # a later overwrite + vacuum reclaims the bucket parent too
+    df2 = (txnlog.snapshot(spark, path, v).limit(5))
+    txnlog.commit(df2, path, "overwrite")
+    removed2 = txnlog.vacuum(path, keep_latest=1, grace_seconds=0.0)
+    assert any("__zb" not in r for r in removed2)
+    assert txnlog.snapshot(spark, path).count() == 5
+
+
+def test_optimize_zorder_maintains_bloom_index(spark):
+    path, _ = _zorder_table(spark)
+    # declare blooms via an (empty-ish) append so the manifest carries
+    # the column; the clustering commit must re-index its bucket dirs
+    snap = txnlog.snapshot(spark, path)
+    txnlog.commit(snap.limit(0), path, "append", bloom_cols=["a"])
+    v = txnlog.optimize_zorder(spark, path, "a", "b")
+    from azure_nyctaxi_lambda_elt_spark.operators import bloomindex
+    kept, all_dirs = bloomindex.prune_dirs(spark, path, "a", [17])
+    assert len(all_dirs) > 4
+    assert len(kept) == 1  # point key lives in exactly one bucket
+    got = bloomindex.bloom_pruned_snapshot(spark, path, "a", [17])
+    assert got.where("a = 17").count() == 1
+
+
+# -------------------------------------------------- schema in the log
+
+def test_manifest_schema_null_backfills_evolved_column(spark):
+    """Columns added by later commits must read back over
+    pre-evolution dirs as NULLs — the multi-path parquet default
+    would silently DROP the new column when the oldest dir comes
+    first.  The manifest-recorded schema makes snapshot explicit."""
+    path = os.path.join(OUT, "t_schevo")
+    shutil.rmtree(path, ignore_errors=True)
+    txnlog.commit(spark.range(5).select("id"), path, "overwrite")
+    txnlog.commit(
+        spark.range(5, 10).select(
+            "id", F.concat(F.lit("s"), F.col("id")).alias("src")),
+        path, "append")
+    snap = txnlog.snapshot(spark, path)
+    assert snap.columns == ["id", "src"]
+    rows = {r["id"]: r["src"] for r in snap.collect()}
+    assert rows[0] is None and rows[7] == "s7"
+    # time travel to v0 shows the pre-evolution schema
+    assert txnlog.snapshot(spark, path, 0).columns == ["id"]
+
+
+def test_manifest_schema_widens_drifted_int(spark):
+    """int→bigint producer drift: the merged schema takes the new
+    type and the old int32 files upcast on read."""
+    path = os.path.join(OUT, "t_widen")
+    shutil.rmtree(path, ignore_errors=True)
+    txnlog.commit(
+        spark.range(3).select(F.col("id").cast("int").alias("id")),
+        path, "overwrite")
+    txnlog.commit(
+        spark.range(3, 6).select(F.col("id").cast("bigint").alias("id")),
+        path, "append")
+    snap = txnlog.snapshot(spark, path)
+    assert dict(snap.dtypes)["id"] == "bigint"
+    assert sorted(r["id"] for r in snap.collect()) == [0, 1, 2, 3, 4, 5]
