@@ -800,6 +800,17 @@ def metadata_count(path: str, version: int | None = None) -> int | None:
     return sum(rows[d] for d in man["dirs"])
 
 
+def manifest_stats(path: str, version: int | None = None) -> dict:
+    """A version's per-dir stats envelopes ``{dir: {col: [lo, hi]}}``
+    — the metadata a skipping read decides on, exposed so callers can
+    derive table-level bounds (min of mins / max of maxes) WITHOUT a
+    data scan, the Iceberg `table statistics` role."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    return _read_manifest(path, v).get("stats", {})
+
+
 def latest_meta(path: str) -> dict:
     """The latest committed manifest's meta dict ({} if none)."""
     v = latest_version(path)

@@ -1453,16 +1453,21 @@ def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloomindex.py): manifest min/max envelopes prune RANGES, but a
     needle query on the high-cardinality trip_uid gains nothing from
     them when every commit spans the key space — the parquet-footer /
-    Delta bloom-index role.  Three day-range commits get per-dir
-    Bloom sidecars (one agg job per new dir, O(m)-bounded metadata);
-    a 5-key lookup probes with the SAME Spark hash expression the
-    build used (false negatives structurally impossible) and scans
-    only surviving dirs.  The content must equal the unpruned filter
-    — tests/test_bloomindex.py asserts the pruning actually skips
-    dirs; here the oracle proves no row went missing.  Reference
-    parity: Synapse key probes ride B-tree/columnstore segment
-    elimination (sql/batchELT/core/12_trip_clean.dedupe_load.sql);
-    a parquet lake needs the explicit skipping index."""
+    Delta bloom-index role.  Three day-range commits declare
+    ``bloom_cols`` ONCE at table creation and the sidecars build AT
+    COMMIT TIME over each new dir (one agg job per dir, O(m)-bounded
+    metadata) — no separate backfit pass to forget, the always-on
+    shape of the reference's columnstore segment elimination.  A
+    5-key lookup probes with the SAME Spark hash expression and
+    dtype the build recorded (false negatives structurally
+    impossible) and scans only surviving dirs.  The content must
+    equal the unpruned filter — tests/test_bloomindex.py asserts the
+    pruning actually skips dirs and that appends index
+    incrementally; here the oracle proves no row went missing.
+    Reference parity: Synapse key probes ride B-tree/columnstore
+    segment elimination (sql/batchELT/core/
+    12_trip_clean.dedupe_load.sql); a parquet lake needs the
+    explicit skipping index."""
     import shutil
 
     from ..operators import bloomindex, txnlog
@@ -1473,10 +1478,10 @@ def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = tf.trip_clean(
         tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
     day = F.dayofmonth("ingest_date")
-    txnlog.commit(clean.where(day <= 10), out, "overwrite")
+    txnlog.commit(clean.where(day <= 10), out, "overwrite",
+                  bloom_cols=["trip_uid"])
     txnlog.commit(clean.where((day >= 11) & (day <= 20)), out, "append")
     txnlog.commit(clean.where(day >= 21), out, "append")
-    bloomindex.build_bloom_index(spark, out, "trip_uid")
     # probe keys: the 5 smallest day-3 trip_uids — deterministic
     # (trip_uid is unique post-dedupe), SQL-expressible, and a
     # TakeOrdered job, not a full sort

@@ -1231,73 +1231,61 @@ def _zorder_out_dir(sf_dir: str) -> str:
 
 
 def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skipping HALF of Z-order clustering: zorder_cluster_stats
-    computes the per-bucket envelopes; this entry executes the
-    physical rewrite AND the pruned read they exist for (Delta
-    OPTIMIZE ZORDER + file skipping, end to end).  lineitem is
-    clustered into Morton buckets over (l_orderkey, l_suppkey) — one
-    range shuffle, one dir per bucket — then a corner-rectangle query
-    (both keys in the bottom eighth of their ranges) keeps only the
-    buckets whose envelope reaches the rectangle and scans those dirs
-    alone (partition pruning; a 1-D sort would prune on ONE key only,
-    Z-order prunes on both at once).  Output pins the pruning
-    decision itself: n_buckets_read vs n_buckets_total comes from the
-    same envelope rule the oracle replays, and the rollup must equal
-    the unpruned filter.
+    """The skipping HALF of Z-order clustering, THROUGH THE
+    TRANSACTION LOG (Delta OPTIMIZE ZORDER + file skipping, end to
+    end): lineitem commits as a txn table, ``txnlog.optimize_zorder``
+    rewrites it clustered by the Morton interleave of (l_orderkey,
+    l_suppkey) — ONE atomic commit, one manifest dir per Z-bucket
+    with restated per-dir [min, max] envelopes — and a
+    corner-rectangle query (both keys in the bottom eighth of their
+    ranges) is answered by the ordinary
+    ``snapshot(prune=[(a,..),(b,..)])`` multi-column skipping read
+    every other pruned read uses.  The clustering pass is atomic,
+    the pre-cluster version stays time-travelable
+    (tests/test_txnlog.py), and the envelopes live in manifest
+    stats, not an ad-hoc side channel.  Output pins the pruning
+    decision itself: n_buckets_read vs n_buckets_total comes from
+    ``prune_plan`` — the same envelope rule the oracle replays — and
+    the rollup must equal the unpruned filter (a 1-D sort would
+    prune on ONE key only; Z-order prunes on both at once).
 
     Scale shape: stats agg broadcasts back, bucket id is a map-side
     integer expression, the rewrite is ONE repartitionByRange
-    shuffle, the envelope readback is a partial-agg groupBy, and the
-    kept-bucket set is ≤256 rows of metadata — at 100 TB the pruned
-    query opens a handful of the table's dirs."""
+    shuffle, the envelope restatement is a partial-agg groupBy, and
+    the query rectangle's bounds come from MANIFEST METADATA
+    (manifest_stats — min of mins / max of maxes), not a second
+    table scan — at 100 TB the pruned query opens a handful of the
+    table's dirs after two JSON reads."""
     import shutil
 
-    from ..operators.maintenance import Z_BUCKET_SHIFT, zorder_value
+    from ..operators import txnlog
 
     apply_engine_conf(spark)
     out = _zorder_out_dir(sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    a = F.col("l_orderkey").cast("bigint")
-    b = F.col("l_suppkey").cast("bigint")
-    # ONE stats job; the four bounds fold into the bucket expression
-    # and the query rectangle as literals (a broadcast-join of the
-    # 1-row frame would scan lineitem a second time for .collect())
-    st = li.agg(
-        F.min(a).alias("amin"), F.max(a).alias("amax"),
-        F.min(b).alias("bmin"), F.max(b).alias("bmax")).collect()[0]
-    clustered = (
-        li.withColumn("__zs_amin", F.lit(st["amin"]))
-        .withColumn("__zs_amax", F.lit(st["amax"]))
-        .withColumn("__zs_bmin", F.lit(st["bmin"]))
-        .withColumn("__zs_bmax", F.lit(st["bmax"]))
-        .withColumn("z_bucket",
-                    F.shiftright(zorder_value(a, b), Z_BUCKET_SHIFT)
-                    .cast("int"))
-        .select("z_bucket", a.alias("a"), b.alias("b"),
-                "l_extendedprice", "l_discount"))
-    # OPTIMIZE ZORDER's physical rewrite: range-shuffle on the bucket
-    # id so each bucket lands contiguous, one dir per bucket
-    (clustered.repartitionByRange(32, "z_bucket")
-     .write.partitionBy("z_bucket").mode("overwrite").parquet(out))
-    back = spark.read.parquet(out)
-    # per-dir envelopes from the WRITTEN layout (the parquet-footer /
-    # manifest-stats analog); lower bounds suffice because the query
-    # rectangle starts at the global minima
-    env = back.groupBy("z_bucket").agg(
-        F.min("a").alias("a_min"), F.min("b").alias("b_min"))
-    a_hi = st["amin"] + (st["amax"] - st["amin"]) // 8
-    b_hi = st["bmin"] + (st["bmax"] - st["bmin"]) // 8
-    envs = env.collect()  # <=256 rows — metadata, not data
-    kept = [r["z_bucket"] for r in envs
-            if r["a_min"] <= a_hi and r["b_min"] <= b_hi]
+        F.col("l_orderkey").cast("bigint").alias("a"),
+        F.col("l_suppkey").cast("bigint").alias("b"),
+        "l_extendedprice", "l_discount")
+    txnlog.commit(li, out, "overwrite")
+    v = txnlog.optimize_zorder(spark, out, "a", "b")
+    # table-level bounds from the manifest envelopes — metadata, no
+    # data scan (the clustering commit already restated per-dir stats)
+    stats = txnlog.manifest_stats(out, v)
+    amin = min(s["a"][0] for s in stats.values())
+    amax = max(s["a"][1] for s in stats.values())
+    bmin = min(s["b"][0] for s in stats.values())
+    bmax = max(s["b"][1] for s in stats.values())
+    a_hi = amin + (amax - amin) // 8
+    b_hi = bmin + (bmax - bmin) // 8
+    rect = [("a", amin, a_hi), ("b", bmin, b_hi)]
+    kept, all_dirs = txnlog.prune_plan(out, v, rect)
     rev = (F.col("l_extendedprice").cast("decimal(12,2)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(4,4)")))
     return (
-        back.where(F.col("z_bucket").isin(kept))  # partition pruning
+        txnlog.snapshot(spark, out, v, prune=rect)  # dir skipping
         .where((F.col("a") <= F.lit(a_hi)) & (F.col("b") <= F.lit(b_hi)))
-        .agg(F.lit(len(envs)).cast("bigint").alias("n_buckets_total"),
+        .agg(F.lit(len(all_dirs)).cast("bigint").alias("n_buckets_total"),
              F.lit(len(kept)).cast("bigint").alias("n_buckets_read"),
              F.count("*").cast("bigint").alias("n_rows"),
              F.round(F.sum(rev), 2).cast("double").alias("revenue")))

@@ -47,17 +47,27 @@ def test_pruned_rollup_equals_plain_filter(spark, result_row):
     assert result_row["revenue"] == want["revenue"]
 
 
-def test_kept_buckets_become_partition_filters(spark):
-    """The kept-bucket predicate must reach the scan as a partition
-    filter (dir-level skipping), not survive as a post-scan Filter."""
+def test_pruned_snapshot_opens_fewer_files(spark):
+    """The skipping must be PHYSICAL: the pruned snapshot's scan
+    opens only files under the kept bucket dirs — strictly fewer
+    than the full clustered snapshot — not a post-scan filter."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
     from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
         _zorder_out_dir, q_zorder_pruned_read)
 
     q_zorder_pruned_read(spark, SF_SMOKE)  # materializes the layout
     out = _zorder_out_dir(SF_SMOKE)
-    back = spark.read.parquet(out).where(
-        F.col("z_bucket").isin([0, 1, 2]))
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted")
-    assert "PartitionFilters: [z_bucket" in plan.replace(
-        "PartitionFilters: [isnotnull(z_bucket", "PartitionFilters: [z_bucket"), plan
+    v = txnlog.latest_version(out)
+    stats = txnlog.manifest_stats(out, v)
+    amin = min(s["a"][0] for s in stats.values())
+    amax = max(s["a"][1] for s in stats.values())
+    bmin = min(s["b"][0] for s in stats.values())
+    bmax = max(s["b"][1] for s in stats.values())
+    rect = [("a", amin, amin + (amax - amin) // 8),
+            ("b", bmin, bmin + (bmax - bmin) // 8)]
+    full = set(txnlog.snapshot(spark, out, v).inputFiles())
+    pruned = set(txnlog.snapshot(spark, out, v, prune=rect).inputFiles())
+    assert pruned < full  # strict subset: dirs really skipped
+    kept, all_dirs = txnlog.prune_plan(out, v, rect)
+    assert len(kept) < len(all_dirs)
+    assert all(any(f"/{d}/" in f for d in kept) for f in pruned)
