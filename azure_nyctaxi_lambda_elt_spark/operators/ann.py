@@ -141,7 +141,8 @@ def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
              n_centroids: int = 16, n_probes: int = 3,
              train_iters: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_label_col: str | None = None) -> DataFrame:
+             exclude_label_col: str | None = None,
+             cache_key: str | None = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells,
     probe only the query's ``n_probes`` nearest cells.
 
@@ -149,7 +150,11 @@ def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     fit_centroids — deterministic init, ``train_iters`` Lloyd rounds),
     trained offline-style then broadcast as a tiny centroid frame; at
     100 TB the fit runs on a corpus sample and the resulting codebook
-    is a stored artifact.  The rest is the production IVF shape: one
+    is a stored artifact.  ``cache_key`` (an immutable corpus
+    identity, e.g. the sf_dir) routes the fit through the session
+    codebook cache so repeat invocations — bench reruns, the
+    hard-negative miner sharing ann_ivf's corpus — train ONCE and
+    reuse identical centroids.  The rest is the production IVF shape: one
     broadcast pass assigns cells, the query join touches ~n_probes/M of
     the corpus, and the cell id is the natural bucketing key for the
     stored index.
@@ -170,9 +175,13 @@ def ivf_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
             embeddings.select(F.col(id_col).alias("vec_id"),
                               F.col(exclude_label_col).alias("label")),
             "vec_id")
-    codebook = fit_centroids(embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        n_centroids, train_iters)
+    codebook = fit_centroids(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding")),
+        n_centroids, train_iters,
+        cache_key=None if cache_key is None
+        else f"{cache_key}/ivf-{id_col}-{vec_col}")
     spark = embeddings.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(codebook)],
@@ -332,7 +341,8 @@ def ivfpq_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
                n_centroids: int = 16, n_probes: int = 3,
                m: int = PQ_M, n_codes: int = PQ_CODES,
                train_iters: int = 2,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cache_key: str | None = None) -> DataFrame:
     """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI'11): coarse IVF cells + per-subspace
     product-quantized codes + exact re-rank of the approx pool.
@@ -372,14 +382,20 @@ def ivfpq_topk(embeddings: DataFrame, query_pred: Column, k: int = 5,
     dim = DIM
     sub_d = dim // m
 
+    # the 9 fits (coarse + m subspaces) are the dominant cost of the
+    # whole index build — with cache_key they train once per session
+    # (codebooks are stored artifacts at scale, retrained on corpus
+    # refresh, not per query)
+    ck = (lambda s: None if cache_key is None
+          else f"{cache_key}/pq-{id_col}-{vec_col}-{s}")
     coarse = fit_centroids(
         unit.select("vec_id", F.col("__e").alias("embedding")),
-        n_centroids, train_iters)
+        n_centroids, train_iters, cache_key=ck("coarse"))
     subbooks = [
         fit_centroids(
             unit.select("vec_id",
                         F.slice("__e", j * sub_d + 1, sub_d).alias("embedding")),
-            n_codes, train_iters)
+            n_codes, train_iters, cache_key=ck(f"sub{j}-of-{m}"))
         for j in range(m)
     ]
 

@@ -73,7 +73,8 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return ivf_topk(_emb(spark, sf_dir),
-                    F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
+                    F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K,
+                    cache_key=sf_dir)
 
 
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +88,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import ivfpq_topk
 
     return ivfpq_topk(_emb(spark, sf_dir),
-                      F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K)
+                      F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K,
+                      cache_key=sf_dir)
 
 
 COS_TAU = 0.45
@@ -1397,7 +1399,7 @@ def q_hard_negative_mine_ivf(spark: SparkSession,
     return ivf_topk(
         _emb(spark, sf_dir),
         F.col("vec_id") % ANN_QUERY_MOD == 0, k=ANN_K,
-        exclude_label_col="label")
+        exclude_label_col="label", cache_key=sf_dir)
 
 
 # JL projection: identical ±1 literals, identical sequential fold

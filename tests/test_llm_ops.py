@@ -237,3 +237,72 @@ def test_random_projection_hand_example_and_plan(spark):
         assert row[f"proj_{j}"] == acc / math.sqrt(float(K_PROJ))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_codebook_cache_trains_once_per_key(spark):
+    """fit_centroids(cache_key=...) is the stored-artifact seam: the
+    second invocation with the same (key, k, iters) must NOT rerun
+    Lloyd (bench reruns and sibling entries amortize the fit), must
+    return identical centroids, and a changed key/param must refit."""
+    from azure_nyctaxi_lambda_elt_spark.operators import clustering
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (i + 3)) % 17).cast("float")
+                  for i in range(8)]).alias("embedding"))
+    calls = []
+    real_fit = clustering._fit
+
+    def counting_fit(pts, k, iters):
+        calls.append((k, iters))
+        return real_fit(pts, k, iters)
+
+    clustering.clear_codebook_cache()
+    orig = clustering._fit
+    clustering._fit = counting_fit
+    try:
+        a = clustering.fit_centroids(emb, 4, 2, cache_key="t/one")
+        b = clustering.fit_centroids(emb, 4, 2, cache_key="t/one")
+        assert len(calls) == 1          # second call served from cache
+        assert a == b
+        c = clustering.fit_centroids(emb, 4, 2, cache_key="t/two")
+        assert len(calls) == 2          # new key refits
+        assert c == a                   # deterministic fit, same input
+        clustering.fit_centroids(emb, 4, 3, cache_key="t/one")
+        assert len(calls) == 3          # param change refits
+        # mutating a returned codebook must not poison the cache
+        a[0][0] = 1e9
+        d = clustering.fit_centroids(emb, 4, 2, cache_key="t/one")
+        assert d == b
+    finally:
+        clustering._fit = orig
+        clustering.clear_codebook_cache()
+
+
+def test_ivf_entries_share_cached_codebook(spark):
+    """ann_ivf and hard_negative_mine_ivf train on the same corpus
+    with the same params: in one session the second entry must reuse
+    the first's codebook (zero additional fits) and stay
+    oracle-identical (same centroids by determinism)."""
+    from azure_nyctaxi_lambda_elt_spark.operators import clustering
+    from azure_nyctaxi_lambda_elt_spark.plans.llm_catalog import (
+        q_ann_ivf, q_hard_negative_mine_ivf)
+
+    calls = []
+    real_fit = clustering._fit
+
+    def counting_fit(pts, k, iters):
+        calls.append(k)
+        return real_fit(pts, k, iters)
+
+    clustering.clear_codebook_cache()
+    clustering._fit = counting_fit
+    try:
+        q_ann_ivf(spark, SF_SMOKE).collect()
+        n_first = len(calls)
+        assert n_first == 1
+        q_hard_negative_mine_ivf(spark, SF_SMOKE).collect()
+        assert len(calls) == n_first  # cache hit: no new fit
+    finally:
+        clustering._fit = real_fit
+        clustering.clear_codebook_cache()
