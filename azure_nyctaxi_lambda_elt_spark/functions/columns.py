@@ -106,6 +106,18 @@ def exact_round_div(num: str, den: str, scale: int = 6, *,
     both evaluate the identical rational, so oracle hashes cannot
     diverge on representation.  At 100 TB this is still one scalar
     expression per row/group — no extra shuffle, stays in codegen.
+
+    MULTIPLE-EVALUATION HAZARD: ``num`` and ``den`` are interpolated
+    verbatim SEVERAL times (num/den twice each in the positive
+    branch, roughly doubled again under ``signed=True``), so pass
+    COLUMN ALIASES, never expensive or non-deterministic
+    subexpressions — a rand()/scan-derived fragment would evaluate
+    differently per occurrence and corrupt the quotient (every
+    current call site passes aliases).  The ``den > 0`` precondition
+    is likewise the CALLER's: a negative denominator silently flips
+    the rounding direction rather than failing (all call sites are
+    count/sum-of-positive denominators; guard with CASE WHEN at the
+    call site if a signed denominator can ever occur).
     """
     if dialect == "spark":
         big, div = "DECIMAL(38,0)", "DIV"

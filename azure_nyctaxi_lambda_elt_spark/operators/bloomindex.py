@@ -230,6 +230,85 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
     return kept, all_dirs
 
 
+def union_bitmaps(path: str, col: str,
+                  version: int | None = None
+                  ) -> tuple[list[dict], bool]:
+    """OR-union of every dir's sidecar bitmap, grouped per
+    (m, k, dtype) — the whole-table membership summary a STREAMING
+    consumer can fold into its plan as literals (KBs of driver
+    metadata, no matter the table size).  Returns (groups, complete):
+    ``complete`` is False when any dir lacks a sidecar for ``col``,
+    in which case a membership gate must treat every value as a
+    potential member (conservative, like every pruning path here).
+    Each group carries the bitmap as 64-bit little-endian words ready
+    for ``bloom_maybe_expr``; "absent"-dtype sidecars contribute
+    nothing (their dirs cannot match an IN-list)."""
+    v = txnlog.latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = txnlog._read_manifest(path, v)
+    groups: dict[tuple, bytearray] = {}
+    complete = True
+    for d in man["dirs"]:
+        side = _sidecar_path(path, d, col)
+        if not os.path.exists(side):
+            complete = False
+            continue
+        with open(side) as fh:
+            idx = json.load(fh)
+        dtype = idx.get("dtype")
+        if dtype == "absent":
+            continue
+        if dtype is None:
+            complete = False  # legacy sidecar: dtype unknown here
+            continue
+        key = (idx["m"], idx["k"], dtype)
+        packed = base64.b64decode(idx["bits"])
+        acc = groups.setdefault(key, bytearray(len(packed)))
+        for i, byte in enumerate(packed):
+            acc[i] |= byte
+    out = []
+    for (m, k, dtype), acc in sorted(groups.items(),
+                                     key=lambda kv: str(kv[0])):
+        words = []
+        for w in range(0, len(acc), 8):
+            u = int.from_bytes(acc[w:w + 8], "little")
+            words.append(u - (1 << 64) if u >= (1 << 63) else u)
+        out.append({"m": m, "k": k, "dtype": dtype, "words": words})
+    return out, complete
+
+
+def bloom_maybe_expr(col: str, groups: list[dict]):
+    """Column expression: True iff ``col``'s value MIGHT be in the
+    indexed corpus, False iff it is PROVABLY absent — the fully
+    DISTRIBUTED membership gate (no driver-side key list, no join):
+    k ``getbit`` probes per (m, k, dtype) group against the union
+    bitmap folded into the plan as an array<bigint> literal, hashing
+    with the exact build expression and dtype, so a False can never
+    drop a real member.  NULL values gate to False (an IN-list never
+    matches NULL).  An empty ``groups`` list gates everything True
+    (nothing indexed → stay conservative)."""
+    if not groups:
+        return F.lit(True)
+    tests = []
+    for g in groups:
+        words = F.array(*[F.lit(w).cast("bigint")
+                          for w in g["words"]])
+        c = F.col(col).cast(g["dtype"])
+        per = None
+        for i in range(g["k"]):
+            p = F.pmod(F.xxhash64(F.lit(i), c), F.lit(g["m"]))
+            word = F.element_at(words, (p / F.lit(64)).cast("int") + 1)
+            bit = F.call_function(
+                "getbit", word, F.pmod(p, F.lit(64)).cast("int")) == 1
+            per = bit if per is None else (per & bit)
+        tests.append(c.isNotNull() & per)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out | t
+    return out
+
+
 def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
                           values: list,
                           version: int | None = None) -> DataFrame:

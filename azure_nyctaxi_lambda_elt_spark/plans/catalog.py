@@ -728,6 +728,41 @@ def q_streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "dedupe", sf_dir))
 
 
+def q_streaming_bloom_seeded_dedupe(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Cross-lane dedupe: the stream drops events already ingested by
+    the BATCH lane, seeded from the batch table's commit-time Bloom
+    sidecars instead of corpus-scale state (streaming/lane.py
+    run_bloom_seeded_dedupe).  The first half of the month commits as
+    the batch corpus (bloom_cols declared at creation — always-on
+    index); the stream replays the FULL feed and must emit exactly
+    the events the corpus lacks.  Rows failing the folded union-bloom
+    gate are provably new and skip corpus I/O; bloom HITS route to a
+    verify lookup over only the bloom-surviving dirs — never a drop,
+    because a false positive (~1% at default sizing) would otherwise
+    silently lose a genuinely-new event (forced-FP pytest pins the
+    rescue).  Reference parity: the streaming MERGE lane's
+    match-check against already-loaded keys
+    (usp_upsert_trip_clean_from_slice_streaming.sql) done at lake
+    scale, where the probe must be an index, not a table scan.
+    Output is batch-boundary independent → FULL NOT-IN oracle."""
+    import os
+    import shutil
+
+    from ..operators import txnlog
+    from ..streaming.lane import run_bloom_seeded_dedupe
+
+    apply_engine_conf(spark)
+    out = _out_dir(_STREAM_TMP, "bloom_dedupe", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    corpus = os.path.join(out, "corpus")
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    txnlog.commit(
+        ev.where(F.dayofmonth("ts") <= 15).select("event_id"),
+        corpus, "overwrite", bloom_cols=["event_id"])
+    return run_bloom_seeded_dedupe(spark, sf_dir, out, corpus)
+
+
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.lane import run_upsert
 
@@ -2044,6 +2079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dlq_routing": q_streaming_dlq_routing,
     "streaming_windowed_audit": q_streaming_windowed_audit,
     "streaming_dedupe": q_streaming_dedupe,
+    "streaming_bloom_seeded_dedupe": q_streaming_bloom_seeded_dedupe,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_upsert": q_streaming_upsert,
     "streaming_sessionize": q_streaming_sessionize,
@@ -2723,6 +2759,16 @@ ORACLES["streaming_raw_archive"] = """
 # ...and so is its exactly-once txn-log variant (append through the
 # manifest log is batching-independent; redelivered batches skipped)
 ORACLES["streaming_raw_archive_txn"] = ORACLES["streaming_raw_archive"]
+
+# corpus-seeded dedupe: the bloom gate + verify lookup + in-stream
+# dedupe compose to exactly "stream events whose key the batch corpus
+# lacks" (event_id is unique per event, so first-arrival in-stream
+# dedupe is content-neutral) — batch-boundary independent NOT-IN
+ORACLES["streaming_bloom_seeded_dedupe"] = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE event_id NOT IN (
+      SELECT event_id FROM events WHERE EXTRACT(day FROM ts) <= 15)
+"""
 
 # append-through-txn-log is batching-independent -> the batch rollup of
 # the whole feed is a FULL oracle for the exactly-once sink

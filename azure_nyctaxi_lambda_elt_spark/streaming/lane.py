@@ -245,7 +245,18 @@ def _committed_batch_high(table: str) -> int:
     re-landing a redelivered batch as duplicates.  The walk covers a
     crash between commit and sidecar write; the sidecar covers
     manifests vacuumed past the last stream commit.  O(1) JSON reads
-    in steady state."""
+    in steady state.
+
+    Interaction with ``txnlog.restore()``: a restore commit carries no
+    batch_id, so the walk descends PAST it to the pre-restore stream
+    commits and the sidecar survives — batches rolled back by the
+    restore stay skipped on redelivery.  That is the right default
+    for a CONTINUING stream (a restore of unrelated bad data must not
+    re-land every stream batch as duplicates); when the intent is to
+    REPLAY the stream into the restored table, call
+    ``reset_stream_high_for_replay`` after the restore — it stamps a
+    rewound batch_id commit the walk stops at and rewrites the
+    sidecar."""
     from ..operators import txnlog
 
     walk = -1
@@ -269,10 +280,58 @@ def _committed_batch_high(table: str) -> int:
     return max(walk, side)
 
 
+def reset_stream_high_for_replay(table: str,
+                                 to_version: int | None = None) -> int:
+    """Rewind the exactly-once watermark after a ``txnlog.restore()``
+    so the stream can be REPLAYED into the restored table: recompute
+    the batch high AS OF the restored-to version's lineage, publish
+    it in a metadata-only commit (same dirs/stats/schema as the
+    restore — the newest-first manifest walk finds this batch_id and
+    stops, never descending to the pre-restore stream commits), and
+    rewrite the ``_stream_high`` sidecar to match.  Without this,
+    batches rolled back by the restore are skipped forever on
+    redelivery (_committed_batch_high's documented
+    continuing-stream default).  ``to_version`` defaults to the
+    latest commit's ``restored_from`` meta; raises ValueError when
+    the latest commit is not a restore and no version is given."""
+    from ..operators import txnlog
+
+    v = txnlog.latest_version(table)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {table}")
+    man = txnlog._read_manifest(table, v)
+    rf = man.get("meta", {}).get("restored_from") \
+        if to_version is None else to_version
+    if rf is None:
+        raise ValueError(
+            "latest commit is not a restore; pass to_version")
+    high = -1
+    for w in range(rf, -1, -1):
+        try:
+            m2 = txnlog._read_manifest(table, w)
+        except FileNotFoundError:  # vacuumed tail
+            break
+        b = m2.get("meta", {}).get("batch_id")
+        if b is not None:
+            high = b
+            break
+    txnlog._commit_manifest(
+        table, v + 1, "overwrite", man["dirs"],
+        {"batch_id": high, "stream_replay_reset": True},
+        man.get("stats", {}), man.get("rows", {}),
+        man.get("bloom_cols", []), man.get("schema"))
+    p = _stream_high_path(table)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(high))
+    os.replace(tmp, p)
+    return high
+
+
 def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
                     max_files_per_trigger: int | None = None,
                     source_dir: str | None = None,
-                    exactly_once: bool = True) -> DataFrame:
+                    exactly_once: bool = False) -> DataFrame:
     """The ASA job's THIRD output — the raw passthrough sink
     (infra/scripts/asa-wire.sh:73 'raw JSON lines' outBlob, :246
     '/* 3) keep raw */ SELECT * INTO [outBlob] FROM [inEH]'): archive
@@ -283,13 +342,19 @@ def run_raw_archive(spark: SparkSession, sf_dir: str, out_dir: str,
     archive — by construction the identity of the input feed, which is
     the FULL oracle.
 
-    Delivery semantics: EXACTLY-ONCE by default — the raw copy commits
-    through the transaction log with batch-id idempotency
-    (_commit_raw_batch), so the archive is a clean replay substrate
-    out of the box.  ``exactly_once=False`` restores the plain
-    at-least-once blob append (faithful to the ASA output pathPattern
-    'date={date}/{time}'; a foreachBatch retry could re-land a batch,
-    and replayers dedupe on event_id)."""
+    Delivery semantics: AT-LEAST-ONCE plain blob appends by default —
+    the documented on-disk contract of this archive is the ASA output
+    pathPattern 'date={date}/{time}' as date/hour-partitioned plain
+    parquet that EXTERNAL consumers read directly (a foreachBatch
+    retry could re-land a batch; replayers dedupe on event_id).
+    ``exactly_once=True`` switches the copy to transaction-log
+    commits with batch-id idempotency (_commit_raw_batch) — a
+    DIFFERENT layout (_txn-managed table) that plain-parquet readers
+    must not point at, which is why it is opt-in here and the default
+    contract of the separate ``run_raw_archive_txn`` entry.  Flipping
+    the default would silently break external raw/ consumers and
+    make a pre-existing plain archive invisible to the snapshot
+    readback."""
     raw_dir = os.path.join(out_dir, "raw")
     curated_dir = os.path.join(out_dir, "curated")
     dlq_dir = os.path.join(out_dir, "dlq")
@@ -522,6 +587,103 @@ def run_streaming_dedupe(spark: SparkSession, sf_dir: str, out_dir: str,
         .option("path", dedup_dir)
         .option("checkpointLocation", ckpt))
     return spark.read.parquet(dedup_dir)
+
+
+BLOOM_VERIFY_CAP = 4096
+
+
+def run_bloom_seeded_dedupe(spark: SparkSession, sf_dir: str,
+                            out_dir: str, corpus_table: str,
+                            key_col: str = "event_id",
+                            max_files_per_trigger: int | None = None,
+                            source_dir: str | None = None) -> DataFrame:
+    """Streaming dedupe AGAINST AN EXISTING BATCH CORPUS, seeded from
+    the corpus's commit-time Bloom sidecars (cross-lane reuse of the
+    point-lookup index): the stream must emit only events whose key
+    is NOT already in the corpus, without loading corpus-scale key
+    state into the state store and without joining every micro-batch
+    against the full table.
+
+    Per batch, three tiers:
+      1. **Bloom gate (map-side, distributed)**: the corpus's per-dir
+         bitmaps OR-union into one bitmap per (m, k, dtype)
+         (bloomindex.union_bitmaps — KBs of metadata) folded into the
+         plan as literals; ``bloom_maybe_expr`` tests each row with k
+         ``getbit`` probes.  A NEGATIVE is PROOF of absence (same
+         hash expression and dtype as the build) — those rows pass
+         straight through, no corpus I/O at all.
+      2. **Verify lookup for bloom hits — never a drop**: a bloom
+         positive is only *maybe present* (~1% of genuinely-new keys
+         false-positive at default sizing); dropping on the hit would
+         silently lose exactly those events.  Hits verify with an
+         anti-join: when the batch's hit-key set is small (≤
+         BLOOM_VERIFY_CAP, limit-probed) the lookup scans only the
+         bloom-surviving dirs (bloom_pruned_snapshot — O(dirs
+         holding those keys)); larger hit sets fall back to a
+         semi-join against the corpus keys with the SMALL side
+         broadcast (corpus never shuffles).
+      3. **In-stream dedupe**: duplicates WITHIN the stream dedupe
+         through the watermark-bounded state store
+         (dropDuplicatesWithinWatermark) — the state holds only the
+         watermark horizon's keys, never the corpus (seeding 100 TB
+         of corpus keys into the state store is exactly the
+         non-design this operator exists to avoid).
+
+    Determinism: output = stream events whose key is absent from the
+    corpus, first arrival per key — batch-boundary independent, so
+    the batch NOT-IN query is a FULL oracle; the false-positive
+    rescue path is pinned by a forced-FP pytest
+    (tests/test_streaming_bloom_dedupe.py)."""
+    from ..operators import bloomindex, txnlog
+
+    sink = os.path.join(out_dir, "new_events")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(sink, ckpt)
+    groups, complete = bloomindex.union_bitmaps(corpus_table, key_col)
+    # incomplete sidecar coverage → no gate: every row verifies
+    # (conservative, like every pruning path)
+    gate = (bloomindex.bloom_maybe_expr(key_col, groups)
+            if complete else F.lit(True))
+    corpus_keys = txnlog.snapshot(spark, corpus_table) \
+        .select(key_col).distinct()
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+    wm = ev.withWatermark("ts", "2 hours")
+    try:
+        deduped = wm.dropDuplicatesWithinWatermark([key_col])
+    except AttributeError:  # pragma: no cover - older Spark
+        deduped = wm.dropDuplicates([key_col])
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn("__maybe", gate)
+        batch.persist()
+        try:
+            sure_new = batch.where(~F.col("__maybe")).drop("__maybe")
+            hits = batch.where(F.col("__maybe")).drop("__maybe")
+            sample = hits.select(key_col).distinct() \
+                .limit(BLOOM_VERIFY_CAP + 1).collect()
+            if len(sample) <= BLOOM_VERIFY_CAP:
+                # point-lookup scale: open only bloom-surviving dirs
+                lookup = bloomindex.bloom_pruned_snapshot(
+                    spark, corpus_table, key_col,
+                    [r[0] for r in sample]).select(key_col).distinct()
+                present = F.broadcast(lookup)
+            else:
+                # bulk scale: corpus scans in place, hit keys broadcast
+                present = F.broadcast(
+                    corpus_keys.join(
+                        F.broadcast(hits.select(key_col).distinct()),
+                        key_col, "left_semi"))
+            verified_new = hits.join(present, key_col, "left_anti")
+            (sure_new.unionByName(verified_new)
+             .write.mode("append").parquet(sink))
+        finally:
+            batch.unpersist()
+
+    _run_available_now(
+        deduped.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(sink).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str, out_dir: str,

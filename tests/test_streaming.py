@@ -368,15 +368,18 @@ def test_multibatch_raw_archive_is_input_identity(spark, feed_dir):
     # the companion sinks exist and are non-empty
     assert spark.read.parquet(os.path.join(out, "curated")).count() > 0
     assert spark.read.parquet(os.path.join(out, "dlq")).count() > 0
-    # the DEFAULT archive is the txn-committed exactly-once table
-    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
-    raw_table = os.path.join(out, "raw")
-    assert txnlog.latest_version(raw_table) is not None
+    # the DEFAULT archive keeps the documented ASA-faithful plain
+    # blob layout (external raw/ consumers read it as plain parquet;
+    # the txn-managed variant is the opt-in / run_raw_archive_txn)
+    raw = os.path.join(out, "raw")
+    assert not os.path.isdir(os.path.join(raw, "_txn"))
+    assert any(d.startswith("__date=") for d in os.listdir(raw))
 
 
 def test_raw_archive_default_redelivery_is_idempotent(spark, feed_dir):
-    """run_raw_archive's default raw lane commits through
-    _commit_raw_batch: redelivering an already-committed micro-batch
+    """The exactly-once raw lane commits through _commit_raw_batch
+    (run_raw_archive_txn's default; run_raw_archive's opt-in):
+    redelivering an already-committed micro-batch
     (foreachBatch retry after checkpoint rollback) must be a no-op —
     no duplicate rows, no new version — while a NEW batch id appends."""
     from azure_nyctaxi_lambda_elt_spark.operators import txnlog
@@ -489,22 +492,23 @@ def test_state_swap_recovers_from_mid_swap_crash(spark):
     assert not os.path.exists(state + "_old")
 
 
-def test_raw_archive_at_least_once_mode_still_lands_blob_layout(
+def test_raw_archive_exactly_once_opt_in_lands_txn_layout(
         spark, feed_dir):
-    """exactly_once=False keeps the ASA-faithful plain blob append
-    (date/hour partition dirs, no txn log)."""
+    """exactly_once=True opts the raw copy into txn-log commits with
+    batch-id idempotency — a different on-disk layout than the plain
+    ASA blob default, which is why it is opt-in."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
     from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
         run_raw_archive)
 
-    out = os.path.join(OUT, "raw_archive_alo")
+    out = os.path.join(OUT, "raw_archive_eo")
     shutil.rmtree(out, ignore_errors=True)
     back = run_raw_archive(spark, SF_SMOKE, out, max_files_per_trigger=1,
-                           source_dir=feed_dir, exactly_once=False)
+                           source_dir=feed_dir, exactly_once=True)
     src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert back.count() == src.count()
     raw = os.path.join(out, "raw")
-    assert not os.path.isdir(os.path.join(raw, "_txn"))
-    assert any(d.startswith("__date=") for d in os.listdir(raw))
+    assert txnlog.latest_version(raw) is not None
 
 
 def test_distinct_sketch_mid_swap_crash_recovery(spark, feed_dir):
