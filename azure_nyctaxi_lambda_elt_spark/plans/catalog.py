@@ -1560,6 +1560,49 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txn_schema_evolution_read(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Schema evolution THROUGH THE TRANSACTION LOG (r7): the first
+    producer generation commits WITHOUT tip_amount, the second
+    appends WITH it; the manifest records the merged table schema
+    (Delta mergeSchema semantics — parent field order, new columns
+    appended) and ``snapshot()`` applies it explicitly, so
+    pre-evolution dirs read back with tip_amount NULL instead of the
+    column being silently dropped by the multi-path parquet
+    first-dir-schema default.  Time travel keeps working: v0 still
+    reads with the narrow schema.  The lakehouse ALTER TABLE ADD
+    COLUMN story (q_schema_evolution_merge shows the same semantics
+    at the raw-file layer via mergeSchema; here the LOG is the
+    authority, which is what makes the read deterministic without a
+    footer-union scan of every file at 100 TB).  Readback rollup
+    proves the merge: old-generation rows count tip-null,
+    new-generation rows keep sums."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnschevo", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    txnlog.commit(
+        clean.where(F.dayofmonth("ingest_date") <= 15)
+        .drop("tip_amount"), out, "overwrite")
+    txnlog.commit(
+        clean.where(F.dayofmonth("ingest_date") >= 16), out, "append")
+    back = txnlog.snapshot(spark, out)
+    return (
+        back.groupBy((F.dayofmonth("ingest_date") <= 15)
+                     .alias("old_schema"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.when(F.col("tip_amount").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_tip_null"),
+             F.round(F.sum(F.col("tip_amount").cast("decimal(18,6)"))
+                     .cast("double"), 6).alias("tip_sum"))
+    )
+
+
 def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-log warehouse semantics (operators/txnlog.py): three
     atomic commits — v0 overwrite (days 1-15 of trip_clean), v1 append
@@ -2115,6 +2158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_bloom_pruned_read": q_txn_bloom_pruned_read,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
+    "txn_schema_evolution_read": q_txn_schema_evolution_read,
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
@@ -2670,6 +2714,11 @@ ORACLES["schema_evolution_merge"] = with_trips("""
                           END) AS DOUBLE), 6) AS tip_sum
     FROM trip_clean GROUP BY 1
 """)
+
+# identical semantics through the LOG: the manifest-recorded merged
+# schema null-backfills the dropped column over gen-1 dirs, so the
+# rollup equals the mergeSchema-at-raw-file answer
+ORACLES["txn_schema_evolution_read"] = ORACLES["schema_evolution_merge"]
 
 # time-travel readback: each version's rollup derives from trip_clean
 # with the same slice/append/correction the commits applied
