@@ -81,6 +81,9 @@ BENCH_NEW_QUERIES = [
     "txn_bloom_pruned_read",
     "zorder_pruned_read",
     "quality_calibration",
+    # round-7 additions
+    "streaming_bloom_seeded_dedupe",
+    "txn_schema_evolution_read",
 ]
 
 

@@ -30,7 +30,8 @@ def _mk_events(spark, ids):
 def _stage_feed(spark, df, name):
     src = os.path.join(OUT, name)
     shutil.rmtree(src, ignore_errors=True)
-    df.coalesce(1).write.parquet(src + "_stage")
+    shutil.rmtree(src + "_stage", ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(src + "_stage")
     os.makedirs(src)
     import glob
 
