@@ -291,12 +291,17 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # by the first-dir-schema default of a multi-path parquet read
     written = _schema_json(df.sparkSession.read.parquet(data_dir))
     schema = written
-    if mode == "append" and parent is not None:
+    if parent is not None:
         pman = _read_manifest(path, parent)
+        # bloom_cols is a TABLE PROPERTY, not per-version data state:
+        # it survives overwrites like Delta's bloom index config —
+        # otherwise one routine full-refresh silently stops indexing
+        # and the point-lookup index is missing exactly when needed
+        bcols = sorted(set(bcols) | set(pman.get("bloom_cols", [])))
+    if mode == "append" and parent is not None:
         dirs = pman["dirs"] + dirs
         stats = {**pman.get("stats", {}), **stats}
         rows = {**pman.get("rows", {}), **rows}
-        bcols = sorted(set(bcols) | set(pman.get("bloom_cols", [])))
         schema = _merge_schema_json(pman.get("schema"), written)
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")

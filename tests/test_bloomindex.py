@@ -338,3 +338,24 @@ def test_merge_prunes_by_bloom_on_envelope_useless_key(spark):
     got = txnlog.snapshot(spark, path).where("id = 150").collect()
     assert [(r["id"], r["v"]) for r in got] == [(150, 999)]
     assert txnlog.snapshot(spark, path).count() == 300
+
+
+def test_bloom_declaration_survives_overwrite(spark):
+    """bloom_cols is a TABLE PROPERTY (Delta's bloom index config):
+    a routine full-refresh overwrite must keep indexing — dropping
+    the declaration on overwrite would silently stop building
+    sidecars for every later commit."""
+    path = os.path.join(OUT, "t_prop")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(100).select(F.col("id"), F.lit(1).alias("v"))
+    txnlog.commit(df.where("id < 50"), path, "overwrite",
+                  bloom_cols=["id"])
+    txnlog.commit(df, path, "overwrite")          # full refresh
+    txnlog.commit(df.where("id < 10").select(
+        (F.col("id") + 1000).alias("id"), "v"), path, "append")
+    man = txnlog._read_manifest(path, txnlog.latest_version(path))
+    assert man["bloom_cols"] == ["id"]
+    # both live dirs (refresh + append) are indexed
+    kept, all_dirs = bloomindex.prune_dirs(spark, path, "id", [1005])
+    assert len(all_dirs) == 2
+    assert len(kept) == 1

@@ -807,3 +807,28 @@ def test_manifest_schema_widens_drifted_int(spark):
     snap = txnlog.snapshot(spark, path)
     assert dict(snap.dtypes)["id"] == "bigint"
     assert sorted(r["id"] for r in snap.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_merge_on_zordered_table_rewrites_one_bucket(spark):
+    """Interplay: after OPTIMIZE ZORDER the manifest's dirs are
+    SUBDIRS of one claimed dir — a small MERGE must still probe,
+    rewrite only the buckets holding the touched keys, and leave the
+    other bucket dirs carried untouched with their stats."""
+    path, df = _zorder_table(spark)
+    v = txnlog.optimize_zorder(spark, path, "a", "b")
+    man = txnlog._read_manifest(path, v)
+    n_buckets = len(man["dirs"])
+    assert n_buckets > 4
+    up = spark.createDataFrame([(17, 17 * 37 % 4096, 999)],
+                               ["a", "b", "v"])
+    txnlog.merge_upsert(spark, path, up, ["a"])
+    man2 = txnlog._read_manifest(path, txnlog.latest_version(path))
+    assert len(man2["meta"]["rewrote"]) == 1          # one bucket
+    assert man2["meta"]["rewrote"][0].startswith("data-v")
+    assert "__zb=" in man2["meta"]["rewrote"][0]
+    got = txnlog.snapshot(spark, path).where("a = 17").collect()
+    assert [(r["a"], r["v"]) for r in got] == [(17, 999)]
+    assert txnlog.snapshot(spark, path).count() == 4096
+    # carried buckets kept their stats envelopes
+    carried = [d for d in man2["dirs"] if "__zb=" in d]
+    assert all(d in man2["stats"] for d in carried)
