@@ -1560,6 +1560,47 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txn_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC as a first-class verified op (Delta VACUUM): two
+    day-slice commits, an OPTIMIZE compaction (v2 bin-packs them into
+    one dir), then ``vacuum(keep_latest=1, grace_seconds=0)`` — the
+    two pre-compaction dirs become unreachable and are reclaimed, the
+    old manifests are dropped, and the LIVE snapshot is untouched.
+    The output hashes the protocol's promises: exactly 2 dirs
+    removed, exactly 1 manifest left, and the post-vacuum readback
+    equal to the full clean table (content survives layout GC).
+    The grace window (in-flight writer protection) and sidecar GC are
+    pinned by tests/test_txnlog.py + test_bloomindex.py; at 100 TB
+    vacuum lists one directory level and unlinks — no data scan.
+    Reference parity: Synapse handles storage reclamation inside the
+    engine; a parquet lake must GC unreferenced files explicitly,
+    bounded by the time-travel retention policy."""
+    import os as _os
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnvacuum", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    txnlog.commit(clean.where(day >= 16), out, "append")
+    txnlog.compact(spark, out)  # v2: one bin-packed dir
+    removed = txnlog.vacuum(out, keep_latest=1, grace_seconds=0.0)
+    manifests = [f for f in _os.listdir(_os.path.join(out, "_txn"))
+                 if f.startswith("v") and f.endswith(".json")]
+    back = txnlog.snapshot(spark, out)
+    return back.agg(
+        F.lit(len(removed)).cast("bigint").alias("removed_dirs"),
+        F.lit(len(manifests)).cast("bigint").alias("manifests_left"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"))
+
+
 def q_txn_schema_evolution_read(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Schema evolution THROUGH THE TRANSACTION LOG (r7): the first
@@ -2159,6 +2200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
     "txn_schema_evolution_read": q_txn_schema_evolution_read,
+    "txn_vacuum_retention": q_txn_vacuum_retention,
     **LLM_QUERIES,
     **EXT_QUERIES,
     **WAREHOUSE_QUERIES,
@@ -2719,6 +2761,19 @@ ORACLES["schema_evolution_merge"] = with_trips("""
 # schema null-backfills the dropped column over gen-1 dirs, so the
 # rollup equals the mergeSchema-at-raw-file answer
 ORACLES["txn_schema_evolution_read"] = ORACLES["schema_evolution_merge"]
+
+# vacuum reclaims exactly the two pre-compaction dirs and keeps one
+# manifest; the surviving snapshot is the full clean table — the
+# structural counts come from the protocol (3 commits, keep_latest=1),
+# the content rollup from the data
+ORACLES["txn_vacuum_retention"] = with_trips("""
+    SELECT CAST(2 AS BIGINT) AS removed_dirs,
+           CAST(1 AS BIGINT) AS manifests_left,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum
+    FROM trip_clean
+""")
 
 # time-travel readback: each version's rollup derives from trip_clean
 # with the same slice/append/correction the commits applied
