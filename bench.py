@@ -84,6 +84,7 @@ BENCH_NEW_QUERIES = [
     # round-7 additions
     "streaming_bloom_seeded_dedupe",
     "txn_schema_evolution_read",
+    "txn_vacuum_retention",
 ]
 
 

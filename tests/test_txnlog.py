@@ -832,3 +832,15 @@ def test_merge_on_zordered_table_rewrites_one_bucket(spark):
     # carried buckets kept their stats envelopes
     carried = [d for d in man2["dirs"] if "__zb=" in d]
     assert all(d in man2["stats"] for d in carried)
+
+
+def test_change_feed_across_zorder_commit_is_empty(spark):
+    """OPTIMIZE ZORDER is a pure layout change: the change feed
+    between the pre- and post-clustering versions must be EMPTY even
+    though every dir differs — CDF classifies row deltas, not file
+    moves."""
+    path, _ = _zorder_table(spark)
+    pre = txnlog.latest_version(path)
+    post = txnlog.optimize_zorder(spark, path, "a", "b")
+    feed = txnlog.change_feed(spark, path, pre, post, ["a", "b"])
+    assert feed.count() == 0
