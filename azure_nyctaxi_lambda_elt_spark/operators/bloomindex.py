@@ -78,6 +78,34 @@ def _sidecar_path(path: str, dirname: str, col: str) -> str:
     return os.path.join(_bloom_root(path), f"{safe}.{col}.json")
 
 
+def _resolve_sidecar(path: str, dirname: str, col: str) -> str | None:
+    """Locate the sidecar describing (``dirname``, ``col``) for a
+    reader of table ``path``: the table's own ``_txn/bloom`` first,
+    then — for a SHALLOW CLONE's absolute-path dir — the SOURCE
+    table's sidecar.  Data dirs are immutable, so the source's
+    write-once sidecar describes exactly the bytes the clone
+    references; without this resolution a clone reads unpruned until
+    someone re-indexes it (conservative but wasteful).  The source
+    root is found by walking up from the dir to the ancestor holding
+    ``_txn`` (one level for plain dirs, two for zorder bucket
+    subdirs).  Returns None when no sidecar exists anywhere
+    (conservative scan)."""
+    side = _sidecar_path(path, dirname, col)
+    if os.path.exists(side):
+        return side
+    if not os.path.isabs(dirname):
+        return None
+    root = os.path.dirname(dirname)
+    rel = os.path.basename(dirname)
+    while root and root != os.path.dirname(root):
+        if os.path.isdir(os.path.join(root, "_txn")):
+            cand = _sidecar_path(root, rel, col)
+            return cand if os.path.exists(cand) else None
+        rel = os.path.join(os.path.basename(root), rel)
+        root = os.path.dirname(root)
+    return None
+
+
 def _positions(col: str, m: int, k: int):
     """Array of the k bit positions for ``col`` — salted xxhash64,
     pmod to [0, m).  Pure Column expression: the one hash definition
@@ -128,9 +156,10 @@ def build_bloom_index(spark: SparkSession, path: str, col: str,
     targets = man["dirs"] if only_dirs is None else [
         d for d in man["dirs"] if d in set(only_dirs)]
     for d in targets:
+        if _resolve_sidecar(path, d, col) is not None:
+            continue  # own sidecar, or a clone-source one — either
+            # describes these immutable bytes exactly
         side = _sidecar_path(path, d, col)
-        if os.path.exists(side):
-            continue
         df = spark.read.parquet(os.path.join(path, d))
         if col not in df.columns:
             pos, dtype = [], "absent"
@@ -204,8 +233,8 @@ def prune_dirs(spark: SparkSession, path: str, col: str,
     probe_cache: dict[tuple, list[list[int]]] = {}
     kept = []
     for d in all_dirs:
-        side = _sidecar_path(path, d, col)
-        if not os.path.exists(side):
+        side = _resolve_sidecar(path, d, col)
+        if side is None:
             kept.append(d)
             continue
         with open(side) as fh:
@@ -250,8 +279,8 @@ def union_bitmaps(path: str, col: str,
     groups: dict[tuple, bytearray] = {}
     complete = True
     for d in man["dirs"]:
-        side = _sidecar_path(path, d, col)
-        if not os.path.exists(side):
+        side = _resolve_sidecar(path, d, col)
+        if side is None:
             complete = False
             continue
         with open(side) as fh:

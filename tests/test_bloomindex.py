@@ -359,3 +359,27 @@ def test_bloom_declaration_survives_overwrite(spark):
     kept, all_dirs = bloomindex.prune_dirs(spark, path, "id", [1005])
     assert len(all_dirs) == 2
     assert len(kept) == 1
+
+
+def test_clone_resolves_source_sidecars_without_reindex(spark, table):
+    """A shallow clone references the source's immutable dirs by
+    absolute path: the source's write-once sidecars describe exactly
+    those bytes, so the clone must PRUNE through them with zero
+    local sidecars and zero rebuild jobs."""
+    path, _ = table
+    bloomindex.build_bloom_index(spark, path, "id")
+    clone = os.path.join(OUT, "clone_resolve")
+    shutil.rmtree(clone, ignore_errors=True)
+    txnlog.shallow_clone(path, clone)
+    # no local index, and a build call finds nothing to do
+    assert bloomindex.build_bloom_index(spark, clone, "id") == []
+    assert not os.path.isdir(os.path.join(clone, "_txn", "bloom")) or \
+        os.listdir(os.path.join(clone, "_txn", "bloom")) == []
+    kept, all_dirs = bloomindex.prune_dirs(spark, clone, "id", [7])
+    assert len(all_dirs) == 3
+    assert len(kept) == 1          # pruned via the SOURCE's sidecars
+    snap = bloomindex.bloom_pruned_snapshot(spark, clone, "id", [7])
+    assert [r["id"] for r in snap.where("id = 7").collect()] == [7]
+    # the union gate resolves the same way (streaming seed on a clone)
+    groups, complete = bloomindex.union_bitmaps(clone, "id")
+    assert complete and len(groups) == 1
