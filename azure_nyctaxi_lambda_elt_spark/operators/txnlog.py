@@ -653,8 +653,26 @@ def compact(spark: SparkSession, path: str,
     return out
 
 
+def _last_zorder_by(path: str, v: int) -> list | None:
+    """The column pair of the most recent zorder commit at or before
+    version ``v`` (None if the table was never clustered) — a
+    newest-first meta walk, O(commits since last cluster)."""
+    w = v
+    while w >= 0:
+        try:
+            m = _read_manifest(path, w)
+        except FileNotFoundError:  # vacuumed tail
+            return None
+        zb = m.get("meta", {}).get("zorder_by")
+        if zb is not None:
+            return zb
+        w -= 1
+    return None
+
+
 def optimize_zorder(spark: SparkSession, path: str, col_a: str,
-                    col_b: str, shuffle_partitions: int = 32) -> int:
+                    col_b: str, shuffle_partitions: int = 32,
+                    incremental: bool = False) -> int | None:
     """Delta ``OPTIMIZE ... ZORDER BY (a, b)`` as a TRANSACTION-LOG
     commit: rewrite the current snapshot clustered by the Morton
     interleave of (``col_a``, ``col_b``) — one manifest dir per
@@ -671,25 +689,49 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     Z-order keeps both dimensions' envelopes tight at once (a 1-D
     sort would prune on one column only).
 
-    Scale shape: one stats agg (4 scalars), one map-side bucket-id
-    expression, ONE repartitionByRange shuffle for the rewrite, one
-    partial-agg groupBy over the written layout for the envelopes
-    (≤2^(64-2·Z_BITS+...) — bounded by the ≤256 bucket count), two
-    JSON I/Os for the commit.  Declared bloom columns are re-indexed
-    per bucket dir by the same commit-time hook as every write."""
+    ``incremental=True`` is the liquid-clustering shape for
+    append-heavy tables: bucket dirs produced by a previous zorder
+    commit OVER THE SAME COLUMNS are carried untouched (their
+    envelopes stay valid — the dirs are immutable) and only the
+    dirs appended since recluster, into a new bucket generation
+    under this commit's claimed dir.  Rewrite cost scales with the
+    tail, not the table: reclustering a 100 TB table after a 1%
+    append touches 1%.  Each generation quantizes against its own
+    bounds, which is fine — pruning decisions read per-dir
+    envelopes, never bucket ids.  Returns None when there is
+    nothing to recluster (the no-op contract compact() uses).
+
+    Scale shape: one stats agg (4 scalars) over the recluster set,
+    one map-side bucket-id expression, ONE repartitionByRange
+    shuffle for the rewrite, one partial-agg groupBy over the
+    written layout for the envelopes (bounded by the ≤256 bucket
+    count), two JSON I/Os for the commit.  Declared bloom columns
+    are re-indexed per new bucket dir by the same commit-time hook
+    as every write; carried buckets keep their write-once
+    sidecars."""
     from .maintenance import Z_BUCKET_SHIFT, zorder_value
 
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
+    carried: list[str] = []
+    target = list(man["dirs"])
+    if incremental and _last_zorder_by(path, v) == [col_a, col_b]:
+        # bucket dirs from the same-column clustering stay; a dir a
+        # later MERGE rewrote came back as a PLAIN dir, so name-based
+        # detection only ever carries genuinely clustered bytes
+        carried = [d for d in target if "/__zb=" in d]
+        target = [d for d in target if "/__zb=" not in d]
+    if not target:
+        return None  # fully clustered already: no-op
     # pin BOTH ends like compact(): a writer landing v+1 between our
     # snapshot and our publish must surface as TxnConflict, not a
     # silent lost update
     version = v + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
-    snap = snapshot(spark, path, v)
+    snap = _read_dirs(spark, path, target, man)
     a = F.col(col_a).cast("bigint")
     b = F.col(col_b).cast("bigint")
     st = snap.agg(
@@ -721,7 +763,11 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
                  F.max(c).alias(f"__hi_{c}")]
     brows = (spark.read.parquet(data_dir)
              .groupBy("__zb").agg(*aggs).collect())
-    dirs, stats, rows = [], {}, {}
+    dirs = list(carried)
+    stats = {d: s for d, s in man.get("stats", {}).items()
+             if d in carried}
+    prows = man.get("rows", {})
+    rows = {d: n for d, n in prows.items() if d in carried}
     for r in sorted(brows, key=lambda r: r["__zb"]):
         d = f"{name}/__zb={r['__zb']}"
         dirs.append(d)
@@ -729,12 +775,14 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
                         _json_safe(r[f"__hi_{c}"])] for c in stat_cols}
         rows[d] = int(r["__n"])
     bcols = man.get("bloom_cols", [])
+    new_dirs = [d for d in dirs if d not in carried]
     out = _commit_manifest(
         path, version, "overwrite", dirs,
         {"zorder_by": [col_a, col_b],
-         "clustered_from": len(man["dirs"])}, stats, rows, bcols,
+         "clustered_from": len(target),
+         "carried_buckets": len(carried)}, stats, rows, bcols,
         man.get("schema"))
-    _maintain_bloom(spark, path, out, bcols, dirs)
+    _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
 

@@ -844,3 +844,60 @@ def test_change_feed_across_zorder_commit_is_empty(spark):
     post = txnlog.optimize_zorder(spark, path, "a", "b")
     feed = txnlog.change_feed(spark, path, pre, post, ["a", "b"])
     assert feed.count() == 0
+
+
+def test_incremental_zorder_reclusters_only_the_tail(spark):
+    """Liquid-clustering shape: after a full OPTIMIZE ZORDER and an
+    append, incremental=True must carry every existing bucket dir
+    untouched (same names, same stats) and recluster ONLY the
+    appended dir — rewrite cost scales with the tail, not the
+    table.  Content and pruning must be as good as a full rewrite."""
+    path, df = _zorder_table(spark)
+    v1 = txnlog.optimize_zorder(spark, path, "a", "b")
+    man1 = txnlog._read_manifest(path, v1)
+    gen1 = set(man1["dirs"])
+    # append a small tail (new key range so it clusters tight)
+    tail = spark.range(4096, 4296).select(
+        F.col("id").alias("a"),
+        F.pmod(F.col("id") * 37, F.lit(4096)).alias("b"),
+        (F.col("id") % 10).alias("v"))
+    txnlog.commit(tail, path, "append", stats_cols=["a", "b"])
+    v2 = txnlog.optimize_zorder(spark, path, "a", "b",
+                                incremental=True)
+    man2 = txnlog._read_manifest(path, v2)
+    assert man2["meta"]["carried_buckets"] == len(gen1)
+    assert man2["meta"]["clustered_from"] == 1  # only the append dir
+    # every gen-1 bucket dir carried verbatim with its stats
+    assert gen1 < set(man2["dirs"])
+    for d in gen1:
+        assert man2["stats"][d] == man1["stats"][d]
+    # content identical to table state
+    assert txnlog.snapshot(spark, path, v2).count() == 4296
+    got = sorted(r["a"] for r in txnlog.snapshot(spark, path, v2)
+                 .where("a >= 4096").collect())
+    assert got == list(range(4096, 4296))
+    # re-running incrementally with nothing new is a no-op
+    assert txnlog.optimize_zorder(spark, path, "a", "b",
+                                  incremental=True) is None
+    # pruning still skips: corner rectangle opens a strict subset
+    stats = txnlog.manifest_stats(path, v2)
+    amin = min(s["a"][0] for s in stats.values())
+    amax = max(s["a"][1] for s in stats.values())
+    bmin = min(s["b"][0] for s in stats.values())
+    bmax = max(s["b"][1] for s in stats.values())
+    rect = [("a", amin, amin + (amax - amin) // 8),
+            ("b", bmin, bmin + (bmax - bmin) // 8)]
+    kept, all_dirs = txnlog.prune_plan(path, v2, rect)
+    assert 0 < len(kept) < len(all_dirs) / 2
+
+
+def test_incremental_zorder_different_cols_reclusters_all(spark):
+    """incremental=True over a DIFFERENT column pair must not carry
+    old buckets — their clustering doesn't serve the new keys."""
+    path, _ = _zorder_table(spark)
+    txnlog.optimize_zorder(spark, path, "a", "b")
+    v = txnlog.optimize_zorder(spark, path, "b", "a",
+                               incremental=True)
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["carried_buckets"] == 0
+    assert txnlog.snapshot(spark, path, v).count() == 4096
