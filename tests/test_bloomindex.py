@@ -383,3 +383,34 @@ def test_clone_resolves_source_sidecars_without_reindex(spark, table):
     # the union gate resolves the same way (streaming seed on a clone)
     groups, complete = bloomindex.union_bitmaps(clone, "id")
     assert complete and len(groups) == 1
+
+
+def test_union_words_signed_conversion_property():
+    """union_bitmaps packs the OR'd bitmap into SIGNED 64-bit words
+    (Spark bigint): for every position, getbit's two's-complement bit
+    view of the signed word must equal the original packed bit —
+    including the sign bit (p % 64 == 63) and all-set words."""
+    import base64
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    m = bloomindex.BLOOM_M
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.sets(st.integers(0, m - 1), max_size=300))
+    def check(positions):
+        packed = base64.b64decode(
+            bloomindex._pack_bits(sorted(positions), m))
+        words = []
+        for w in range(0, len(packed), 8):
+            u = int.from_bytes(packed[w:w + 8], "little")
+            words.append(u - (1 << 64) if u >= (1 << 63) else u)
+        probe = set(positions) | {(p + 63) % m for p in positions} \
+            | {0, 63, m - 1}
+        for p in probe:
+            signed = words[p // 64]
+            bit = ((signed % (1 << 64)) >> (p % 64)) & 1
+            assert bit == (1 if p in positions else 0)
+
+    check()
