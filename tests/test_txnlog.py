@@ -901,3 +901,38 @@ def test_incremental_zorder_different_cols_reclusters_all(spark):
     man = txnlog._read_manifest(path, v)
     assert man["meta"]["carried_buckets"] == 0
     assert txnlog.snapshot(spark, path, v).count() == 4096
+
+
+def test_optimize_zorder_race_conflicts_instead_of_losing_update(
+        spark, memory_store):
+    """A commit landing between optimize_zorder's snapshot and its
+    publish must surface as TxnConflict (retryable), NEVER silently
+    replace the winner's rows with the stale clustered content."""
+    path = os.path.join(OUT, "tz_race")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(1024).select(
+        F.col("id").alias("a"),
+        F.pmod(F.col("id") * 37, F.lit(1024)).alias("b"))
+    txnlog.commit(df.where("a < 900"), path, "overwrite",
+                  stats_cols=["a", "b"])
+
+    orig = memory_store.publish
+    state = {"injected": False}
+
+    def hijack(final, tmp):
+        if not state["injected"]:
+            state["injected"] = True
+            memory_store.publish = orig
+            txnlog.commit(df.where("a >= 900"), path, "append",
+                          stats_cols=["a", "b"])
+        orig(final, tmp)
+
+    memory_store.publish = hijack
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.optimize_zorder(spark, path, "a", "b")
+    assert txnlog.snapshot(spark, path).count() == 1024  # nothing lost
+    v = txnlog.commit_with_retry(
+        lambda: txnlog.optimize_zorder(spark, path, "a", "b"))
+    assert txnlog.snapshot(spark, path, v).count() == 1024
+    assert all("/__zb=" in d
+               for d in txnlog._read_manifest(path, v)["dirs"])
