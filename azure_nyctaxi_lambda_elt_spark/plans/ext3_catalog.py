@@ -1291,6 +1291,77 @@ def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(rev), 2).cast("double").alias("revenue")))
 
 
+def _zorder_inc_out_dir(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(
+        "/tmp/spark_graft_write",
+        f"zorderinc_{os.path.basename(sf_dir.rstrip('/'))}")
+
+
+def q_zorder_incremental_read(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """LIQUID-CLUSTERING shape, oracle-pinned end to end: the bottom
+    three quarters of lineitem's orderkey range commits and clusters
+    (generation A), the top quarter then APPENDS, and
+    ``optimize_zorder(incremental=True)`` reclusters ONLY the
+    appended dir into a second bucket generation — every gen-A
+    bucket dir is carried verbatim (immutable bytes, envelopes still
+    valid), so the rewrite cost scales with the tail, not the table.
+    The corner-rectangle read then prunes across BOTH generations
+    through the ordinary multi-column ``snapshot(prune=[...])``.
+
+    The output hashes the structural claims, not just the rollup:
+    n_carried (= every gen-A bucket), n_dirs_total (gen-A + gen-B
+    buckets), and n_dirs_read (envelope-kept dirs across both
+    generations) are replayed by the oracle — each generation
+    quantizes against its OWN bounds, exactly as the incremental
+    rewrite does, proving generations compose under per-dir envelope
+    pruning.  Scale: reclustering a 100 TB table after a 1% append
+    touches 1% (tests/test_txnlog.py pins carried-verbatim stats and
+    the no-op when fully clustered)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _zorder_inc_out_dir(sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("a"),
+        F.col("l_suppkey").cast("bigint").alias("b"),
+        "l_extendedprice", "l_discount")
+    stF = li.agg(F.min("a").alias("amin"),
+                 F.max("a").alias("amax")).collect()[0]
+    split = stF["amin"] + (stF["amax"] - stF["amin"]) * 3 // 4
+    txnlog.commit(li.where(F.col("a") <= split), out, "overwrite")
+    txnlog.optimize_zorder(spark, out, "a", "b")       # generation A
+    txnlog.commit(li.where(F.col("a") > split), out, "append")
+    v = txnlog.optimize_zorder(spark, out, "a", "b",
+                               incremental=True)       # generation B
+    man_meta = txnlog.latest_meta(out)
+    n_carried = man_meta["carried_buckets"]
+    stats = txnlog.manifest_stats(out, v)
+    amin = min(s["a"][0] for s in stats.values())
+    amax = max(s["a"][1] for s in stats.values())
+    bmin = min(s["b"][0] for s in stats.values())
+    bmax = max(s["b"][1] for s in stats.values())
+    a_hi = amin + (amax - amin) // 8
+    b_hi = bmin + (bmax - bmin) // 8
+    rect = [("a", amin, a_hi), ("b", bmin, b_hi)]
+    kept, all_dirs = txnlog.prune_plan(out, v, rect)
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,4)")))
+    return (
+        txnlog.snapshot(spark, out, v, prune=rect)
+        .where((F.col("a") <= F.lit(a_hi)) & (F.col("b") <= F.lit(b_hi)))
+        .agg(F.lit(len(all_dirs)).cast("bigint").alias("n_dirs_total"),
+             F.lit(n_carried).cast("bigint").alias("n_carried"),
+             F.lit(len(kept)).cast("bigint").alias("n_dirs_read"),
+             F.count("*").cast("bigint").alias("n_rows"),
+             F.round(F.sum(rev), 2).cast("double").alias("revenue")))
+
+
 def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census over the exact-Jaccard near-dup pairs (same
     edge set dedup_clusters closes over)."""
@@ -1775,6 +1846,85 @@ def _zorder_pruned_oracle() -> str:
 EXT3_ORACLES["zorder_pruned_read"] = _zorder_pruned_oracle()
 
 
+def _zorder_incremental_oracle() -> str:
+    """Two-generation replay: each generation Morton-buckets against
+    its OWN subset bounds (exactly what the incremental rewrite
+    does); n_carried = gen-A's bucket count, kept dirs use the same
+    min-only envelope rule as the single-generation oracle (the rect
+    starts at the global minima, so the env-hi half of the overlap
+    test is vacuous for both generations)."""
+    from ..operators.maintenance import Z_BITS, Z_BUCKET_SHIFT
+
+    kmax = (1 << Z_BITS) - 1
+    terms = " + ".join(
+        f"((qa >> {b}) & 1) * {1 << (2 * b + 1)}"
+        f" + ((qb >> {b}) & 1) * {1 << (2 * b)}"
+        for b in range(Z_BITS))
+
+    def gen(tag: str, pred: str) -> str:
+        return f"""
+        base{tag} AS (
+          SELECT a, b FROM base CROSS JOIN split WHERE {pred}),
+        st{tag} AS MATERIALIZED (
+          SELECT MIN(a) AS amin, MAX(a) AS amax,
+                 MIN(b) AS bmin, MAX(b) AS bmax
+          FROM base{tag}),
+        q{tag} AS (
+          SELECT a, b,
+                 CAST(floor(CAST((a - amin) * {kmax} AS DOUBLE)
+                            / greatest(amax - amin, 1)) AS BIGINT) AS qa,
+                 CAST(floor(CAST((b - bmin) * {kmax} AS DOUBLE)
+                            / greatest(bmax - bmin, 1)) AS BIGINT) AS qb
+          FROM base{tag} CROSS JOIN st{tag}),
+        env{tag} AS MATERIALIZED (
+          SELECT CAST(({terms}) >> {Z_BUCKET_SHIFT} AS INT) AS zb,
+                 MIN(a) AS a_min, MIN(b) AS b_min
+          FROM q{tag} GROUP BY 1)"""
+
+    rev = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+           " * (1 - CAST(l_discount AS DECIMAL(4,4)))")
+    return f"""
+        WITH lraw AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS a,
+                 CAST(l_suppkey AS BIGINT) AS b,
+                 l_extendedprice, l_discount
+          FROM lineitem),
+        base AS (SELECT a, b FROM lraw),
+        stF AS MATERIALIZED (
+          SELECT MIN(a) AS amin, MAX(a) AS amax,
+                 MIN(b) AS bmin, MAX(b) AS bmax
+          FROM base),
+        split AS MATERIALIZED (
+          SELECT amin + (amax - amin) * 3 // 4 AS s FROM stF),
+        {gen("A", "a <= s")},
+        {gen("B", "a > s")},
+        rect AS MATERIALIZED (
+          SELECT amin + (amax - amin) // 8 AS a_hi,
+                 bmin + (bmax - bmin) // 8 AS b_hi
+          FROM stF),
+        kept AS (
+          SELECT zb FROM envA CROSS JOIN rect
+          WHERE a_min <= a_hi AND b_min <= b_hi
+          UNION ALL
+          SELECT zb FROM envB CROSS JOIN rect
+          WHERE a_min <= a_hi AND b_min <= b_hi)
+        SELECT CAST((SELECT COUNT(*) FROM envA)
+                    + (SELECT COUNT(*) FROM envB) AS BIGINT)
+                 AS n_dirs_total,
+               CAST((SELECT COUNT(*) FROM envA) AS BIGINT)
+                 AS n_carried,
+               CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+                 AS n_dirs_read,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(round(SUM({rev}), 2) AS DOUBLE) AS revenue
+        FROM lraw CROSS JOIN rect
+        WHERE a <= a_hi AND b <= b_hi
+    """
+
+
+EXT3_ORACLES["zorder_incremental_read"] = _zorder_incremental_oracle()
+
+
 def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank replay over the
     dedup_ngram_jaccard edge set.  The (1-d)/N base constant is
@@ -2122,6 +2272,7 @@ EXT3_QUERIES = {
     "fuzzy_name_linkage": q_fuzzy_name_linkage,
     "zorder_cluster_stats": q_zorder_cluster_stats,
     "zorder_pruned_read": q_zorder_pruned_read,
+    "zorder_incremental_read": q_zorder_incremental_read,
     "dup_graph_pagerank": q_dup_graph_pagerank,
     "skew_profile": q_skew_profile,
     "cdc_apply_changes": q_cdc_apply_changes,

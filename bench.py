@@ -85,6 +85,7 @@ BENCH_NEW_QUERIES = [
     "streaming_bloom_seeded_dedupe",
     "txn_schema_evolution_read",
     "txn_vacuum_retention",
+    "zorder_incremental_read",
 ]
 
 
