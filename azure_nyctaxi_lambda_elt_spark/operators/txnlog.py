@@ -242,7 +242,8 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
            meta: dict | None = None,
            stats_cols: list[str] | None = None,
-           bloom_cols: list[str] | None = None) -> int:
+           bloom_cols: list[str] | None = None,
+           partition_by: list[str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     mode='overwrite' → the new version is exactly df's rows;
@@ -262,6 +263,16 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     sql/batchELT/core/12_trip_clean.dedupe_load.sql's key probes).
     On append the declared sets UNION with the parent manifest's, so
     declaring once at table creation is enough.
+    ``partition_by`` splits the commit's data into ONE MANIFEST DIR
+    PER PARTITION VALUE (Hive-style subdirs of the claimed dir, with
+    per-dir stats over ``stats_cols`` ∪ ``partition_by``) — the
+    intra-commit half of partition pruning: a date-range
+    ``snapshot(prune=...)`` then opens only the matching partition
+    dirs of every commit, not each commit's whole output.  The
+    partition columns stay ORDINARY DATA COLUMNS in the files (the
+    dir name is layout, not the value authority), so snapshot's
+    per-dir reads need no basePath reconstruction and the table
+    schema is unchanged.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -270,26 +281,51 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
     data_dir = _claim_data_dir(path, version)
-    # the data write is invisible until the manifest rename lands
-    df.write.mode("overwrite").parquet(data_dir)
     name = os.path.basename(data_dir)
-    dirs = [name]
-    stats, rows = {}, {}
-    if stats_cols:
-        # stats come from the WRITTEN files, not a re-aggregation of
-        # df: a nondeterministic lineage (rand/sample/range-sample)
-        # could evaluate differently the second time and record an
-        # envelope that excludes rows actually in the dir — pruning
-        # would then silently drop them
-        cstats, n = _col_stats(
-            df.sparkSession.read.parquet(data_dir), stats_cols)
-        stats, rows = {name: cstats}, {name: n}
+    # the data write is invisible until the manifest rename lands
+    if partition_by:
+        # duplicate the partition cols under layout-only names:
+        # partitionBy MOVES its columns out of the files and into dir
+        # names, but snapshot() reads leaf dirs individually (no
+        # basePath), so the real columns must stay in the data
+        shadow = [f"__p_{c}" for c in partition_by]
+        out = df
+        for c, s in zip(partition_by, shadow):
+            out = out.withColumn(s, F.col(c))
+        out.write.mode("overwrite").partitionBy(*shadow) \
+            .parquet(data_dir)
+        dirs, stats, rows = _partition_dir_stats(
+            df.sparkSession, path, data_dir,
+            sorted(set(stats_cols or []) | set(partition_by)))
+        if not dirs:
+            # empty frame: a partitioned write leaves no leaf dirs
+            # (just _SUCCESS) — rewrite plain so the dir carries the
+            # schema and the manifest stays readable
+            df.limit(0).write.mode("overwrite").parquet(data_dir)
+            dirs = [name]
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = [name]
+        stats, rows = {}, {}
+        if stats_cols:
+            # stats come from the WRITTEN files, not a re-aggregation
+            # of df: a nondeterministic lineage (rand/sample/
+            # range-sample) could evaluate differently the second
+            # time and record an envelope that excludes rows actually
+            # in the dir — pruning would then silently drop them
+            cstats, n = _col_stats(
+                df.sparkSession.read.parquet(data_dir), stats_cols)
+            stats, rows = {name: cstats}, {name: n}
+    new_dirs = list(dirs)
     bcols = sorted(set(bloom_cols or []))
     # the table schema rides in the manifest (Delta-style): snapshot
     # reads apply it explicitly, so columns added by later commits
     # null-backfill over old dirs instead of being silently dropped
     # by the first-dir-schema default of a multi-path parquet read
-    written = _schema_json(df.sparkSession.read.parquet(data_dir))
+    # (schema from a LEAF dir when partitioned — the shadow partition
+    # names are layout, not table columns)
+    written = _schema_json(df.sparkSession.read.parquet(
+        os.path.join(path, dirs[0])))
     schema = written
     if parent is not None:
         pman = _read_manifest(path, parent)
@@ -307,8 +343,49 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         raise ValueError(f"unknown commit mode {mode!r}")
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema)
-    _maintain_bloom(df.sparkSession, path, v, bcols, [name])
+    _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
+
+
+def _partition_dir_stats(spark: SparkSession, path: str,
+                         data_dir: str, stat_cols: list[str]
+                         ) -> tuple[list[str], dict, dict]:
+    """Per-leaf-partition-dir manifest entries for a partitioned
+    commit: ONE job over the written tree (rows tagged with their
+    owning dir via input_file_name — never a job per partition),
+    yielding dir names relative to the table root plus each dir's
+    [min, max] stats and row count.  Stats aggregate the REAL data
+    columns (the shadow partition columns are layout only)."""
+    if not any(f.endswith(".parquet")
+               for _, _, files in os.walk(data_dir) for f in files):
+        return [], {}, {}  # empty frame wrote no leaves (just _SUCCESS)
+    tagged = (
+        spark.read.parquet(data_dir)
+        .withColumn(
+            "__dir",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.input_file_name(),
+                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"),
+                r"/[^/]*$", "")))
+    aggs = [F.count("*").alias("__n")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"),
+                 F.max(c).alias(f"__hi_{c}")]
+    base = os.path.abspath(path)
+    dirs, stats, rows = [], {}, {}
+    for r in tagged.groupBy("__dir").agg(*aggs).collect():
+        # input_file_name is a URI: percent-decode before relpath
+        # (unquote, not unquote_plus — a literal '+' must survive)
+        rel = os.path.relpath(
+            urllib.parse.unquote(r["__dir"]), base)
+        dirs.append(rel)
+        stats[rel] = {c: [_json_safe(r[f"__lo_{c}"]),
+                          _json_safe(r[f"__hi_{c}"])]
+                      for c in stat_cols}
+        rows[rel] = int(r["__n"])
+    dirs.sort()
+    return dirs, stats, rows
 
 
 def _maintain_bloom(spark: SparkSession, path: str, version: int,

@@ -936,3 +936,81 @@ def test_optimize_zorder_race_conflicts_instead_of_losing_update(
     assert txnlog.snapshot(spark, path, v).count() == 1024
     assert all("/__zb=" in d
                for d in txnlog._read_manifest(path, v)["dirs"])
+
+
+def test_partitioned_commit_prunes_by_partition(spark):
+    """commit(partition_by=["d"]): one manifest dir per partition
+    value with per-dir stats — a range snapshot(prune=...) opens only
+    the matching partition dirs of EVERY commit (intra-commit
+    pruning), and each leaf reads back with the full table schema
+    (the partition column stays a data column)."""
+    path = os.path.join(OUT, "t_part")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"),
+        (F.col("id") * 2).alias("v"))
+    txnlog.commit(df.where("id < 150"), path, "overwrite",
+                  partition_by=["d"], stats_cols=["id"])
+    txnlog.commit(df.where("id >= 150"), path, "append",
+                  partition_by=["d"], stats_cols=["id"])
+    man = txnlog._read_manifest(path, txnlog.latest_version(path))
+    assert len(man["dirs"]) == 6          # 2 commits x 3 partitions
+    assert all("__p_d=" in d for d in man["dirs"])
+    # partition pruning: d = 1 opens 2 of 6 dirs (one per commit)
+    kept, all_dirs = txnlog.prune_plan(path, None, [("d", 1, 1)])
+    assert len(all_dirs) == 6 and len(kept) == 2
+    snap = txnlog.snapshot(spark, path, prune=("d", 1, 1))
+    got = snap.where("d = 1")
+    assert got.count() == 100
+    assert sorted(snap.columns) == ["d", "id", "v"]  # full schema
+    # conjunction with the id stats: one commit's one partition
+    kept2, _ = txnlog.prune_plan(
+        path, None, [("d", 1, 1), ("id", 0, 100)])
+    assert len(kept2) == 1
+    # content identical to the unpartitioned answer
+    want = sorted((r["id"], r["d"], r["v"]) for r in
+                  df.where("d = 1").collect())
+    have = sorted((r["id"], r["d"], r["v"]) for r in got.collect())
+    assert have == want
+
+
+def test_partitioned_commit_composes_with_bloom_and_merge(spark):
+    """Partition dirs are ordinary manifest dirs: commit-time bloom
+    indexes every leaf, and a small MERGE rewrites only the leaves
+    holding the touched keys."""
+    path = os.path.join(OUT, "t_part_bloom")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"))
+    txnlog.commit(df, path, "overwrite", partition_by=["d"],
+                  bloom_cols=["id"])
+    root = os.path.join(path, "_txn", "bloom")
+    assert len(os.listdir(root)) == 3     # one sidecar per leaf
+    kept, all_dirs = bloomindex_prune(spark, path, "id", [7])
+    assert len(all_dirs) == 3 and len(kept) == 1
+    up = spark.createDataFrame([(7, 99)], ["id", "d"])
+    txnlog.merge_upsert(spark, path, up, ["id"])
+    man = txnlog._read_manifest(path, txnlog.latest_version(path))
+    assert len(man["meta"]["rewrote"]) == 1
+    assert txnlog.snapshot(spark, path).count() == 300
+    assert txnlog.snapshot(spark, path).where("id = 7") \
+        .collect()[0]["d"] == 99
+
+
+def bloomindex_prune(spark, path, col, values):
+    from azure_nyctaxi_lambda_elt_spark.operators import bloomindex
+
+    return bloomindex.prune_dirs(spark, path, col, values)
+
+
+def test_partitioned_commit_empty_frame(spark):
+    """An EMPTY partitioned commit must still land a readable version
+    (plain empty dir fallback carrying the schema)."""
+    path = os.path.join(OUT, "t_part_empty")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") % 2).alias("d"))
+    txnlog.commit(df.limit(0), path, "overwrite", partition_by=["d"])
+    snap = txnlog.snapshot(spark, path)
+    assert snap.count() == 0
+    assert sorted(snap.columns) == ["d", "id"]
