@@ -1529,6 +1529,68 @@ def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trip_uid", "vendor_code", "ingest_date", "fare_amount")
 
 
+def q_txn_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED COMMITS through the transaction log
+    (``txnlog.commit(partition_by=...)``): each commit lands ONE
+    MANIFEST DIR PER PARTITION VALUE — the intra-commit half of
+    partition pruning that plain per-commit stats cannot express
+    when every load carries every partition value.  Two month-half
+    loads partition by vendor_code (5 codes + a NULL partition);
+    a (vendor, date-range) read is the ordinary multi-column
+    ``snapshot(prune=[...])`` and opens only the matching vendor
+    dirs of EVERY commit, with the conjunction against each dir's
+    ingest_date envelope layered on top.  NULL-vendor dirs have a
+    [null, null] envelope and are kept conservatively (pruning may
+    only skip dirs that CANNOT hold matching rows); the row
+    predicate then restores exactness.  The output hashes the
+    pruning decision itself: n_dirs_total / n_dirs_read come from
+    ``prune_plan`` and the oracle replays the envelope rule per
+    (month-half × vendor) dir.  Reference parity: the Synapse pool
+    distributes/partitions core.trip_clean by hash (sql/batchELT/
+    core/11_trip_clean.slice_ctas.sql) — a parquet lake gets the
+    same scan narrowing from partition-grain manifest dirs.
+
+    Scale shape: the per-dir stats restatement is ONE agg job over
+    the written tree tagged by input_file_name (never a job per
+    partition); at 100 TB a vendor-scoped day-range query opens
+    |days touched| dirs after two JSON reads, and the partition
+    columns stay ordinary data columns so no basePath
+    reconstruction is needed on read."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnpart", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite",
+                  partition_by=["vendor_code"],
+                  stats_cols=["ingest_date"])
+    txnlog.commit(clean.where(day >= 16), out, "append",
+                  partition_by=["vendor_code"],
+                  stats_cols=["ingest_date"])
+    rect = [("vendor_code", "V1", "V1"),
+            ("ingest_date", "2024-01-10", "2024-01-20")]
+    kept, all_dirs = txnlog.prune_plan(out, None, rect)
+    import datetime
+    lo, hi = datetime.date(2024, 1, 10), datetime.date(2024, 1, 20)
+    return (
+        txnlog.snapshot(spark, out, prune=rect)  # dir skipping
+        .where((F.col("vendor_code") == "V1")
+               & F.col("ingest_date").between(lo, hi))
+        .groupBy("ingest_date")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+             .cast("double").alias("fare_sum"))
+        .select("ingest_date", "n_rows", "fare_sum",
+                F.lit(len(all_dirs)).cast("bigint").alias("n_dirs_total"),
+                F.lit(len(kept)).cast("bigint").alias("n_dirs_read"))
+    )
+
+
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across producer generations: the first half of
     the month landed from a producer WITHOUT tip_amount, the second
@@ -2197,6 +2259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "txn_bloom_pruned_read": q_txn_bloom_pruned_read,
+    "txn_partitioned_prune": q_txn_partitioned_prune,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
     "schema_evolution_merge": q_schema_evolution_merge,
     "txn_schema_evolution_read": q_txn_schema_evolution_read,
@@ -2668,6 +2731,32 @@ ORACLES["txn_stats_pruned_read"] = with_trips("""
     FROM trip_clean
     WHERE ingest_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
     GROUP BY 1
+""")
+
+# partitioned-commit pruning: the envelope rule replayed per
+# (month-half x vendor) dir — vendor env [v, v] (NULL dirs kept
+# conservatively), ingest_date env [min, max] within the dir; the
+# rollup is the plain vendor + date-range filter
+ORACLES["txn_partitioned_prune"] = with_trips("""
+    , dirs AS (
+      SELECT day(ingest_date) <= 15 AS h, vendor_code AS v,
+             MIN(ingest_date) AS dlo, MAX(ingest_date) AS dhi
+      FROM trip_clean GROUP BY 1, 2),
+    plan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dirs_total,
+             CAST(SUM(CASE WHEN (v IS NULL OR v = 'V1')
+                            AND dhi >= DATE '2024-01-10'
+                            AND dlo <= DATE '2024-01-20'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dirs_read
+      FROM dirs)
+    SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           p.n_dirs_total, p.n_dirs_read
+    FROM trip_clean CROSS JOIN plan p
+    WHERE vendor_code = 'V1'
+      AND ingest_date BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+    GROUP BY 1, p.n_dirs_total, p.n_dirs_read
 """)
 
 ORACLES["txn_bloom_pruned_read"] = with_trips("""

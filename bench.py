@@ -86,6 +86,7 @@ BENCH_NEW_QUERIES = [
     "txn_schema_evolution_read",
     "txn_vacuum_retention",
     "zorder_incremental_read",
+    "txn_partitioned_prune",
 ]
 
 
