@@ -35,6 +35,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _emb_key(sf_dir: str) -> str:
+    """Codebook-cache identity for the embeddings corpus: path +
+    size + mtime fingerprint, so the PERSISTED codebook artifact
+    (operators/clustering.py) invalidates if the corpus is
+    regenerated in place between sessions."""
+    import os
+
+    from ..operators.clustering import corpus_cache_key
+
+    return corpus_cache_key(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -74,7 +86,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return ivf_topk(_emb(spark, sf_dir),
                     F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K,
-                    cache_key=sf_dir)
+                    cache_key=_emb_key(sf_dir))
 
 
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +101,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ivfpq_topk(_emb(spark, sf_dir),
                       F.col("vec_id") % ANN_QUERY_MOD == 0, ANN_K,
-                      cache_key=sf_dir)
+                      cache_key=_emb_key(sf_dir))
 
 
 COS_TAU = 0.45
@@ -1399,7 +1411,7 @@ def q_hard_negative_mine_ivf(spark: SparkSession,
     return ivf_topk(
         _emb(spark, sf_dir),
         F.col("vec_id") % ANN_QUERY_MOD == 0, k=ANN_K,
-        exclude_label_col="label", cache_key=sf_dir)
+        exclude_label_col="label", cache_key=_emb_key(sf_dir))
 
 
 # JL projection: identical ±1 literals, identical sequential fold

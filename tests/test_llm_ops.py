@@ -239,13 +239,15 @@ def test_random_projection_hand_example_and_plan(spark):
     assert "Exchange" not in plan
 
 
-def test_codebook_cache_trains_once_per_key(spark):
+def test_codebook_cache_trains_once_per_key(spark, tmp_path, monkeypatch):
     """fit_centroids(cache_key=...) is the stored-artifact seam: the
     second invocation with the same (key, k, iters) must NOT rerun
     Lloyd (bench reruns and sibling entries amortize the fit), must
     return identical centroids, and a changed key/param must refit."""
     from azure_nyctaxi_lambda_elt_spark.operators import clustering
 
+    monkeypatch.setenv(clustering._CODEBOOK_STORE_ENV,
+                       str(tmp_path / "cb"))  # isolate the disk tier
     emb = spark.range(64).select(
         F.col("id").alias("vec_id"),
         F.array(*[((F.col("id") * (i + 3)) % 17).cast("float")
@@ -279,7 +281,72 @@ def test_codebook_cache_trains_once_per_key(spark):
         clustering.clear_codebook_cache()
 
 
-def test_ivf_entries_share_cached_codebook(spark):
+def test_codebook_cache_persists_across_sessions(spark, tmp_path,
+                                                 monkeypatch):
+    """The on-disk codebook artifact is the CROSS-SESSION half of the
+    cache: after the in-memory dict is wiped (a process restart), the
+    same (key, k, iters) must serve from disk with ZERO Lloyd fits
+    and bit-identical centroids; a corrupt artifact refits instead of
+    failing; corpus_cache_key invalidates when the file changes."""
+    import json
+    import os
+
+    from azure_nyctaxi_lambda_elt_spark.operators import clustering
+
+    monkeypatch.setenv(clustering._CODEBOOK_STORE_ENV,
+                       str(tmp_path / "cb"))
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (i + 3)) % 17).cast("float")
+                  for i in range(8)]).alias("embedding"))
+    calls = []
+    real_fit = clustering._fit
+
+    def counting_fit(pts, k, iters):
+        calls.append(k)
+        return real_fit(pts, k, iters)
+
+    clustering.clear_codebook_cache()
+    clustering._fit = counting_fit
+    try:
+        a = clustering.fit_centroids(emb, 4, 2, cache_key="t/disk")
+        assert len(calls) == 1
+        clustering._CODEBOOK_CACHE.clear()   # "process restart"
+        b = clustering.fit_centroids(emb, 4, 2, cache_key="t/disk")
+        assert len(calls) == 1               # served from disk
+        assert b == a
+        # a torn artifact is ignored — refit, never a crash
+        p = clustering._artifact_path(("t/disk", 4, 2))
+        with open(p, "w") as f:
+            f.write('{"key": ["t/disk", 4')  # truncated JSON
+        clustering._CODEBOOK_CACHE.clear()
+        c = clustering.fit_centroids(emb, 4, 2, cache_key="t/disk")
+        assert len(calls) == 2 and c == a
+        # a foreign artifact under the same filename is refused too
+        with open(p, "w") as f:
+            json.dump({"key": ["other", 4, 2],
+                       "centroids": [[0.0] * 8] * 4}, f)
+        clustering._CODEBOOK_CACHE.clear()
+        d = clustering.fit_centroids(emb, 4, 2, cache_key="t/disk")
+        assert len(calls) == 3 and d == a
+    finally:
+        clustering._fit = real_fit
+        clustering.clear_codebook_cache()
+
+    # corpus_cache_key: same path, regenerated bytes -> different key
+    corpus = tmp_path / "corpus.parquet"
+    corpus.write_bytes(b"one")
+    k1 = clustering.corpus_cache_key(str(corpus))
+    corpus.write_bytes(b"three")
+    os.utime(corpus, ns=(1, 2))
+    k2 = clustering.corpus_cache_key(str(corpus))
+    assert k1 != k2
+    # and a missing path is stable (size/mtime zero), not an error
+    assert clustering.corpus_cache_key(str(tmp_path / "nope")) == \
+        clustering.corpus_cache_key(str(tmp_path / "nope"))
+
+
+def test_ivf_entries_share_cached_codebook(spark, tmp_path, monkeypatch):
     """ann_ivf and hard_negative_mine_ivf train on the same corpus
     with the same params: in one session the second entry must reuse
     the first's codebook (zero additional fits) and stay
@@ -287,6 +354,9 @@ def test_ivf_entries_share_cached_codebook(spark):
     from azure_nyctaxi_lambda_elt_spark.operators import clustering
     from azure_nyctaxi_lambda_elt_spark.plans.llm_catalog import (
         q_ann_ivf, q_hard_negative_mine_ivf)
+
+    monkeypatch.setenv(clustering._CODEBOOK_STORE_ENV,
+                       str(tmp_path / "cb"))  # isolate the disk tier
 
     calls = []
     real_fit = clustering._fit
