@@ -200,7 +200,18 @@ def _commit_raw_batch(table: str, batch: DataFrame,
     raw rows.  The skip test walks manifest metas newest-first to the
     most recent batch_id (robust to interleaved compact/restore/merge
     commits that carry none) — metadata-only, no data scan.  Shared by
-    run_raw_archive (default path) and run_raw_archive_txn."""
+    run_raw_archive (default path) and run_raw_archive_txn.
+
+    Each commit is PARTITIONED BY ``__date`` (txnlog
+    partition_by): one manifest dir per event date per micro-batch —
+    the txn-layer twin of the plain archive's ASA pathPattern
+    'date={date}/...' top level — so a date-scoped replay
+    (``snapshot(prune=("__date", lo, hi))``) opens only that date's
+    dirs of EVERY batch commit instead of every batch's whole
+    output.  ``__hour`` rides as an ordinary data column; at
+    warehouse scale (micro-batches spanning ~one hour) add it to
+    partition_by — at test scale a month-wide batch would shatter
+    into 700+ dirs for no pruning gain."""
     from ..operators import txnlog
 
     if batch_id <= _committed_batch_high(table):
@@ -208,7 +219,8 @@ def _commit_raw_batch(table: str, batch: DataFrame,
     txnlog.commit(
         batch.withColumn("__date", F.to_date("ts"))
         .withColumn("__hour", F.hour("ts")),
-        table, "append", meta={"batch_id": batch_id})
+        table, "append", meta={"batch_id": batch_id},
+        partition_by=["__date"])
     _advance_stream_high(table, batch_id)
 
 
@@ -411,9 +423,10 @@ def run_raw_archive_txn(spark: SparkSession, sf_dir: str, out_dir: str,
     output); consumers that want the archive itself to be a clean
     replay substrate read this table's snapshots.
 
-    The date/hour partition keys ride as ordinary columns (the txn
-    log's data dirs are commit-scoped; at warehouse scale the data
-    write inside a commit would additionally partitionBy them).
+    Commits are partitioned by ``__date`` (one manifest dir per
+    event date per batch — see _commit_raw_batch), so date-scoped
+    replays prune through the ordinary ``snapshot(prune=...)``;
+    ``__hour`` rides as an ordinary data column.
     Returns the input-identity projection of the final snapshot —
     append is batching-independent, so the batch events table is a
     FULL oracle."""

@@ -598,6 +598,38 @@ def test_raw_archive_txn_exactly_once_under_redelivery(spark, feed_dir):
         "props")).count() == 0
 
 
+def test_raw_archive_txn_date_partitioned_prune(spark, feed_dir):
+    """Each archive commit is partitioned by __date (one manifest dir
+    per event date per micro-batch): a date-scoped replay through
+    snapshot(prune=...) must open strictly fewer dirs than the table
+    holds and still return exactly the full read's rows for that
+    date."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_raw_archive_txn)
+
+    out = os.path.join(OUT, "raw_archive_txn_part")
+    shutil.rmtree(out, ignore_errors=True)
+    full = run_raw_archive_txn(spark, SF_SMOKE, out,
+                               max_files_per_trigger=1,
+                               source_dir=feed_dir)
+    table = os.path.join(out, "raw_txn")
+    man = txnlog._read_manifest(table, txnlog.latest_version(table))
+    assert all("__p___date=" in d for d in man["dirs"])
+    # pick the smallest event date; the feed spans several days
+    d0 = full.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    iso = d0.isoformat()
+    kept, all_dirs = txnlog.prune_plan(table, None,
+                                       [("__date", iso, iso)])
+    assert 0 < len(kept) < len(all_dirs)
+    snap = txnlog.snapshot(spark, table, prune=("__date", iso, iso))
+    got = snap.where(F.col("__date") == F.lit(iso)) \
+        .select("event_id").collect()
+    want = full.where(F.to_date("ts") == F.lit(iso)) \
+        .select("event_id").collect()
+    assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
+
+
 def test_txn_sink_exactly_once_under_redelivery(spark, feed_dir):
     """foreachBatch is at-least-once: wiping the checkpoint (the
     classic rollback) redelivers every batch.  The txn-log sink must
