@@ -272,7 +272,11 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     partition columns stay ORDINARY DATA COLUMNS in the files (the
     dir name is layout, not the value authority), so snapshot's
     per-dir reads need no basePath reconstruction and the table
-    schema is unchanged.
+    schema is unchanged.  Like ``bloom_cols`` it is a TABLE
+    PROPERTY: pass it once at table creation and every later commit
+    partitions the same way (None inherits; an explicit [] clears);
+    compact() bin-packs WITHIN partition values and merge/restore/
+    clone/zorder carry the property forward.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -280,6 +284,14 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     version = 0 if parent is None else parent + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
+    pman = _read_manifest(path, parent) if parent is not None else {}
+    # partition_by is a TABLE PROPERTY like bloom_cols: declared once
+    # at table creation, every later commit (append OR overwrite)
+    # partitions the same way without being asked — Delta keeps table
+    # partitioning across INSERT OVERWRITE for the same reason.  Pass
+    # an explicit list to (re)declare, None to inherit, [] to clear.
+    if partition_by is None:
+        partition_by = pman.get("partition_by", []) or None
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
     # the data write is invisible until the manifest rename lands
@@ -328,7 +340,6 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         os.path.join(path, dirs[0])))
     schema = written
     if parent is not None:
-        pman = _read_manifest(path, parent)
         # bloom_cols is a TABLE PROPERTY, not per-version data state:
         # it survives overwrites like Delta's bloom index config —
         # otherwise one routine full-refresh silently stops indexing
@@ -342,7 +353,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
-                         rows, bcols, schema)
+                         rows, bcols, schema,
+                         partition_by=list(partition_by or []))
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
@@ -447,7 +459,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                      stats: dict | None = None,
                      rows: dict | None = None,
                      bloom_cols: list[str] | None = None,
-                     schema: str | None = None) -> int:
+                     schema: str | None = None,
+                     partition_by: list[str] | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -459,7 +472,8 @@ def _commit_manifest(path: str, version: int, mode: str,
         body = {"version": version, "mode": mode, "dirs": dirs,
                 "meta": meta or {}, "stats": stats or {},
                 "rows": rows or {},
-                "bloom_cols": bloom_cols or []}
+                "bloom_cols": bloom_cols or [],
+                "partition_by": partition_by or []}
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -629,9 +643,13 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     schema = _merge_schema_json(
         man.get("schema"),
         _schema_json(spark.read.parquet(data_dir)))
+    # the property rides through MERGE; the rewritten dir itself is
+    # not partition-split (its envelope stats prune equivalently for
+    # the touched fraction) — the next compact() re-packs it per value
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
-                         kept_rows, bcols, schema)
+                         kept_rows, bcols, schema,
+                         partition_by=man.get("partition_by", []))
     # surviving dirs keep their write-once sidecars; only the fresh
     # dir needs indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols,
@@ -690,11 +708,17 @@ def compact(spark: SparkSession, path: str,
     """Bin-pack the table's data dirs (Delta OPTIMIZE compaction): a
     long-appended table accumulates one dir per commit; compaction
     rewrites the CURRENT snapshot into one fresh dir and commits it as
-    the next version.  Content is untouched (pure layout change),
+    the next version.  On a table whose ``partition_by`` property is
+    set, the rewrite bin-packs WITHIN partition values — one dir per
+    live partition value, exactly Delta's OPTIMIZE on a partitioned
+    table — so partition pruning survives maintenance instead of
+    being flattened away.  Content is untouched (pure layout change),
     prior versions stay time-travelable (old dirs remain until
-    vacuum), and manifest stats are restated over the compacted dir so
-    pruning keeps working.  No-op (returns None) when the table
-    already has <= ``target_dirs`` dirs."""
+    vacuum), and manifest stats are restated over the compacted dirs
+    so pruning keeps working.  No-op (returns None) when the table
+    already has <= ``target_dirs`` dirs (for a partitioned table pass
+    target_dirs = the live partition count to make repeat OPTIMIZE
+    idempotent)."""
     v = latest_version(path)
     if v is None:
         return None
@@ -712,21 +736,37 @@ def compact(spark: SparkSession, path: str,
         raise TxnConflict(f"version {version} already committed")
     snap = snapshot(spark, path, v)
     data_dir = _claim_data_dir(path, version)
-    snap.write.mode("overwrite").parquet(data_dir)
     name = os.path.basename(data_dir)
+    pby = man.get("partition_by", [])
     stat_cols = sorted({c for s in man.get("stats", {}).values()
                         for c in s})
     stats, rows = {}, {}
-    if stat_cols:
-        cstats, n = _col_stats(
-            spark.read.parquet(data_dir), stat_cols)
-        stats, rows = {name: cstats}, {name: n}
+    if pby:
+        shadow = [f"__p_{c}" for c in pby]
+        out_df = snap
+        for c, s in zip(pby, shadow):
+            out_df = out_df.withColumn(s, F.col(c))
+        out_df.write.mode("overwrite").partitionBy(*shadow) \
+            .parquet(data_dir)
+        new_dirs, stats, rows = _partition_dir_stats(
+            spark, path, data_dir,
+            sorted(set(stat_cols) | set(pby)))
+        if not new_dirs:  # empty table: plain schema-carrying dir
+            snap.limit(0).write.mode("overwrite").parquet(data_dir)
+            new_dirs = [name]
+    else:
+        snap.write.mode("overwrite").parquet(data_dir)
+        new_dirs = [name]
+        if stat_cols:
+            cstats, n = _col_stats(
+                spark.read.parquet(data_dir), stat_cols)
+            stats, rows = {name: cstats}, {name: n}
     bcols = man.get("bloom_cols", [])
     out = _commit_manifest(
-        path, version, "overwrite", [name],
+        path, version, "overwrite", new_dirs,
         {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
-        man.get("schema"))
-    _maintain_bloom(spark, path, out, bcols, [name])
+        man.get("schema"), partition_by=pby)
+    _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
 
@@ -858,7 +898,7 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
         {"zorder_by": [col_a, col_b],
          "clustered_from": len(target),
          "carried_buckets": len(carried)}, stats, rows, bcols,
-        man.get("schema"))
+        man.get("schema"), partition_by=man.get("partition_by", []))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -879,7 +919,8 @@ def restore(path: str, to_version: int) -> int:
         path, v + 1, "overwrite", man["dirs"],
         {"restored_from": to_version},
         man.get("stats", {}), man.get("rows", {}),
-        man.get("bloom_cols", []), man.get("schema"))
+        man.get("bloom_cols", []), man.get("schema"),
+        partition_by=man.get("partition_by", []))
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -909,7 +950,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     return _commit_manifest(
         dst, 0, "overwrite", abs_dirs,
         {"cloned_from": src_abs, "source_version": v}, stats, rows,
-        man.get("bloom_cols", []), man.get("schema"))
+        man.get("bloom_cols", []), man.get("schema"),
+        partition_by=man.get("partition_by", []))
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:

@@ -1003,6 +1003,74 @@ def bloomindex_prune(spark, path, col, values):
     return bloomindex.prune_dirs(spark, path, col, values)
 
 
+def test_partition_by_is_a_table_property(spark):
+    """partition_by declared ONCE at table creation: a plain append
+    inherits it (one manifest dir per value, no arg), maintenance
+    commits carry it, and an explicit [] clears it."""
+    path = os.path.join(OUT, "t_part_prop")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 2).alias("d"))
+    txnlog.commit(df.where("id < 100"), path, "overwrite",
+                  partition_by=["d"])
+    txnlog.commit(df.where("id >= 100"), path, "append")  # inherits
+    man = txnlog._read_manifest(path, 1)
+    assert man["partition_by"] == ["d"]
+    assert len(man["dirs"]) == 4 and \
+        all("__p_d=" in d for d in man["dirs"])
+    # property rides through restore and shallow clone
+    v = txnlog.restore(path, 0)
+    assert txnlog._read_manifest(path, v)["partition_by"] == ["d"]
+    clone = os.path.join(OUT, "t_part_prop_clone")
+    shutil.rmtree(clone, ignore_errors=True)
+    txnlog.shallow_clone(path, clone)
+    assert txnlog._read_manifest(clone, 0)["partition_by"] == ["d"]
+    # merge keeps the property too
+    up = spark.createDataFrame([(5, 7)], ["id", "d"])
+    mv = txnlog.merge_upsert(spark, path, up, ["id"])
+    assert txnlog._read_manifest(path, mv)["partition_by"] == ["d"]
+    # explicit [] clears: the next commit is unpartitioned
+    cv = txnlog.commit(df, path, "overwrite", partition_by=[])
+    man = txnlog._read_manifest(path, cv)
+    assert man["partition_by"] == [] and len(man["dirs"]) == 1
+
+
+def test_partitioned_compact_binpacks_within_partitions(spark):
+    """compact() on a partitioned table bin-packs WITHIN partition
+    values (Delta OPTIMIZE on a partitioned table): 2 commits x 3
+    values = 6 dirs -> 3 dirs, one per live value — partition pruning
+    survives maintenance; content and property unchanged."""
+    path = os.path.join(OUT, "t_part_compact")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"),
+        (F.col("id") * 10).alias("v"))
+    txnlog.commit(df.where("id < 150"), path, "overwrite",
+                  partition_by=["d"], stats_cols=["id"])
+    txnlog.commit(df.where("id >= 150"), path, "append")
+    assert len(txnlog._read_manifest(path, 1)["dirs"]) == 6
+    cv = txnlog.compact(spark, path)
+    man = txnlog._read_manifest(path, cv)
+    assert len(man["dirs"]) == 3          # one per partition value
+    assert all("__p_d=" in d for d in man["dirs"])
+    assert man["partition_by"] == ["d"]
+    # stats restated per compacted dir: pruning still bites
+    kept, all_dirs = txnlog.prune_plan(path, cv, [("d", 2, 2)])
+    assert len(all_dirs) == 3 and len(kept) == 1
+    snap = txnlog.snapshot(spark, path, cv)
+    assert snap.count() == 300
+    assert sorted(snap.columns) == ["d", "id", "v"]
+    have = sorted(tuple(r) for r in
+                  snap.where("d = 2").select("id", "v").collect())
+    want = sorted(tuple(r) for r in
+                  df.where("d = 2").select("id", "v").collect())
+    assert have == want
+    # idempotence: at the live partition count it's a no-op
+    assert txnlog.compact(spark, path, target_dirs=3) is None
+    # pre-compaction versions stay time-travelable
+    assert txnlog.snapshot(spark, path, 1).count() == 300
+
+
 def test_partitioned_commit_empty_frame(spark):
     """An EMPTY partitioned commit must still land a readable version
     (plain empty dir fallback carrying the schema)."""
