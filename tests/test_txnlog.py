@@ -86,6 +86,29 @@ def test_vacuum_drops_unreachable_only(spark, table):
         txnlog.snapshot(spark, path, 0)  # vacuumed away
 
 
+def test_vacuum_on_partitioned_table(spark):
+    """Retention GC over a partitioned table: after a per-partition
+    compact, vacuum(keep_latest=1) reclaims the pre-compaction commit
+    trees (partition subdirs and all) while every live compacted leaf
+    — a SUBDIR of the claimed dir — stays protected."""
+    path = os.path.join(OUT, "t_part_vacuum")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(120).select(
+        F.col("id"), (F.col("id") % 3).alias("d"))
+    txnlog.commit(df.where("id < 60"), path, "overwrite",
+                  partition_by=["d"])
+    txnlog.commit(df.where("id >= 60"), path, "append")
+    cv = txnlog.compact(spark, path)
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    assert sorted(removed) == ["data-v00000000-0000",
+                               "data-v00000001-0000"]
+    snap = txnlog.snapshot(spark, path, cv)
+    assert snap.count() == 120
+    # pruning still works over the surviving compacted layout
+    kept, all_dirs = txnlog.prune_plan(path, cv, [("d", 0, 0)])
+    assert len(all_dirs) == 3 and len(kept) == 1
+
+
 def test_vacuum_grace_protects_inflight_claim(spark, table):
     """A data dir claimed by an in-flight commit (manifest not yet
     landed) is unreachable from every manifest — the default retention
