@@ -275,8 +275,9 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     schema is unchanged.  Like ``bloom_cols`` it is a TABLE
     PROPERTY: pass it once at table creation and every later commit
     partitions the same way (None inherits; an explicit [] clears);
-    compact() bin-packs WITHIN partition values and merge/restore/
-    clone/zorder carry the property forward.
+    compact() bin-packs WITHIN partition values, MERGE splits its
+    copy-on-write rewrite per value, and restore/clone/zorder carry
+    the property forward.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -621,39 +622,58 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     else:
         rewritten = upserts
     data_dir = _claim_data_dir(path, version)
-    rewritten.write.mode("overwrite").parquet(data_dir)
-    dirs = ([d for d in man["dirs"] if d not in affected]
-            + [os.path.basename(data_dir)])
-    # carry surviving dirs' stats/rows; restate the rewritten dir's
-    # over the same column set so pruning keeps working after a merge
+    name = os.path.basename(data_dir)
+    pby = man.get("partition_by", [])
+    stat_cols = sorted({c for s in stats.values() for c in s})
+    new_stats, new_rows = {}, {}
+    if pby:
+        # partition-aware rewrite: the copy-on-write dir splits per
+        # partition value like every commit on this table, so
+        # dir-per-value stays an INVARIANT through MERGE (a date-
+        # scoped read after an upsert still opens only that date's
+        # leaves) instead of an eventual state compact() restores
+        shadow = [f"__p_{c}" for c in pby]
+        out_df = rewritten
+        for c, s2 in zip(pby, shadow):
+            out_df = out_df.withColumn(s2, F.col(c))
+        out_df.write.mode("overwrite").partitionBy(*shadow) \
+            .parquet(data_dir)
+        new_names, new_stats, new_rows = _partition_dir_stats(
+            spark, path, data_dir,
+            sorted(set(stat_cols) | set(pby)))
+        if not new_names:  # everything deleted: schema-carrying dir
+            rewritten.limit(0).write.mode("overwrite").parquet(data_dir)
+            new_names, new_stats, new_rows = [name], {}, {}
+    else:
+        rewritten.write.mode("overwrite").parquet(data_dir)
+        new_names = [name]
+        # carry surviving dirs' stats/rows; restate the rewritten
+        # dir's over the same column set so pruning keeps working
+        if stat_cols:
+            # from the WRITTEN dir, not the rewritten lineage: avoids
+            # re-executing the anti-join ∪ upserts and pins the
+            # envelope to the rows actually on disk (see commit())
+            cstats, n = _col_stats(
+                spark.read.parquet(data_dir), stat_cols)
+            new_stats, new_rows = {name: cstats}, {name: n}
+    dirs = [d for d in man["dirs"] if d not in affected] + new_names
     kept_stats = {d: s for d, s in stats.items() if d in dirs}
+    kept_stats.update(new_stats)
     prows = man.get("rows", {})
     kept_rows = {d: n for d, n in prows.items() if d in dirs}
-    stat_cols = sorted({c for s in stats.values() for c in s})
-    if stat_cols:
-        # from the WRITTEN dir, not the rewritten lineage: avoids
-        # re-executing the anti-join ∪ upserts and pins the envelope
-        # to the rows actually on disk (see commit())
-        cstats, n = _col_stats(
-            spark.read.parquet(data_dir), stat_cols)
-        new_name = os.path.basename(data_dir)
-        kept_stats[new_name] = cstats
-        kept_rows[new_name] = n
+    kept_rows.update(new_rows)
     bcols = man.get("bloom_cols", [])
     schema = _merge_schema_json(
         man.get("schema"),
-        _schema_json(spark.read.parquet(data_dir)))
-    # the property rides through MERGE; the rewritten dir itself is
-    # not partition-split (its envelope stats prune equivalently for
-    # the touched fraction) — the next compact() re-packs it per value
+        _schema_json(spark.read.parquet(
+            os.path.join(path, new_names[0]))))
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
-                         partition_by=man.get("partition_by", []))
+                         partition_by=pby)
     # surviving dirs keep their write-once sidecars; only the fresh
-    # dir needs indexing, so the index stays always-on through MERGE
-    _maintain_bloom(spark, path, v, bcols,
-                    [os.path.basename(data_dir)])
+    # leaves need indexing, so the index stays always-on through MERGE
+    _maintain_bloom(spark, path, v, bcols, new_names)
     return v
 
 

@@ -1094,6 +1094,36 @@ def test_partitioned_compact_binpacks_within_partitions(spark):
     assert txnlog.snapshot(spark, path, 1).count() == 300
 
 
+def test_merge_rewrite_stays_partition_split(spark):
+    """MERGE on a partitioned table: the copy-on-write dir splits per
+    partition value (dir-per-value is an INVARIANT, not an eventual
+    state), per-leaf stats are restated, and a value-scoped pruned
+    read after the upsert opens only matching leaves."""
+    path = os.path.join(OUT, "t_part_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"),
+        (F.col("id") * 10).alias("v"))
+    txnlog.commit(df, path, "overwrite", partition_by=["d"])
+    # move id=7 from d=1 to d=99 and bump its payload
+    up = spark.createDataFrame([(7, 99, 777)], ["id", "d", "v"])
+    mv = txnlog.merge_upsert(spark, path, up, ["id"])
+    man = txnlog._read_manifest(path, mv)
+    assert len(man["meta"]["rewrote"]) == 1  # only the d=1 leaf held id=7
+    new_leaves = [d for d in man["dirs"] if "data-v00000001" in d]
+    # the rewrite split per value: a d=1 remainder leaf + a d=99 leaf
+    assert len(new_leaves) == 2
+    assert all("__p_d=" in d for d in new_leaves)
+    assert len(man["dirs"]) == 4  # 2 untouched old leaves carried
+    # d=99 exists only in the rewrite: pruning opens exactly 1 leaf
+    kept, all_dirs = txnlog.prune_plan(path, mv, [("d", 99, 99)])
+    assert len(kept) == 1 and kept[0] in new_leaves
+    snap = txnlog.snapshot(spark, path, mv, prune=("d", 99, 99))
+    row = snap.where("d = 99").collect()
+    assert len(row) == 1 and row[0]["id"] == 7 and row[0]["v"] == 777
+    assert txnlog.snapshot(spark, path, mv).count() == 300
+
+
 def test_partitioned_commit_empty_frame(spark):
     """An EMPTY partitioned commit must still land a readable version
     (plain empty dir fallback carrying the schema)."""
