@@ -871,46 +871,97 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     snap = _read_dirs(spark, path, target, man)
     a = F.col(col_a).cast("bigint")
     b = F.col(col_b).cast("bigint")
-    st = snap.agg(
-        F.min(a).alias("amin"), F.max(a).alias("amax"),
-        F.min(b).alias("bmin"), F.max(b).alias("bmax")).collect()[0]
+    pby = man.get("partition_by", [])
+    if pby:
+        # cluster WITHIN partitions (Delta forbids zordering BY a
+        # partition column for the same reason: the partition dir
+        # already prunes that column — Z-order's job is the columns
+        # INSIDE each partition).  Bounds are computed per live
+        # partition value and broadcast back with a null-safe join
+        # (NULL is a real partition value; a plain equi-join would
+        # silently drop its rows from the rewrite = data loss), so
+        # each partition quantizes against its OWN bounds — the same
+        # per-generation rule incremental mode already relies on.
+        if col_a in pby or col_b in pby:
+            raise ValueError(
+                f"zorder columns must not be partition columns {pby}")
+        from functools import reduce
+        from operator import and_
+
+        bounds = snap.groupBy(*pby).agg(
+            F.min(a).alias("__zs_amin"), F.max(a).alias("__zs_amax"),
+            F.min(b).alias("__zs_bmin"), F.max(b).alias("__zs_bmax"))
+        bnd = bounds.select(
+            *[F.col(c).alias(f"__bk_{c}") for c in pby],
+            "__zs_amin", "__zs_amax", "__zs_bmin", "__zs_bmax")
+        cond = reduce(and_, [F.col(c).eqNullSafe(F.col(f"__bk_{c}"))
+                             for c in pby])
+        withb = snap.join(F.broadcast(bnd), cond) \
+            .drop(*[f"__bk_{c}" for c in pby])
+    else:
+        st = snap.agg(
+            F.min(a).alias("amin"), F.max(a).alias("amax"),
+            F.min(b).alias("bmin"), F.max(b).alias("bmax")).collect()[0]
+        withb = (
+            snap.withColumn("__zs_amin", F.lit(st["amin"]))
+            .withColumn("__zs_amax", F.lit(st["amax"]))
+            .withColumn("__zs_bmin", F.lit(st["bmin"]))
+            .withColumn("__zs_bmax", F.lit(st["bmax"])))
     clustered = (
-        snap.withColumn("__zs_amin", F.lit(st["amin"]))
-        .withColumn("__zs_amax", F.lit(st["amax"]))
-        .withColumn("__zs_bmin", F.lit(st["bmin"]))
-        .withColumn("__zs_bmax", F.lit(st["bmax"]))
-        .withColumn("__zb",
-                    F.shiftright(zorder_value(a, b), Z_BUCKET_SHIFT)
-                    .cast("int"))
+        withb.withColumn(
+            "__zb",
+            F.coalesce(  # all-null zorder cols in a partition: one bucket
+                F.shiftright(zorder_value(a, b), Z_BUCKET_SHIFT)
+                .cast("int"), F.lit(-1)))
         .drop("__zs_amin", "__zs_amax", "__zs_bmin", "__zs_bmax"))
     data_dir = _claim_data_dir(path, version)
-    # partitionBy folds __zb into the dir names, so each bucket dir
-    # reads back with exactly the table schema — the bucket id is a
-    # layout artifact, not a data column
-    (clustered.repartitionByRange(shuffle_partitions, "__zb")
-     .write.partitionBy("__zb").mode("overwrite").parquet(data_dir))
     name = os.path.basename(data_dir)
     stat_cols = sorted({c for s in man.get("stats", {}).values()
-                        for c in s} | {col_a, col_b})
-    # per-bucket envelopes + row counts in ONE partial-agg job over
-    # the written layout (stats from disk, not lineage — see commit())
-    aggs = [F.count("*").alias("__n")]
-    for c in stat_cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"),
-                 F.max(c).alias(f"__hi_{c}")]
-    brows = (spark.read.parquet(data_dir)
-             .groupBy("__zb").agg(*aggs).collect())
-    dirs = list(carried)
-    stats = {d: s for d, s in man.get("stats", {}).items()
-             if d in carried}
-    prows = man.get("rows", {})
-    rows = {d: n for d, n in prows.items() if d in carried}
-    for r in sorted(brows, key=lambda r: r["__zb"]):
-        d = f"{name}/__zb={r['__zb']}"
-        dirs.append(d)
-        stats[d] = {c: [_json_safe(r[f"__lo_{c}"]),
-                        _json_safe(r[f"__hi_{c}"])] for c in stat_cols}
-        rows[d] = int(r["__n"])
+                        for c in s} | {col_a, col_b} | set(pby))
+    # partitionBy folds __zb (and the partition shadows) into the dir
+    # names, so each bucket dir reads back with exactly the table
+    # schema — the bucket id is a layout artifact, not a data column
+    if pby:
+        shadow = [f"__p_{c}" for c in pby]
+        for c, s in zip(pby, shadow):
+            clustered = clustered.withColumn(s, F.col(c))
+        (clustered.repartitionByRange(shuffle_partitions, *pby, "__zb")
+         .write.partitionBy(*shadow, "__zb").mode("overwrite")
+         .parquet(data_dir))
+        # per-leaf envelopes via the shared input_file_name-tagged
+        # job: leaves are nested (__p_.../__zb=k) so grouping by the
+        # owning dir subsumes the flat groupBy(__zb) below
+        new_dirs, stats, rows = _partition_dir_stats(
+            spark, path, data_dir, stat_cols)
+        dirs = list(carried) + new_dirs
+        stats = {**{d: s for d, s in man.get("stats", {}).items()
+                    if d in carried}, **stats}
+        rows = {**{d: n for d, n in man.get("rows", {}).items()
+                   if d in carried}, **rows}
+    else:
+        (clustered.repartitionByRange(shuffle_partitions, "__zb")
+         .write.partitionBy("__zb").mode("overwrite").parquet(data_dir))
+        # per-bucket envelopes + row counts in ONE partial-agg job over
+        # the written layout (stats from disk, not lineage — see
+        # commit())
+        aggs = [F.count("*").alias("__n")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"),
+                     F.max(c).alias(f"__hi_{c}")]
+        brows = (spark.read.parquet(data_dir)
+                 .groupBy("__zb").agg(*aggs).collect())
+        dirs = list(carried)
+        stats = {d: s for d, s in man.get("stats", {}).items()
+                 if d in carried}
+        prows = man.get("rows", {})
+        rows = {d: n for d, n in prows.items() if d in carried}
+        for r in sorted(brows, key=lambda r: r["__zb"]):
+            d = f"{name}/__zb={r['__zb']}"
+            dirs.append(d)
+            stats[d] = {c: [_json_safe(r[f"__lo_{c}"]),
+                            _json_safe(r[f"__hi_{c}"])]
+                        for c in stat_cols}
+            rows[d] = int(r["__n"])
     bcols = man.get("bloom_cols", [])
     new_dirs = [d for d in dirs if d not in carried]
     out = _commit_manifest(

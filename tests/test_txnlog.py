@@ -1154,6 +1154,60 @@ def test_partitioned_commit_uri_hostile_values(spark):
     assert [(r["id"], r["c"]) for r in got] == [(0, "a b")]
 
 
+def test_zorder_within_partitions(spark):
+    """OPTIMIZE ZORDER on a partitioned table clusters WITHIN each
+    partition value (Delta's rule: zorder columns must not be
+    partition columns — those dirs already prune): leaves are
+    __p_.../__zb=... nested, each partition quantizes against its own
+    bounds, NULL partition rows survive the null-safe bounds join,
+    and a (partition, a, b) corner read prunes on all three at once;
+    content and property unchanged, incremental recluster composes."""
+    path = os.path.join(OUT, "t_part_zorder")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(4096).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 7919) % 4096).alias("b"),
+        F.when(F.col("id") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id") % 2).alias("d"))
+    txnlog.commit(df, path, "overwrite", partition_by=["d"])
+    with pytest.raises(ValueError):
+        txnlog.optimize_zorder(spark, path, "d", "b")
+    v = txnlog.optimize_zorder(spark, path, "a", "b")
+    man = txnlog._read_manifest(path, v)
+    assert man["partition_by"] == ["d"]
+    assert all("__p_d=" in d and "/__zb=" in d for d in man["dirs"])
+    snap = txnlog.snapshot(spark, path, v)
+    assert snap.count() == 4096          # NULL-d rows survived
+    assert sorted(snap.columns) == ["a", "b", "d"]
+    # corner rectangle within one partition: prunes on d AND (a, b)
+    rect = [("d", 0, 0), ("a", 0, 511), ("b", 0, 511)]
+    kept, all_dirs = txnlog.prune_plan(path, v, rect)
+    # NULL-d leaves ([null, null] envelope) are kept conservatively,
+    # but the d=1 leaves and far-corner d=0 buckets must drop
+    assert len(kept) < len(all_dirs)
+    got = (txnlog.snapshot(spark, path, v, prune=rect)
+           .where((F.col("d") == 0) & (F.col("a") <= 511)
+                  & (F.col("b") <= 511)))
+    want = df.where((F.col("d") == 0) & (F.col("a") <= 511)
+                    & (F.col("b") <= 511))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # incremental: append into one partition, recluster only the tail
+    extra = spark.range(4096, 4608).select(
+        F.col("id").alias("a"), (F.col("id") % 4096).alias("b"),
+        F.lit(0).cast("bigint").alias("d"))
+    txnlog.commit(extra, path, "append")
+    v2 = txnlog.optimize_zorder(spark, path, "a", "b",
+                                incremental=True)
+    man2 = txnlog._read_manifest(path, v2)
+    assert man2["meta"]["carried_buckets"] == len(man["dirs"])
+    assert set(man["dirs"]) < set(man2["dirs"])  # gen-A verbatim
+    assert txnlog.snapshot(spark, path, v2).count() == 4608
+    # fully clustered now: the next incremental pass is a no-op
+    assert txnlog.optimize_zorder(spark, path, "a", "b",
+                                  incremental=True) is None
+
+
 def test_partitioned_commit_empty_frame(spark):
     """An EMPTY partitioned commit must still land a readable version
     (plain empty dir fallback carrying the schema)."""
