@@ -107,12 +107,12 @@ def _artifact_read(ck: tuple) -> list[list[float]] | None:
     try:
         with open(p) as f:
             doc = json.load(f)
-    except (OSError, ValueError):
-        return None  # torn/corrupt artifact: refit, never fail the job
-    # key echo guards md5 collisions and stale-env mixups
-    if doc.get("key") != list(map(str, ck[:1])) + list(ck[1:]):
-        return None
-    return [list(map(float, c)) for c in doc["centroids"]]
+        # key echo guards md5 collisions and stale-env mixups
+        if doc.get("key") != list(map(str, ck[:1])) + list(ck[1:]):
+            return None
+        return [list(map(float, c)) for c in doc["centroids"]]
+    except (OSError, ValueError, KeyError, TypeError):
+        return None  # torn/corrupt/foreign artifact: refit, never fail
 
 
 def _artifact_write(ck: tuple, centroids: list[list[float]]) -> None:
@@ -120,18 +120,22 @@ def _artifact_write(ck: tuple, centroids: list[list[float]]) -> None:
     import os
     import tempfile
 
-    os.makedirs(_store_dir(), exist_ok=True)
-    p = _artifact_path(ck)
-    # tmp + rename: a concurrent reader never sees a half-written file
-    fd, tmp = tempfile.mkstemp(dir=_store_dir(), suffix=".tmp")
+    # tmp + rename: a concurrent reader never sees a half-written
+    # file.  The WHOLE write is best-effort (an unwritable shared
+    # store dir must not fail a query whose fit already succeeded)
+    tmp = None
     try:
+        os.makedirs(_store_dir(), exist_ok=True)
+        p = _artifact_path(ck)
+        fd, tmp = tempfile.mkstemp(dir=_store_dir(), suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump({"key": list(map(str, ck[:1])) + list(ck[1:]),
                        "centroids": centroids}, f)
         os.replace(tmp, p)
     except OSError:
         try:
-            os.unlink(tmp)
+            if tmp is not None:
+                os.unlink(tmp)
         except OSError:
             pass  # best-effort cache write: the fit result still returns
 

@@ -297,25 +297,9 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     name = os.path.basename(data_dir)
     # the data write is invisible until the manifest rename lands
     if partition_by:
-        # duplicate the partition cols under layout-only names:
-        # partitionBy MOVES its columns out of the files and into dir
-        # names, but snapshot() reads leaf dirs individually (no
-        # basePath), so the real columns must stay in the data
-        shadow = [f"__p_{c}" for c in partition_by]
-        out = df
-        for c, s in zip(partition_by, shadow):
-            out = out.withColumn(s, F.col(c))
-        out.write.mode("overwrite").partitionBy(*shadow) \
-            .parquet(data_dir)
-        dirs, stats, rows = _partition_dir_stats(
-            df.sparkSession, path, data_dir,
-            sorted(set(stats_cols or []) | set(partition_by)))
-        if not dirs:
-            # empty frame: a partitioned write leaves no leaf dirs
-            # (just _SUCCESS) — rewrite plain so the dir carries the
-            # schema and the manifest stays readable
-            df.limit(0).write.mode("overwrite").parquet(data_dir)
-            dirs = [name]
+        dirs, stats, rows = _write_partitioned(
+            df.sparkSession, path, data_dir, df, partition_by,
+            stats_cols or [])
     else:
         df.write.mode("overwrite").parquet(data_dir)
         dirs = [name]
@@ -358,6 +342,41 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
                          partition_by=list(partition_by or []))
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
+
+
+def _write_partitioned(spark: SparkSession, path: str, data_dir: str,
+                       df: DataFrame, pby: list[str],
+                       stat_cols: list[str],
+                       layout_cols: list[str] | None = None
+                       ) -> tuple[list[str], dict, dict]:
+    """THE place the dir-per-value invariant is written (shared by
+    commit / MERGE / compact / optimize_zorder): duplicate the
+    partition columns under layout-only shadow names (partitionBy
+    MOVES its columns out of the files and into dir names, but
+    snapshot() reads leaf dirs individually with no basePath, so the
+    real columns must stay in the data), write one leaf dir per
+    value, restate per-leaf stats over stat_cols ∪ pby with the
+    shared input_file_name-tagged job, and fall back to a plain
+    schema-carrying dir for an empty frame so the manifest stays
+    readable.  ``layout_cols`` are ADDITIONAL existing layout-only
+    columns folded into the dir tree after the shadows (zorder's
+    __zb bucket id).  Returns (dirs, stats, rows)."""
+    shadow = [f"__p_{c}" for c in pby]
+    out = df
+    for c, s in zip(pby, shadow):
+        out = out.withColumn(s, F.col(c))
+    out.write.mode("overwrite") \
+        .partitionBy(*shadow, *(layout_cols or [])).parquet(data_dir)
+    dirs, stats, rows = _partition_dir_stats(
+        spark, path, data_dir, sorted(set(stat_cols) | set(pby)))
+    if not dirs:
+        # empty frame: a partitioned write leaves no leaf dirs (just
+        # _SUCCESS) — rewrite plain so the dir carries the schema
+        df.drop(*(layout_cols or [])).limit(0) \
+            .write.mode("overwrite").parquet(data_dir)
+        dirs = [os.path.basename(data_dir)]
+        stats, rows = {}, {}
+    return dirs, stats, rows
 
 
 def _partition_dir_stats(spark: SparkSession, path: str,
@@ -632,18 +651,8 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # dir-per-value stays an INVARIANT through MERGE (a date-
         # scoped read after an upsert still opens only that date's
         # leaves) instead of an eventual state compact() restores
-        shadow = [f"__p_{c}" for c in pby]
-        out_df = rewritten
-        for c, s2 in zip(pby, shadow):
-            out_df = out_df.withColumn(s2, F.col(c))
-        out_df.write.mode("overwrite").partitionBy(*shadow) \
-            .parquet(data_dir)
-        new_names, new_stats, new_rows = _partition_dir_stats(
-            spark, path, data_dir,
-            sorted(set(stat_cols) | set(pby)))
-        if not new_names:  # everything deleted: schema-carrying dir
-            rewritten.limit(0).write.mode("overwrite").parquet(data_dir)
-            new_names, new_stats, new_rows = [name], {}, {}
+        new_names, new_stats, new_rows = _write_partitioned(
+            spark, path, data_dir, rewritten, pby, stat_cols)
     else:
         rewritten.write.mode("overwrite").parquet(data_dir)
         new_names = [name]
@@ -762,18 +771,8 @@ def compact(spark: SparkSession, path: str,
                         for c in s})
     stats, rows = {}, {}
     if pby:
-        shadow = [f"__p_{c}" for c in pby]
-        out_df = snap
-        for c, s in zip(pby, shadow):
-            out_df = out_df.withColumn(s, F.col(c))
-        out_df.write.mode("overwrite").partitionBy(*shadow) \
-            .parquet(data_dir)
-        new_dirs, stats, rows = _partition_dir_stats(
-            spark, path, data_dir,
-            sorted(set(stat_cols) | set(pby)))
-        if not new_dirs:  # empty table: plain schema-carrying dir
-            snap.limit(0).write.mode("overwrite").parquet(data_dir)
-            new_dirs = [name]
+        new_dirs, stats, rows = _write_partitioned(
+            spark, path, data_dir, snap, pby, stat_cols)
     else:
         snap.write.mode("overwrite").parquet(data_dir)
         new_dirs = [name]
@@ -922,17 +921,14 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     # names, so each bucket dir reads back with exactly the table
     # schema — the bucket id is a layout artifact, not a data column
     if pby:
-        shadow = [f"__p_{c}" for c in pby]
-        for c, s in zip(pby, shadow):
-            clustered = clustered.withColumn(s, F.col(c))
-        (clustered.repartitionByRange(shuffle_partitions, *pby, "__zb")
-         .write.partitionBy(*shadow, "__zb").mode("overwrite")
-         .parquet(data_dir))
         # per-leaf envelopes via the shared input_file_name-tagged
         # job: leaves are nested (__p_.../__zb=k) so grouping by the
         # owning dir subsumes the flat groupBy(__zb) below
-        new_dirs, stats, rows = _partition_dir_stats(
-            spark, path, data_dir, stat_cols)
+        new_dirs, stats, rows = _write_partitioned(
+            spark, path, data_dir,
+            clustered.repartitionByRange(
+                shuffle_partitions, *pby, "__zb"),
+            pby, stat_cols, layout_cols=["__zb"])
         dirs = list(carried) + new_dirs
         stats = {**{d: s for d, s in man.get("stats", {}).items()
                     if d in carried}, **stats}
@@ -1179,6 +1175,33 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue  # possibly an in-flight writer's claim
             shutil.rmtree(full)
             removed.append(entry)
+    # leaf-grain GC: a partitioned MERGE (or zorder) rewrites SOME
+    # leaves of a claimed dir — the replaced leaf becomes unreachable
+    # while its siblings stay live, so the whole-tree loop above must
+    # keep the top-level dir and the dead leaf would leak forever.
+    # Walk each partially-live tree bottom-up and drop subdirs with
+    # no live path at or below them (same grace rule; bottom-up so a
+    # dead parent whose dead leaves were just removed goes too).
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("data-v") or entry in live:
+            continue
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full):
+            continue
+        if not any(d.startswith(entry + "/") for d in live):
+            continue  # fully-dead tree: handled (or grace-kept) above
+        for root, _, _ in os.walk(full, topdown=False):
+            if not os.path.isdir(root):
+                continue  # removed along with a dead parent
+            rel = os.path.relpath(root, path)
+            if rel == entry:
+                continue  # the claimed dir itself stays (has live leaves)
+            if any(d == rel or d.startswith(rel + "/") for d in live):
+                continue
+            if now - os.path.getmtime(root) < grace_seconds:
+                continue
+            shutil.rmtree(root)
+            removed.append(rel)
     for v in range(latest + 1):
         if v not in keep_versions:
             m = _manifest_path(path, v)

@@ -109,6 +109,37 @@ def test_vacuum_on_partitioned_table(spark):
     assert len(all_dirs) == 3 and len(kept) == 1
 
 
+def test_vacuum_reclaims_dead_leaves_in_live_trees(spark):
+    """A partitioned MERGE rewrites one leaf of a claimed dir: after
+    the old manifests age out, that replaced leaf is referenced by no
+    manifest but its SIBLINGS are live — leaf-grain GC must reclaim
+    it (and its bloom sidecar) without touching the live leaves."""
+    path = os.path.join(OUT, "t_part_leafgc")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"))
+    txnlog.commit(df, path, "overwrite", partition_by=["d"],
+                  bloom_cols=["id"])
+    up = spark.createDataFrame([(7, 1)], ["id", "d"])  # touches d=1
+    txnlog.merge_upsert(spark, path, up, ["id"])
+    dead = "data-v00000000-0000/__p_d=1"
+    assert os.path.isdir(os.path.join(path, dead))
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    assert dead in removed
+    assert not os.path.isdir(os.path.join(path, dead))
+    # live siblings of the same claimed dir survive
+    assert os.path.isdir(
+        os.path.join(path, "data-v00000000-0000/__p_d=0"))
+    assert txnlog.snapshot(spark, path).count() == 300
+    # the dead leaf's bloom sidecar is gone, live leaves' remain
+    import urllib.parse
+    bloom = os.path.join(path, "_txn", "bloom")
+    assert not any(
+        f.startswith(urllib.parse.quote(dead, safe="") + ".")
+        for f in os.listdir(bloom))
+    assert any("__p_d%3D0" in f for f in os.listdir(bloom))
+
+
 def test_vacuum_grace_protects_inflight_claim(spark, table):
     """A data dir claimed by an in-flight commit (manifest not yet
     landed) is unreachable from every manifest — the default retention
@@ -1210,7 +1241,9 @@ def test_zorder_within_partitions(spark):
 
 def test_partitioned_commit_empty_frame(spark):
     """An EMPTY partitioned commit must still land a readable version
-    (plain empty dir fallback carrying the schema)."""
+    (plain empty dir fallback carrying the schema) — and every other
+    partitioned write path (compact, zorder, merge-delete-all) must
+    share the same fallback instead of committing dirs=[]."""
     path = os.path.join(OUT, "t_part_empty")
     shutil.rmtree(path, ignore_errors=True)
     df = spark.range(5).select(
@@ -1219,3 +1252,10 @@ def test_partitioned_commit_empty_frame(spark):
     snap = txnlog.snapshot(spark, path)
     assert snap.count() == 0
     assert sorted(snap.columns) == ["d", "id"]
+    # OPTIMIZE ZORDER on the empty partitioned table: same fallback
+    v = txnlog.optimize_zorder(spark, path, "id", "id")
+    man = txnlog._read_manifest(path, v)
+    assert man["dirs"] and man["partition_by"] == ["d"]
+    snap2 = txnlog.snapshot(spark, path, v)
+    assert snap2.count() == 0
+    assert sorted(snap2.columns) == ["d", "id"]
