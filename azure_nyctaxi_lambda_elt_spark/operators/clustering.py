@@ -107,6 +107,8 @@ def _artifact_read(ck: tuple) -> list[list[float]] | None:
     try:
         with open(p) as f:
             doc = json.load(f)
+        if not isinstance(doc, dict):
+            return None  # valid JSON but not our format
         # key echo guards md5 collisions and stale-env mixups
         if doc.get("key") != list(map(str, ck[:1])) + list(ck[1:]):
             return None

@@ -914,52 +914,24 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
                 .cast("int"), F.lit(-1)))
         .drop("__zs_amin", "__zs_amax", "__zs_bmin", "__zs_bmax"))
     data_dir = _claim_data_dir(path, version)
-    name = os.path.basename(data_dir)
     stat_cols = sorted({c for s in man.get("stats", {}).values()
                         for c in s} | {col_a, col_b} | set(pby))
-    # partitionBy folds __zb (and the partition shadows) into the dir
-    # names, so each bucket dir reads back with exactly the table
-    # schema — the bucket id is a layout artifact, not a data column
-    if pby:
-        # per-leaf envelopes via the shared input_file_name-tagged
-        # job: leaves are nested (__p_.../__zb=k) so grouping by the
-        # owning dir subsumes the flat groupBy(__zb) below
-        new_dirs, stats, rows = _write_partitioned(
-            spark, path, data_dir,
-            clustered.repartitionByRange(
-                shuffle_partitions, *pby, "__zb"),
-            pby, stat_cols, layout_cols=["__zb"])
-        dirs = list(carried) + new_dirs
-        stats = {**{d: s for d, s in man.get("stats", {}).items()
-                    if d in carried}, **stats}
-        rows = {**{d: n for d, n in man.get("rows", {}).items()
-                   if d in carried}, **rows}
-    else:
-        (clustered.repartitionByRange(shuffle_partitions, "__zb")
-         .write.partitionBy("__zb").mode("overwrite").parquet(data_dir))
-        # per-bucket envelopes + row counts in ONE partial-agg job over
-        # the written layout (stats from disk, not lineage — see
-        # commit())
-        aggs = [F.count("*").alias("__n")]
-        for c in stat_cols:
-            aggs += [F.min(c).alias(f"__lo_{c}"),
-                     F.max(c).alias(f"__hi_{c}")]
-        brows = (spark.read.parquet(data_dir)
-                 .groupBy("__zb").agg(*aggs).collect())
-        dirs = list(carried)
-        stats = {d: s for d, s in man.get("stats", {}).items()
-                 if d in carried}
-        prows = man.get("rows", {})
-        rows = {d: n for d, n in prows.items() if d in carried}
-        for r in sorted(brows, key=lambda r: r["__zb"]):
-            d = f"{name}/__zb={r['__zb']}"
-            dirs.append(d)
-            stats[d] = {c: [_json_safe(r[f"__lo_{c}"]),
-                            _json_safe(r[f"__hi_{c}"])]
-                        for c in stat_cols}
-            rows[d] = int(r["__n"])
+    # ONE shared write path for both layouts (__zb folds into the dir
+    # names after any partition shadows, so each bucket dir reads
+    # back with exactly the table schema — the bucket id is a layout
+    # artifact, not a data column); per-leaf envelopes + row counts
+    # come from the shared input_file_name-tagged job, and the
+    # empty-frame fallback keeps an empty table's manifest readable
+    new_dirs, stats, rows = _write_partitioned(
+        spark, path, data_dir,
+        clustered.repartitionByRange(shuffle_partitions, *pby, "__zb"),
+        pby, stat_cols, layout_cols=["__zb"])
+    dirs = list(carried) + new_dirs
+    stats = {**{d: s for d, s in man.get("stats", {}).items()
+                if d in carried}, **stats}
+    rows = {**{d: n for d, n in man.get("rows", {}).items()
+               if d in carried}, **rows}
     bcols = man.get("bloom_cols", [])
-    new_dirs = [d for d in dirs if d not in carried]
     out = _commit_manifest(
         path, version, "overwrite", dirs,
         {"zorder_by": [col_a, col_b],
@@ -1190,7 +1162,12 @@ def vacuum(path: str, keep_latest: int = 2,
             continue
         if not any(d.startswith(entry + "/") for d in live):
             continue  # fully-dead tree: handled (or grace-kept) above
-        for root, _, _ in os.walk(full, topdown=False):
+        # snapshot mtimes BEFORE removing anything: rmtree of a child
+        # bumps the parent's mtime, which would make a dead parent
+        # look freshly written and survive its own grace check
+        walk = [(root, os.path.getmtime(root))
+                for root, _, _ in os.walk(full, topdown=False)]
+        for root, mtime in walk:
             if not os.path.isdir(root):
                 continue  # removed along with a dead parent
             rel = os.path.relpath(root, path)
@@ -1198,7 +1175,7 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue  # the claimed dir itself stays (has live leaves)
             if any(d == rel or d.startswith(rel + "/") for d in live):
                 continue
-            if now - os.path.getmtime(root) < grace_seconds:
+            if now - mtime < grace_seconds:
                 continue
             shutil.rmtree(root)
             removed.append(rel)
