@@ -1185,6 +1185,67 @@ def test_partitioned_commit_uri_hostile_values(spark):
     assert [(r["id"], r["c"]) for r in got] == [(0, "a b")]
 
 
+def test_multi_column_partitioned_commit(spark):
+    """Two-level partitioning (the ASA archive's date/hour shape):
+    one manifest dir per (d, h) value pair, nested Hive dirs,
+    conjunction pruning on both levels, content identity."""
+    path = os.path.join(OUT, "t_part_multi")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(240).select(
+        F.col("id"), (F.col("id") % 2).alias("d"),
+        (F.col("id") % 3).alias("h"))
+    txnlog.commit(df, path, "overwrite", partition_by=["d", "h"])
+    man = txnlog._read_manifest(path, 0)
+    assert len(man["dirs"]) == 6          # 2 x 3 value pairs
+    assert all("__p_d=" in x and "__p_h=" in x for x in man["dirs"])
+    kept, all_dirs = txnlog.prune_plan(
+        path, 0, [("d", 1, 1), ("h", 2, 2)])
+    assert len(all_dirs) == 6 and len(kept) == 1
+    got = (txnlog.snapshot(spark, path,
+                           prune=[("d", 1, 1), ("h", 2, 2)])
+           .where("d = 1 and h = 2"))
+    want = df.where("d = 1 and h = 2")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # append inherits BOTH columns
+    txnlog.commit(df.select(F.col("id") + 1000, "d", "h")
+                  .toDF("id", "d", "h"), path, "append")
+    man1 = txnlog._read_manifest(path, 1)
+    assert man1["partition_by"] == ["d", "h"]
+    assert len(man1["dirs"]) == 12
+
+
+def test_schema_evolution_on_partitioned_table(spark):
+    """Partition property + schema evolution together: an inheriting
+    append carries a NEW column; the manifest schema merges, and
+    pre-evolution partition leaves null-backfill on snapshot reads
+    while pruning still works across both generations."""
+    path = os.path.join(OUT, "t_part_evolve")
+    shutil.rmtree(path, ignore_errors=True)
+    gen1 = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("d"))
+    txnlog.commit(gen1, path, "overwrite", partition_by=["d"])
+    gen2 = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") % 2).alias("d"),
+        (F.col("id") * 2).alias("extra"))
+    txnlog.commit(gen2, path, "append")   # inherits partitioning
+    snap = txnlog.snapshot(spark, path)
+    assert sorted(snap.columns) == ["d", "extra", "id"]
+    assert snap.count() == 200
+    # gen-1 rows null-backfill the evolved column
+    assert snap.where("id < 100 AND extra IS NULL").count() == 100
+    assert snap.where("id >= 100 AND extra = id * 2").count() == 100
+    # pruning spans both generations' leaves
+    kept, all_dirs = txnlog.prune_plan(path, None, [("d", 0, 0)])
+    assert len(all_dirs) == 4 and len(kept) == 2
+    pruned = txnlog.snapshot(spark, path, prune=("d", 0, 0)) \
+        .where("d = 0")
+    assert pruned.count() == 100
+    # v0 time-travels with the narrow schema
+    assert sorted(txnlog.snapshot(spark, path, 0).columns) == \
+        ["d", "id"]
+
+
 def test_zorder_within_partitions(spark):
     """OPTIMIZE ZORDER on a partitioned table clusters WITHIN each
     partition value (Delta's rule: zorder columns must not be
