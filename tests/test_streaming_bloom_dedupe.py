@@ -170,9 +170,16 @@ def test_reset_stream_high_enables_replay_after_restore(spark):
     high = reset_stream_high_for_replay(table)
     assert high == 0
     assert _committed_batch_high(table) == 0
+    # the reset's metadata commit must CARRY the archive's
+    # partition_by property (archive commits partition by __date) —
+    # dropping it would flatten the table on the next maintenance op
+    man = txnlog._read_manifest(table, txnlog.latest_version(table))
+    assert man["partition_by"] == ["__date"]
     _commit_raw_batch(table, b1.withColumn(
         "ts", F.timestamp_micros(F.lit(0))), 1)  # replay re-lands
     assert txnlog.snapshot(spark, table).count() == 30
+    man2 = txnlog._read_manifest(table, txnlog.latest_version(table))
+    assert man2["partition_by"] == ["__date"]
 
     # latest commit is no longer a restore: helper needs to_version
     with pytest.raises(ValueError):

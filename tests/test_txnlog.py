@@ -1246,6 +1246,38 @@ def test_schema_evolution_on_partitioned_table(spark):
         ["d", "id"]
 
 
+def test_merge_on_clone_of_partitioned_table(spark):
+    """A shallow clone of a partitioned table references the source's
+    partition LEAVES by absolute path; a merge on the clone probes
+    those absolute leaves, rewrites only the touched one into the
+    clone's own partition-split dir, and never mutates the source."""
+    src = os.path.join(OUT, "t_part_clone_src")
+    dst = os.path.join(OUT, "t_part_clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"))
+    txnlog.commit(df, path=src, mode="overwrite", partition_by=["d"])
+    txnlog.shallow_clone(src, dst)
+    up = spark.createDataFrame([(7, 99)], ["id", "d"])
+    mv = txnlog.merge_upsert(spark, dst, up, ["id"])
+    man = txnlog._read_manifest(dst, mv)
+    assert man["partition_by"] == ["d"]
+    assert len(man["meta"]["rewrote"]) == 1       # one source leaf
+    # the rewrite landed in the CLONE's own dirs, partition-split
+    local = [d for d in man["dirs"] if not os.path.isabs(d)]
+    assert local and all("__p_d=" in d for d in local)
+    snap = txnlog.snapshot(spark, dst)
+    assert snap.count() == 300
+    assert snap.where("id = 7").collect()[0]["d"] == 99
+    # source untouched
+    assert txnlog.snapshot(spark, src).where("id = 7") \
+        .collect()[0]["d"] == 1
+    # clone-side pruning on the moved value opens only the new leaf
+    kept, _ = txnlog.prune_plan(dst, None, [("d", 99, 99)])
+    assert len(kept) == 1 and not os.path.isabs(kept[0])
+
+
 def test_zorder_within_partitions(spark):
     """OPTIMIZE ZORDER on a partitioned table clusters WITHIN each
     partition value (Delta's rule: zorder columns must not be
