@@ -355,4 +355,8 @@ def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
         # and the plain snapshot would
         return txnlog._read_dirs(
             spark, path, all_dirs[:1], man).limit(0)
-    return txnlog._read_dirs(spark, path, kept, man)
+    df = txnlog._read_dirs(spark, path, kept, man)
+    if man.get("dv"):
+        # tombstoned rows must not resurface through the bloom path
+        df = txnlog._apply_dv(spark, path, df, man["dv"])
+    return df

@@ -330,16 +330,19 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         # otherwise one routine full-refresh silently stops indexing
         # and the point-lookup index is missing exactly when needed
         bcols = sorted(set(bcols) | set(pman.get("bloom_cols", [])))
+    dv: list[dict] = []
     if mode == "append" and parent is not None:
         dirs = pman["dirs"] + dirs
         stats = {**pman.get("stats", {}), **stats}
         rows = {**pman.get("rows", {}), **rows}
         schema = _merge_schema_json(pman.get("schema"), written)
+        # old dirs stay in the manifest, so their tombstones must too
+        dv = pman.get("dv", [])
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema,
-                         partition_by=list(partition_by or []))
+                         partition_by=list(partition_by or []), dv=dv)
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
@@ -393,13 +396,7 @@ def _partition_dir_stats(spark: SparkSession, path: str,
         return [], {}, {}  # empty frame wrote no leaves (just _SUCCESS)
     tagged = (
         spark.read.parquet(data_dir)
-        .withColumn(
-            "__dir",
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.input_file_name(),
-                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"),
-                r"/[^/]*$", "")))
+        .withColumn("__dir", _dir_col()))
     aggs = [F.count("*").alias("__n")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"__lo_{c}"),
@@ -480,7 +477,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                      rows: dict | None = None,
                      bloom_cols: list[str] | None = None,
                      schema: str | None = None,
-                     partition_by: list[str] | None = None) -> int:
+                     partition_by: list[str] | None = None,
+                     dv: list[dict] | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -493,7 +491,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                 "meta": meta or {}, "stats": stats or {},
                 "rows": rows or {},
                 "bloom_cols": bloom_cols or [],
-                "partition_by": partition_by or []}
+                "partition_by": partition_by or [],
+                "dv": dv or []}
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -615,13 +614,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         tagged = (
             spark.read.parquet(
                 *[os.path.join(path, d) for d in candidates])
-            .withColumn(
-                "__dir",
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.input_file_name(),
-                        r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"),
-                    r"/[^/]*$", ""))
+            .withColumn("__dir", _dir_col())
             .join(bkeys, key_cols, "left_semi"))
         # input_file_name is a URI: percent-decode so paths with
         # spaces/non-ASCII compare equal to os.path.abspath (unquote,
@@ -636,6 +629,10 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     if affected:
         existing = spark.read.parquet(
             *[os.path.join(path, d) for d in affected])
+        if man.get("dv"):
+            # rows an earlier DELETE tombstoned must not be
+            # resurrected by the rewrite
+            existing = _apply_dv(spark, path, existing, man["dv"])
         rewritten = existing.join(bkeys, key_cols, "left_anti") \
             .unionByName(upserts)
     else:
@@ -676,10 +673,15 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         man.get("schema"),
         _schema_json(spark.read.parquet(
             os.path.join(path, new_names[0]))))
+    # carry tombstones ONLY for dirs still in the manifest (a
+    # rewritten dir's replacement already excludes its tombstoned
+    # rows, so keeping its contribution would double-count deletes
+    # in metadata_count); entries drained of dirs drop entirely
+    dv = _filter_dv(man.get("dv", []), dirs)
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
-                         partition_by=pby)
+                         partition_by=pby, dv=dv)
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -703,6 +705,13 @@ def change_feed(spark: SparkSession, path: str, from_version: int,
     inserts/deletes."""
     man_a = _read_manifest(path, from_version)
     man_b = _read_manifest(path, to_version)
+    if man_a.get("dv", []) != man_b.get("dv", []):
+        # a deletion-vector commit changes NO dirs, so the dir-set
+        # diff below would silently miss its deletes — refuse rather
+        # than emit a wrong feed (Delta gates CDF+DV the same way)
+        raise ValueError(
+            "change_feed across deletion-vector commits: run "
+            "compact() to materialize tombstones first")
     only_a = [d for d in man_a["dirs"] if d not in set(man_b["dirs"])]
     only_b = [d for d in man_b["dirs"] if d not in set(man_a["dirs"])]
 
@@ -752,7 +761,8 @@ def compact(spark: SparkSession, path: str,
     if v is None:
         return None
     man = _read_manifest(path, v)
-    if len(man["dirs"]) <= target_dirs:
+    if len(man["dirs"]) <= target_dirs and not man.get("dv"):
+        # at target layout AND no deletion vectors to materialize
         return None
     # pin BOTH the snapshot version and the commit target: routing
     # through commit() would re-resolve the parent, so a writer
@@ -763,7 +773,8 @@ def compact(spark: SparkSession, path: str,
     version = v + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
-    snap = snapshot(spark, path, v)
+    snap = snapshot(spark, path, v)  # DV-filtered: compaction
+    # MATERIALIZES deletion vectors (the new manifest carries dv=[])
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
     pby = man.get("partition_by", [])
@@ -853,14 +864,18 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     man = _read_manifest(path, v)
     carried: list[str] = []
     target = list(man["dirs"])
-    if incremental and _last_zorder_by(path, v) == [col_a, col_b]:
+    if (incremental and _last_zorder_by(path, v) == [col_a, col_b]
+            and not man.get("dv")):
         # bucket dirs from the same-column clustering stay; a dir a
         # later MERGE rewrote came back as a PLAIN dir, so name-based
-        # detection only ever carries genuinely clustered bytes
+        # detection only ever carries genuinely clustered bytes.
+        # With live deletion vectors the carry is skipped: a carried
+        # dir's tombstones would be dropped with the dv=[] commit, so
+        # EVERYTHING reclusters through the DV-filtered read instead
         carried = [d for d in target if "/__zb=" in d]
         target = [d for d in target if "/__zb=" not in d]
-    if not target:
-        return None  # fully clustered already: no-op
+    if not target and not man.get("dv"):
+        return None  # fully clustered already, nothing to materialize
     # pin BOTH ends like compact(): a writer landing v+1 between our
     # snapshot and our publish must surface as TxnConflict, not a
     # silent lost update
@@ -868,6 +883,10 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
     snap = _read_dirs(spark, path, target, man)
+    if man.get("dv"):
+        # the clustering rewrite materializes tombstones (commit
+        # below carries dv=[]), so the scan must be DV-filtered
+        snap = _apply_dv(spark, path, snap, man["dv"])
     a = F.col(col_a).cast("bigint")
     b = F.col(col_b).cast("bigint")
     pby = man.get("partition_by", [])
@@ -959,7 +978,8 @@ def restore(path: str, to_version: int) -> int:
         {"restored_from": to_version},
         man.get("stats", {}), man.get("rows", {}),
         man.get("bloom_cols", []), man.get("schema"),
-        partition_by=man.get("partition_by", []))
+        partition_by=man.get("partition_by", []),
+        dv=man.get("dv", []))
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -977,6 +997,13 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     if latest_version(dst) is not None:
         raise ValueError(f"clone target {dst} already has commits")
     man = _read_manifest(src, v)
+    if man.get("dv"):
+        # tombstone stores live under the SOURCE's _txn dir and are
+        # recorded relative to it — a clone cannot resolve them.
+        # Materialize first (Delta gates CLONE+DV the same way).
+        raise ValueError(
+            "shallow_clone of a table with live deletion vectors: "
+            "run compact() on the source first to materialize them")
     src_abs = os.path.abspath(src)
     # os.path.join(dst, d) passes absolute dirs through untouched, so
     # snapshot()/merge/compact on the clone need no special casing
@@ -1008,7 +1035,12 @@ def metadata_count(path: str, version: int | None = None) -> int | None:
     rows = man.get("rows", {})
     if any(d not in rows for d in man["dirs"]):
         return None
-    return sum(rows[d] for d in man["dirs"])
+    # deletion vectors: each entry carries exact per-dir deleted-row
+    # counts, and _filter_dv keeps them scoped to live dirs, so the
+    # metadata answer stays exact through DELETE and MERGE
+    deleted = sum(n for e in man.get("dv", [])
+                  for n in e.get("dirs", {}).values())
+    return sum(rows[d] for d in man["dirs"]) - deleted
 
 
 def manifest_stats(path: str, version: int | None = None) -> dict:
@@ -1088,7 +1120,13 @@ def snapshot(spark: SparkSession, path: str,
             return _read_dirs(spark, path, names, man).limit(0)
     # one multi-path scan, not a union chain: a long-appended table
     # (thousands of commits) stays a single FileScan node
-    return _read_dirs(spark, path, names, man)
+    df = _read_dirs(spark, path, names, man)
+    dv = man.get("dv") or []
+    if dv:
+        # deletion vectors: broadcast anti-join per DV commit — a
+        # DV-free table (the common case) takes the bare scan above
+        df = _apply_dv(spark, path, df, dv)
+    return df
 
 
 def _read_dirs(spark: SparkSession, path: str, names: list[str],
@@ -1107,6 +1145,157 @@ def _read_dirs(spark: SparkSession, path: str, names: list[str],
         st = StructType.fromJson(json.loads(sch))
         return spark.read.schema(st).parquet(*dirs)
     return spark.read.parquet(*dirs)
+
+
+def _dir_col():
+    """Owning-dir tag for a multi-path scan: input_file_name()'s URI
+    with the scheme stripped and the final /part-file dropped.  Still
+    percent-ENCODED (decode driver-side with urllib.parse.unquote
+    when comparing to os paths, or compare against encoded names)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.input_file_name(),
+                         r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"),
+        r"/[^/]*$", "")
+
+
+DV_MAX_KEYS = 100_000
+
+
+def _dv_store_dir(path: str, store: str) -> str:
+    return os.path.join(_txn_dir(path), "dv", store)
+
+
+def _apply_dv(spark: SparkSession, path: str, df: DataFrame,
+              dv_entries: list[dict],
+              keep_dir: bool = False) -> DataFrame:
+    """Apply deletion-vector tombstones to a manifest-dirs scan: one
+    broadcast LEFT ANTI join per DV commit, matching on (OWNING DIR,
+    key) — the dir scope is what makes delete-then-reinsert correct
+    (a later commit's dir is never listed in an older tombstone).
+    Tombstone stores are KB-to-MB-scale by the DV_MAX_KEYS contract,
+    so the anti-joins broadcast and stay map-side at any table size.
+    An existing ``__dir`` tag is reused (input_file_name() cannot be
+    re-derived after a join introduces a second file source)."""
+    # both sides of the dir match use _dir_col()'s URI-encoded form
+    # (tombstones record the encoded rel name at delete time), so the
+    # comparison never depends on a decode round-trip
+    tagged = df if "__dir" in df.columns \
+        else df.withColumn("__dir", _dir_col())
+    base = os.path.abspath(path)
+    for e in dv_entries:
+        store = spark.read.parquet(_dv_store_dir(path, e["store"]))
+        tomb = store.select(
+            F.concat(F.lit(base + "/"),
+                     F.col("__dv_dir")).alias("__dv_abs"),
+            *[F.col(k).alias(f"__dv_{k}") for k in e["key_cols"]])
+        cond = F.col("__dir") == F.col("__dv_abs")
+        for k in e["key_cols"]:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__dv_{k}"))
+        tagged = tagged.join(F.broadcast(tomb), cond, "left_anti")
+    return tagged if keep_dir else tagged.drop("__dir")
+
+
+def _filter_dv(dv_entries: list[dict],
+               surviving_dirs: list[str]) -> list[dict]:
+    """Scope DV entries to the dirs still present in a new manifest:
+    a rewritten/dropped dir's tombstone contribution goes with it
+    (its replacement bytes already exclude the deleted rows)."""
+    live = set(surviving_dirs)
+    out = []
+    for e in dv_entries:
+        dirs = {d: n for d, n in e.get("dirs", {}).items()
+                if d in live}
+        if dirs:
+            out.append({**e, "dirs": dirs})
+    return out
+
+
+def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
+                key_cols: list[str]) -> int:
+    """DELETE as a DELETION VECTOR commit (Delta DV shape): a small
+    delete against a big table writes NO data dir — the keys' owning
+    dirs are found with one tagged semi-join probe, the (dir, key)
+    pairs land as a tombstone parquet store under _txn/dv/, and the
+    new manifest lists the store in ``dv``; every snapshot read then
+    applies it as a broadcast anti-join scoped to the listed dirs.
+    Write cost is O(|keys|), not O(touched dirs) — the copy-on-write
+    rewrite merge_apply pays for the same delete.  A key deleted here
+    and RE-INSERTED by a later commit survives, because tombstones
+    match on the owning dir and new dirs are never listed.
+
+    Lifecycle: appends carry tombstones forward; compact() and
+    optimize_zorder materialize them away (their rewrites read the
+    DV-filtered snapshot and commit dv=[]); MERGE applies them before
+    rewriting and carries the rest; restore/time-travel see each
+    version's own dv list; vacuum GCs stores no kept manifest
+    references; change_feed and shallow_clone REFUSE across live DVs
+    (compact first) rather than silently miss deletes.  Stats
+    envelopes stay valid (conservative supersets); metadata_count
+    subtracts each entry's recorded rows_deleted and stays exact.
+
+    Deletes bigger than DV_MAX_KEYS distinct keys must use
+    merge_apply — a tombstone that big stops broadcasting, which is
+    the point of the cap.  Returns the committed version.
+    Reference parity: the reference DELETEs through Synapse
+    (sql/batchELT/core/12_trip_clean.dedupe_load.sql's key-scoped
+    maintenance); a parquet lake needs the explicit tombstone layer."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    version = parent + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    man = _read_manifest(path, parent)
+    kdf = keys.select(*key_cols).distinct()
+    sample = kdf.limit(DV_MAX_KEYS + 1).collect()
+    if len(sample) > DV_MAX_KEYS:
+        raise ValueError(
+            f"delete_keys caps at {DV_MAX_KEYS} distinct keys (the "
+            "tombstone must stay broadcastable); use merge_apply for "
+            "bulk deletes")
+    bkeys = F.broadcast(
+        spark.createDataFrame(sample, kdf.schema))
+    base = os.path.abspath(path)
+    tagged = (
+        _read_dirs(spark, path, man["dirs"], man)
+        .withColumn("__dir", _dir_col())
+        .join(bkeys, key_cols, "left_semi"))
+    if man.get("dv"):
+        # deleting from an already-DV'd table: don't re-tombstone
+        # rows an earlier vector already killed (harmless but noisy).
+        # keep_dir: input_file_name() cannot be re-derived post-join
+        tagged = _apply_dv(spark, path, tagged, man["dv"],
+                           keep_dir=True)
+    # per-dir deleted ROW counts (duplicate keys within a dir all
+    # die) ride in the entry so metadata_count stays EXACT even
+    # after a later merge rewrites some tombstoned dirs (their
+    # contribution is dropped with the dir); the store holds
+    # distinct (dir, key) pairs in _dir_col()'s encoded form
+    hits = tagged.persist()
+    try:
+        rel = F.expr(f"substring(__dir, {len(base) + 2})")
+        per_dir = {urllib.parse.unquote(r["__d"]): int(r["n"])
+                   for r in hits.groupBy(rel.alias("__d"))
+                   .agg(F.count("*").alias("n")).collect()}
+        n_rows = sum(per_dir.values())
+        store_name = f"dv-v{version:08d}"
+        tomb = (hits.select(rel.alias("__dv_dir"), *key_cols)
+                .distinct())
+        dv = list(man.get("dv", []))
+        if n_rows:
+            tomb.write.mode("overwrite").parquet(
+                _dv_store_dir(path, store_name))
+            dv.append({"store": store_name,
+                       "key_cols": list(key_cols),
+                       "dirs": per_dir})
+    finally:
+        hits.unpersist()
+    return _commit_manifest(
+        path, version, "delete", man["dirs"],
+        {"dv_rows_deleted": int(n_rows)},
+        man.get("stats", {}), man.get("rows", {}),
+        man.get("bloom_cols", []), man.get("schema"),
+        partition_by=man.get("partition_by", []), dv=dv)
 
 
 def vacuum(path: str, keep_latest: int = 2,
@@ -1184,6 +1373,21 @@ def vacuum(path: str, keep_latest: int = 2,
             m = _manifest_path(path, v)
             if os.path.exists(m):
                 os.remove(m)
+    # GC deletion-vector stores no kept manifest references (same
+    # grace rule: a store written by an in-flight delete_keys whose
+    # manifest has not landed yet must survive)
+    dv_root = os.path.join(_txn_dir(path), "dv")
+    if os.path.isdir(dv_root):
+        live_stores = {e["store"] for v2 in keep_versions
+                       for e in _read_manifest(path, v2).get("dv", [])}
+        for entry in sorted(os.listdir(dv_root)):
+            full = os.path.join(dv_root, entry)
+            if entry in live_stores or not os.path.isdir(full):
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            shutil.rmtree(full)
+            removed.append(f"_txn/dv/{entry}")
     # GC bloom sidecars of the dropped dirs (operators/bloomindex.py
     # names them <quote(dirname)>.<col>.json under _txn/bloom) — a
     # sidecar for a vacuumed dir is dead weight; sidecars for a

@@ -332,7 +332,8 @@ def reset_stream_high_for_replay(table: str,
         {"batch_id": high, "stream_replay_reset": True},
         man.get("stats", {}), man.get("rows", {}),
         man.get("bloom_cols", []), man.get("schema"),
-        partition_by=man.get("partition_by", []))
+        partition_by=man.get("partition_by", []),
+        dv=man.get("dv", []))
     p = _stream_high_path(table)
     tmp = f"{p}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:

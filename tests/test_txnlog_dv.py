@@ -1,0 +1,201 @@
+"""Deletion vectors (operators/txnlog.py delete_keys / _apply_dv):
+small deletes as dir-scoped key tombstones — no data dir rewritten —
+with materialization via compact/zorder, carry through append/merge/
+restore, exact metadata counts, explicit refusals (CDF, clone), and
+retention GC of dead stores.  Delta DV parity at the txn-dir grain.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_nyctaxi_lambda_elt_spark.operators import bloomindex, txnlog
+
+OUT = "/tmp/spark_graft_dv_test"
+
+
+def _table(spark, name, n=300, bloom=False, stats=True):
+    path = os.path.join(OUT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 3).alias("d"),
+        (F.col("id") * 10).alias("v"))
+    kw = {}
+    if bloom:
+        kw["bloom_cols"] = ["id"]
+    if stats:
+        kw["stats_cols"] = ["id"]
+    txnlog.commit(df.where("id < 150"), path, "overwrite", **kw)
+    txnlog.commit(df.where("id >= 150"), path, "append", **kw)
+    return path, df
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], ["id"])
+
+
+def test_delete_keys_basic_and_metadata_exact(spark):
+    path, df = _table(spark, "t_basic")
+    v = txnlog.delete_keys(spark, path, _keys(spark, [7, 11, 200]),
+                           ["id"])
+    man = txnlog._read_manifest(path, v)
+    assert man["mode"] == "delete"
+    assert man["dirs"] == txnlog._read_manifest(path, 1)["dirs"]
+    assert len(man["dv"]) == 1
+    entry = man["dv"][0]
+    assert entry["key_cols"] == ["id"]
+    assert sum(entry["dirs"].values()) == 3
+    snap = txnlog.snapshot(spark, path)
+    assert snap.count() == 297
+    assert snap.where("id in (7, 11, 200)").count() == 0
+    # untouched rows intact
+    assert snap.where("id = 8").collect()[0]["v"] == 80
+    # metadata-only count stays EXACT through the delete
+    assert txnlog.metadata_count(path) == 297
+    # the tombstone store exists and is tiny
+    store = txnlog._dv_store_dir(path, entry["store"])
+    assert os.path.isdir(store)
+    # time travel: the pre-delete version still shows the rows
+    assert txnlog.snapshot(spark, path, 1).count() == 300
+
+
+def test_delete_then_reinsert_survives(spark):
+    """Dir-scoped tombstones: a key deleted at v2 and re-inserted by
+    a LATER append must survive — the new dir is never listed."""
+    path, df = _table(spark, "t_reinsert")
+    txnlog.delete_keys(spark, path, _keys(spark, [7]), ["id"])
+    assert txnlog.snapshot(spark, path).where("id = 7").count() == 0
+    re = spark.createDataFrame([(7, 1, 9999)], ["id", "d", "v"])
+    txnlog.commit(re, path, "append", stats_cols=["id"])
+    got = txnlog.snapshot(spark, path).where("id = 7").collect()
+    assert len(got) == 1 and got[0]["v"] == 9999
+    # and the append CARRIED the tombstone (old rows stay dead):
+    # total = 300 - 1 deleted + 1 reinserted
+    assert txnlog.snapshot(spark, path).count() == 300
+    assert txnlog.metadata_count(path) == 300
+
+
+def test_compact_materializes_tombstones(spark):
+    path, df = _table(spark, "t_mat")
+    txnlog.delete_keys(spark, path, _keys(spark, [0, 299]), ["id"])
+    cv = txnlog.compact(spark, path)
+    man = txnlog._read_manifest(path, cv)
+    assert man["dv"] == []            # materialized away
+    snap = txnlog.snapshot(spark, path, cv)
+    assert snap.count() == 298
+    assert snap.where("id in (0, 299)").count() == 0
+    assert txnlog.metadata_count(path, cv) == 298
+    # compact at target layout with live DVs is NOT a no-op
+    path2, _ = _table(spark, "t_mat2")
+    txnlog.compact(spark, path2)      # 1 dir now
+    txnlog.delete_keys(spark, path2, _keys(spark, [5]), ["id"])
+    assert txnlog.compact(spark, path2) is not None
+    assert txnlog._read_manifest(
+        path2, txnlog.latest_version(path2))["dv"] == []
+    assert txnlog.snapshot(spark, path2).count() == 299
+
+
+def test_merge_applies_and_filters_tombstones(spark):
+    """MERGE on a DV'd table must not resurrect tombstoned rows, and
+    a rewritten dir's tombstone contribution drops with the dir so
+    metadata_count stays exact."""
+    path, df = _table(spark, "t_merge")
+    # delete two keys living in the FIRST commit's dir
+    txnlog.delete_keys(spark, path, _keys(spark, [3, 4]), ["id"])
+    # upsert a key in the same dir: the rewrite must keep 3/4 dead
+    up = spark.createDataFrame([(5, 2, 555)], ["id", "d", "v"])
+    mv = txnlog.merge_upsert(spark, path, up, ["id"])
+    man = txnlog._read_manifest(path, mv)
+    assert len(man["meta"]["rewrote"]) == 1
+    # the tombstoned dir was the rewritten one: entry filtered away
+    assert man["dv"] == []
+    snap = txnlog.snapshot(spark, path, mv)
+    assert snap.count() == 298
+    assert snap.where("id in (3, 4)").count() == 0
+    assert snap.where("id = 5").collect()[0]["v"] == 555
+    assert txnlog.metadata_count(path, mv) == 298
+
+
+def test_restore_and_refusals(spark):
+    path, df = _table(spark, "t_refuse")
+    v_before = txnlog.latest_version(path)
+    dv_v = txnlog.delete_keys(spark, path, _keys(spark, [9]), ["id"])
+    # change feed across the DV commit refuses (its dir diff is empty)
+    with pytest.raises(ValueError):
+        txnlog.change_feed(spark, path, v_before, dv_v, ["id"])
+    # clone of a live-DV table refuses (stores live under src _txn)
+    with pytest.raises(ValueError):
+        txnlog.shallow_clone(path, os.path.join(OUT, "t_refuse_c"))
+    # restore to the pre-delete version resurrects the row
+    rv = txnlog.restore(path, v_before)
+    assert txnlog._read_manifest(path, rv)["dv"] == []
+    assert txnlog.snapshot(spark, path).where("id = 9").count() == 1
+    # after compact the feed works again (vs the materialized state)
+    txnlog.delete_keys(spark, path, _keys(spark, [9]), ["id"])
+    cv = txnlog.compact(spark, path)
+    feed = txnlog.change_feed(spark, path, rv, cv, ["id"])
+    dels = feed.where("_change_type = 'delete'").collect()
+    assert [r["id"] for r in dels] == [9]
+
+
+def test_zorder_materializes_tombstones(spark):
+    path, df = _table(spark, "t_zdv")
+    txnlog.delete_keys(spark, path, _keys(spark, [42]), ["id"])
+    v = txnlog.optimize_zorder(spark, path, "id", "v")
+    man = txnlog._read_manifest(path, v)
+    assert man["dv"] == []
+    snap = txnlog.snapshot(spark, path, v)
+    assert snap.count() == 299
+    assert snap.where("id = 42").count() == 0
+
+
+def test_duplicate_rows_absent_keys_and_cap(spark):
+    path = os.path.join(OUT, "t_dup")
+    shutil.rmtree(path, ignore_errors=True)
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], ["id", "v"])
+    txnlog.commit(dup, path, "overwrite")
+    # duplicate keys in one dir all die; absent key is a no-op
+    v = txnlog.delete_keys(spark, path, _keys(spark, [1, 777]), ["id"])
+    snap = txnlog.snapshot(spark, path)
+    assert snap.count() == 1 and snap.collect()[0]["id"] == 2
+    man = txnlog._read_manifest(path, v)
+    assert sum(man["dv"][0]["dirs"].values()) == 2  # both dup rows
+    # absent-key-only delete commits a version with dv unchanged
+    v2 = txnlog.delete_keys(spark, path, _keys(spark, [888]), ["id"])
+    assert txnlog._read_manifest(path, v2)["dv"] == man["dv"]
+    # the broadcastability cap is enforced
+    big = spark.range(txnlog.DV_MAX_KEYS + 1).select(
+        F.col("id"))
+    with pytest.raises(ValueError):
+        txnlog.delete_keys(spark, path, big, ["id"])
+
+
+def test_bloom_pruned_read_respects_tombstones(spark):
+    path, df = _table(spark, "t_bloomdv", bloom=True, stats=False)
+    txnlog.delete_keys(spark, path, _keys(spark, [7]), ["id"])
+    snap = bloomindex.bloom_pruned_snapshot(spark, path, "id", [7, 8])
+    got = snap.where(F.col("id").isin([7, 8])).collect()
+    assert [r["id"] for r in got] == [8]
+
+
+def test_vacuum_gcs_dead_dv_stores(spark):
+    path, df = _table(spark, "t_dvgc")
+    v = txnlog.delete_keys(spark, path, _keys(spark, [1]), ["id"])
+    store = txnlog._read_manifest(path, v)["dv"][0]["store"]
+    txnlog.compact(spark, path)   # materializes; store now dead at head
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    assert f"_txn/dv/{store}" in removed
+    assert not os.path.isdir(txnlog._dv_store_dir(path, store))
+    assert txnlog.snapshot(spark, path).count() == 299
+    # a store still referenced by a KEPT manifest survives
+    path2, _ = _table(spark, "t_dvgc2")
+    v2 = txnlog.delete_keys(spark, path2, _keys(spark, [1]), ["id"])
+    store2 = txnlog._read_manifest(path2, v2)["dv"][0]["store"]
+    txnlog.vacuum(path2, keep_latest=1, grace_seconds=0)
+    assert os.path.isdir(txnlog._dv_store_dir(path2, store2))
+    assert txnlog.snapshot(spark, path2).count() == 299
