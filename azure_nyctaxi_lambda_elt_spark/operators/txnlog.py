@@ -549,21 +549,25 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
 MERGE_BLOOM_PROBE_CAP = 4096
 
 
-def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
-                upserts: DataFrame, key_cols: list[str]) -> int:
-    """Shared copy-on-write merge core: remove ``keys_src``'s keys
-    from the affected dirs, land ``upserts`` in the fresh dir."""
-    parent = latest_version(path)
-    if parent is None:
-        return commit(upserts, path, "overwrite")
-    version = parent + 1
-    if os.path.exists(_manifest_path(path, version)):
-        raise TxnConflict(f"version {version} already committed")
-    man = _read_manifest(path, parent)
-    keys = keys_src.select(*key_cols).distinct()
-    bkeys = F.broadcast(keys)
-    # stats fast path: a dir whose key envelope misses the updates'
-    # key range can't contain matches — skip its probe scan entirely
+def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
+                          keys: DataFrame, key_cols: list[str],
+                          parent: int) -> list[str]:
+    """Manifest-metadata candidate pruning for a keyed probe (shared
+    by MERGE and delete_keys): drop dirs whose recorded state proves
+    they cannot hold any of ``keys``.
+
+    Stats fast path: a dir whose key envelope misses the keys' range
+    can't contain matches — skip its probe scan entirely.
+    Bloom fast path: on a HIGH-CARDINALITY key whose per-dir
+    envelopes each span most of the key space, the min/max test
+    never prunes (exactly the gap the bloom index exists for) —
+    probe the declared sidecars with the keys and drop dirs whose
+    bitmaps reject every key.  Only engaged for SMALL key sets
+    (≤ MERGE_BLOOM_PROBE_CAP distinct keys, checked with a
+    limit-probe, never a full count): the point is turning a small
+    keyed operation into O(dirs-touched); a bulk operation's
+    distributed semi-join probe already scales and needs no
+    driver-side key list."""
     candidates = man["dirs"]
     stats = man.get("stats", {})
     if len(key_cols) == 1 and any(
@@ -576,20 +580,10 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # raw collect() values would compare cross-type and throw
         lo, hi = _json_safe(krow["lo"]), _json_safe(krow["hi"])
         if lo is None or hi is None:
-            candidates = []  # empty updates: no key can match any dir
+            candidates = []  # empty keys: nothing can match any dir
         else:
             candidates = [d for d in candidates
                           if _overlaps(stats, d, kc, lo, hi)]
-    # bloom fast path: on a HIGH-CARDINALITY key whose per-dir
-    # envelopes each span most of the key space, the min/max test
-    # above never prunes (exactly the gap the bloom index exists
-    # for) — probe the declared sidecars with the update keys and
-    # drop dirs whose bitmaps reject every key.  Only engaged for
-    # SMALL update sets (≤ MERGE_BLOOM_PROBE_CAP distinct keys,
-    # checked with a limit-probe, never a full count): the point of
-    # a bloom probe is turning a small MERGE into an O(dirs-touched)
-    # rewrite; a bulk merge's distributed semi-join probe below
-    # already scales and needs no driver-side key list
     if (len(key_cols) == 1 and candidates
             and key_cols[0] in man.get("bloom_cols", [])):
         sample = keys.limit(MERGE_BLOOM_PROBE_CAP + 1).collect()
@@ -601,6 +595,25 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                 [r[0] for r in sample], version=parent)
             kept_set = set(kept)
             candidates = [d for d in candidates if d in kept_set]
+    return candidates
+
+
+def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
+                upserts: DataFrame, key_cols: list[str]) -> int:
+    """Shared copy-on-write merge core: remove ``keys_src``'s keys
+    from the affected dirs, land ``upserts`` in the fresh dir."""
+    parent = latest_version(path)
+    if parent is None:
+        return commit(upserts, path, "overwrite")
+    version = parent + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    man = _read_manifest(path, parent)
+    stats = man.get("stats", {})
+    keys = keys_src.select(*key_cols).distinct()
+    bkeys = F.broadcast(keys)
+    candidates = _probe_candidate_dirs(
+        spark, path, man, keys, key_cols, parent)
     # ONE probe job over all candidate dirs (not one job per dir — a
     # long-appended table would otherwise pay thousands of serial tiny
     # jobs): multi-path scan tagged with the owning dir via
@@ -1158,11 +1171,41 @@ def _dir_col():
         r"/[^/]*$", "")
 
 
+def _dir_col_decoded():
+    """_dir_col() percent-DECODED executor-side (the on-disk dir
+    path, byte-equal to what os.path sees), so dir comparisons work
+    for table paths and partition values with spaces/non-ASCII.
+    java.net.URLDecoder is form-decoding ('+' → space), so literal
+    '+' is pre-escaped to %2B first — the same unquote-not-
+    unquote_plus rule the driver-side decodes follow."""
+    return F.call_function(
+        "reflect", F.lit("java.net.URLDecoder"), F.lit("decode"),
+        F.regexp_replace(_dir_col(), r"\+", "%2B"), F.lit("UTF-8"))
+
+
 DV_MAX_KEYS = 100_000
 
 
 def _dv_store_dir(path: str, store: str) -> str:
     return os.path.join(_txn_dir(path), "dv", store)
+
+
+def _claim_dv_store(path: str, version: int) -> str:
+    """Claim a UNIQUE tombstone store dir for this commit ATTEMPT
+    (atomic mkdir, suffix bumped on collision) — a deterministic
+    per-version name would let a racing loser overwrite the bytes
+    the winner's already-published manifest references, the exact
+    clobber _claim_data_dir exists to prevent for data dirs.  A
+    loser's orphan store is unreferenced and vacuumed later."""
+    os.makedirs(os.path.join(_txn_dir(path), "dv"), exist_ok=True)
+    i = 0
+    while True:
+        cand = f"dv-v{version:08d}-{i:04d}"
+        try:
+            os.mkdir(_dv_store_dir(path, cand))
+            return cand
+        except FileExistsError:
+            i += 1
 
 
 def _apply_dv(spark: SparkSession, path: str, df: DataFrame,
@@ -1176,11 +1219,12 @@ def _apply_dv(spark: SparkSession, path: str, df: DataFrame,
     so the anti-joins broadcast and stay map-side at any table size.
     An existing ``__dir`` tag is reused (input_file_name() cannot be
     re-derived after a join introduces a second file source)."""
-    # both sides of the dir match use _dir_col()'s URI-encoded form
-    # (tombstones record the encoded rel name at delete time), so the
-    # comparison never depends on a decode round-trip
+    # both sides of the dir match use the DECODED on-disk path form
+    # (tombstones record the decoded rel name at delete time), so
+    # table paths and partition values with spaces/non-ASCII compare
+    # byte-equal — the same normalization the driver-side decodes use
     tagged = df if "__dir" in df.columns \
-        else df.withColumn("__dir", _dir_col())
+        else df.withColumn("__dir", _dir_col_decoded())
     base = os.path.abspath(path)
     for e in dv_entries:
         store = spark.read.parquet(_dv_store_dir(path, e["store"]))
@@ -1239,6 +1283,9 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
     Reference parity: the reference DELETEs through Synapse
     (sql/batchELT/core/12_trip_clean.dedupe_load.sql's key-scoped
     maintenance); a parquet lake needs the explicit tombstone layer."""
+    from functools import reduce
+    from operator import and_
+
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no committed version under {path}")
@@ -1246,6 +1293,13 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
     man = _read_manifest(path, parent)
+    if any(os.path.isabs(d) for d in man["dirs"]):
+        # a shallow clone references the SOURCE's dirs absolutely;
+        # the rel-dir tombstone math below would silently match
+        # nothing — refuse like clone-of-DV does, compact resolves
+        raise ValueError(
+            "delete_keys on a table referencing external dirs "
+            "(shallow clone): run compact() first to localize them")
     kdf = keys.select(*key_cols).distinct()
     sample = kdf.limit(DV_MAX_KEYS + 1).collect()
     if len(sample) > DV_MAX_KEYS:
@@ -1253,43 +1307,53 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
             f"delete_keys caps at {DV_MAX_KEYS} distinct keys (the "
             "tombstone must stay broadcastable); use merge_apply for "
             "bulk deletes")
-    bkeys = F.broadcast(
-        spark.createDataFrame(sample, kdf.schema))
+    bk = spark.createDataFrame(sample, kdf.schema)
+    candidates = _probe_candidate_dirs(
+        spark, path, man, bk, key_cols, parent)
     base = os.path.abspath(path)
-    tagged = (
-        _read_dirs(spark, path, man["dirs"], man)
-        .withColumn("__dir", _dir_col())
-        .join(bkeys, key_cols, "left_semi"))
-    if man.get("dv"):
-        # deleting from an already-DV'd table: don't re-tombstone
-        # rows an earlier vector already killed (harmless but noisy).
-        # keep_dir: input_file_name() cannot be re-derived post-join
-        tagged = _apply_dv(spark, path, tagged, man["dv"],
-                           keep_dir=True)
-    # per-dir deleted ROW counts (duplicate keys within a dir all
-    # die) ride in the entry so metadata_count stays EXACT even
-    # after a later merge rewrites some tombstoned dirs (their
-    # contribution is dropped with the dir); the store holds
-    # distinct (dir, key) pairs in _dir_col()'s encoded form
-    hits = tagged.persist()
-    try:
-        rel = F.expr(f"substring(__dir, {len(base) + 2})")
-        per_dir = {urllib.parse.unquote(r["__d"]): int(r["n"])
-                   for r in hits.groupBy(rel.alias("__d"))
-                   .agg(F.count("*").alias("n")).collect()}
-        n_rows = sum(per_dir.values())
-        store_name = f"dv-v{version:08d}"
-        tomb = (hits.select(rel.alias("__dv_dir"), *key_cols)
-                .distinct())
-        dv = list(man.get("dv", []))
-        if n_rows:
-            tomb.write.mode("overwrite").parquet(
-                _dv_store_dir(path, store_name))
-            dv.append({"store": store_name,
-                       "key_cols": list(key_cols),
-                       "dirs": per_dir})
-    finally:
-        hits.unpersist()
+    dv = list(man.get("dv", []))
+    n_rows, per_dir = 0, {}
+    if candidates:
+        # null-safe semi-join: a NULL key is a legal delete target
+        # (purging unkeyed rows) and _apply_dv matches it null-safely
+        bprobe = F.broadcast(bk.select(
+            *[F.col(k).alias(f"__k_{k}") for k in key_cols]))
+        cond = reduce(and_, [F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+                             for k in key_cols])
+        tagged = (
+            _read_dirs(spark, path, candidates, man)
+            .withColumn("__dir", _dir_col_decoded())
+            .join(bprobe, cond, "left_semi"))
+        if man.get("dv"):
+            # deleting from an already-DV'd table: don't re-tombstone
+            # rows an earlier vector already killed (harmless, noisy).
+            # keep_dir: input_file_name can't be re-derived post-join
+            tagged = _apply_dv(spark, path, tagged, man["dv"],
+                               keep_dir=True)
+        # per-dir deleted ROW counts (duplicate keys within a dir all
+        # die) ride in the entry so metadata_count stays EXACT even
+        # after a later merge rewrites some tombstoned dirs (their
+        # contribution is dropped with the dir); the store holds
+        # distinct (dir, key) pairs, dir names DECODED and relative —
+        # the same form the manifest's dirs list uses
+        hits = tagged.persist()
+        try:
+            rel = F.expr(f"substring(__dir, {len(base) + 2})")
+            per_dir = {r["__d"]: int(r["n"])
+                       for r in hits.groupBy(rel.alias("__d"))
+                       .agg(F.count("*").alias("n")).collect()}
+            n_rows = sum(per_dir.values())
+            if n_rows:
+                store_name = _claim_dv_store(path, version)
+                (hits.select(rel.alias("__dv_dir"), *key_cols)
+                 .distinct()
+                 .write.mode("overwrite").parquet(
+                     _dv_store_dir(path, store_name)))
+                dv.append({"store": store_name,
+                           "key_cols": list(key_cols),
+                           "dirs": per_dir})
+        finally:
+            hits.unpersist()
     return _commit_manifest(
         path, version, "delete", man["dirs"],
         {"dv_rows_deleted": int(n_rows)},

@@ -183,6 +183,86 @@ def test_bloom_pruned_read_respects_tombstones(spark):
     assert [r["id"] for r in got] == [8]
 
 
+def test_null_key_delete_and_clone_refusal(spark):
+    """A NULL key is a legal delete target (purging unkeyed rows —
+    the probe is null-safe end to end); delete_keys on a shallow
+    clone refuses (its manifest references external absolute dirs
+    the rel-dir tombstone math cannot express)."""
+    path = os.path.join(OUT, "t_nullkey")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(1, 10), (None, 11), (None, 12), (3, 30)], "id long, v long")
+    txnlog.commit(df, path, "overwrite")
+    nk = spark.createDataFrame([(None,)], "id long")
+    v = txnlog.delete_keys(spark, path, nk, ["id"])
+    snap = txnlog.snapshot(spark, path)
+    assert snap.count() == 2
+    assert snap.where("id IS NULL").count() == 0
+    assert sum(txnlog._read_manifest(path, v)["dv"][0]
+               ["dirs"].values()) == 2
+    # clone (of a DV-free table) cannot take dir-scoped tombstones
+    src = os.path.join(OUT, "t_clone_src")
+    shutil.rmtree(src, ignore_errors=True)
+    txnlog.commit(df, src, "overwrite")
+    dst = os.path.join(OUT, "t_clone_dst")
+    shutil.rmtree(dst, ignore_errors=True)
+    txnlog.shallow_clone(src, dst)
+    with pytest.raises(ValueError):
+        txnlog.delete_keys(spark, dst, _keys(spark, [1]), ["id"])
+
+
+def test_delete_on_table_path_with_space(spark):
+    """The dir tag and tombstone rel names use the DECODED on-disk
+    path form, so a table path containing a space deletes
+    correctly (input_file_name() percent-encodes it)."""
+    path = os.path.join(OUT, "t dv space")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(20).select(F.col("id"))
+    txnlog.commit(df, path, "overwrite", stats_cols=["id"])
+    v = txnlog.delete_keys(spark, path, _keys(spark, [3]), ["id"])
+    snap = txnlog.snapshot(spark, path)
+    assert snap.count() == 19
+    assert snap.where("id = 3").count() == 0
+    man = txnlog._read_manifest(path, v)
+    assert sum(man["dv"][0]["dirs"].values()) == 1
+    assert txnlog.metadata_count(path) == 19
+
+
+def test_racing_delete_loser_cannot_clobber_winner_store(spark):
+    """Two writers racing the same delete version: the loser's
+    tombstone store is a DIFFERENT claimed dir, so the winner's
+    committed bytes survive and the loser surfaces as TxnConflict."""
+    path = os.path.join(OUT, "t_dvrace")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(20).select(F.col("id"))
+    txnlog.commit(df, path, "overwrite")
+
+    winner_v = txnlog.delete_keys(spark, path, _keys(spark, [3]),
+                                  ["id"])
+    win_store = txnlog._read_manifest(path, winner_v)["dv"][0]["store"]
+    win_bytes = sorted(os.listdir(txnlog._dv_store_dir(path,
+                                                       win_store)))
+    # the claim is atomic-mkdir: a second claimant for the SAME
+    # version gets a DIFFERENT dir, never the winner's (the clobber
+    # a deterministic mode('overwrite') path would allow)
+    other = txnlog._claim_dv_store(path, winner_v)
+    assert other != win_store
+    # a loser that resolved the parent before the winner published
+    # surfaces as TxnConflict with the winner's bytes untouched
+    orig = txnlog.latest_version
+    txnlog.latest_version = lambda p: 0 if p == path else orig(p)
+    try:
+        with pytest.raises(txnlog.TxnConflict):
+            txnlog.delete_keys(spark, path, _keys(spark, [5]), ["id"])
+    finally:
+        txnlog.latest_version = orig
+    assert sorted(os.listdir(
+        txnlog._dv_store_dir(path, win_store))) == win_bytes
+    snap = txnlog.snapshot(spark, path, winner_v)
+    assert snap.count() == 19 and snap.where("id = 3").count() == 0
+    assert snap.where("id = 5").count() == 1  # loser's delete absent
+
+
 def test_vacuum_gcs_dead_dv_stores(spark):
     path, df = _table(spark, "t_dvgc")
     v = txnlog.delete_keys(spark, path, _keys(spark, [1]), ["id"])
