@@ -263,6 +263,37 @@ def test_racing_delete_loser_cannot_clobber_winner_store(spark):
     assert snap.where("id = 5").count() == 1  # loser's delete absent
 
 
+def test_dv_on_partitioned_table(spark):
+    """Deletion vectors over Hive-partitioned commits: tombstones
+    record the NESTED leaf dir, the value-scoped pruned read stays
+    DV-filtered, compact materializes into per-partition dirs with
+    the tombstones gone, and metadata_count stays exact."""
+    path = os.path.join(OUT, "t_dv_part")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"))
+    txnlog.commit(df, path, "overwrite", partition_by=["d"],
+                  stats_cols=["id"])
+    v = txnlog.delete_keys(spark, path, _keys(spark, [7, 8]), ["id"])
+    man = txnlog._read_manifest(path, v)
+    dirs = man["dv"][0]["dirs"]
+    # id=7 -> leaf __p_d=1, id=8 -> leaf __p_d=2: nested names
+    assert len(dirs) == 2 and all("__p_d=" in d for d in dirs)
+    # the value-scoped pruned read is DV-filtered too
+    snap = txnlog.snapshot(spark, path, prune=("d", 1, 1))
+    assert snap.where("id = 7").count() == 0
+    assert snap.where("id = 4").count() == 1
+    assert txnlog.snapshot(spark, path).count() == 298
+    assert txnlog.metadata_count(path) == 298
+    # compact: per-partition dirs, tombstones materialized away
+    cv = txnlog.compact(spark, path)
+    man2 = txnlog._read_manifest(path, cv)
+    assert man2["dv"] == [] and len(man2["dirs"]) == 3
+    assert txnlog.snapshot(spark, path, cv).count() == 298
+    assert txnlog.snapshot(spark, path, cv) \
+        .where("id in (7, 8)").count() == 0
+
+
 def test_vacuum_gcs_dead_dv_stores(spark):
     path, df = _table(spark, "t_dvgc")
     v = txnlog.delete_keys(spark, path, _keys(spark, [1]), ["id"])
