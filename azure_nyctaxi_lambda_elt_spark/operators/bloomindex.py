@@ -345,8 +345,14 @@ def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
     Bloom-surviving dirs.  Like ``txnlog.snapshot(prune=...)``, this
     narrows WHICH dirs are scanned; callers still apply the row
     predicate (surviving dirs may be false positives)."""
-    kept, all_dirs = prune_dirs(spark, path, col, values, version)
+    # resolve the version ONCE and pin both the prune and the manifest
+    # read to it — resolving twice would let a commit landing in
+    # between apply the newer manifest's schema/DVs to the older
+    # version's kept-dir list (snapshot isolation)
     v = txnlog.latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    kept, all_dirs = prune_dirs(spark, path, col, values, version=v)
     man = txnlog._read_manifest(path, v)
     if not kept:
         # schema-only frame, under the manifest-recorded table schema

@@ -165,6 +165,13 @@ def corpus_cache_key(*paths: str) -> str:
         elif os.path.exists(p):
             st = os.stat(p)
             size, mtime = st.st_size, st.st_mtime_ns
+        else:
+            # a nonexistent path must not fold to a STABLE "p|0|0"
+            # key: a typo'd or relocated corpus would then hit the
+            # same persisted codebook forever regardless of the
+            # actual corpus bytes
+            raise FileNotFoundError(
+                f"corpus_cache_key: path does not exist: {p}")
         parts.append(f"{p}|{size}|{mtime}")
     return ";".join(parts)
 

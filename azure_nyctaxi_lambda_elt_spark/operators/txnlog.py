@@ -205,15 +205,56 @@ def _schema_json(df: DataFrame) -> str:
     return df.schema.json()
 
 
+_WIDENING_CHAINS = (
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+)
+
+
+def _wider_field(parent_f, new_f):
+    """The field a parent/new pair merges to: same type passes
+    through; a WIDENING atomic change (byte→short→int→long,
+    float→double, in either direction of the write — the TABLE
+    schema always keeps the wider end so old and new files both
+    upcast) merges to the wider type; anything else raises.  Delta
+    rejects narrowing writes the same way — committing the narrow
+    type would make snapshot() read the old wider files through
+    spark.read.schema and fail with parquet long→int conversion
+    errors, an unreadable table (the r7 advice repro)."""
+    from pyspark.sql.types import StructField
+
+    pt, nt = parent_f.dataType, new_f.dataType
+    # nullability merges as OR: either generation holding NULLs means
+    # the table column is nullable
+    nullable = parent_f.nullable or new_f.nullable
+    if pt == nt:
+        dt = nt
+    else:
+        dt = None
+        for chain in _WIDENING_CHAINS:
+            pn, nn = pt.typeName(), nt.typeName()
+            if pn in chain and nn in chain:
+                dt = pt if chain.index(pn) >= chain.index(nn) else nt
+                break
+        if dt is None:
+            raise ValueError(
+                f"incompatible type change for column "
+                f"'{parent_f.name}': {pt.simpleString()} -> "
+                f"{nt.simpleString()} (only widening within "
+                f"{_WIDENING_CHAINS} is committable; anything else "
+                f"needs an explicit overwrite of history)")
+    return StructField(parent_f.name, dt, nullable, new_f.metadata)
+
+
 def _merge_schema_json(parent_json: str | None,
                        new_json: str) -> str:
     """Table schema after a write: the parent's field order with the
     new write's fields merged in (Delta mergeSchema semantics) — new
-    columns append at the end; a field present in both takes the NEW
-    write's type, so an int→bigint generation change reads back as
-    the widened type (Spark's parquet reader upcasts the old files;
-    narrowing would need an explicit overwrite of history, which a
-    plain commit never does)."""
+    columns append at the end; a field present in both merges to the
+    WIDER type (``_wider_field``), so an int→bigint generation change
+    reads back widened (Spark's parquet reader upcasts the old
+    files) while a NARROWING write raises instead of committing a
+    schema the old dirs can't be read under."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -223,7 +264,10 @@ def _merge_schema_json(parent_json: str | None,
         return new_json
     parent_st = StructType.fromJson(_json.loads(parent_json))
     new_by_name = {f.name: f for f in new_st.fields}
-    fields = [new_by_name.pop(f.name, f) for f in parent_st.fields]
+    fields = [
+        _wider_field(f, new_by_name.pop(f.name))
+        if f.name in new_by_name else f
+        for f in parent_st.fields]
     fields += [f for f in new_st.fields if f.name in new_by_name]
     return StructType(fields).json()
 
@@ -570,22 +614,34 @@ def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
     driver-side key list."""
     candidates = man["dirs"]
     stats = man.get("stats", {})
-    if len(key_cols) == 1 and any(
-            key_cols[0] in s for s in stats.values()):
+    has_stats = len(key_cols) == 1 and any(
+        key_cols[0] in s for s in stats.values())
+    has_bloom = len(key_cols) == 1 \
+        and key_cols[0] in man.get("bloom_cols", [])
+    if has_stats or has_bloom:
         kc = key_cols[0]
-        krow = keys.agg(F.min(kc).alias("lo"), F.max(kc).alias("hi")) \
-            .collect()[0]
+        krow = keys.agg(
+            F.count(F.lit(1)).alias("__n"), F.count(kc).alias("__nk"),
+            F.min(kc).alias("lo"), F.max(kc).alias("hi")).collect()[0]
+        if int(krow["__n"]) == 0:
+            return []  # empty key set: nothing can match any dir
+        if int(krow["__nk"]) < int(krow["__n"]):
+            # NULL keys present: stats envelopes ignore NULLs (an
+            # all-NULL-key dir has no envelope to overlap) and bloom
+            # sidecars only record non-null values, so NEITHER fast
+            # path may prune — the null-safe semi-join probe over all
+            # dirs is what finds the NULL rows (delete_keys' null-
+            # safe contract; the r7 advice repro'd NULL rows
+            # surviving a delete on a stats/bloom table)
+            return candidates
+    if has_stats:
         # probe values go through the SAME normalization the manifest
         # stats did (ISO strings for timestamps, float for Decimal) —
         # raw collect() values would compare cross-type and throw
         lo, hi = _json_safe(krow["lo"]), _json_safe(krow["hi"])
-        if lo is None or hi is None:
-            candidates = []  # empty keys: nothing can match any dir
-        else:
-            candidates = [d for d in candidates
-                          if _overlaps(stats, d, kc, lo, hi)]
-    if (len(key_cols) == 1 and candidates
-            and key_cols[0] in man.get("bloom_cols", [])):
+        candidates = [d for d in candidates
+                      if _overlaps(stats, d, kc, lo, hi)]
+    if has_bloom and candidates:
         sample = keys.limit(MERGE_BLOOM_PROBE_CAP + 1).collect()
         if len(sample) <= MERGE_BLOOM_PROBE_CAP:
             from . import bloomindex  # function-scoped: imports us

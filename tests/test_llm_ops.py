@@ -341,8 +341,9 @@ def test_codebook_cache_persists_across_sessions(spark, tmp_path,
     os.utime(corpus, ns=(1, 2))
     k2 = clustering.corpus_cache_key(str(corpus))
     assert k1 != k2
-    # and a missing path is stable (size/mtime zero), not an error
-    assert clustering.corpus_cache_key(str(tmp_path / "nope")) == \
+    # and a missing path RAISES instead of folding to a stable
+    # "p|0|0" key that would pin one codebook to a typo'd path
+    with pytest.raises(FileNotFoundError):
         clustering.corpus_cache_key(str(tmp_path / "nope"))
 
 

@@ -1352,3 +1352,36 @@ def test_partitioned_commit_empty_frame(spark):
     snap2 = txnlog.snapshot(spark, path, v)
     assert snap2.count() == 0
     assert sorted(snap2.columns) == ["d", "id"]
+
+
+def test_manifest_schema_rejects_narrowing_keeps_wider(spark):
+    """A plain append with a NARROWER type (bigint table, int write)
+    must not record the narrowed type as the table schema — the r7
+    advice showed snapshot() then fails reading the old wider dirs
+    (parquet long→int).  The merged schema keeps the WIDER end of
+    the chain regardless of write direction; an incompatible change
+    (string→int) raises instead of committing."""
+    path = os.path.join(OUT, "t_narrow")
+    shutil.rmtree(path, ignore_errors=True)
+    txnlog.commit(
+        spark.range(3).select(F.col("id").cast("bigint").alias("id")),
+        path, "overwrite")
+    txnlog.commit(
+        spark.range(3, 6).select(F.col("id").cast("int").alias("id")),
+        path, "append")
+    snap = txnlog.snapshot(spark, path)
+    assert dict(snap.dtypes)["id"] == "bigint"
+    assert sorted(r["id"] for r in snap.collect()) == [0, 1, 2, 3, 4, 5]
+    # float chain, both directions
+    assert "double" in txnlog._merge_schema_json(
+        spark.range(1).select(F.lit(1.0).cast("double").alias("x"))
+        .schema.json(),
+        spark.range(1).select(F.lit(1.0).cast("float").alias("x"))
+        .schema.json())
+    # incompatible: raises, table untouched
+    with pytest.raises(ValueError, match="incompatible type change"):
+        txnlog.commit(
+            spark.range(6, 9).select(
+                F.col("id").cast("string").alias("id")),
+            path, "append")
+    assert txnlog.snapshot(spark, path).count() == 6

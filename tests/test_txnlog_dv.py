@@ -310,3 +310,52 @@ def test_vacuum_gcs_dead_dv_stores(spark):
     txnlog.vacuum(path2, keep_latest=1, grace_seconds=0)
     assert os.path.isdir(txnlog._dv_store_dir(path2, store2))
     assert txnlog.snapshot(spark, path2).count() == 299
+
+
+def test_null_key_delete_on_stats_and_bloom_table(spark):
+    """The r7-advice repro: NULL-keyed deletes on a table WITH
+    manifest stats and/or bloom sidecars.  min/max envelopes ignore
+    NULLs and bloom bitmaps record only non-null values, so both
+    fast paths must stand down whenever the key set contains a NULL
+    — an all-NULL key set previously yielded candidates=[] and the
+    NULL rows silently survived."""
+    for name, kw in (("t_null_stats", {"stats": True}),
+                     ("t_null_bloom", {"stats": False, "bloom": True}),
+                     ("t_null_both", {"stats": True, "bloom": True})):
+        path = os.path.join(OUT, name)
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.createDataFrame(
+            [(1, 10), (None, 11), (None, 12), (3, 30), (4, 40)],
+            "id long, v long")
+        ckw = {}
+        if kw.get("stats"):
+            ckw["stats_cols"] = ["id"]
+        if kw.get("bloom"):
+            ckw["bloom_cols"] = ["id"]
+        txnlog.commit(df, path, "overwrite", **ckw)
+
+        # all-NULL key set: both NULL rows die, nothing else
+        nk = spark.createDataFrame([(None,)], "id long")
+        v = txnlog.delete_keys(spark, path, nk, ["id"])
+        snap = txnlog.snapshot(spark, path)
+        assert snap.where("id IS NULL").count() == 0, name
+        assert snap.count() == 3, name
+        assert txnlog._read_manifest(path, v)["meta"][
+            "dv_rows_deleted"] == 2, name
+
+        # mixed NULL + non-NULL key set in one delete
+        path2 = path + "_mixed"
+        shutil.rmtree(path2, ignore_errors=True)
+        txnlog.commit(df, path2, "overwrite", **ckw)
+        mk = spark.createDataFrame([(None,), (3,)], "id long")
+        txnlog.delete_keys(spark, path2, mk, ["id"])
+        snap2 = txnlog.snapshot(spark, path2)
+        assert snap2.where("id IS NULL OR id = 3").count() == 0, name
+        assert snap2.count() == 2, name
+
+        # non-null fast paths still engaged: an empty key set commits
+        # a no-op delete
+        v3 = txnlog.delete_keys(
+            spark, path2, spark.createDataFrame([], "id long"), ["id"])
+        assert txnlog._read_manifest(path2, v3)["dv"] == \
+            txnlog._read_manifest(path2, v3 - 1)["dv"], name

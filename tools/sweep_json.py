@@ -10,6 +10,7 @@ it down as a repo artifact alongside FRESHNESS.json.
 
 from __future__ import annotations
 
+import ast
 import json
 import re
 import sys
@@ -44,7 +45,10 @@ def parse(log_path: str, sf_dir: str) -> dict:
         summary = {"matched": int(m.group(1)), "total": int(m.group(2)),
                    "full_oracle": int(m.group(3)),
                    "rows_only": int(m.group(4)),
-                   "fails": eval(m.group(5))}  # noqa: S307 - own output
+                   # literal_eval, not eval: log content includes
+                   # echoed query names/strings and is not a trusted
+                   # code source
+                   "fails": ast.literal_eval(m.group(5))}
     return {"sf_dir": sf_dir, "summary": summary, "entries": entries}
 
 
