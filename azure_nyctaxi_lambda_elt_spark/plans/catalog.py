@@ -1750,6 +1750,59 @@ def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE as a deletion-vector commit (operators/txnlog.py
+    delete_keys — the Delta DV shape): trip_clean lands as three
+    day-slice commits carrying trip_uid stats envelopes AND bloom
+    sidecars, then a small key set (trip_uid % 101 = 7) deletes as a
+    dir-scoped tombstone store — NO data dir is rewritten, which the
+    hashed output claims structurally (``new_data_dirs`` = dirs in
+    the post-delete manifest missing from the pre-delete one, and
+    ``dv_stores`` = live tombstone stores).  The snapshot read
+    applies the store as one broadcast anti-join and the per-date
+    rollup must equal the NOT-keyed oracle.  Write cost is O(|keys|)
+    vs merge_apply's copy-on-write rewrite of every touched dir —
+    the 100 TB shape for small deletes (GDPR erasure, late-arriving
+    retractions).  Reference parity: key-scoped delete maintenance
+    in sql/batchELT/core/12_trip_clean.dedupe_load.sql:1 and
+    sql/streaming/staging/0005_delete.sql:1 — a parquet lake needs
+    the explicit tombstone layer Synapse's DELETE hides."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txndv", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    kw = dict(stats_cols=["trip_uid"], bloom_cols=["trip_uid"])
+    txnlog.commit(clean.where(day <= 10), out, "overwrite", **kw)
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out,
+                  "append", **kw)
+    txnlog.commit(clean.where(day >= 21), out, "append", **kw)
+    pre = txnlog._read_manifest(out, 2)
+    keys = clean.where(F.col("trip_uid") % 101 == 7) \
+        .select("trip_uid")
+    v = txnlog.delete_keys(spark, out, keys, ["trip_uid"])
+    man = txnlog._read_manifest(out, v)
+    new_dirs = len(set(man["dirs"]) - set(pre["dirs"]))
+    return (
+        txnlog.snapshot(spark, out)
+        .groupBy("ingest_date")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+             .cast("double").alias("fare_sum"))
+        .withColumn("new_data_dirs",
+                    F.lit(new_dirs).cast("bigint"))
+        .withColumn("dv_rows_deleted",
+                    F.lit(int(man["meta"]["dv_rows_deleted"]))
+                    .cast("bigint"))
+        .withColumn("dv_stores",
+                    F.lit(len(man["dv"])).cast("bigint")))
+
+
 def q_streaming_raw_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.lane import run_raw_archive
 
@@ -2250,6 +2303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_txn_sink": q_streaming_txn_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
+    "txn_delete_vector": q_txn_delete_vector,
     "txn_merge_upsert": q_txn_merge_upsert,
     "txn_change_feed": q_txn_change_feed,
     "txn_compact": q_txn_compact,
@@ -2855,6 +2909,20 @@ ORACLES["txn_schema_evolution_read"] = ORACLES["schema_evolution_merge"]
 # manifest; the surviving snapshot is the full clean table — the
 # structural counts come from the protocol (3 commits, keep_latest=1),
 # the content rollup from the data
+# deletion-vector commit: per-date rollup over the NOT-keyed rows;
+# the structural columns pin the protocol claims (no data dir
+# written, exactly one live tombstone store, exact deleted-row count)
+ORACLES["txn_delete_vector"] = with_trips("""
+    SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(0 AS BIGINT) AS new_data_dirs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+            WHERE trip_uid % 101 = 7) AS dv_rows_deleted,
+           CAST(1 AS BIGINT) AS dv_stores
+    FROM trip_clean WHERE trip_uid % 101 <> 7 GROUP BY 1
+""")
+
 ORACLES["txn_vacuum_retention"] = with_trips("""
     SELECT CAST(2 AS BIGINT) AS removed_dirs,
            CAST(1 AS BIGINT) AS manifests_left,
