@@ -342,9 +342,13 @@ def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
                           values: list,
                           version: int | None = None) -> DataFrame:
     """Snapshot read for a ``col IN values`` lookup scanning only the
-    Bloom-surviving dirs.  Like ``txnlog.snapshot(prune=...)``, this
-    narrows WHICH dirs are scanned; callers still apply the row
-    predicate (surviving dirs may be false positives)."""
+    dirs surviving the shared point-set seam
+    (``txnlog.prune_point_set``: per-value stats-envelope test AND
+    bloom-sidecar probe — the same decision MERGE's candidate probe
+    and delete_keys route through).  Like ``txnlog.snapshot(
+    prune=...)``, this narrows WHICH dirs are scanned; callers still
+    apply the row predicate (surviving dirs may be false
+    positives)."""
     # resolve the version ONCE and pin both the prune and the manifest
     # read to it — resolving twice would let a commit landing in
     # between apply the newer manifest's schema/DVs to the older
@@ -352,7 +356,8 @@ def bloom_pruned_snapshot(spark: SparkSession, path: str, col: str,
     v = txnlog.latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
-    kept, all_dirs = prune_dirs(spark, path, col, values, version=v)
+    kept, all_dirs = txnlog.prune_point_set(
+        spark, path, col, values, version=v)
     man = txnlog._read_manifest(path, v)
     if not kept:
         # schema-only frame, under the manifest-recorded table schema

@@ -618,39 +618,41 @@ def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
         key_cols[0] in s for s in stats.values())
     has_bloom = len(key_cols) == 1 \
         and key_cols[0] in man.get("bloom_cols", [])
-    if has_stats or has_bloom:
-        kc = key_cols[0]
-        krow = keys.agg(
-            F.count(F.lit(1)).alias("__n"), F.count(kc).alias("__nk"),
-            F.min(kc).alias("lo"), F.max(kc).alias("hi")).collect()[0]
-        if int(krow["__n"]) == 0:
-            return []  # empty key set: nothing can match any dir
-        if int(krow["__nk"]) < int(krow["__n"]):
-            # NULL keys present: stats envelopes ignore NULLs (an
-            # all-NULL-key dir has no envelope to overlap) and bloom
-            # sidecars only record non-null values, so NEITHER fast
-            # path may prune — the null-safe semi-join probe over all
-            # dirs is what finds the NULL rows (delete_keys' null-
-            # safe contract; the r7 advice repro'd NULL rows
-            # surviving a delete on a stats/bloom table)
-            return candidates
+    if not (has_stats or has_bloom):
+        return candidates
+    kc = key_cols[0]
+    krow = keys.agg(
+        F.count(F.lit(1)).alias("__n"), F.count(kc).alias("__nk"),
+        F.min(kc).alias("lo"), F.max(kc).alias("hi")).collect()[0]
+    if int(krow["__n"]) == 0:
+        return []  # empty key set: nothing can match any dir
+    if int(krow["__nk"]) < int(krow["__n"]):
+        # NULL keys present: stats envelopes ignore NULLs (an
+        # all-NULL-key dir has no envelope to overlap) and bloom
+        # sidecars only record non-null values, so NEITHER fast
+        # path may prune — the null-safe semi-join probe over all
+        # dirs is what finds the NULL rows (delete_keys' null-
+        # safe contract; the r7 advice repro'd NULL rows
+        # surviving a delete on a stats/bloom table)
+        return candidates
+    sample = keys.limit(MERGE_BLOOM_PROBE_CAP + 1).collect()
+    if len(sample) <= MERGE_BLOOM_PROBE_CAP:
+        # small key set: per-value envelope + bloom conjunction
+        # through the shared point-set seam (prune_point_set)
+        kept, _ = prune_point_set(
+            spark, path, kc, [r[0] for r in sample],
+            version=parent, null_safe=True)
+        return kept
     if has_stats:
-        # probe values go through the SAME normalization the manifest
-        # stats did (ISO strings for timestamps, float for Decimal) —
-        # raw collect() values would compare cross-type and throw
+        # bulk key set (no driver-side value list): range-envelope
+        # pruning only — the distributed semi-join probe downstream
+        # already scales.  Probe values go through the SAME
+        # normalization the manifest stats did (ISO strings for
+        # timestamps, float for Decimal) — raw collect() values
+        # would compare cross-type and throw
         lo, hi = _json_safe(krow["lo"]), _json_safe(krow["hi"])
         candidates = [d for d in candidates
                       if _overlaps(stats, d, kc, lo, hi)]
-    if has_bloom and candidates:
-        sample = keys.limit(MERGE_BLOOM_PROBE_CAP + 1).collect()
-        if len(sample) <= MERGE_BLOOM_PROBE_CAP:
-            from . import bloomindex  # function-scoped: imports us
-
-            kept, _ = bloomindex.prune_dirs(
-                spark, path, key_cols[0],
-                [r[0] for r in sample], version=parent)
-            kept_set = set(kept)
-            candidates = [d for d in candidates if d in kept_set]
     return candidates
 
 
@@ -1160,6 +1162,63 @@ def prune_plan(path: str, version: int | None,
     return kept, list(man["dirs"])
 
 
+def prune_point_set(spark: SparkSession, path: str, col: str,
+                    values: list, version: int | None = None,
+                    null_safe: bool = False
+                    ) -> tuple[list[str], list[str]]:
+    """(kept_dirs, all_dirs) for a ``col IN {v1..vn}`` POINT-SET
+    probe — the one seam every small-keyed dir-narrowing operation
+    routes through (MERGE's candidate probe, delete_keys, the
+    needle-lookup reads), so envelope and bloom pruning conjoin in
+    one place instead of two code paths.
+
+    Decision per dir, conservative at every step: (1) per-VALUE
+    envelope test — kept iff ANY probe value lands inside the dir's
+    recorded [min, max] (tighter than the [min(values), max(values)]
+    range test: {1, 1000} prunes a [400, 600] dir); (2) bloom
+    sidecar probe over the envelope survivors (bloomindex.prune_dirs
+    — false negatives impossible by construction).  Dirs without
+    stats/sidecars always survive their step.
+
+    NULL probe values: with ``null_safe=True`` (delete/merge
+    semantics — NULL is a legal key target) any NULL stands the
+    whole prune down, since envelopes and bitmaps only describe
+    non-null values; with ``null_safe=False`` (IN-list lookup
+    semantics — IN never matches NULL) NULLs are dropped from the
+    probe set.  ``values`` is a driver-side list by contract
+    (callers cap at MERGE_BLOOM_PROBE_CAP-scale; bulk key sets use
+    the distributed semi-join probe, not this)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    all_dirs = list(man["dirs"])
+    vals = list(values)
+    if any(x is None for x in vals):
+        if null_safe:
+            return all_dirs, all_dirs
+        vals = [x for x in vals if x is not None]
+    if not vals:
+        return [], all_dirs
+    stats = man.get("stats", {})
+    norm = [_json_safe(x) for x in vals]
+    kept = [d for d in all_dirs
+            if any(_overlaps(stats, d, col, x, x) for x in norm)]
+    if kept:
+        # unconditional (NOT gated on the manifest's bloom_cols
+        # declaration): explicitly-built sidecars
+        # (bloomindex.build_bloom_index) exist without a declaration,
+        # and prune_dirs is conservative per dir — no sidecar, no
+        # Spark job, dir kept
+        from . import bloomindex  # function-scoped: imports us
+
+        bkept, _ = bloomindex.prune_dirs(
+            spark, path, col, vals, version=v)
+        bset = set(bkept)
+        kept = [d for d in kept if d in bset]
+    return kept, all_dirs
+
+
 def snapshot(spark: SparkSession, path: str,
              version: int | None = None,
              prune: tuple | list | None = None) -> DataFrame:
@@ -1240,6 +1299,12 @@ def _dir_col_decoded():
 
 
 DV_MAX_KEYS = 100_000
+# delete_keys folds a same-key_cols tombstone chain into one store
+# once it would exceed this many live entries — every snapshot read
+# pays one broadcast anti-join per live store, so the chain length
+# (not the tombstone bytes) is what must stay bounded between
+# compactions
+DV_COALESCE_LIVE_STORES = 8
 
 
 def _dv_store_dir(path: str, store: str) -> str:
@@ -1400,9 +1465,37 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
                        .agg(F.count("*").alias("n")).collect()}
             n_rows = sum(per_dir.values())
             if n_rows:
+                pairs = hits.select(
+                    rel.alias("__dv_dir"), *key_cols).distinct()
+                same = [e for e in dv
+                        if e["key_cols"] == list(key_cols)]
+                if len(same) >= DV_COALESCE_LIVE_STORES:
+                    # bound the live-store CHAIN: _apply_dv adds one
+                    # broadcast anti-join per listed store, so N
+                    # chatty deletes before a compact would put N
+                    # joins in every snapshot read.  Fold the whole
+                    # same-key chain plus the new pairs into ONE
+                    # store — never more broadcast bytes than the N
+                    # separate stores summed (the pairs are disjoint:
+                    # each delete applies the live DVs before
+                    # tombstoning), but one join instead of N.
+                    # compact()/zorder stay the real materialization.
+                    for e in same:
+                        pairs = pairs.unionByName(
+                            spark.read.parquet(
+                                _dv_store_dir(path, e["store"]))
+                            .select("__dv_dir", *key_cols))
+                    merged = {}
+                    for e in same:
+                        for d, n in e["dirs"].items():
+                            merged[d] = merged.get(d, 0) + n
+                    for d, n in per_dir.items():
+                        merged[d] = merged.get(d, 0) + n
+                    per_dir = merged
+                    dv = [e for e in dv
+                          if e["key_cols"] != list(key_cols)]
                 store_name = _claim_dv_store(path, version)
-                (hits.select(rel.alias("__dv_dir"), *key_cols)
-                 .distinct()
+                (pairs.distinct()
                  .write.mode("overwrite").parquet(
                      _dv_store_dir(path, store_name)))
                 dv.append({"store": store_name,

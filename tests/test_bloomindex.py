@@ -414,3 +414,61 @@ def test_union_words_signed_conversion_property():
             assert bit == (1 if p in positions else 0)
 
     check()
+
+
+def test_point_set_seam_conjoins_envelope_and_bloom(spark):
+    """txnlog.prune_point_set — the ONE seam MERGE's candidate probe,
+    delete_keys, and bloom_pruned_snapshot all route through:
+    per-VALUE envelope test (tighter than a [min,max] range over the
+    probe set) conjoined with the bloom sidecar probe."""
+    path = os.path.join(OUT, "t_seam")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(300).select("id")
+    kw = dict(stats_cols=["id"], bloom_cols=["id"])
+    # dir0: 0-99 dense; dir1: 100-198 EVEN only; dir2: 200-299 dense
+    txnlog.commit(df.where("id < 100"), path, "overwrite", **kw)
+    txnlog.commit(df.where("id >= 100 and id < 200 and id % 2 = 0"),
+                  path, "append", **kw)
+    txnlog.commit(df.where("id >= 200"), path, "append", **kw)
+    man = txnlog._read_manifest(path, txnlog.latest_version(path))
+    d0, d1, d2 = man["dirs"]
+
+    # per-value envelope tightness: {50, 250} misses dir1 even though
+    # the probe-set RANGE [50, 250] covers dir1's [100, 198] envelope
+    kept, all_dirs = txnlog.prune_point_set(
+        spark, path, "id", [50, 250])
+    assert all_dirs == [d0, d1, d2]
+    assert kept == [d0, d2]
+
+    # conjunction: 151 sits INSIDE dir1's envelope but dir1 holds
+    # only even ids — the bloom probe rejects what the envelope
+    # cannot (deterministic for fixed data + xxhash64)
+    kept2, _ = txnlog.prune_point_set(spark, path, "id", [151, 250])
+    assert kept2 == [d2]
+    # and the seam-backed snapshot read still finds every real row
+    snap = bloomindex.bloom_pruned_snapshot(
+        spark, path, "id", [151, 250])
+    assert [r["id"] for r in
+            snap.where("id in (151, 250)").collect()] == [250]
+
+    # NULL probe semantics: IN-list lookups drop NULLs; null-safe
+    # (delete/merge) probes stand the whole prune down
+    kept3, _ = txnlog.prune_point_set(spark, path, "id", [None, 250])
+    assert kept3 == [d2]
+    kept4, _ = txnlog.prune_point_set(
+        spark, path, "id", [None, 250], null_safe=True)
+    assert kept4 == [d0, d1, d2]
+    # all-NULL, non-null-safe: IN matches nothing
+    kept5, _ = txnlog.prune_point_set(spark, path, "id", [None])
+    assert kept5 == []
+    # empty probe set matches nothing
+    kept6, _ = txnlog.prune_point_set(spark, path, "id", [])
+    assert kept6 == []
+
+    # MERGE routes through the seam: upserting key 250 rewrites ONLY
+    # dir2 (dir1's envelope covers nothing probed; dir0 envelope-
+    # pruned)
+    up = spark.createDataFrame([(250,)], "id long")
+    txnlog.merge_upsert(spark, path, up, ["id"])
+    man2 = txnlog._read_manifest(path, txnlog.latest_version(path))
+    assert man2["meta"]["rewrote"] == [d2]

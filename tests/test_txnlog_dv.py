@@ -359,3 +359,37 @@ def test_null_key_delete_on_stats_and_bloom_table(spark):
             spark, path2, spark.createDataFrame([], "id long"), ["id"])
         assert txnlog._read_manifest(path2, v3)["dv"] == \
             txnlog._read_manifest(path2, v3 - 1)["dv"], name
+
+
+def test_dv_chain_coalesces_bounded_antijoins(spark):
+    """Verdict-r7 watch item: N chatty deletes before a compact must
+    NOT put N broadcast anti-joins in every snapshot read.  Past
+    DV_COALESCE_LIVE_STORES live same-key stores, delete_keys folds
+    the chain into one store — 20 sequential single-key deletes keep
+    the optimized snapshot plan at <= threshold+1 LeftAnti joins,
+    results unchanged, and the folded-away stores become vacuumable."""
+    path, df = _table(spark, "t_dvchain")
+    for i in range(20):
+        txnlog.delete_keys(spark, path, _keys(spark, [i]), ["id"])
+    man = txnlog._read_manifest(path, txnlog.latest_version(path))
+    thr = txnlog.DV_COALESCE_LIVE_STORES
+    assert len(man["dv"]) <= thr
+    snap = txnlog.snapshot(spark, path)
+    plan = snap._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") <= thr + 1
+    assert snap.count() == 280
+    assert snap.where("id < 20").count() == 0
+    assert snap.where("id = 25").count() == 1
+    # exact metadata count survives the folds
+    assert txnlog.metadata_count(path) == 280
+    # every tombstone ever written still applies at the latest
+    # version; pre-fold versions time-travel with their own chains
+    assert txnlog.snapshot(spark, path, 3).count() == 298
+    # folded-away stores are unreferenced by the kept manifest
+    live = {e["store"] for e in man["dv"]}
+    all_stores = set(os.listdir(os.path.join(path, "_txn", "dv")))
+    assert live <= all_stores and len(all_stores) > len(live)
+    removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    left = set(os.listdir(os.path.join(path, "_txn", "dv")))
+    assert left == live and any("_txn/dv/" in r for r in removed)
+    assert txnlog.snapshot(spark, path).count() == 280
