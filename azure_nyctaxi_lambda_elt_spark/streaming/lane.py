@@ -200,7 +200,9 @@ def _commit_raw_batch(table: str, batch: DataFrame,
     raw rows.  The skip test walks manifest metas newest-first to the
     most recent batch_id (robust to interleaved compact/restore/merge
     commits that carry none) — metadata-only, no data scan.  Shared by
-    run_raw_archive (default path) and run_raw_archive_txn.
+    run_raw_archive (default path), run_raw_archive_txn, and the
+    curated run_txn_sink — both lanes get the same date-scoped
+    replay pruning.
 
     Each commit is PARTITIONED BY ``__date`` (txnlog
     partition_by): one manifest dir per event date per micro-batch —
@@ -966,6 +968,15 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     exactly-once for transactional sinks; readers see only whole
     batches (snapshot isolation), never a torn write.
 
+    Commits are PARTITIONED BY ``__date`` exactly like the raw
+    archive's (_commit_raw_batch, shared): one manifest dir per
+    event date per micro-batch, so a date-scoped replay of the
+    CURATED lane (``snapshot(prune=("__date", lo, hi))``) opens only
+    that date's dirs of every batch commit — the reference's
+    streaming MERGE targets the date-sliced core table the same way
+    (sql/streaming/staging/
+    usp_upsert_trip_clean_from_slice_streaming.sql:1).
+
     Returns the per-event_type rollup of the final snapshot — append
     is order/batching-independent, so the batch events table is a FULL
     oracle."""
@@ -978,14 +989,7 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        # same watermark rule as _commit_raw_batch: latest-only meta
-        # would reset to -1 after an interleaved compact/restore and
-        # re-land a redelivered batch
-        if batch_id <= _committed_batch_high(table):
-            return  # redelivery: already durably committed
-        txnlog.commit(batch, table, "append",
-                      meta={"batch_id": batch_id})
-        _advance_stream_high(table, batch_id)
+        _commit_raw_batch(table, batch, batch_id)
 
     _run_available_now(
         ev.writeStream.foreachBatch(commit_batch)

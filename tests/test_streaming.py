@@ -656,3 +656,32 @@ def test_txn_sink_exactly_once_under_redelivery(spark, feed_dir):
     assert txnlog.snapshot(spark, table).count() == n_before
     src_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert n_before == src_n
+
+
+def test_txn_sink_date_partitioned_prune(spark, feed_dir):
+    """The CURATED txn sink now shares _commit_raw_batch's
+    date-partitioned commits (r7 verdict ask): a date-scoped read of
+    the sink opens only that date's dirs of every batch commit and
+    still returns exactly the full read's rows for that date."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import run_txn_sink
+
+    out = os.path.join(OUT, "txn_sink_part")
+    shutil.rmtree(out, ignore_errors=True)
+    run_txn_sink(spark, SF_SMOKE, out,
+                 max_files_per_trigger=1, source_dir=feed_dir)
+    table = os.path.join(out, "table")
+    man = txnlog._read_manifest(table, txnlog.latest_version(table))
+    assert all("__p___date=" in d for d in man["dirs"])
+    full = txnlog.snapshot(spark, table)
+    d0 = full.agg(F.min("__date")).collect()[0][0]
+    iso = d0.isoformat()
+    kept, all_dirs = txnlog.prune_plan(table, None,
+                                       [("__date", iso, iso)])
+    assert 0 < len(kept) < len(all_dirs)
+    snap = txnlog.snapshot(spark, table, prune=("__date", iso, iso))
+    got = snap.where(F.col("__date") == F.lit(iso)) \
+        .select("event_id").collect()
+    want = full.where(F.col("__date") == F.lit(iso)) \
+        .select("event_id").collect()
+    assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
