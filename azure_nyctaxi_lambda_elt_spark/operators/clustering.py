@@ -89,19 +89,29 @@ def _store_dir() -> str:
     return os.environ.get(_CODEBOOK_STORE_ENV, _CODEBOOK_STORE_DEFAULT)
 
 
-def _artifact_path(ck: tuple) -> str:
+def _artifact_path(ck: tuple, store: str | None = None,
+                   version: int | None = None) -> str:
+    """Artifact file for a cache key.  ``store`` overrides the shared
+    root (per-TABLE stores live under the table's own _txn dir);
+    ``version`` embeds the committed table version in the NAME so
+    txnlog.vacuum can GC stale-version codebooks mechanically."""
     import hashlib
     import os
 
     h = hashlib.md5(repr(ck).encode()).hexdigest()
-    return os.path.join(_store_dir(), f"codebook_{h}.json")
+    name = (f"codebook-v{version:08d}-{h}.json"
+            if version is not None else f"codebook_{h}.json")
+    return os.path.join(store if store is not None else _store_dir(),
+                        name)
 
 
-def _artifact_read(ck: tuple) -> list[list[float]] | None:
+def _artifact_read(ck: tuple, store: str | None = None,
+                   version: int | None = None
+                   ) -> list[list[float]] | None:
     import json
     import os
 
-    p = _artifact_path(ck)
+    p = _artifact_path(ck, store, version)
     if not os.path.exists(p):
         return None
     try:
@@ -117,7 +127,9 @@ def _artifact_read(ck: tuple) -> list[list[float]] | None:
         return None  # torn/corrupt/foreign artifact: refit, never fail
 
 
-def _artifact_write(ck: tuple, centroids: list[list[float]]) -> None:
+def _artifact_write(ck: tuple, centroids: list[list[float]],
+                    store: str | None = None,
+                    version: int | None = None) -> None:
     import json
     import os
     import tempfile
@@ -126,10 +138,11 @@ def _artifact_write(ck: tuple, centroids: list[list[float]]) -> None:
     # file.  The WHOLE write is best-effort (an unwritable shared
     # store dir must not fail a query whose fit already succeeded)
     tmp = None
+    base = store if store is not None else _store_dir()
     try:
-        os.makedirs(_store_dir(), exist_ok=True)
-        p = _artifact_path(ck)
-        fd, tmp = tempfile.mkstemp(dir=_store_dir(), suffix=".tmp")
+        os.makedirs(base, exist_ok=True)
+        p = _artifact_path(ck, store, version)
+        fd, tmp = tempfile.mkstemp(dir=base, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump({"key": list(map(str, ck[:1])) + list(ck[1:]),
                        "centroids": centroids}, f)
@@ -194,7 +207,10 @@ def clear_codebook_cache(disk: bool = False) -> None:
 
 def fit_centroids(emb: DataFrame, k: int = KMEANS_K,
                   iters: int = KMEANS_ITERS,
-                  cache_key: str | None = None) -> list[list[float]]:
+                  cache_key: str | None = None,
+                  store: str | None = None,
+                  store_version: int | None = None
+                  ) -> list[list[float]]:
     """Train a k-means codebook (deterministic init, fixed iters) and
     return the k × dim centroid list — the IVF coarse quantizer's
     offline training step (operators/ann.py ivf_topk).
@@ -220,7 +236,7 @@ def fit_centroids(emb: DataFrame, k: int = KMEANS_K,
         hit = _CODEBOOK_CACHE.get(ck)
         if hit is not None:
             return [list(c) for c in hit]
-        disk_hit = _artifact_read(ck)
+        disk_hit = _artifact_read(ck, store, store_version)
         if disk_hit is not None:
             _CODEBOOK_CACHE[ck] = [list(c) for c in disk_hit]
             return disk_hit
@@ -231,8 +247,48 @@ def fit_centroids(emb: DataFrame, k: int = KMEANS_K,
         pts.unpersist()
     if cache_key is not None:
         _CODEBOOK_CACHE[ck] = [list(c) for c in fitted]
-        _artifact_write(ck, [list(c) for c in fitted])
+        _artifact_write(ck, [list(c) for c in fitted],
+                        store, store_version)
     return fitted
+
+
+def codebook_store_dir(path: str) -> str:
+    """A txn-managed table's OWN codebook store: under its _txn dir,
+    so the artifact's lifecycle is the table's (vacuum GCs it with
+    the versions it indexes; rm -rf of the table takes it along)."""
+    import os
+
+    return os.path.join(path, "_txn", "codebooks")
+
+
+def fit_centroids_txn(spark, path: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS,
+                      version: int | None = None,
+                      prepare=None) -> list[list[float]]:
+    """Codebook for a TXN-MANAGED embedding table, keyed by (table
+    path, committed version, k, iters) and stored under the table's
+    own ``_txn/codebooks/`` — the per-table twin of the shared
+    $SPARK_GRAFT_CODEBOOK_DIR store.  The version IS the input
+    identity (manifest dirs are immutable by the log's contract), so
+    no size/mtime fingerprint walk is needed; a new commit
+    invalidates by construction (new version → new artifact name)
+    and ``txnlog.vacuum`` reclaims artifacts for versions it drops.
+    ``prepare`` optionally maps the snapshot DataFrame to the
+    (vec_id, embedding) shape ``fit_centroids`` expects."""
+    import os
+
+    from . import txnlog
+
+    v = txnlog.latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    emb = txnlog.snapshot(spark, path, v)
+    if prepare is not None:
+        emb = prepare(emb)
+    return fit_centroids(
+        emb, k, iters,
+        cache_key=f"txn:{os.path.abspath(path)}@v{v}",
+        store=codebook_store_dir(path), store_version=v)
 
 
 def kmeans_assign(emb: DataFrame, k: int = KMEANS_K,

@@ -1601,6 +1601,27 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue
             shutil.rmtree(full)
             removed.append(f"_txn/dv/{entry}")
+    # GC per-table ANN codebook artifacts (operators/clustering.py
+    # fit_centroids_txn stores them under _txn/codebooks named
+    # codebook-v{version}-{hash}.json): an artifact indexing a
+    # version whose manifest this vacuum drops is dead — the
+    # snapshot it was trained on is no longer readable (same grace
+    # rule for an in-flight trainer's fresh write)
+    cb_root = os.path.join(_txn_dir(path), "codebooks")
+    if os.path.isdir(cb_root):
+        import re as _re
+
+        for entry in sorted(os.listdir(cb_root)):
+            m = _re.match(r"codebook-v(\d{8})-", entry)
+            if not m or int(m.group(1)) in keep_versions:
+                continue
+            full = os.path.join(cb_root, entry)
+            if not os.path.isfile(full):
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            os.unlink(full)
+            removed.append(f"_txn/codebooks/{entry}")
     # GC bloom sidecars of the dropped dirs (operators/bloomindex.py
     # names them <quote(dirname)>.<col>.json under _txn/bloom) — a
     # sidecar for a vacuumed dir is dead weight; sidecars for a

@@ -377,3 +377,72 @@ def test_ivf_entries_share_cached_codebook(spark, tmp_path, monkeypatch):
     finally:
         clustering._fit = real_fit
         clustering.clear_codebook_cache()
+
+
+def test_per_table_codebook_artifact_lifecycle(spark, tmp_path):
+    """fit_centroids_txn (r7 verdict ask): a TXN-managed embedding
+    table's codebook lives under the table's OWN _txn/codebooks,
+    keyed by (path, version, k, iters) — reuse at the same version
+    with zero fits, invalidation on a new commit by construction,
+    and vacuum GCs artifacts for the versions it drops."""
+    import os
+
+    from azure_nyctaxi_lambda_elt_spark.operators import (
+        clustering, txnlog)
+
+    path = str(tmp_path / "embtab")
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (i + 3)) % 17).cast("float")
+                  for i in range(8)]).alias("embedding"))
+    txnlog.commit(emb, path, "overwrite")
+
+    calls = []
+    real_fit = clustering._fit
+
+    def counting_fit(pts, k, iters):
+        calls.append(k)
+        return real_fit(pts, k, iters)
+
+    clustering.clear_codebook_cache()
+    clustering._fit = counting_fit
+    try:
+        a = clustering.fit_centroids_txn(spark, path, 4, 2)
+        assert len(calls) == 1
+        cb = clustering.codebook_store_dir(path)
+        files_v0 = os.listdir(cb)
+        assert len(files_v0) == 1 and \
+            files_v0[0].startswith("codebook-v00000000-")
+        # same version: session hit; and across a "restart", disk hit
+        assert clustering.fit_centroids_txn(spark, path, 4, 2) == a
+        clustering._CODEBOOK_CACHE.clear()
+        assert clustering.fit_centroids_txn(spark, path, 4, 2) == a
+        assert len(calls) == 1
+        # matches an uncached fit on the same snapshot
+        assert a == real_fit(
+            clustering._points(txnlog.snapshot(spark, path, 0))
+            .persist(), 4, 2)
+        # a new commit invalidates by construction: new version, new
+        # artifact, refit over the grown corpus
+        more = spark.range(64, 96).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[((F.col("id") * (i + 5)) % 13).cast("float")
+                      for i in range(8)]).alias("embedding"))
+        txnlog.commit(more, path, "append")
+        b = clustering.fit_centroids_txn(spark, path, 4, 2)
+        assert len(calls) == 2 and b != a
+        assert len(os.listdir(cb)) == 2
+        # vacuum(keep_latest=1) drops v0's manifest AND its codebook
+        removed = txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+        assert any(r.startswith("_txn/codebooks/codebook-v00000000-")
+                   for r in removed)
+        left = os.listdir(cb)
+        assert len(left) == 1 and \
+            left[0].startswith("codebook-v00000001-")
+        # the surviving artifact still serves
+        clustering._CODEBOOK_CACHE.clear()
+        assert clustering.fit_centroids_txn(spark, path, 4, 2) == b
+        assert len(calls) == 2
+    finally:
+        clustering._fit = real_fit
+        clustering.clear_codebook_cache()
