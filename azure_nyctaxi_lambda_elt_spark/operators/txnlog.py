@@ -48,6 +48,20 @@ class TxnConflict(RuntimeError):
     """Another writer committed the same version first."""
 
 
+class ConstraintViolation(ValueError):
+    """A write's rows violate a declared table constraint — the
+    commit is refused and the table is unchanged (Delta CHECK
+    constraint semantics).  Carries ``violations``:
+    {constraint_name: violating_row_count}."""
+
+    def __init__(self, path: str, violations: dict[str, int]):
+        self.violations = dict(violations)
+        detail = ", ".join(f"{k}: {n} rows"
+                           for k, n in sorted(violations.items()))
+        super().__init__(
+            f"constraint violation on {path}: {detail}")
+
+
 class LogStore:
     """The commit primitive, isolated: publish ``tmp``'s bytes at key
     ``final`` IF AND ONLY IF ``final`` is not already published —
@@ -287,7 +301,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
            meta: dict | None = None,
            stats_cols: list[str] | None = None,
            bloom_cols: list[str] | None = None,
-           partition_by: list[str] | None = None) -> int:
+           partition_by: list[str] | None = None,
+           constraints: dict[str, str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     mode='overwrite' → the new version is exactly df's rows;
@@ -322,6 +337,19 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     compact() bin-packs WITHIN partition values, MERGE splits its
     copy-on-write rewrite per value, and restore/clone/zorder carry
     the property forward.
+    ``constraints`` declares CHECK constraints as a TABLE PROPERTY
+    (Delta ``ADD CONSTRAINT`` / NOT NULL analog): a name→SQL-boolean
+    dict (NOT NULL is ``"col IS NOT NULL"``); every commit and MERGE
+    validates its INCOMING rows with one agg job and raises
+    ConstraintViolation instead of publishing (the claimed dir is
+    orphaned and vacuumed; the table is unchanged — the reference's
+    DQ gate moved into the log layer,
+    sql/batchELT/dq/50_dq_modeling.sql's named checks).  SQL CHECK
+    semantics: a NULL predicate passes, only literal false violates.
+    None inherits the parent's set, an explicit dict REPLACES it
+    ({} clears); newly added constraint names additionally validate
+    the CARRIED dirs on an append (Delta's ADD CONSTRAINT scans
+    existing data the same way).
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -337,6 +365,10 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # an explicit list to (re)declare, None to inherit, [] to clear.
     if partition_by is None:
         partition_by = pman.get("partition_by", []) or None
+    # constraints are a TABLE PROPERTY like partition_by: None
+    # inherits, an explicit dict replaces ({} clears)
+    pcons = pman.get("constraints", {}) if parent is not None else {}
+    cons = dict(pcons) if constraints is None else dict(constraints)
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
     # the data write is invisible until the manifest rename lands
@@ -384,9 +416,23 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         dv = pman.get("dv", [])
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown commit mode {mode!r}")
+    # validate BEFORE publishing: the incoming dirs against the full
+    # constraint set, plus the carried dirs against any NEWLY added
+    # constraints (ADD CONSTRAINT scans existing data).  A violation
+    # leaves the claimed dir orphaned (vacuumed) and the table
+    # unchanged.
+    if cons:
+        _validate_constraints(df.sparkSession, path, new_dirs, cons)
+        added = {k: sql for k, sql in cons.items()
+                 if pcons.get(k) != sql}
+        carried = [d for d in dirs if d not in new_dirs]
+        if added and carried:
+            _validate_constraints(df.sparkSession, path, carried,
+                                  added, man=pman)
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema,
-                         partition_by=list(partition_by or []), dv=dv)
+                         partition_by=list(partition_by or []), dv=dv,
+                         constraints=cons)
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
@@ -515,6 +561,37 @@ def _publish_manifest(final: str, tmp: str) -> None:
 _TMP_SEQ = itertools.count()
 
 
+def _validate_constraints(spark: SparkSession, path: str,
+                          dir_names: list[str],
+                          constraints: dict[str, str],
+                          man: dict | None = None) -> None:
+    """Refuse-on-violation gate for a set of dirs against the table's
+    declared CHECK constraints: ONE agg job sums violating rows per
+    constraint (SQL CHECK semantics — a NULL predicate PASSES, only
+    a literal false violates), raising ConstraintViolation with the
+    per-constraint counts.  Validation cost is one narrow scan of
+    exactly the dirs being introduced — never the carried table."""
+    if not constraints or not dir_names:
+        return
+    df = (_read_dirs(spark, path, dir_names, man)
+          if man is not None else
+          spark.read.parquet(
+              *[os.path.join(path, d) for d in dir_names]))
+    if man is not None and man.get("dv"):
+        # rows an earlier DELETE tombstoned are invisible to readers
+        # and must not fail a newly-added constraint
+        df = _apply_dv(spark, path, df, man["dv"])
+    aggs = [
+        F.sum(F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1)
+              .otherwise(0)).alias(name)
+        for name, sql in sorted(constraints.items())]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name]) for name in constraints
+           if row[name]}
+    if bad:
+        raise ConstraintViolation(path, bad)
+
+
 def _commit_manifest(path: str, version: int, mode: str,
                      dirs: list[str], meta: dict | None,
                      stats: dict | None = None,
@@ -522,7 +599,9 @@ def _commit_manifest(path: str, version: int, mode: str,
                      bloom_cols: list[str] | None = None,
                      schema: str | None = None,
                      partition_by: list[str] | None = None,
-                     dv: list[dict] | None = None) -> int:
+                     dv: list[dict] | None = None,
+                     constraints: dict[str, str] | None = None
+                     ) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -536,7 +615,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                 "rows": rows or {},
                 "bloom_cols": bloom_cols or [],
                 "partition_by": partition_by or [],
-                "dv": dv or []}
+                "dv": dv or [],
+                "constraints": constraints or {}}
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -749,10 +829,16 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     # rows, so keeping its contribution would double-count deletes
     # in metadata_count); entries drained of dirs drop entirely
     dv = _filter_dv(man.get("dv", []), dirs)
+    cons = man.get("constraints", {})
+    if cons:
+        # MERGE validates the rewritten dirs (kept rows satisfied the
+        # constraints already — the upserts are what can violate)
+        _validate_constraints(spark, path, new_names, cons)
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
-                         partition_by=pby, dv=dv)
+                         partition_by=pby, dv=dv,
+                         constraints=cons)
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -866,7 +952,8 @@ def compact(spark: SparkSession, path: str,
     out = _commit_manifest(
         path, version, "overwrite", new_dirs,
         {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
-        man.get("schema"), partition_by=pby)
+        man.get("schema"), partition_by=pby,
+        constraints=man.get("constraints", {}))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1027,7 +1114,8 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
         {"zorder_by": [col_a, col_b],
          "clustered_from": len(target),
          "carried_buckets": len(carried)}, stats, rows, bcols,
-        man.get("schema"), partition_by=man.get("partition_by", []))
+        man.get("schema"), partition_by=man.get("partition_by", []),
+        constraints=man.get("constraints", {}))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1050,7 +1138,8 @@ def restore(path: str, to_version: int) -> int:
         man.get("stats", {}), man.get("rows", {}),
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []),
-        dv=man.get("dv", []))
+        dv=man.get("dv", []),
+        constraints=man.get("constraints", {}))
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -1088,7 +1177,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         dst, 0, "overwrite", abs_dirs,
         {"cloned_from": src_abs, "source_version": v}, stats, rows,
         man.get("bloom_cols", []), man.get("schema"),
-        partition_by=man.get("partition_by", []))
+        partition_by=man.get("partition_by", []),
+        constraints=man.get("constraints", {}))
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -1520,7 +1610,8 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         {"dv_rows_deleted": int(n_rows)},
         man.get("stats", {}), man.get("rows", {}),
         man.get("bloom_cols", []), man.get("schema"),
-        partition_by=man.get("partition_by", []), dv=dv)
+        partition_by=man.get("partition_by", []), dv=dv,
+        constraints=man.get("constraints", {}))
 
 
 def vacuum(path: str, keep_latest: int = 2,
