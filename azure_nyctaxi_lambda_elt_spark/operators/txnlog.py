@@ -747,6 +747,13 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
     man = _read_manifest(path, parent)
+    # refuse an incompatible column-type change BEFORE any rewrite
+    # job runs: the union below would otherwise coerce (e.g. cast a
+    # string upsert to the table's bigint) and die mid-write — or
+    # worse, silently commit a coerced schema.  Raises ValueError
+    # exactly like a narrowing commit() does (r7 advice semantics).
+    if man.get("schema"):
+        _merge_schema_json(man["schema"], _schema_json(upserts))
     stats = man.get("stats", {})
     keys = keys_src.select(*key_cols).distinct()
     bkeys = F.broadcast(keys)
@@ -762,9 +769,14 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # be bare names OR absolute paths (shallow clones reference the
         # source's dirs absolutely), and two tables' dirs can share a
         # basename — only the full path identifies the dir
+        # manifest-schema read (_read_dirs), NOT a raw multipath scan:
+        # after a schema-evolving append the raw read takes the FIRST
+        # dir's column set, so a probe on an evolution-added key would
+        # miss rows and the rewrite below would silently drop evolved
+        # columns from kept rows (repro'd: a post-evolution merge
+        # nulled the added column table-wide)
         tagged = (
-            spark.read.parquet(
-                *[os.path.join(path, d) for d in candidates])
+            _read_dirs(spark, path, candidates, man)
             .withColumn("__dir", _dir_col())
             .join(bkeys, key_cols, "left_semi"))
         # input_file_name is a URI: percent-decode so paths with
@@ -778,14 +790,18 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     else:
         affected = []
     if affected:
-        existing = spark.read.parquet(
-            *[os.path.join(path, d) for d in affected])
+        existing = _read_dirs(spark, path, affected, man)
         if man.get("dv"):
             # rows an earlier DELETE tombstoned must not be
             # resurrected by the rewrite
             existing = _apply_dv(spark, path, existing, man["dv"])
+        # allowMissingColumns = MERGE schema evolution, both ways
+        # (Delta mergeSchema-on-MERGE): upserts carrying a NEW column
+        # null-backfill the kept rows; upserts written against an
+        # OLDER schema null-fill the evolved columns on their own
+        # rows while kept rows keep their values
         rewritten = existing.join(bkeys, key_cols, "left_anti") \
-            .unionByName(upserts)
+            .unionByName(upserts, allowMissingColumns=True)
     else:
         rewritten = upserts
     data_dir = _claim_data_dir(path, version)
@@ -832,8 +848,13 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     cons = man.get("constraints", {})
     if cons:
         # MERGE validates the rewritten dirs (kept rows satisfied the
-        # constraints already — the upserts are what can violate)
-        _validate_constraints(spark, path, new_names, cons)
+        # constraints already — the upserts are what can violate),
+        # under the MERGED table schema so a constraint referencing
+        # an evolved column resolves even when this rewrite's dir was
+        # written against an older column set (NULL there → passes,
+        # SQL CHECK semantics)
+        _validate_constraints(spark, path, new_names, cons,
+                              man={"schema": schema})
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
@@ -873,8 +894,12 @@ def change_feed(spark: SparkSession, path: str, from_version: int,
     only_b = [d for d in man_b["dirs"] if d not in set(man_a["dirs"])]
 
     def read(dirs: list[str], like: list[str]) -> DataFrame:
-        src = dirs or like  # empty side: borrow a dir for the schema
-        df = spark.read.parquet(*[os.path.join(path, d) for d in src])
+        # both sides read under the TO-version's manifest schema
+        # (Delta CDF emits the latest schema): dirs written before a
+        # schema evolution null-backfill the added columns instead of
+        # a raw multipath read pinning whichever dir lists first
+        src = dirs or like  # empty side: borrow a dir for the paths
+        df = _read_dirs(spark, path, src, man_b)
         return df.limit(0) if not dirs else df
 
     old = read(only_a, man_b["dirs"])
