@@ -164,8 +164,12 @@ def _write_head_hint(path: str, version: int) -> None:
             os.remove(tmp)
 
 
-def latest_version(path: str) -> int | None:
-    """Highest committed version, or None for an uninitialized table.
+def _latest_occupied(path: str) -> int | None:
+    """Highest version whose manifest FILE exists — including members
+    of an undecided or aborted transaction group.  This is the
+    WRITER's number line (a new commit claims occupied+1); readers
+    want :func:`latest_version`, which additionally skips invisible
+    group members at the head.
 
     O(1) on the steady-state path: read the ``_head`` hint and probe
     forward (hint, hint+1, ...) until the first missing manifest —
@@ -195,9 +199,118 @@ def latest_version(path: str) -> int | None:
     return max(versions) if versions else None
 
 
+def latest_version(path: str) -> int | None:
+    """Highest COMMITTED version visible to readers, or None for an
+    uninitialized table.  A manifest published as a member of a
+    multi-table transaction group (commit_group) is invisible until
+    the group's coordinator record decides COMMITTED — pending and
+    aborted members at the head are skipped, exactly MVCC's
+    uncommitted-row rule.  Tables that never used groups pay one
+    manifest read (the head is decided by definition of not having a
+    group field)."""
+    v = _latest_occupied(path)
+    while v is not None and v >= 0:
+        try:
+            man = _read_manifest(path, v)
+        except (OSError, ValueError):
+            # settled-away member manifest (a concurrent writer
+            # cleared an aborted group): keep walking down
+            v -= 1
+            continue
+        if _group_state(man) in (None, "committed"):
+            return v
+        v -= 1
+    return None
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
         return json.load(fh)
+
+
+# -------------------------------------------- multi-table txn groups
+
+GROUP_SETTLE_GRACE_SECONDS = 60.0
+
+
+def _group_state(man: dict) -> str | None:
+    """A manifest's transaction-group outcome: None (not a group
+    member — decided by construction), 'committed', 'aborted', or
+    'pending' (coordinator record not yet published)."""
+    g = man.get("group")
+    if not g:
+        return None
+    try:
+        with open(g["coord"]) as fh:
+            rec = json.load(fh)
+    except (OSError, ValueError):
+        return "pending"
+    return "committed" if rec.get("committed") else "aborted"
+
+
+def _decide_group(g: dict, committed: bool) -> bool:
+    """Race a decision onto the group's coordinator record — the
+    LogStore test-and-set makes exactly ONE outcome win, however many
+    writers race (the group's owner publishing commit vs a settler
+    publishing abort).  Returns the DECIDED outcome, whoever won."""
+    coord = g["coord"]
+    os.makedirs(os.path.dirname(coord), exist_ok=True)
+    tmp = f"{coord}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
+    with open(tmp, "w") as fh:
+        json.dump({"id": g["id"], "committed": committed}, fh)
+    try:
+        _LOG_STORE.publish(coord, tmp)
+    except TxnConflict:
+        pass  # already decided — read which way below
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    with open(coord) as fh:
+        return bool(json.load(fh).get("committed"))
+
+
+def _settle_stale_groups(path: str) -> None:
+    """Writer-side recovery, called before claiming a version: clear
+    undecided/aborted group members from the occupied head so an
+    abandoned group never wedges the table.  aborted → delete the
+    member manifest (no reader ever saw it; its data dirs become
+    vacuum-collectable orphans).  pending past the grace window → the
+    group's writer is presumed dead: race an abort onto the
+    coordinator record and clear.  pending and FRESH → leave it (an
+    in-flight group is just a concurrent writer; this caller's own
+    version claim will raise TxnConflict and retry)."""
+    import time
+
+    last = None
+    while True:
+        v = _latest_occupied(path)
+        if v is None or v < 0:
+            return
+        if v == last:
+            return  # no progress (e.g. corrupt manifest): stop;
+            # the caller's own claim will surface the real error
+        last = v
+        mpath = _manifest_path(path, v)
+        try:
+            man = _read_manifest(path, v)
+        except (OSError, ValueError):
+            continue  # another settler cleared it; re-resolve
+        st = _group_state(man)
+        if st in (None, "committed"):
+            return
+        if st == "pending":
+            try:
+                age = time.time() - os.path.getmtime(mpath)
+            except OSError:
+                continue
+            if age < GROUP_SETTLE_GRACE_SECONDS:
+                return
+            if _decide_group(man["group"], committed=False):
+                return  # raced the owner and LOST: group committed
+        try:
+            os.remove(mpath)
+        except FileNotFoundError:
+            pass
 
 
 def _json_safe(v):
@@ -297,12 +410,82 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
              for c in cols}, int(row["__n"]))
 
 
+def _assign_identity(df: DataFrame, col: str,
+                     hwm: int) -> tuple[DataFrame, int]:
+    """Assign ``hwm+1 .. hwm+n`` to a new ``col`` — the distributed
+    contiguous-id assignment (zipWithIndex's shape, DataFrame-native):
+    one tiny job collects per-partition row counts (O(#partitions)
+    driver rows, never data), cumulative offsets ride in a literal
+    map, and ids are offset + intra-partition row_number.  The input
+    is lazily localCheckpoint'ed first so BOTH jobs (count, write)
+    see the same partition contents — a nondeterministic lineage
+    re-evaluating differently between them would otherwise collide
+    ids across partitions' reserved blocks.  Contiguity means the id
+    SET of a table is exactly 1..hwm, which an oracle can verify
+    without depending on which row drew which id (assignment order
+    is partition-layout-dependent, like every distributed IDENTITY).
+    Returns (df_with_col, new_hwm)."""
+    from pyspark.sql.window import Window
+
+    if col in df.columns:
+        raise ValueError(
+            f"identity column '{col}' is GENERATED ALWAYS: the "
+            "engine assigns it; drop it from the write")
+    src = df.localCheckpoint(eager=False)
+    tagged = src.withColumn("__pid", F.spark_partition_id()) \
+        .withColumn("__ord", F.monotonically_increasing_id())
+    counts = sorted(
+        (r["__pid"], r["n"]) for r in
+        tagged.groupBy("__pid").agg(F.count("*").alias("n"))
+        .collect())
+    if not counts:
+        return (df.withColumn(col, F.lit(None).cast("long")), hwm)
+    offs, acc = [], hwm + 1
+    for p, n in counts:
+        offs.append((p, acc))
+        acc += n
+    omap = F.create_map(
+        *[F.lit(x) for po in offs for x in po])
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    out = (tagged
+           .withColumn(col,
+                       (F.element_at(omap, F.col("__pid"))
+                        + F.row_number().over(w) - 1).cast("long"))
+           .drop("__pid", "__ord"))
+    return out, acc - 1
+
+
+def _resolve_identity(pman: dict, parent: int | None,
+                      identity: str | None, mode: str) -> dict | None:
+    """The table's identity property for this commit: None inherits
+    the parent's, a column name declares (hwm continues if the same
+    column was already declared), '' clears.  Declaring on an APPEND
+    to a table that already holds data is refused — the carried rows
+    would read back with NULL ids (Delta only allows IDENTITY at
+    table creation for the same reason); declare on an overwrite."""
+    pident = pman.get("identity") if parent is not None else None
+    if identity is None:
+        return dict(pident) if pident else None
+    if identity == "":
+        return None
+    if pident and pident["col"] == identity:
+        return {"col": identity, "hwm": pident["hwm"]}
+    if parent is not None and mode == "append" and pman.get("dirs"):
+        raise ValueError(
+            f"cannot declare identity column '{identity}' on an "
+            "append: carried rows would have no ids — declare it on "
+            "an overwrite (or at table creation)")
+    return {"col": identity, "hwm": 0}
+
+
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
            meta: dict | None = None,
            stats_cols: list[str] | None = None,
            bloom_cols: list[str] | None = None,
            partition_by: list[str] | None = None,
-           constraints: dict[str, str] | None = None) -> int:
+           constraints: dict[str, str] | None = None,
+           identity: str | None = None,
+           group: dict | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     mode='overwrite' → the new version is exactly df's rows;
@@ -350,9 +533,27 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     ({} clears); newly added constraint names additionally validate
     the CARRIED dirs on an append (Delta's ADD CONSTRAINT scans
     existing data the same way).
+    ``identity`` declares a GENERATED ALWAYS AS IDENTITY column as a
+    TABLE PROPERTY (the warehouse surrogate key the reference gets
+    from its MPP pool's IDENTITY): the engine assigns monotone ids
+    above a manifest high-water mark to every committed row — writes
+    must NOT provide the column — and the hwm rides in the manifest,
+    so each commit's block is collision-free without any cross-writer
+    coordination beyond the commit race itself.  Ids are contiguous
+    per commit (hwm+1..hwm+n via per-partition offsets, no global
+    sort; see _assign_identity) and NEVER reused: overwrites continue
+    the hwm, restore keeps it monotone, MERGE assigns fresh ids only
+    to rows whose key is new and keeps the matched row's id on
+    updates.  None inherits, a name declares ('' clears); declaring
+    on an append to existing data is refused (NULL-id rows).
+    ``group`` marks this commit as a member of a multi-table
+    transaction group (use :func:`commit_group`, which supplies it):
+    the published manifest stays INVISIBLE to every reader until the
+    group's coordinator record decides committed.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
+    _settle_stale_groups(path)
     parent = latest_version(path)
     version = 0 if parent is None else parent + 1
     if os.path.exists(_manifest_path(path, version)):
@@ -369,6 +570,13 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # inherits, an explicit dict replaces ({} clears)
     pcons = pman.get("constraints", {}) if parent is not None else {}
     cons = dict(pcons) if constraints is None else dict(constraints)
+    ident = _resolve_identity(pman, parent, identity, mode)
+    if ident:
+        # assignment happens BEFORE the data write so the ids are in
+        # the files like any other column; the hwm advances by the
+        # batch's row count and publishes atomically with the commit
+        df, ident["hwm"] = _assign_identity(
+            df, ident["col"], ident["hwm"])
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
     # the data write is invisible until the manifest rename lands
@@ -432,9 +640,87 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema,
                          partition_by=list(partition_by or []), dv=dv,
-                         constraints=cons)
+                         constraints=cons, identity=ident,
+                         group=group)
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
+
+
+def commit_group(writes: list[tuple[DataFrame, str]],
+                 mode: str = "append",
+                 meta: dict | None = None) -> dict[str, int]:
+    """Multi-table TRANSACTION: commit one DataFrame per table such
+    that readers see ALL the tables' new versions or NONE — the
+    reference's sp-wrapped multi-statement batch (e.g. fact + run-log
+    updated in one Synapse transaction,
+    sql/batchELT/core/12_trip_clean.dedupe_load.sql +
+    30_runs_log insert) on a parquet lake.
+
+    Two-phase over the existing LogStore primitive, no new storage
+    assumptions:
+
+    1. PREPARE — each table's data is written and its manifest
+       published at the next version via the normal per-table
+       test-and-set, carrying a ``group`` marker; marked manifests
+       are INVISIBLE to every reader (latest_version skips them,
+       MVCC's uncommitted-row rule).
+    2. DECIDE — one coordinator record (under the FIRST table's
+       ``_txn/groups/``) is published, again via LogStore
+       test-and-set, flipping every member visible ATOMICALLY: the
+       group has exactly one decision whoever races it.
+
+    Any member losing its per-table commit race — or any validation
+    failure (ConstraintViolation, schema conflict) — aborts the whole
+    group: the coordinator record is raced to ``aborted`` and the
+    already-published member manifests are cleared (no reader ever
+    saw them; version numbers are reclaimed, data dirs left to
+    vacuum).  A crashed coordinator leaves members pending: readers
+    skip them, and the next writer on any member table settles the
+    group (abort) after GROUP_SETTLE_GRACE_SECONDS.
+
+    Scale: the transaction adds two tiny JSON publishes beyond the
+    members' own commits — nothing per row, no cross-table lock, no
+    ordering constraint between the data writes (they could run in
+    parallel; members are published sequentially only to keep the
+    failure unwind simple).  Returns {table_path: version}."""
+    import uuid
+
+    if not writes:
+        return {}
+    paths = [os.path.abspath(p) for _, p in writes]
+    if len(set(paths)) != len(paths):
+        raise ValueError(
+            "commit_group: each table may appear once (batch its "
+            "rows into one DataFrame per table)")
+    gid = uuid.uuid4().hex[:16]
+    g = {"id": gid,
+         "coord": os.path.abspath(
+             os.path.join(_txn_dir(paths[0]), "groups",
+                          f"{gid}.json"))}
+    done: dict[str, int] = {}
+
+    def _unwind() -> None:
+        if not _decide_group(g, committed=False):
+            for p, v in done.items():
+                try:
+                    os.remove(_manifest_path(p, v))
+                except FileNotFoundError:
+                    pass
+
+    try:
+        for df, path in writes:
+            done[os.path.abspath(path)] = commit(
+                df, path, mode, meta=meta, group=g)
+    except BaseException:
+        _unwind()
+        raise
+    if not _decide_group(g, committed=True):
+        # a settler raced us past the grace window and won the abort
+        _unwind()
+        raise TxnConflict(
+            "transaction group aborted by a concurrent writer "
+            "before its coordinator record landed")
+    return done
 
 
 def _write_partitioned(spark: SparkSession, path: str, data_dir: str,
@@ -600,8 +886,9 @@ def _commit_manifest(path: str, version: int, mode: str,
                      schema: str | None = None,
                      partition_by: list[str] | None = None,
                      dv: list[dict] | None = None,
-                     constraints: dict[str, str] | None = None
-                     ) -> int:
+                     constraints: dict[str, str] | None = None,
+                     identity: dict | None = None,
+                     group: dict | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -617,6 +904,11 @@ def _commit_manifest(path: str, version: int, mode: str,
                 "partition_by": partition_by or [],
                 "dv": dv or [],
                 "constraints": constraints or {}}
+        if identity:
+            body["identity"] = identity
+        if group:
+            body["group"] = {"id": group["id"],
+                             "coord": os.path.abspath(group["coord"])}
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -740,6 +1032,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                 upserts: DataFrame, key_cols: list[str]) -> int:
     """Shared copy-on-write merge core: remove ``keys_src``'s keys
     from the affected dirs, land ``upserts`` in the fresh dir."""
+    _settle_stale_groups(path)
     parent = latest_version(path)
     if parent is None:
         return commit(upserts, path, "overwrite")
@@ -789,12 +1082,38 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
             if os.path.abspath(os.path.join(path, d)) in hit]
     else:
         affected = []
+    existing = None
     if affected:
         existing = _read_dirs(spark, path, affected, man)
         if man.get("dv"):
             # rows an earlier DELETE tombstoned must not be
             # resurrected by the rewrite
             existing = _apply_dv(spark, path, existing, man["dv"])
+    ident = man.get("identity")
+    if ident:
+        icol = ident["col"]
+        if icol in upserts.columns:
+            raise ValueError(
+                f"identity column '{icol}' is GENERATED ALWAYS: "
+                "the engine assigns it; drop it from the upserts")
+        if existing is not None:
+            # updates KEEP the matched row's id (IDENTITY is the
+            # stable surrogate key — a merge must not reassign it);
+            # every key present anywhere in the table lives in an
+            # affected dir, so `existing` covers all matches
+            matched = (existing.join(bkeys, key_cols, "left_semi")
+                       .groupBy(*key_cols).agg(F.min(icol).alias(icol)))
+            joined = upserts.join(matched, key_cols, "left")
+            inserts = joined.where(F.col(icol).isNull()).drop(icol)
+            updates = joined.where(F.col(icol).isNotNull())
+        else:
+            inserts, updates = upserts, None
+        assigned, new_hwm = _assign_identity(
+            inserts, icol, ident["hwm"])
+        ident = {"col": icol, "hwm": new_hwm}
+        upserts = assigned if updates is None \
+            else updates.unionByName(assigned)
+    if existing is not None:
         # allowMissingColumns = MERGE schema evolution, both ways
         # (Delta mergeSchema-on-MERGE): upserts carrying a NEW column
         # null-backfill the kept rows; upserts written against an
@@ -859,7 +1178,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
                          partition_by=pby, dv=dv,
-                         constraints=cons)
+                         constraints=cons, identity=ident)
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -939,6 +1258,7 @@ def compact(spark: SparkSession, path: str,
     already has <= ``target_dirs`` dirs (for a partitioned table pass
     target_dirs = the live partition count to make repeat OPTIMIZE
     idempotent)."""
+    _settle_stale_groups(path)
     v = latest_version(path)
     if v is None:
         return None
@@ -978,7 +1298,8 @@ def compact(spark: SparkSession, path: str,
         path, version, "overwrite", new_dirs,
         {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
         man.get("schema"), partition_by=pby,
-        constraints=man.get("constraints", {}))
+        constraints=man.get("constraints", {}),
+        identity=man.get("identity"))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1041,6 +1362,7 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     sidecars."""
     from .maintenance import Z_BUCKET_SHIFT, zorder_value
 
+    _settle_stale_groups(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
@@ -1140,7 +1462,8 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
          "clustered_from": len(target),
          "carried_buckets": len(carried)}, stats, rows, bcols,
         man.get("schema"), partition_by=man.get("partition_by", []),
-        constraints=man.get("constraints", {}))
+        constraints=man.get("constraints", {}),
+        identity=man.get("identity"))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1153,10 +1476,19 @@ def restore(path: str, to_version: int) -> int:
     load is one tiny JSON commit, the bad version stays time-travelable
     for the post-mortem, and concurrent-writer safety is the same
     test-and-set as any commit."""
+    _settle_stale_groups(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, to_version)
+    # the identity high-water mark NEVER rolls back (Delta RESTORE
+    # keeps it monotone): ids handed out after to_version must not be
+    # re-issued to post-restore inserts
+    ident = man.get("identity")
+    cur_ident = _read_manifest(path, v).get("identity")
+    if ident and cur_ident and cur_ident["col"] == ident["col"]:
+        ident = {"col": ident["col"],
+                 "hwm": max(ident["hwm"], cur_ident["hwm"])}
     return _commit_manifest(
         path, v + 1, "overwrite", man["dirs"],
         {"restored_from": to_version},
@@ -1164,7 +1496,8 @@ def restore(path: str, to_version: int) -> int:
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []),
         dv=man.get("dv", []),
-        constraints=man.get("constraints", {}))
+        constraints=man.get("constraints", {}),
+        identity=ident)
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -1203,7 +1536,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         {"cloned_from": src_abs, "source_version": v}, stats, rows,
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []),
-        constraints=man.get("constraints", {}))
+        constraints=man.get("constraints", {}),
+        identity=man.get("identity"))
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -1227,6 +1561,70 @@ def metadata_count(path: str, version: int | None = None) -> int | None:
     deleted = sum(n for e in man.get("dv", [])
                   for n in e.get("dirs", {}).values())
     return sum(rows[d] for d in man["dirs"]) - deleted
+
+
+def describe_detail(spark: SparkSession, path: str,
+                    version: int | None = None) -> DataFrame:
+    """Delta ``DESCRIBE DETAIL`` analog: ONE metadata-only row about
+    the table at ``version`` (latest when None) — version, commit
+    mode, data-dir / file / byte totals, the manifest-bookkept row
+    count (NULL when some dir predates row recording), and the
+    declared table properties (partition columns, bloom columns,
+    constraint names, identity column + high-water mark, live
+    deletion-vector stores).  Manifest JSON + file stat calls only —
+    never a data scan, so describing a 100 TB table costs the same
+    as a 100 MB one."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    base = os.path.abspath(path)
+    n_files = 0
+    n_bytes = 0
+    for d in man["dirs"]:
+        full = d if os.path.isabs(d) else os.path.join(base, d)
+        for root, _, files in os.walk(full):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue  # _SUCCESS / .crc bookkeeping
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(root, f))
+    ident = man.get("identity") or {}
+    row = {
+        "table_path": base,
+        "version": v,
+        "mode": man.get("mode"),
+        "num_dirs": len(man["dirs"]),
+        "num_files": n_files,
+        "size_bytes": n_bytes,
+        "num_rows": metadata_count(path, v),
+        "partition_by": list(man.get("partition_by", [])),
+        "bloom_cols": list(man.get("bloom_cols", [])),
+        "constraints": sorted(man.get("constraints", {})),
+        "identity_col": ident.get("col"),
+        "identity_hwm": ident.get("hwm"),
+        "num_dv_stores": len(man.get("dv", [])),
+    }
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("table_path", StringType()),
+        StructField("version", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("num_dirs", IntegerType()),
+        StructField("num_files", IntegerType()),
+        StructField("size_bytes", LongType()),
+        StructField("num_rows", LongType()),
+        StructField("partition_by", ArrayType(StringType())),
+        StructField("bloom_cols", ArrayType(StringType())),
+        StructField("constraints", ArrayType(StringType())),
+        StructField("identity_col", StringType()),
+        StructField("identity_hwm", LongType()),
+        StructField("num_dv_stores", IntegerType()),
+    ])
+    return spark.createDataFrame([row], schema)
 
 
 def manifest_stats(path: str, version: int | None = None) -> dict:
@@ -1365,6 +1763,14 @@ def snapshot(spark: SparkSession, path: str,
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
+    if version is not None and _group_state(man) not in (None,
+                                                         "committed"):
+        # time travel must not read uncommitted MVCC state: a pinned
+        # version that is an undecided/aborted group member is not
+        # (yet) part of the table's history
+        raise ValueError(
+            f"version {v} of {path} belongs to an uncommitted "
+            "transaction group")
     names = man["dirs"]
     if prune is not None:
         preds = prune if isinstance(prune[0], (list, tuple)) \
@@ -1534,6 +1940,7 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
     from functools import reduce
     from operator import and_
 
+    _settle_stale_groups(path)
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no committed version under {path}")
@@ -1636,7 +2043,8 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         man.get("stats", {}), man.get("rows", {}),
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []), dv=dv,
-        constraints=man.get("constraints", {}))
+        constraints=man.get("constraints", {}),
+        identity=man.get("identity"))
 
 
 def vacuum(path: str, keep_latest: int = 2,

@@ -1002,6 +1002,81 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     )
 
 
+def run_gdpr_delete_sink(spark: SparkSession, sf_dir: str,
+                         out_dir: str,
+                         max_files_per_trigger: int | None = None,
+                         source_dir: str | None = None,
+                         resume: bool = False) -> DataFrame:
+    """Streaming ERASURE at tombstone cost — the curated lane's GDPR
+    path at streaming cadence: seed the curated table (latest state
+    per user over the batch events feed), then stream erasure
+    REQUESTS (every user with an 'error' event) and apply each
+    micro-batch as ``delete_keys`` DELETION-VECTOR tombstones — no
+    copy-on-write rewrite, no data dir touched; the point-set
+    envelope + bloom pruning opens only dirs that can hold the
+    batch's keys, and the DV chain self-coalesces past
+    DV_COALESCE_LIVE_STORES so N chatty erasure batches never cost N
+    anti-joins per read.  A batch past the DV_MAX_KEYS broadcast cap
+    falls back to merge_apply's bulk copy-on-write delete — the
+    documented big-delete path.
+
+    Erasure is UNCONDITIONAL BY KEY, so batching/arrival order are
+    irrelevant (final state = latest per user, minus every user with
+    any erasure request — a full batch oracle) and checkpoint
+    redelivery is idempotent by semantics: re-deleting an erased key
+    tombstones nothing.  Reference parity: the streaming staging
+    lane's key-scoped DELETE
+    (sql/streaming/staging/0005_delete.sql:1) against the
+    date-sliced core table; Delta's streaming GDPR pattern is the
+    same foreachBatch-DELETE shape."""
+    from ..operators import txnlog
+
+    table = os.path.join(out_dir, "table")
+    ckpt = os.path.join(out_dir, "ckpt")
+    if not resume:
+        _reset(table, ckpt)
+        seed = latest_wins(
+            tf.events_ts_fixed(spark, sf_dir)
+            .select("user_id", "event_id", "ts", "event_type",
+                    "value"),
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()]
+        ).select(
+            "user_id", F.col("event_type").alias("last_op"),
+            F.round(F.col("value").cast("double"), 6)
+            .alias("last_value"),
+            F.col("ts").alias("updated_at"))
+        txnlog.commit(seed, table, "overwrite",
+                      stats_cols=["user_id"], bloom_cols=["user_id"])
+    requests = (
+        events_stream(spark, sf_dir, max_files_per_trigger,
+                      source_dir)
+        .where(F.col("event_type") == "error")
+        .select("user_id"))
+
+    def erase(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        keys = batch.select("user_id").distinct()
+        probe = keys.limit(txnlog.DV_MAX_KEYS + 1).count()
+        if probe == 0:
+            return
+        if probe > txnlog.DV_MAX_KEYS:
+            txnlog.merge_apply(
+                spark_b, table,
+                keys.withColumn("__del", F.lit(True)),
+                ["user_id"], "__del")
+        else:
+            txnlog.delete_keys(spark_b, table, keys, ["user_id"])
+
+    _run_available_now(
+        requests.writeStream.foreachBatch(erase)
+        .option("checkpointLocation", ckpt))
+    snap = txnlog.snapshot(spark, table)
+    return snap.groupBy("last_op").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("last_value"), 6).alias("value_sum"))
+
+
 def run_two_level_rollup(spark: SparkSession, sf_dir: str, out_dir: str,
                          max_files_per_trigger: int | None = None,
                          source_dir: str | None = None) -> DataFrame:

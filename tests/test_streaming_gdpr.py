@@ -1,0 +1,122 @@
+"""Streaming GDPR erasure (streaming/lane.py run_gdpr_delete_sink):
+per-micro-batch delete_keys tombstones against the curated txn table
+— no copy-on-write rewrite, batch/order-independent final state,
+idempotent-by-semantics under checkpoint redelivery.  Reference
+parity: the streaming staging lane's key-scoped DELETE
+(sql/streaming/staging/0005_delete.sql)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+OUT = "/tmp/spark_graft_gdpr_test"
+
+
+@pytest.fixture(scope="module")
+def feed_dir(request):
+    """events split into 3 time-ordered files → 3 micro-batches."""
+    import pyspark.sql
+
+    spark = request.getfixturevalue("spark")
+    src = os.path.join(OUT, "feed")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("ts")
+    n = ev.count()
+    rows_per = (n + 2) // 3
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(
+            pyspark.sql.Window.orderBy(F.col("ts").asc(),
+                                       F.col("event_id").asc())))
+    for i in range(3):
+        part = (
+            ranked.where((F.col("rn") > i * rows_per)
+                         & (F.col("rn") <= (i + 1) * rows_per))
+            .drop("rn").coalesce(1)
+        )
+        stage = os.path.join(OUT, f"stage{i}")
+        part.write.mode("overwrite").parquet(stage)
+        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.rename(pf, os.path.join(src, f"{i:03d}.parquet"))
+    return src
+
+
+def _batch_oracle(spark):
+    """Latest state per user, minus every user with ANY error event —
+    what the erased table must hold regardless of batching."""
+    from azure_nyctaxi_lambda_elt_spark.operators.dedupe import (
+        latest_wins)
+    from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
+
+    ev = tf.events_ts_fixed(spark, SF_SMOKE).select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    erased = ev.where(F.col("event_type") == "error") \
+        .select("user_id").distinct()
+    last = latest_wins(ev, ["user_id"],
+                       [F.col("ts").desc(), F.col("event_id").desc()])
+    return (last.join(erased, ["user_id"], "left_anti")
+            .select("user_id",
+                    F.col("event_type").alias("last_op"),
+                    F.round(F.col("value").cast("double"), 6)
+                    .alias("last_value"),
+                    F.col("ts").alias("updated_at")))
+
+
+def test_erasure_matches_batch_oracle_without_rewrite(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_gdpr_delete_sink)
+
+    out = os.path.join(OUT, "sink")
+    shutil.rmtree(out, ignore_errors=True)
+    run_gdpr_delete_sink(spark, SF_SMOKE, out,
+                         max_files_per_trigger=1, source_dir=feed_dir)
+    table = os.path.join(out, "table")
+    v = txnlog.latest_version(table)
+    assert v >= 1                       # seed + at least one erasure
+    man = txnlog._read_manifest(table, v)
+    man0 = txnlog._read_manifest(table, 0)
+    # tombstones, not rewrites: the data dirs are EXACTLY the seed's
+    assert man["dirs"] == man0["dirs"]
+    assert man.get("dv"), "erasure must land as deletion vectors"
+    got = sorted(map(tuple, txnlog.snapshot(spark, table)
+                     .select("user_id", "last_op", "last_value")
+                     .collect()))
+    want = sorted(map(tuple, _batch_oracle(spark)
+                      .select("user_id", "last_op", "last_value")
+                      .collect()))
+    assert got == want
+    # no erased user survives, and erased users existed in the seed
+    assert txnlog.snapshot(spark, table) \
+        .where("last_op = 'error'").count() == 0
+
+
+def test_redelivery_is_idempotent_by_semantics(spark, feed_dir):
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_gdpr_delete_sink)
+
+    out = os.path.join(OUT, "sink_redeliver")
+    shutil.rmtree(out, ignore_errors=True)
+    first = run_gdpr_delete_sink(spark, SF_SMOKE, out,
+                                 max_files_per_trigger=1,
+                                 source_dir=feed_dir)
+    rows_before = sorted(map(tuple, first.collect()))
+    table = os.path.join(out, "table")
+    n_before = txnlog.snapshot(spark, table).count()
+    # checkpoint wiped → every erasure batch redelivers; deleting
+    # already-deleted keys must change nothing
+    shutil.rmtree(os.path.join(out, "ckpt"))
+    again = run_gdpr_delete_sink(spark, SF_SMOKE, out,
+                                 max_files_per_trigger=1,
+                                 source_dir=feed_dir, resume=True)
+    assert sorted(map(tuple, again.collect())) == rows_before
+    assert txnlog.snapshot(spark, table).count() == n_before

@@ -1,0 +1,174 @@
+"""Multi-table transaction groups (operators/txnlog.py commit_group):
+two-phase publish over the LogStore primitive — member manifests
+invisible until the coordinator record decides, all-or-none reader
+visibility, abort on any member failure, stale-group settlement by
+the next writer, and time-travel refusal of undecided members.  Plus
+describe_detail, the metadata-only DESCRIBE DETAIL analog.
+Reference parity: the reference's sp-wrapped multi-statement batches
+commit fact + run-log in one Synapse transaction
+(sql/batchELT/core/12_trip_clean.dedupe_load.sql with
+30_runs_log)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+
+OUT = "/tmp/spark_graft_txn_group_test"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+def _pair(spark, name):
+    a = os.path.join(OUT, name + "_a")
+    b = os.path.join(OUT, name + "_b")
+    for p in (a, b):
+        shutil.rmtree(p, ignore_errors=True)
+        txnlog.commit(_df(spark, [(1, 10)]), p, "overwrite")
+    return a, b
+
+
+def test_group_commit_both_visible_atomically(spark):
+    a, b = _pair(spark, "t_ok")
+    out = txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)])
+    assert out == {os.path.abspath(a): 1, os.path.abspath(b): 1}
+    assert txnlog.snapshot(spark, a).count() == 2
+    assert txnlog.snapshot(spark, b).count() == 2
+    # the member manifests carry the group marker and stay readable
+    # as ordinary history (committed group == decided)
+    man = txnlog._read_manifest(a, 1)
+    assert man["group"]["id"] == txnlog._read_manifest(b, 1)["group"]["id"]
+
+
+def test_member_failure_aborts_whole_group(spark):
+    """A constraint violation on the SECOND table unwinds the first
+    member: neither table advances (all-or-none)."""
+    a, b = _pair(spark, "t_abort")
+    txnlog.commit(_df(spark, [(9, 90)]), b, "append",
+                  constraints={"v_nonneg": "v >= 0"})
+    with pytest.raises(txnlog.ConstraintViolation):
+        txnlog.commit_group(
+            [(_df(spark, [(2, 20)]), a),
+             (_df(spark, [(3, -30)]), b)])       # violates on b
+    assert txnlog.latest_version(a) == 0
+    assert txnlog.snapshot(spark, a).count() == 1
+    assert txnlog.snapshot(spark, b).count() == 2
+    # table a is NOT wedged: the aborted member's version number was
+    # reclaimed and a plain commit lands
+    txnlog.commit(_df(spark, [(4, 40)]), a, "append")
+    assert txnlog.snapshot(spark, a).count() == 2
+
+
+def test_pending_group_invisible_and_settled_by_next_writer(spark):
+    """A crashed coordinator (members published, no decision) leaves
+    both tables readable at their PRE-group versions; a writer
+    arriving after the grace window aborts and clears the group."""
+    a, b = _pair(spark, "t_crash")
+    gid = "deadbeefcafe0000"
+    g = {"id": gid,
+         "coord": os.path.join(txnlog._txn_dir(a), "groups",
+                               f"{gid}.json")}
+    txnlog.commit(_df(spark, [(2, 20)]), a, "append", group=g)
+    txnlog.commit(_df(spark, [(3, 30)]), b, "append", group=g)
+    # crash before deciding: occupied head exists, readers skip it
+    assert txnlog._latest_occupied(a) == 1
+    assert txnlog.latest_version(a) == 0
+    assert txnlog.latest_version(b) == 0
+    assert txnlog.snapshot(spark, a).count() == 1
+    # time travel must refuse the undecided member
+    with pytest.raises(ValueError, match="uncommitted transaction"):
+        txnlog.snapshot(spark, a, version=1)
+    # a fresh pending group is a concurrent writer: TxnConflict
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.commit(_df(spark, [(4, 40)]), a, "append")
+    # ...but past the grace window the next writer settles (aborts)
+    old = txnlog.GROUP_SETTLE_GRACE_SECONDS
+    txnlog.GROUP_SETTLE_GRACE_SECONDS = 0.0
+    try:
+        v = txnlog.commit(_df(spark, [(4, 40)]), a, "append")
+    finally:
+        txnlog.GROUP_SETTLE_GRACE_SECONDS = old
+    assert v == 1                                # number reclaimed
+    assert sorted(r["id"] for r in
+                  txnlog.snapshot(spark, a).collect()) == [1, 4]
+    # the coordinator decided ABORTED, so table b's member is dead
+    # too: any writer there clears it the same way
+    with open(g["coord"]) as fh:
+        assert json.load(fh)["committed"] is False
+    txnlog.GROUP_SETTLE_GRACE_SECONDS = 0.0
+    try:
+        txnlog.merge_upsert(spark, b, _df(spark, [(1, 11)]), ["id"])
+    finally:
+        txnlog.GROUP_SETTLE_GRACE_SECONDS = old
+    assert {r["id"]: r["v"] for r in
+            txnlog.snapshot(spark, b).collect()} == {1: 11}
+
+
+def test_committed_group_survives_settlement_race(spark):
+    """Once the coordinator record says committed, a later writer's
+    settle pass leaves the members alone and builds on them."""
+    a, b = _pair(spark, "t_decided")
+    txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)])
+    old = txnlog.GROUP_SETTLE_GRACE_SECONDS
+    txnlog.GROUP_SETTLE_GRACE_SECONDS = 0.0
+    try:
+        txnlog.commit(_df(spark, [(5, 50)]), a, "append")
+    finally:
+        txnlog.GROUP_SETTLE_GRACE_SECONDS = old
+    assert txnlog.snapshot(spark, a).count() == 3
+
+
+def test_group_members_carry_table_properties(spark):
+    """A group member is a REAL commit: constraints validate, and a
+    violating member refuses the whole group."""
+    a, b = _pair(spark, "t_props")
+    txnlog.commit(_df(spark, [(8, 80)]), a, "append",
+                  constraints={"v_nonneg": "v >= 0"})
+    out = txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)])
+    assert out[os.path.abspath(a)] == 2
+    man = txnlog._read_manifest(a, 2)
+    assert man["constraints"] == {"v_nonneg": "v >= 0"}
+
+
+def test_duplicate_table_refused(spark):
+    a, _ = _pair(spark, "t_dup")
+    with pytest.raises(ValueError, match="once"):
+        txnlog.commit_group([(_df(spark, [(2, 2)]), a),
+                             (_df(spark, [(3, 3)]), a)])
+
+
+def test_describe_detail_metadata_only(spark):
+    path = os.path.join(OUT, "t_detail")
+    shutil.rmtree(path, ignore_errors=True)
+    txnlog.commit(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "id long, p string, v long"),
+        path, "overwrite", partition_by=["p"], stats_cols=["id"],
+        bloom_cols=["id"], constraints={"v_nonneg": "v >= 0"})
+    txnlog.commit(
+        spark.createDataFrame([(3, "a", 30)],
+                              "id long, p string, v long"),
+        path, "append")
+    row = txnlog.describe_detail(spark, path).collect()[0].asDict()
+    assert row["version"] == 1
+    assert row["num_dirs"] == 3                  # p=a, p=b, then p=a
+    assert row["num_rows"] == 3                  # manifest bookkeeping
+    assert row["num_files"] > 0 and row["size_bytes"] > 0
+    assert row["partition_by"] == ["p"]
+    assert row["bloom_cols"] == ["id"]
+    assert row["constraints"] == ["v_nonneg"]
+    assert row["identity_col"] is None
+    # pinned version describes that version's state
+    old = txnlog.describe_detail(spark, path, version=0) \
+        .collect()[0].asDict()
+    assert old["num_dirs"] == 2 and old["num_rows"] == 2
