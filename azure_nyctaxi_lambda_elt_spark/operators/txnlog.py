@@ -248,6 +248,18 @@ def _group_state(man: dict) -> str | None:
     return "committed" if rec.get("committed") else "aborted"
 
 
+def _require_decided(path: str, v: int, man: dict) -> None:
+    """Guard for PINNED-version operations (time travel, restore,
+    clone, CDF, describe): an undecided or aborted group member is
+    not part of the table's history — reading it would expose
+    uncommitted MVCC state, and restoring/cloning it would resurrect
+    an aborted write as a committed version."""
+    if _group_state(man) not in (None, "committed"):
+        raise ValueError(
+            f"version {v} of {path} belongs to an uncommitted "
+            "transaction group")
+
+
 def _decide_group(g: dict, committed: bool) -> bool:
     """Race a decision onto the group's coordinator record — the
     LogStore test-and-set makes exactly ONE outcome win, however many
@@ -1202,6 +1214,8 @@ def change_feed(spark: SparkSession, path: str, from_version: int,
     inserts/deletes."""
     man_a = _read_manifest(path, from_version)
     man_b = _read_manifest(path, to_version)
+    _require_decided(path, from_version, man_a)
+    _require_decided(path, to_version, man_b)
     if man_a.get("dv", []) != man_b.get("dv", []):
         # a deletion-vector commit changes NO dirs, so the dir-set
         # diff below would silently miss its deletes — refuse rather
@@ -1481,6 +1495,7 @@ def restore(path: str, to_version: int) -> int:
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, to_version)
+    _require_decided(path, to_version, man)
     # the identity high-water mark NEVER rolls back (Delta RESTORE
     # keeps it monotone): ids handed out after to_version must not be
     # re-issued to post-restore inserts
@@ -1515,6 +1530,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     if latest_version(dst) is not None:
         raise ValueError(f"clone target {dst} already has commits")
     man = _read_manifest(src, v)
+    if version is not None:
+        _require_decided(src, v, man)
     if man.get("dv"):
         # tombstone stores live under the SOURCE's _txn dir and are
         # recorded relative to it — a clone cannot resolve them.
@@ -1578,6 +1595,8 @@ def describe_detail(spark: SparkSession, path: str,
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
+    if version is not None:
+        _require_decided(path, v, man)
     base = os.path.abspath(path)
     n_files = 0
     n_bytes = 0
@@ -1763,14 +1782,8 @@ def snapshot(spark: SparkSession, path: str,
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
-    if version is not None and _group_state(man) not in (None,
-                                                         "committed"):
-        # time travel must not read uncommitted MVCC state: a pinned
-        # version that is an undecided/aborted group member is not
-        # (yet) part of the table's history
-        raise ValueError(
-            f"version {v} of {path} belongs to an uncommitted "
-            "transaction group")
+    if version is not None:
+        _require_decided(path, v, man)
     names = man["dirs"]
     if prune is not None:
         preds = prune if isinstance(prune[0], (list, tuple)) \

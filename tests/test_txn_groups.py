@@ -140,6 +140,32 @@ def test_group_members_carry_table_properties(spark):
     assert man["constraints"] == {"v_nonneg": "v >= 0"}
 
 
+def test_pinned_version_ops_refuse_undecided_members(spark):
+    """restore/clone/CDF/describe pinned at an undecided group member
+    must refuse — restore would otherwise RESURRECT an uncommitted
+    write as a committed version."""
+    a, b = _pair(spark, "t_pinned")
+    gid = "feedfacefeedface"
+    g = {"id": gid,
+         "coord": os.path.join(txnlog._txn_dir(a), "groups",
+                               f"{gid}.json")}
+    txnlog.commit(_df(spark, [(2, 20)]), a, "append", group=g)
+    with pytest.raises(ValueError, match="uncommitted transaction"):
+        txnlog.restore(a, 1)
+    with pytest.raises(ValueError, match="uncommitted transaction"):
+        txnlog.change_feed(spark, a, 0, 1, ["id"])
+    with pytest.raises(ValueError, match="uncommitted transaction"):
+        txnlog.shallow_clone(a, os.path.join(OUT, "t_pinned_c"),
+                             version=1)
+    with pytest.raises(ValueError, match="uncommitted transaction"):
+        txnlog.describe_detail(spark, a, version=1)
+    # deciding the group makes the same pinned reads legal
+    assert txnlog._decide_group(g, committed=True)
+    assert txnlog.snapshot(spark, a, version=1).count() == 2
+    txnlog.restore(a, 1)
+    assert txnlog.latest_version(a) == 2
+
+
 def test_duplicate_table_refused(spark):
     a, _ = _pair(spark, "t_dup")
     with pytest.raises(ValueError, match="once"):
