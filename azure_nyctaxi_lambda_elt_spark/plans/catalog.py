@@ -1803,6 +1803,76 @@ def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(len(man["dv"])).cast("bigint")))
 
 
+def q_txn_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints enforced AT COMMIT (operators/txnlog.py
+    commit(constraints=...) — the Delta ADD CONSTRAINT / NOT NULL
+    analog): the table declares the reference's DQ rules as TABLE
+    PROPERTIES (sql/batchELT/dq/50_dq_modeling.sql's named checks
+    moved into the log layer, where a violating load can never
+    become visible), a CORRUPTED second-half batch (fare forced to
+    -1 for trip_uid % 7 = 3) is REFUSED by one agg job over the
+    incoming dirs only — table unchanged, claimed dir orphaned for
+    vacuum, no version consumed — and the clean batch then lands
+    with the constraint set INHERITED, never redeclared.  The hashed
+    output carries the final per-date rollup plus the refusal
+    evidence: refused_rows (the per-constraint violation count the
+    exception reported) and n_versions (seed + good batch ONLY)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txncons", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite",
+                  constraints={"fare_nonneg": "fare_amount >= 0",
+                               "uid_not_null": "trip_uid IS NOT NULL"})
+    bad = clean.where(day > 15).withColumn(
+        "fare_amount",
+        F.when(F.col("trip_uid") % 7 == 3,
+               F.lit(-1.0)).otherwise(F.col("fare_amount")))
+    refused = 0
+    try:
+        txnlog.commit(bad, out, "append")
+    except txnlog.ConstraintViolation as e:
+        refused = e.violations.get("fare_nonneg", 0)
+    txnlog.commit(clean.where(day > 15), out, "append")
+    n_versions = txnlog.latest_version(out) + 1
+    return (
+        txnlog.snapshot(spark, out)
+        .groupBy("ingest_date")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+             .cast("double").alias("fare_sum"))
+        .withColumn("refused_rows",
+                    F.lit(int(refused)).cast("bigint"))
+        .withColumn("n_versions",
+                    F.lit(int(n_versions)).cast("bigint")))
+
+
+def q_streaming_gdpr_erasure(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Streaming GDPR erasure at deletion-vector cost
+    (streaming/lane.py run_gdpr_delete_sink): the curated txn table
+    seeds with the latest state per user, then every micro-batch of
+    erasure requests (users with an 'error' event) lands as
+    delete_keys tombstones — no copy-on-write rewrite; point-set
+    envelope + bloom pruning opens only dirs that can hold the keys.
+    Erasure is unconditional by key, so the final state is
+    batch/order-independent: a FULL oracle (latest per user minus
+    every user with any error event).  Reference parity: the
+    streaming staging lane's key-scoped DELETE
+    (sql/streaming/staging/0005_delete.sql:1)."""
+    from ..streaming.lane import run_gdpr_delete_sink
+
+    apply_engine_conf(spark)
+    return run_gdpr_delete_sink(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "gdpr_erasure", sf_dir))
+
+
 def q_streaming_raw_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.lane import run_raw_archive
 
@@ -2304,6 +2374,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
     "txn_delete_vector": q_txn_delete_vector,
+    "txn_constraint_gate": q_txn_constraint_gate,
+    "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
     "txn_merge_upsert": q_txn_merge_upsert,
     "txn_change_feed": q_txn_change_feed,
     "txn_compact": q_txn_compact,
@@ -2922,6 +2994,37 @@ ORACLES["txn_delete_vector"] = with_trips("""
            CAST(1 AS BIGINT) AS dv_stores
     FROM trip_clean WHERE trip_uid % 101 <> 7 GROUP BY 1
 """)
+
+ORACLES["txn_constraint_gate"] = with_trips("""
+    SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+            WHERE day(ingest_date) > 15 AND trip_uid % 7 = 3)
+             AS refused_rows,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM trip_clean GROUP BY 1
+""")
+
+# erasure is unconditional by key -> final state is batching- and
+# order-independent: latest state per user minus any-error users
+ORACLES["streaming_gdpr_erasure"] = """
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1)
+    SELECT event_type AS last_op,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(CAST(round(CAST(value AS DOUBLE), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+    FROM last
+    WHERE user_id NOT IN (SELECT user_id FROM events
+                          WHERE event_type = 'error')
+    GROUP BY 1
+"""
 
 ORACLES["txn_vacuum_retention"] = with_trips("""
     SELECT CAST(2 AS BIGINT) AS removed_dirs,

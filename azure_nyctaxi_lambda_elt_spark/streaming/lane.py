@@ -1072,9 +1072,12 @@ def run_gdpr_delete_sink(spark: SparkSession, sf_dir: str,
         requests.writeStream.foreachBatch(erase)
         .option("checkpointLocation", ckpt))
     snap = txnlog.snapshot(spark, table)
+    # decimal accumulation: float-sum order would vary with the DV
+    # anti-join's partitioning and break the hash oracle
     return snap.groupBy("last_op").agg(
         F.count("*").cast("bigint").alias("n_users"),
-        F.round(F.sum("last_value"), 6).alias("value_sum"))
+        F.round(F.sum(F.col("last_value").cast("decimal(18,6)"))
+                .cast("double"), 6).alias("value_sum"))
 
 
 def run_two_level_rollup(spark: SparkSession, sf_dir: str, out_dir: str,
