@@ -89,6 +89,8 @@ BENCH_NEW_QUERIES = [
     "txn_partitioned_prune",
     # round-8 additions
     "txn_delete_vector",
+    "txn_constraint_gate",
+    "streaming_gdpr_erasure",
 ]
 
 
