@@ -1853,6 +1853,120 @@ def q_txn_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(int(n_versions)).cast("bigint")))
 
 
+def q_txn_identity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY surrogate keys
+    (operators/txnlog.py commit(identity=...) — the warehouse
+    IDENTITY the reference gets from its MPP pool,
+    sql/batchELT/core/10_dim_tables.sql's dim keys): a user dim
+    seeds with engine-assigned contiguous ids 1..n, then a full-feed
+    MERGE updates every returning user IN PLACE (matched rows KEEP
+    their id — the surrogate key is stable) and assigns n+1.. to the
+    new users only.  WHICH row draws WHICH id is
+    partition-layout-dependent (like any distributed IDENTITY), so
+    the hashed output verifies the id SET algebraically per phase:
+    count / min / max / sum / distinct of the ids — any reassigned
+    update, gap, collision, or watermark drift breaks the set
+    identity sum(1..n) = n(n+1)/2 the oracle recomputes from the
+    events feed."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnident", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    ev = tf.events_ts_fixed(spark, sf_dir)
+    day = F.dayofmonth("ts")
+
+    def dim_rows(d: DataFrame) -> DataFrame:
+        return d.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"))
+
+    txnlog.commit(dim_rows(ev.where(day <= 15)).transform(pin),
+                  out, "overwrite", identity="user_sk")
+    txnlog.merge_upsert(spark, out, dim_rows(ev).transform(pin),
+                        ["user_id"])
+
+    def roll(version: int, phase: str) -> DataFrame:
+        return (txnlog.snapshot(spark, out, version=version)
+                .agg(F.count("*").cast("bigint").alias("n_rows"),
+                     F.min("user_sk").cast("bigint").alias("min_sk"),
+                     F.max("user_sk").cast("bigint").alias("max_sk"),
+                     F.sum("user_sk").cast("bigint").alias("sum_sk"),
+                     F.countDistinct("user_sk").cast("bigint")
+                     .alias("n_distinct_sk"),
+                     F.sum("n_events").cast("bigint")
+                     .alias("n_events"))
+                .withColumn("phase", F.lit(phase)))
+
+    return roll(0, "seed").unionByName(roll(1, "merged"))
+
+
+def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE TRANSACTION (operators/txnlog.py commit_group —
+    the reference's sp-wrapped multi-statement batch, fact + run-log
+    updated in ONE Synapse transaction:
+    sql/batchELT/core/12_trip_clean.dedupe_load.sql with the
+    30_runs_log insert): the second-half fact batch and its run-log
+    rows publish as group members invisible to readers until one
+    coordinator record flips BOTH visible atomically; then a second
+    group whose run-log member VIOLATES that table's CHECK
+    constraint aborts whole — the already-published fact member is
+    unwound, neither table advances, and the reclaimed version
+    numbers leave no gap.  The hashed output carries both tables'
+    final version + row counts and the aborted flag as structural
+    claims: fact@v1 holding the FULL feed and runlog@v1 (not v2)
+    prove both the atomic commit and the atomic abort."""
+    import shutil
+
+    from ..operators import txnlog
+
+    import os
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnmulti", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    fact = os.path.join(out, "fact")
+    runlog = os.path.join(out, "runlog")
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    first, second = clean.where(day <= 15), clean.where(day > 15)
+
+    def log_rows(d: DataFrame) -> DataFrame:
+        return d.groupBy("ingest_date").agg(
+            F.count("*").cast("bigint").alias("n_rows"))
+
+    txnlog.commit(first, fact, "overwrite")
+    txnlog.commit(log_rows(first), runlog, "overwrite",
+                  constraints={"rows_pos": "n_rows > 0"})
+    txnlog.commit_group([(second, fact), (log_rows(second), runlog)])
+    aborted = 0
+    try:
+        txnlog.commit_group([
+            (second.limit(50), fact),
+            (log_rows(second)
+             .withColumn("n_rows", F.lit(-1).cast("bigint")),
+             runlog)])
+    except txnlog.ConstraintViolation:
+        aborted = 1
+
+    def state(path: str, name: str) -> DataFrame:
+        v = txnlog.latest_version(path)
+        agg = (txnlog.snapshot(spark, path)
+               .agg(F.count("*").cast("bigint").alias("n_rows"),
+                    (F.sum("n_rows") if name == "runlog"
+                     else F.countDistinct("ingest_date"))
+                    .cast("bigint").alias("aux")))
+        return agg.select(
+            F.lit(name).alias("tbl"),
+            F.lit(int(v)).cast("bigint").alias("version"),
+            "n_rows", "aux",
+            F.lit(int(aborted)).cast("bigint").alias("aborted"))
+
+    return state(fact, "fact").unionByName(state(runlog, "runlog"))
+
+
 def q_streaming_gdpr_erasure(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Streaming GDPR erasure at deletion-vector cost
@@ -2375,6 +2489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_time_travel": q_txn_time_travel,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
+    "txn_identity_dim": q_txn_identity_dim,
+    "txn_multi_table": q_txn_multi_table,
     "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
     "txn_merge_upsert": q_txn_merge_upsert,
     "txn_change_feed": q_txn_change_feed,
@@ -3004,6 +3120,42 @@ ORACLES["txn_constraint_gate"] = with_trips("""
              AS refused_rows,
            CAST(2 AS BIGINT) AS n_versions
     FROM trip_clean GROUP BY 1
+""")
+
+# the identity id SET is deterministic (1..n per phase) even though
+# the row-to-id mapping is partition-layout-dependent: verify it
+# algebraically — sum(1..n) = n(n+1)/2, min 1, max n, all distinct
+ORACLES["txn_identity_dim"] = """
+    WITH u1 AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS c,
+                       CAST(COUNT(*) AS BIGINT) AS e
+                FROM events WHERE EXTRACT(day FROM ts) <= 15),
+         ua AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS c,
+                       CAST(COUNT(*) AS BIGINT) AS e
+                FROM events)
+    SELECT c AS n_rows, CAST(1 AS BIGINT) AS min_sk, c AS max_sk,
+           CAST(c * (c + 1) // 2 AS BIGINT) AS sum_sk,
+           c AS n_distinct_sk, e AS n_events, 'seed' AS phase
+    FROM u1
+    UNION ALL
+    SELECT c, CAST(1 AS BIGINT), c,
+           CAST(c * (c + 1) // 2 AS BIGINT), c, e, 'merged'
+    FROM ua
+"""
+
+# both tables at version 1 (not 2) with the FULL feed's rows: the
+# committed group landed atomically and the violating group aborted
+# atomically, reclaiming its version numbers
+ORACLES["txn_multi_table"] = with_trips("""
+    SELECT 'fact' AS tbl, CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT ingest_date) AS BIGINT) AS aux,
+           CAST(1 AS BIGINT) AS aborted
+    FROM trip_clean
+    UNION ALL
+    SELECT 'runlog', CAST(1 AS BIGINT),
+           CAST(COUNT(DISTINCT ingest_date) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(1 AS BIGINT)
+    FROM trip_clean
 """)
 
 # erasure is unconditional by key -> final state is batching- and

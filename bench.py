@@ -90,6 +90,8 @@ BENCH_NEW_QUERIES = [
     # round-8 additions
     "txn_delete_vector",
     "txn_constraint_gate",
+    "txn_identity_dim",
+    "txn_multi_table",
     "streaming_gdpr_erasure",
 ]
 
