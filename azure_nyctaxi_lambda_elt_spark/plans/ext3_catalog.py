@@ -147,6 +147,86 @@ def bm25_topk(docs: DataFrame) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def rrf_fusion_topk(docs: DataFrame) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL RANK FUSION: two independent
+    rankers — BM25 and a log-TF-IDF scorer — each produce their own
+    top-K list per query, and the fused score is
+    sum over systems of 1/(RRF_K + rank), the calibration-free
+    combiner production hybrid search uses (sparse + dense, or any
+    rankers sharing an id space).
+
+    Scale shape: RRF consumes only each system's top-K RANK LIST,
+    never raw scores, so at 100 TB each ranker runs as its own
+    independent job (BM25 here; an ANN ranking over a shared doc-id
+    space fuses identically) and the fusion itself is a K-rows-per-
+    query full-outer join — bytes, not terabytes.  Determinism: per-
+    system reciprocal contributions round to 6 dp and sum as exact
+    DECIMAL; final rank tiebreaks on doc_id.  Docs present in one
+    list only carry rank 0 for the other system (no contribution)."""
+    spark = docs.sparkSession
+    a = bm25_topk(docs).select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk_bm25"))
+    # standalone log-TF-IDF ranking (same Lucene idf, ln(1+tf) term
+    # weight) — plumbing deliberately self-contained so the shipped
+    # bm25_topk stays untouched
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("__t"))
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    tf = (toks.select("doc_id", F.explode("__t").alias("token"))
+          .where(F.col("token").isin(terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    stats = toks.agg(F.count("*").cast("double").alias("n_docs"))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id string, token string")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id",
+                F.round(F.log(F.lit(1.0) + F.col("tf")) * idf, 6)
+                .cast("decimal(18,6)").alias("__c")))
+    sb = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__c").cast("double"), 6).alias("score_b"))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("score_b"), F.asc("doc_id"))
+    b = (sb.withColumn("rnk_tfidf",
+                       F.row_number().over(wb).cast("int"))
+         .where(F.col("rnk_tfidf") <= BM25_TOP_K)
+         .select("query_id", "doc_id", "rnk_tfidf"))
+    j = (a.join(b, ["query_id", "doc_id"], "full_outer")
+         .select("query_id", "doc_id",
+                 F.coalesce("rnk_bm25", F.lit(0)).cast("int")
+                 .alias("rnk_bm25"),
+                 F.coalesce("rnk_tfidf", F.lit(0)).cast("int")
+                 .alias("rnk_tfidf")))
+
+    def rc(col: str):
+        return (F.when(F.col(col) > 0,
+                       F.round(F.lit(1.0) / (F.lit(RRF_K) + F.col(col)),
+                               6))
+                .otherwise(F.lit(0.0))).cast("decimal(18,6)")
+
+    fused = j.withColumn("__f", rc("rnk_bm25") + rc("rnk_tfidf"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__f"), F.asc("doc_id"))
+    return (fused
+            .withColumn("rrf_score",
+                        F.round(F.col("__f").cast("double"), 6))
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .where(F.col("rnk") <= BM25_TOP_K)
+            .drop("__f"))
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM pseudo-perplexity quality score
 
@@ -937,6 +1017,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir))
 
 
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fusion_topk(_docs(spark, sf_dir))
+
+
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(_docs(spark, sf_dir))
 
@@ -1471,6 +1555,83 @@ EXT3_ORACLES: dict[str, str] = {
                  PARTITION BY query_id
                  ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
         FROM sc
+        QUALIFY rnk <= {BM25_TOP_K}
+    """,
+    "rrf_fusion_topk": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents),
+        dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         avg(dl) AS avgdl FROM dl),
+        ex AS (SELECT doc_id, u.token FROM toks, UNNEST(t) u(token)
+               WHERE u.token IN ({_BM25_TERM_LIST})),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM ex GROUP BY 1, 2),
+        dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                  FROM tf GROUP BY 1),
+        q(query_id, token) AS (VALUES {_BM25_Q_VALUES}),
+        contrib_a AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(round(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {BM25_K1 + 1.0}
+                      / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                           + {BM25_B} * dl / avgdl))),
+                   6) AS DECIMAL(18,6)) AS c
+          FROM tf
+          JOIN dfreq USING (token)
+          JOIN q ON q.token = tf.token
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        sc_a AS (SELECT query_id, doc_id,
+                        round(CAST(SUM(c) AS DOUBLE), 6) AS score
+                 FROM contrib_a GROUP BY 1, 2),
+        ra AS (SELECT query_id, doc_id,
+                      CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+               FROM sc_a
+               QUALIFY rnk <= {BM25_TOP_K}),
+        contrib_b AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(round(
+                   ln(1.0 + tf)
+                   * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)),
+                   6) AS DECIMAL(18,6)) AS c
+          FROM tf
+          JOIN dfreq USING (token)
+          JOIN q ON q.token = tf.token
+          CROSS JOIN stats),
+        sc_b AS (SELECT query_id, doc_id,
+                        round(CAST(SUM(c) AS DOUBLE), 6) AS score
+                 FROM contrib_b GROUP BY 1, 2),
+        rb AS (SELECT query_id, doc_id,
+                      CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+               FROM sc_b
+               QUALIFY rnk <= {BM25_TOP_K}),
+        fused AS (
+          SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+                 COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                 CAST(COALESCE(ra.rnk, 0) AS INT) AS rnk_bm25,
+                 CAST(COALESCE(rb.rnk, 0) AS INT) AS rnk_tfidf,
+                 (CASE WHEN ra.rnk IS NULL
+                       THEN CAST(0 AS DECIMAL(18,6))
+                       ELSE CAST(round(1.0 / ({RRF_K} + ra.rnk), 6)
+                                 AS DECIMAL(18,6)) END
+                  + CASE WHEN rb.rnk IS NULL
+                         THEN CAST(0 AS DECIMAL(18,6))
+                         ELSE CAST(round(1.0 / ({RRF_K} + rb.rnk), 6)
+                                   AS DECIMAL(18,6)) END) AS f
+          FROM ra FULL JOIN rb
+            ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id)
+        SELECT query_id, doc_id, rnk_bm25, rnk_tfidf,
+               round(CAST(f AS DOUBLE), 6) AS rrf_score,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY f DESC, doc_id ASC) AS INT) AS rnk
+        FROM fused
         QUALIFY rnk <= {BM25_TOP_K}
     """,
     "ngram_lm_score": f"""
@@ -2257,6 +2418,7 @@ EXT3_ORACLES["cdc_apply_changes"] = """
 
 EXT3_QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion_topk": q_rrf_fusion_topk,
     "ngram_lm_score": q_ngram_lm_score,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "longest_dup_span": q_longest_dup_span,

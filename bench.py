@@ -93,6 +93,7 @@ BENCH_NEW_QUERIES = [
     "txn_identity_dim",
     "txn_multi_table",
     "streaming_gdpr_erasure",
+    "rrf_fusion_topk",
 ]
 
 

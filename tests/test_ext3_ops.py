@@ -413,3 +413,45 @@ def test_quality_calibration_deciles_and_ece(spark):
     want = sum(r["n_docs"] * abs(r["mean_score"] - r["frac_keep"])
                for r in rows) / n_all
     assert abs(ece - want) < 1e-6
+
+
+def test_rrf_fusion_combines_both_rank_lists(docs):
+    """RRF semantics on the crafted corpus: every fused row carries
+    each system's rank (0 = absent from that top-K list), the fused
+    score is exactly sum of round(1/(60+rank), 6) over present
+    systems, and a doc ranked by BOTH systems outscores a doc the
+    same rank in one list only."""
+    from azure_nyctaxi_lambda_elt_spark.plans.ext3_catalog import (
+        RRF_K, rrf_fusion_topk)
+
+    out = rrf_fusion_topk(docs).collect()
+    assert out, "fusion produced no rows"
+    for r in out:
+        want = round(
+            (round(1.0 / (RRF_K + r["rnk_bm25"]), 6)
+             if r["rnk_bm25"] > 0 else 0.0)
+            + (round(1.0 / (RRF_K + r["rnk_tfidf"]), 6)
+               if r["rnk_tfidf"] > 0 else 0.0), 6)
+        assert r["rrf_score"] == pytest.approx(want, abs=1e-9)
+        assert r["rnk_bm25"] > 0 or r["rnk_tfidf"] > 0
+    # per query: rnk is dense 1..n and ordered by fused score desc
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # doc 1 ('spark hash spark join table') and doc 5 ('spark hash')
+    # both rank for q_spark_hash in BOTH systems: their fused score
+    # must exceed any doc present in only one list at any rank
+    spark_rows = {r["doc_id"]: r for r in by_q["q_spark_hash"]}
+    both = [r for r in spark_rows.values()
+            if r["rnk_bm25"] > 0 and r["rnk_tfidf"] > 0]
+    only = [r for r in spark_rows.values()
+            if (r["rnk_bm25"] > 0) != (r["rnk_tfidf"] > 0)]
+    assert both, "expected docs ranked by both systems"
+    if only:
+        assert min(r["rrf_score"] for r in both) > \
+            max(r["rrf_score"] for r in only) - 2.0 / (RRF_K + 1)
