@@ -175,3 +175,29 @@ def test_partitioned_and_bloom_tables_enforce_too(spark):
         path, "append")
     assert txnlog.snapshot(
         spark, path, prune=("p", "c", "c")).count() == 1
+
+
+def test_append_validation_never_scans_carried_dirs(spark, monkeypatch):
+    """The 100 TB contract: validating an append against an INHERITED
+    constraint set reads ONLY the incoming dirs — appending a 1 MB
+    batch to a 100 TB table must not rescan the table.  Spy on every
+    parquet read during the append and assert no carried data dir is
+    opened (the ADD-CONSTRAINT path, which legitimately scans carried
+    data, is exercised separately above)."""
+    path = _table(spark, "t_scan_scope")
+    man0 = txnlog._read_manifest(path, 0)
+    carried = {os.path.join(path, d) for d in man0["dirs"]}
+    scanned: list[str] = []
+    real_read = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        scanned.extend(paths)
+        return real_read(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    txnlog.commit(_df(spark, [(7, 70)]), path, "append")
+    monkeypatch.undo()
+    hit = [p for p in scanned
+           if os.path.abspath(p) in {os.path.abspath(c)
+                                     for c in carried}]
+    assert hit == [], f"carried dirs scanned on plain append: {hit}"
