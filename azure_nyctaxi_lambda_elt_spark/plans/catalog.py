@@ -1972,13 +1972,16 @@ def q_streaming_gdpr_erasure(spark: SparkSession,
     """Streaming GDPR erasure at deletion-vector cost
     (streaming/lane.py run_gdpr_delete_sink): the curated txn table
     seeds with the latest state per user, then every micro-batch of
-    erasure requests (users with an 'error' event) lands as
-    delete_keys tombstones — no copy-on-write rewrite; point-set
-    envelope + bloom pruning opens only dirs that can hold the keys.
-    Erasure is unconditional by key, so the final state is
-    batch/order-independent: a FULL oracle (latest per user minus
-    every user with any error event).  Reference parity: the
-    streaming staging lane's key-scoped DELETE
+    erasure requests (users with an 'error' event in the FIRST
+    SIXTEENTH of the event-time range — a strict subset, so the
+    surviving rollup is non-empty and the hash oracle discriminates;
+    the old any-error rule erased every user and compared 0 rows to
+    0 rows) lands as delete_keys tombstones — no copy-on-write
+    rewrite; point-set envelope + bloom pruning opens only dirs that
+    can hold the keys.  Erasure is unconditional by key, so the final
+    state is batch/order-independent: a FULL oracle (latest per user
+    minus every user with an in-window error event).  Reference
+    parity: the streaming staging lane's key-scoped DELETE
     (sql/streaming/staging/0005_delete.sql:1)."""
     from ..streaming.lane import run_gdpr_delete_sink
 
@@ -3159,9 +3162,19 @@ ORACLES["txn_multi_table"] = with_trips("""
 """)
 
 # erasure is unconditional by key -> final state is batching- and
-# order-independent: latest state per user minus any-error users
+# order-independent: latest state per user minus users with an error
+# event in the first 1/16 of the event-time range (strict subset; the
+# cut replays lane.py's lo + (hi-lo)//16 unix-microsecond arithmetic)
 ORACLES["streaming_gdpr_erasure"] = """
-    WITH last AS (
+    WITH b AS (
+      SELECT epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS lo,
+             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS hi
+      FROM events),
+    erased AS (
+      SELECT DISTINCT user_id FROM events, b
+      WHERE event_type = 'error'
+        AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + (hi - lo) // 16),
+    last AS (
       SELECT user_id, event_type, value FROM (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY user_id
@@ -3173,8 +3186,7 @@ ORACLES["streaming_gdpr_erasure"] = """
            round(CAST(SUM(CAST(round(CAST(value AS DOUBLE), 6)
                  AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
     FROM last
-    WHERE user_id NOT IN (SELECT user_id FROM events
-                          WHERE event_type = 'error')
+    WHERE user_id NOT IN (SELECT user_id FROM erased)
     GROUP BY 1
 """
 

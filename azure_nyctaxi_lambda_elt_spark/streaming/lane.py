@@ -1010,22 +1010,29 @@ def run_gdpr_delete_sink(spark: SparkSession, sf_dir: str,
     """Streaming ERASURE at tombstone cost — the curated lane's GDPR
     path at streaming cadence: seed the curated table (latest state
     per user over the batch events feed), then stream erasure
-    REQUESTS (every user with an 'error' event) and apply each
-    micro-batch as ``delete_keys`` DELETION-VECTOR tombstones — no
-    copy-on-write rewrite, no data dir touched; the point-set
-    envelope + bloom pruning opens only dirs that can hold the
-    batch's keys, and the DV chain self-coalesces past
+    REQUESTS (users with an 'error' event in the FIRST SIXTEENTH of
+    the event-time range — a strict subset of users, so the surviving
+    state is non-empty and the oracle hash actually discriminates;
+    every user here has an error event SOMEWHERE, which made the old
+    any-error rule erase everyone and compare 0 rows against 0 rows)
+    and apply each micro-batch as ``delete_keys`` DELETION-VECTOR
+    tombstones — no copy-on-write rewrite, no data dir touched; the
+    point-set envelope + bloom pruning opens only dirs that can hold
+    the batch's keys, and the DV chain self-coalesces past
     DV_COALESCE_LIVE_STORES so N chatty erasure batches never cost N
     anti-joins per read.  A batch past the DV_MAX_KEYS broadcast cap
     falls back to merge_apply's bulk copy-on-write delete — the
     documented big-delete path.
 
+    The request-window cut is integer microsecond arithmetic
+    (lo + (hi − lo) // 16 over unix_micros bounds of the batch feed)
+    so the DuckDB oracle reproduces it bit-exactly with epoch_us.
     Erasure is UNCONDITIONAL BY KEY, so batching/arrival order are
     irrelevant (final state = latest per user, minus every user with
-    any erasure request — a full batch oracle) and checkpoint
-    redelivery is idempotent by semantics: re-deleting an erased key
-    tombstones nothing.  Reference parity: the streaming staging
-    lane's key-scoped DELETE
+    any in-window erasure request — a full batch oracle) and
+    checkpoint redelivery is idempotent by semantics: re-deleting an
+    erased key tombstones nothing.  Reference parity: the streaming
+    staging lane's key-scoped DELETE
     (sql/streaming/staging/0005_delete.sql:1) against the
     date-sliced core table; Delta's streaming GDPR pattern is the
     same foreachBatch-DELETE shape."""
@@ -1048,10 +1055,18 @@ def run_gdpr_delete_sink(spark: SparkSession, sf_dir: str,
             F.col("ts").alias("updated_at"))
         txnlog.commit(seed, table, "overwrite",
                       stats_cols=["user_id"], bloom_cols=["user_id"])
+    # one scalar-agg collect fixes the deterministic request window;
+    # integer µs so the SQL oracle's epoch_us arithmetic matches exactly
+    bounds = (tf.events_ts_fixed(spark, sf_dir)
+              .agg(F.unix_micros(F.min("ts")).alias("lo"),
+                   F.unix_micros(F.max("ts")).alias("hi"))
+              .collect()[0])
+    cut_us = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 16
     requests = (
         events_stream(spark, sf_dir, max_files_per_trigger,
                       source_dir)
-        .where(F.col("event_type") == "error")
+        .where((F.col("event_type") == "error")
+               & (F.unix_micros(F.col("ts")) <= F.lit(cut_us)))
         .select("user_id"))
 
     def erase(batch: DataFrame, batch_id: int) -> None:

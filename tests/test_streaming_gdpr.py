@@ -50,24 +50,34 @@ def feed_dir(request):
 
 
 def _batch_oracle(spark):
-    """Latest state per user, minus every user with ANY error event —
-    what the erased table must hold regardless of batching."""
+    """Latest state per user, minus every user with an error event in
+    the first 1/16 of the event-time range (lane.py's request window)
+    — what the erased table must hold regardless of batching.
+    Returns (survivors_df, n_erased) so tests can assert the erased
+    set is a NON-EMPTY STRICT SUBSET (the r8 verdict's vacuity
+    finding: erase-everyone made every content assert compare empty
+    sets)."""
     from azure_nyctaxi_lambda_elt_spark.operators.dedupe import (
         latest_wins)
     from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
 
     ev = tf.events_ts_fixed(spark, SF_SMOKE).select(
         "user_id", "event_id", "ts", "event_type", "value")
-    erased = ev.where(F.col("event_type") == "error") \
+    lo, hi = ev.agg(F.unix_micros(F.min("ts")),
+                    F.unix_micros(F.max("ts"))).collect()[0]
+    cut_us = lo + (hi - lo) // 16
+    erased = ev.where((F.col("event_type") == "error")
+                      & (F.unix_micros(F.col("ts")) <= F.lit(cut_us))) \
         .select("user_id").distinct()
     last = latest_wins(ev, ["user_id"],
                        [F.col("ts").desc(), F.col("event_id").desc()])
-    return (last.join(erased, ["user_id"], "left_anti")
-            .select("user_id",
-                    F.col("event_type").alias("last_op"),
-                    F.round(F.col("value").cast("double"), 6)
-                    .alias("last_value"),
-                    F.col("ts").alias("updated_at")))
+    survivors = (last.join(erased, ["user_id"], "left_anti")
+                 .select("user_id",
+                         F.col("event_type").alias("last_op"),
+                         F.round(F.col("value").cast("double"), 6)
+                         .alias("last_value"),
+                         F.col("ts").alias("updated_at")))
+    return survivors, erased.count()
 
 
 def test_erasure_matches_batch_oracle_without_rewrite(spark, feed_dir):
@@ -90,13 +100,18 @@ def test_erasure_matches_batch_oracle_without_rewrite(spark, feed_dir):
     got = sorted(map(tuple, txnlog.snapshot(spark, table)
                      .select("user_id", "last_op", "last_value")
                      .collect()))
-    want = sorted(map(tuple, _batch_oracle(spark)
+    oracle, n_erased = _batch_oracle(spark)
+    want = sorted(map(tuple, oracle
                       .select("user_id", "last_op", "last_value")
                       .collect()))
+    # NON-VACUOUS: something was erased AND something survived, so
+    # the content equality below compares non-empty sets (r8 verdict:
+    # the old erase-everyone rule made this a 0 == 0 check)
+    assert n_erased > 0
+    assert len(want) > 0
+    seed_users = txnlog.snapshot(spark, table, version=0).count()
+    assert len(want) == seed_users - n_erased
     assert got == want
-    # no erased user survives, and erased users existed in the seed
-    assert txnlog.snapshot(spark, table) \
-        .where("last_op = 'error'").count() == 0
 
 
 def test_redelivery_is_idempotent_by_semantics(spark, feed_dir):
