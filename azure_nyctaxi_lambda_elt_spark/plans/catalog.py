@@ -2006,6 +2006,24 @@ def q_streaming_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "txn_sink", sf_dir))
 
 
+def q_streaming_group_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact + run-log per micro-batch in ONE transaction group
+    (streaming/lane.py run_group_sink): commit_group publishes both
+    member manifests invisibly, then one coordinator record flips
+    them visible atomically — both tables advance in lockstep or not
+    at all, with batch-id idempotency across redeliveries.  The
+    returned rollup carries live-computed lockstep/totals flags that
+    the oracle pins TRUE.  Reference parity: the sp-wrapped streaming
+    upsert logging its quality row in the same batch
+    (sql/streaming/staging/0009_stg.usp_log_quality_for_run.sql:1 +
+    0006_LogSuccess.sql:1)."""
+    from ..streaming.lane import run_group_sink
+
+    apply_engine_conf(spark)
+    return run_group_sink(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "group_sink", sf_dir))
+
+
 def q_streaming_raw_archive_txn(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Exactly-once raw archive: the ASA third-output passthrough
@@ -2488,6 +2506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_raw_archive": q_streaming_raw_archive,
     "streaming_raw_archive_txn": q_streaming_raw_archive_txn,
     "streaming_txn_sink": q_streaming_txn_sink,
+    "streaming_group_sink": q_streaming_group_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
     "txn_delete_vector": q_txn_delete_vector,
@@ -3305,6 +3324,19 @@ ORACLES["streaming_txn_sink"] = """
            CAST(COUNT(*) AS BIGINT) AS n_events,
            round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
              AS value_sum
+    FROM events GROUP BY 1
+"""
+
+# the rollup replays the fact append (batching-independent); the two
+# flags are computed LIVE from the committed tables (version lockstep,
+# log totals == fact totals, one log row per version) and pinned TRUE
+ORACLES["streaming_group_sink"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS value_sum,
+           TRUE AS versions_lockstep,
+           TRUE AS log_totals_match
     FROM events GROUP BY 1
 """
 

@@ -1002,6 +1002,91 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     )
 
 
+def run_group_sink(spark: SparkSession, sf_dir: str, out_dir: str,
+                   max_files_per_trigger: int | None = None,
+                   source_dir: str | None = None,
+                   resume: bool = False) -> DataFrame:
+    """Streaming sink where EVERY micro-batch lands the curated fact
+    append AND its run-log row in ONE transaction group
+    (operators/txnlog.py commit_group): readers see both tables'
+    new versions or neither — the reference's sp-wrapped streaming
+    upsert, which INSERTs the quality-log/audit row in the same
+    batch as the fact MERGE
+    (sql/streaming/staging/0009_stg.usp_log_quality_for_run.sql:1 +
+    0006_LogSuccess.sql:1 around usp_upsert_fact_trip_streaming.sql),
+    so a crash between fact and log can never leave an audited-but-
+    unlogged (or logged-but-unaudited) run.
+
+    Exactly-once composes with the group: the batch id rides in BOTH
+    member manifests' meta, the skip test is the fact table's
+    committed-batch high (group atomicity ⇒ fact committed iff log
+    committed, so one high covers both), and a redelivered batch is
+    skipped before any write.  A member failure mid-group unwinds
+    the already-published member manifest — neither table advances
+    (pinned by the mid-stream failure pytest).
+
+    Scale: per micro-batch this costs the two members' own commits
+    plus two tiny JSON publishes (commit_group's coordinator
+    record) — nothing per-row and no cross-table lock; the run-log
+    row is a one-row aggregate of the in-memory batch.
+
+    Returns the per-event_type rollup of the final fact snapshot
+    (append is batching-independent ⇒ the batch events table is a
+    FULL oracle) plus two structurally-computed lockstep flags:
+    versions_lockstep (fact and run-log latest versions are equal)
+    and log_totals_match (run-log row/error totals equal the fact
+    snapshot's, and there is exactly one log row per committed
+    version) — TRUE constants to the oracle, live assertions here."""
+    from ..operators import txnlog
+
+    fact = os.path.join(out_dir, "fact")
+    runlog = os.path.join(out_dir, "runlog")
+    ckpt = os.path.join(out_dir, "ckpt")
+    if not resume:
+        _reset(fact, runlog, ckpt)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger, source_dir)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _committed_batch_high(fact):
+            return  # redelivery: the whole group already landed
+        log_row = batch.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("event_type") == "error", 1)
+                  .otherwise(0)).cast("bigint").alias("n_error"),
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint")) \
+         .withColumn("status", F.lit("success"))
+        txnlog.commit_group(
+            [(batch, fact), (log_row, runlog)], mode="append",
+            meta={"batch_id": batch_id})
+        _advance_stream_high(fact, batch_id)
+
+    _run_available_now(
+        ev.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt))
+
+    fact_v = txnlog.latest_version(fact)
+    log_v = txnlog.latest_version(runlog)
+    snap = txnlog.snapshot(spark, fact)
+    fact_tot = snap.agg(
+        F.count("*").cast("bigint"),
+        F.sum(F.when(F.col("event_type") == "error", 1)
+              .otherwise(0)).cast("bigint")).collect()[0]
+    log_tot = txnlog.snapshot(spark, runlog).agg(
+        F.sum("n_rows").cast("bigint"),
+        F.sum("n_error").cast("bigint"),
+        F.count("*").cast("bigint")).collect()[0]
+    lockstep = bool(fact_v >= 0 and fact_v == log_v)
+    totals_match = bool(
+        log_tot[0] == fact_tot[0] and log_tot[1] == fact_tot[1]
+        and log_tot[2] == fact_v + 1)
+    return snap.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double"), 6).alias("value_sum"),
+    ).withColumn("versions_lockstep", F.lit(lockstep)) \
+     .withColumn("log_totals_match", F.lit(totals_match))
+
+
 def run_gdpr_delete_sink(spark: SparkSession, sf_dir: str,
                          out_dir: str,
                          max_files_per_trigger: int | None = None,

@@ -94,6 +94,8 @@ BENCH_NEW_QUERIES = [
     "txn_multi_table",
     "streaming_gdpr_erasure",
     "rrf_fusion_topk",
+    # round-9 additions
+    "streaming_group_sink",
 ]
 
 
