@@ -212,9 +212,14 @@ def latest_version(path: str) -> int | None:
     while v is not None and v >= 0:
         try:
             man = _read_manifest(path, v)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             # settled-away member manifest (a concurrent writer
-            # cleared an aborted group): keep walking down
+            # cleared an aborted group): keep walking down.  ONLY
+            # the vanished-file race walks — a manifest that still
+            # exists but fails to parse (torn write, corruption)
+            # re-raises: silently serving the PREVIOUS version as
+            # latest would have snapshot/commit operate on stale
+            # state with no error (r9 ADVICE medium)
             v -= 1
             continue
         if _group_state(man) in (None, "committed"):
@@ -236,16 +241,41 @@ GROUP_SETTLE_GRACE_SECONDS = 60.0
 def _group_state(man: dict) -> str | None:
     """A manifest's transaction-group outcome: None (not a group
     member — decided by construction), 'committed', 'aborted', or
-    'pending' (coordinator record not yet published)."""
+    'pending' (no decision readable).
+
+    The coordinator record is the decision; the member's OWN
+    ``marker`` file (written under each member table's _txn/groups
+    right after a commit decision) is its durable mirror, so a
+    committed member's visibility never depends on a FOREIGN table's
+    files (r9 ADVICE medium: first-member table deleted/relocated ⇒
+    other members' committed versions read as pending and were
+    settle-aborted — silent loss of committed history).  A committed
+    marker also overrides an aborted coord: markers are only ever
+    written after a won COMMIT decision, so marker-committed with
+    coord-aborted can only mean a settler recreated a lost coord
+    file — the commit really happened."""
     g = man.get("group")
     if not g:
         return None
+    rec = None
     try:
         with open(g["coord"]) as fh:
             rec = json.load(fh)
     except (OSError, ValueError):
+        rec = None
+    if rec is not None and rec.get("committed"):
+        return "committed"
+    mk = g.get("marker")
+    if mk:
+        try:
+            with open(mk) as fh:
+                if json.load(fh).get("committed"):
+                    return "committed"
+        except (OSError, ValueError):
+            pass
+    if rec is None:
         return "pending"
-    return "committed" if rec.get("committed") else "aborted"
+    return "aborted"
 
 
 def _require_decided(path: str, v: int, man: dict) -> None:
@@ -315,7 +345,14 @@ def _settle_stale_groups(path: str) -> None:
                 age = time.time() - os.path.getmtime(mpath)
             except OSError:
                 continue
-            if age < GROUP_SETTLE_GRACE_SECONDS:
+            # a group declaring a longer grace (long multi-table
+            # data writes at scale) is honored by every settler —
+            # a fixed 60 s would spuriously abort any group whose
+            # later members write >60 s after the first publishes
+            # (r9 ADVICE low)
+            grace = float(man["group"].get(
+                "grace", GROUP_SETTLE_GRACE_SECONDS))
+            if age < grace:
                 return
             if _decide_group(man["group"], committed=False):
                 return  # raced the owner and LOST: group committed
@@ -467,14 +504,44 @@ def _assign_identity(df: DataFrame, col: str,
     return out, acc - 1
 
 
+def _historical_hwm(path: str, col: str) -> int:
+    """Highest high-water mark ``col`` ever reached across the
+    table's surviving manifests.  Re-declaring a previously used
+    identity column (after a '' clear, or switching columns and
+    back) must CONTINUE from it — starting over at 0 would re-issue
+    already-assigned surrogate ids, breaking the documented
+    'ids are NEVER reused' contract that restore() preserves with
+    the same monotone rule (r9 ADVICE low).  Only runs on the rare
+    re-declaration branch, never on the inherit path."""
+    try:
+        names = os.listdir(_txn_dir(path))
+    except OSError:
+        return 0
+    hwm = 0
+    for f in names:
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(_txn_dir(path), f)) as fh:
+                ident = json.load(fh).get("identity")
+        except (OSError, ValueError):
+            continue
+        if ident and ident.get("col") == col:
+            hwm = max(hwm, int(ident.get("hwm", 0)))
+    return hwm
+
+
 def _resolve_identity(pman: dict, parent: int | None,
-                      identity: str | None, mode: str) -> dict | None:
+                      identity: str | None, mode: str,
+                      path: str) -> dict | None:
     """The table's identity property for this commit: None inherits
     the parent's, a column name declares (hwm continues if the same
-    column was already declared), '' clears.  Declaring on an APPEND
-    to a table that already holds data is refused — the carried rows
-    would read back with NULL ids (Delta only allows IDENTITY at
-    table creation for the same reason); declare on an overwrite."""
+    column was already declared — including across a clear or a
+    column switch, via the manifest-history scan), '' clears.
+    Declaring on an APPEND to a table that already holds data is
+    refused — the carried rows would read back with NULL ids (Delta
+    only allows IDENTITY at table creation for the same reason);
+    declare on an overwrite."""
     pident = pman.get("identity") if parent is not None else None
     if identity is None:
         return dict(pident) if pident else None
@@ -487,7 +554,7 @@ def _resolve_identity(pman: dict, parent: int | None,
             f"cannot declare identity column '{identity}' on an "
             "append: carried rows would have no ids — declare it on "
             "an overwrite (or at table creation)")
-    return {"col": identity, "hwm": 0}
+    return {"col": identity, "hwm": _historical_hwm(path, identity)}
 
 
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
@@ -582,7 +649,7 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # inherits, an explicit dict replaces ({} clears)
     pcons = pman.get("constraints", {}) if parent is not None else {}
     cons = dict(pcons) if constraints is None else dict(constraints)
-    ident = _resolve_identity(pman, parent, identity, mode)
+    ident = _resolve_identity(pman, parent, identity, mode, path)
     if ident:
         # assignment happens BEFORE the data write so the ids are in
         # the files like any other column; the hwm advances by the
@@ -660,7 +727,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
 
 def commit_group(writes: list[tuple[DataFrame, str]],
                  mode: str = "append",
-                 meta: dict | None = None) -> dict[str, int]:
+                 meta: dict | None = None,
+                 grace_seconds: float | None = None) -> dict[str, int]:
     """Multi-table TRANSACTION: commit one DataFrame per table such
     that readers see ALL the tables' new versions or NONE — the
     reference's sp-wrapped multi-statement batch (e.g. fact + run-log
@@ -688,13 +756,25 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     saw them; version numbers are reclaimed, data dirs left to
     vacuum).  A crashed coordinator leaves members pending: readers
     skip them, and the next writer on any member table settles the
-    group (abort) after GROUP_SETTLE_GRACE_SECONDS.
+    group (abort) after the group's grace window —
+    GROUP_SETTLE_GRACE_SECONDS by default, or ``grace_seconds`` when
+    the writer declares a longer one (member data writes that take
+    minutes at scale must not be aborted by design; the declared
+    grace rides in every member manifest so all settlers honor it).
 
-    Scale: the transaction adds two tiny JSON publishes beyond the
-    members' own commits — nothing per row, no cross-table lock, no
-    ordering constraint between the data writes (they could run in
-    parallel; members are published sequentially only to keep the
-    failure unwind simple).  Returns {table_path: version}."""
+    After a COMMIT decision the record is MIRRORED into every member
+    table's own ``_txn/groups/<gid>.decided.json``: read visibility
+    of committed history never depends on a foreign table's files
+    (first member deleted/relocated ⇒ without the mirror, the other
+    members' committed versions would read as pending and eventually
+    be settle-aborted — silent loss of durably committed history).
+
+    Scale: the transaction adds two tiny JSON publishes plus one
+    mirror write per member beyond the members' own commits —
+    nothing per row, no cross-table lock, no ordering constraint
+    between the data writes (they could run in parallel; members are
+    published sequentially only to keep the failure unwind simple).
+    Returns {table_path: version}."""
     import uuid
 
     if not writes:
@@ -709,6 +789,13 @@ def commit_group(writes: list[tuple[DataFrame, str]],
          "coord": os.path.abspath(
              os.path.join(_txn_dir(paths[0]), "groups",
                           f"{gid}.json"))}
+    if grace_seconds is not None:
+        g["grace"] = float(grace_seconds)
+
+    def _marker(p: str) -> str:
+        return os.path.join(_txn_dir(p), "groups",
+                            f"{gid}.decided.json")
+
     done: dict[str, int] = {}
 
     def _unwind() -> None:
@@ -722,7 +809,8 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     try:
         for df, path in writes:
             done[os.path.abspath(path)] = commit(
-                df, path, mode, meta=meta, group=g)
+                df, path, mode, meta=meta,
+                group={**g, "marker": _marker(path)})
     except BaseException:
         _unwind()
         raise
@@ -732,6 +820,19 @@ def commit_group(writes: list[tuple[DataFrame, str]],
         raise TxnConflict(
             "transaction group aborted by a concurrent writer "
             "before its coordinator record landed")
+    for p in done:
+        # best-effort durable mirror (the coord record is already
+        # the decision; a member whose mirror write fails merely
+        # keeps depending on the coord file)
+        try:
+            mk = _marker(p)
+            os.makedirs(os.path.dirname(mk), exist_ok=True)
+            tmp = f"{mk}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
+            with open(tmp, "w") as fh:
+                json.dump({"id": gid, "committed": True}, fh)
+            os.replace(tmp, mk)
+        except OSError:
+            pass
     return done
 
 
@@ -921,6 +1022,11 @@ def _commit_manifest(path: str, version: int, mode: str,
         if group:
             body["group"] = {"id": group["id"],
                              "coord": os.path.abspath(group["coord"])}
+            if group.get("marker"):
+                body["group"]["marker"] = os.path.abspath(
+                    group["marker"])
+            if group.get("grace") is not None:
+                body["group"]["grace"] = float(group["grace"])
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -2161,7 +2267,10 @@ def vacuum(path: str, keep_latest: int = 2,
         import re as _re
 
         for entry in sorted(os.listdir(cb_root)):
-            m = _re.match(r"codebook-v(\d{8})-", entry)
+            # \d+ not \d{8}: _artifact_path formats {version:08d},
+            # which grows past 8 digits at version >= 10^8 — a fixed
+            # width would leak those artifacts forever (r9 ADVICE)
+            m = _re.match(r"codebook-v(\d+)-", entry)
             if not m or int(m.group(1)) in keep_versions:
                 continue
             full = os.path.join(cb_root, entry)
