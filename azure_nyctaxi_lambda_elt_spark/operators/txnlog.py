@@ -459,6 +459,76 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
              for c in cols}, int(row["__n"]))
 
 
+def _analyze_per_dir(spark: SparkSession, path: str,
+                     rel_dirs: list[str],
+                     cols: list[str]) -> dict:
+    """ANALYZE-grade per-dir column statistics over NEWLY WRITTEN
+    dirs: row count + per-column NULL count + exact NDV, computed by
+    ONE input_file_name-tagged aggregation job covering every dir
+    and column together (never a job per partition — the same shape
+    as _write_partitioned's stats restatement).  Exact NDV (hash
+    aggregate per dir) keeps the recorded stats oracle-pinnable; at
+    petabyte scale swap F.count_distinct for F.approx_count_distinct
+    here — the manifest format is unchanged.  Reference parity: the
+    post-load statistics maintenance pass
+    (sql/batchELT/mdl/load/45_postload_stats.sql:1).
+
+    Returns {rel_dir: {"rows": n, "cols": {col: {"nulls", "ndv"}}}}.
+    """
+    base = os.path.abspath(path)
+    scan = spark.read.parquet(
+        *[os.path.join(base, d) for d in rel_dirs])
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).cast("long")
+            .alias(f"__ndv_{c}"),
+        ]
+    out: dict = {}
+    for r in (scan.withColumn("__dir", _dir_col_decoded())
+              .groupBy("__dir").agg(*aggs).collect()):
+        rel = os.path.relpath(r["__dir"], base)
+        out[rel] = {
+            "rows": int(r["__n"]),
+            "cols": {c: {"nulls": int(r[f"__null_{c}"]),
+                         "ndv": int(r[f"__ndv_{c}"])} for c in cols},
+        }
+    return out
+
+
+def analyze_stats(path: str, version: int | None = None) -> list[dict]:
+    """Metadata-only readback of the per-dir ANALYZE statistics
+    recorded by ``commit(analyze_cols=...)`` — plain manifest JSON
+    reads, NO data scan and no Spark job at all (the structural
+    claim the txn_analyze_stats entry hashes): the null-count and
+    distinct-count profile of a 100 TB table answers from KBs of
+    metadata, which is what feeds join-size estimates and
+    count-distinct rewrites.  Returns one record per (dir, column):
+    {"dir", "version_born", "rows", "col", "nulls", "ndv"}, where
+    version_born is parsed from the writer-unique dir name
+    (data-v{version:08d}-...)."""
+    v = latest_version(path) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    _require_decided(path, v, man)
+    out: list[dict] = []
+    for d in sorted(man.get("analyze", {})):
+        rec = man["analyze"][d]
+        head = d.split("/", 1)[0]
+        born = int(head[len("data-v"):len("data-v") + 8]) \
+            if head.startswith("data-v") else -1
+        for c in sorted(rec["cols"]):
+            s = rec["cols"][c]
+            out.append({"dir": d, "version_born": born,
+                        "rows": int(rec["rows"]), "col": c,
+                        "nulls": int(s["nulls"]),
+                        "ndv": int(s["ndv"])})
+    return out
+
+
 def _assign_identity(df: DataFrame, col: str,
                      hwm: int) -> tuple[DataFrame, int]:
     """Assign ``hwm+1 .. hwm+n`` to a new ``col`` — the distributed
@@ -564,8 +634,17 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
            partition_by: list[str] | None = None,
            constraints: dict[str, str] | None = None,
            identity: str | None = None,
-           group: dict | None = None) -> int:
+           group: dict | None = None,
+           analyze_cols: list[str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
+
+    ``analyze_cols`` additionally records ANALYZE-grade per-dir
+    statistics (row count, per-column NULL count, exact NDV) in the
+    manifest for the NEW dirs — one tagged aggregation job, read
+    back without any data scan by :func:`analyze_stats`; appends
+    carry the parent's recorded dirs forward (rewrite paths — merge,
+    compact, zorder — drop the rewritten dirs' records; re-commit
+    with analyze_cols to refresh them).
 
     mode='overwrite' → the new version is exactly df's rows;
     mode='append'    → the new version is the parent's dirs + df's.
@@ -677,6 +756,11 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
                 df.sparkSession.read.parquet(data_dir), stats_cols)
             stats, rows = {name: cstats}, {name: n}
     new_dirs = list(dirs)
+    analyze: dict = {}
+    if analyze_cols:
+        analyze = _analyze_per_dir(
+            df.sparkSession, path, new_dirs,
+            sorted(set(analyze_cols)))
     bcols = sorted(set(bloom_cols or []))
     # the table schema rides in the manifest (Delta-style): snapshot
     # reads apply it explicitly, so columns added by later commits
@@ -698,6 +782,7 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         dirs = pman["dirs"] + dirs
         stats = {**pman.get("stats", {}), **stats}
         rows = {**pman.get("rows", {}), **rows}
+        analyze = {**pman.get("analyze", {}), **analyze}
         schema = _merge_schema_json(pman.get("schema"), written)
         # old dirs stay in the manifest, so their tombstones must too
         dv = pman.get("dv", [])
@@ -720,7 +805,7 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
                          rows, bcols, schema,
                          partition_by=list(partition_by or []), dv=dv,
                          constraints=cons, identity=ident,
-                         group=group)
+                         group=group, analyze=analyze)
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
@@ -1001,7 +1086,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                      dv: list[dict] | None = None,
                      constraints: dict[str, str] | None = None,
                      identity: dict | None = None,
-                     group: dict | None = None) -> int:
+                     group: dict | None = None,
+                     analyze: dict | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -1019,6 +1105,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                 "constraints": constraints or {}}
         if identity:
             body["identity"] = identity
+        if analyze:
+            body["analyze"] = analyze
         if group:
             body["group"] = {"id": group["id"],
                              "coord": os.path.abspath(group["coord"])}

@@ -1483,6 +1483,47 @@ def q_txn_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txn_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE statistics as manifest metadata (operators/txnlog.py
+    commit(analyze_cols=...) + analyze_stats): three day-range
+    commits record per-dir row count, per-column NULL count, and
+    exact NDV at commit time — one tagged aggregation job per commit,
+    the Spark ANALYZE TABLE / Delta dataSkippingStatsColumns shape of
+    the reference's post-load statistics maintenance
+    (sql/batchELT/mdl/load/45_postload_stats.sql:1).  The READBACK is
+    the structural claim: txnlog.analyze_stats answers from plain
+    manifest JSON — no data scan, no Spark job — and the result
+    frame is built with createDataFrame from that metadata, so the
+    oracle (which recomputes the same profile from raw SQL) verifies
+    the recorded stats are exactly right at any scale.  payment_type
+    carries ~33% real NULLs and rate_code_nk a small NULL tail in
+    this feed, so the null counts are non-vacuous."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnanalyze", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    acols = ["payment_type", "rate_code_nk", "vendor_code",
+             "pu_loc_id"]
+    txnlog.commit(clean.where(day <= 10), out, "overwrite",
+                  stats_cols=["ingest_date"], analyze_cols=acols)
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out,
+                  "append", stats_cols=["ingest_date"],
+                  analyze_cols=acols)
+    txnlog.commit(clean.where(day >= 21), out, "append",
+                  stats_cols=["ingest_date"], analyze_cols=acols)
+    recs = txnlog.analyze_stats(out)   # plain JSON, no data scan
+    return spark.createDataFrame(
+        [(r["version_born"] + 1, r["col"], r["rows"], r["nulls"],
+          r["ndv"]) for r in recs],
+        "bucket long, col string, n_rows long, nulls long, ndv long")
+
+
 def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookup on the txn table (operators/
     bloomindex.py): manifest min/max envelopes prune RANGES, but a
@@ -2522,6 +2563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_shallow_clone": q_txn_shallow_clone,
     "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
+    "txn_analyze_stats": q_txn_analyze_stats,
     "txn_bloom_pruned_read": q_txn_bloom_pruned_read,
     "txn_partitioned_prune": q_txn_partitioned_prune,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
@@ -2995,6 +3037,45 @@ ORACLES["txn_stats_pruned_read"] = with_trips("""
     FROM trip_clean
     WHERE ingest_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
     GROUP BY 1
+""")
+
+# the recorded ANALYZE stats must equal a fresh recompute of the
+# same per-bucket (rows, nulls, exact NDV) profile from raw SQL —
+# COUNT(DISTINCT c) ignores NULLs in both engines
+ORACLES["txn_analyze_stats"] = with_trips("""
+    , b AS (
+      SELECT CASE WHEN day(ingest_date) <= 10 THEN 1
+                  WHEN day(ingest_date) <= 20 THEN 2
+                  ELSE 3 END AS bucket,
+             payment_type, rate_code_nk, vendor_code, pu_loc_id
+      FROM trip_clean)
+    SELECT bucket, 'payment_type' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN payment_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nulls,
+           CAST(COUNT(DISTINCT payment_type) AS BIGINT) AS ndv
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT bucket, 'rate_code_nk',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN rate_code_nk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT rate_code_nk) AS BIGINT)
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT bucket, 'vendor_code',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN vendor_code IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT vendor_code) AS BIGINT)
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT bucket, 'pu_loc_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN pu_loc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT pu_loc_id) AS BIGINT)
+    FROM b GROUP BY 1
 """)
 
 # partitioned-commit pruning: the envelope rule replayed per
