@@ -459,6 +459,32 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
              for c in cols}, int(row["__n"]))
 
 
+def _compute_generated(df: DataFrame,
+                       gen: dict[str, str]) -> DataFrame:
+    """GENERATED ALWAYS AS columns (Delta generated-column shape):
+    each declared column ABSENT from the frame is computed from its
+    SQL expression; columns the writer provided explicitly are left
+    in place and validated AGAINST the expression post-write (a
+    mismatch refuses the commit) — Delta's rule that explicit writes
+    are allowed only when they equal the generation expression.
+    Reference parity: the CTAS-derived night_flag / ingest_date
+    columns (sql/batchELT/core/11_trip_clean.slice_ctas.sql:1)."""
+    for c in sorted(gen):
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(gen[c]))
+    return df
+
+
+def _generated_checks(gen: dict[str, str]) -> dict[str, str]:
+    """The validation twin: one synthesized CHECK per generated
+    column — ``col <=> (expr)`` (null-safe, so an expression that
+    evaluates NULL must be stored as NULL, never free-passed) — run
+    through the SAME one-agg-job machinery as user CHECK constraints
+    (_validate_constraints), post-write over the written files."""
+    return {f"generated:{c}": f"{c} <=> ({sql})"
+            for c, sql in gen.items()}
+
+
 def _analyze_per_dir(spark: SparkSession, path: str,
                      rel_dirs: list[str],
                      cols: list[str]) -> dict:
@@ -635,8 +661,23 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
            constraints: dict[str, str] | None = None,
            identity: str | None = None,
            group: dict | None = None,
-           analyze_cols: list[str] | None = None) -> int:
+           analyze_cols: list[str] | None = None,
+           generated: dict[str, str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
+
+    ``generated`` declares GENERATED ALWAYS AS columns as a TABLE
+    PROPERTY ({col: sql_expr} — Delta generated columns; None
+    inherits the parent's, {} clears): a declared column absent from
+    ``df`` is computed from its expression before the write; a
+    column the writer provides explicitly is validated against the
+    expression post-write over the WRITTEN files (null-safe
+    equality) and a mismatch REFUSES the commit exactly like a CHECK
+    violation — the table unchanged, no version consumed.  Newly
+    declaring over existing data validates the carried dirs too
+    (rows lacking the column read NULL and refuse unless the
+    expression is NULL there).  MERGE computes absent generated
+    columns on its upserts and re-validates its rewritten dirs;
+    restore/clone/compact carry the property.
 
     ``analyze_cols`` additionally records ANALYZE-grade per-dir
     statistics (row count, per-column NULL count, exact NDV) in the
@@ -728,6 +769,11 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # inherits, an explicit dict replaces ({} clears)
     pcons = pman.get("constraints", {}) if parent is not None else {}
     cons = dict(pcons) if constraints is None else dict(constraints)
+    # generated columns are a TABLE PROPERTY exactly like constraints
+    pgen = pman.get("generated", {}) if parent is not None else {}
+    gen = dict(pgen) if generated is None else dict(generated)
+    if gen:
+        df = _compute_generated(df, gen)
     ident = _resolve_identity(pman, parent, identity, mode, path)
     if ident:
         # assignment happens BEFORE the data write so the ids are in
@@ -801,11 +847,27 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         if added and carried:
             _validate_constraints(df.sparkSession, path, carried,
                                   added, man=pman)
+    if gen:
+        # explicit writes must EQUAL the generation expression —
+        # validated from the written files through the same one-job
+        # machinery as CHECK constraints; a newly declared column
+        # also validates the carried dirs under the merged schema
+        # (rows lacking it read NULL and refuse unless expr is NULL)
+        _validate_constraints(df.sparkSession, path, new_dirs,
+                              _generated_checks(gen),
+                              man={"schema": schema})
+        gadded = {c: sql for c, sql in gen.items()
+                  if pgen.get(c) != sql}
+        gcarried = [d for d in dirs if d not in new_dirs]
+        if gadded and gcarried:
+            _validate_constraints(df.sparkSession, path, gcarried,
+                                  _generated_checks(gadded),
+                                  man={"schema": schema})
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema,
                          partition_by=list(partition_by or []), dv=dv,
                          constraints=cons, identity=ident,
-                         group=group, analyze=analyze)
+                         group=group, analyze=analyze, generated=gen)
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
@@ -1087,7 +1149,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                      constraints: dict[str, str] | None = None,
                      identity: dict | None = None,
                      group: dict | None = None,
-                     analyze: dict | None = None) -> int:
+                     analyze: dict | None = None,
+                     generated: dict[str, str] | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -1107,6 +1170,8 @@ def _commit_manifest(path: str, version: int, mode: str,
             body["identity"] = identity
         if analyze:
             body["analyze"] = analyze
+        if generated:
+            body["generated"] = generated
         if group:
             body["group"] = {"id": group["id"],
                              "coord": os.path.abspath(group["coord"])}
@@ -1295,6 +1360,13 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
             # rows an earlier DELETE tombstoned must not be
             # resurrected by the rewrite
             existing = _apply_dv(spark, path, existing, man["dv"])
+    gen = man.get("generated", {})
+    if gen:
+        # upserts written without the generated columns get them
+        # computed here, BEFORE the identity split and the union —
+        # otherwise the rewrite would null-backfill them and the
+        # post-write validation below would refuse the merge
+        upserts = _compute_generated(upserts, gen)
     ident = man.get("identity")
     if ident:
         icol = ident["col"]
@@ -1380,11 +1452,18 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # SQL CHECK semantics)
         _validate_constraints(spark, path, new_names, cons,
                               man={"schema": schema})
+    if gen:
+        # a provided-but-mismatched generated value in the upserts
+        # refuses the whole merge, same contract as the commit path
+        _validate_constraints(spark, path, new_names,
+                              _generated_checks(gen),
+                              man={"schema": schema})
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
                          partition_by=pby, dv=dv,
-                         constraints=cons, identity=ident)
+                         constraints=cons, identity=ident,
+                         generated=gen)
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -1507,7 +1586,8 @@ def compact(spark: SparkSession, path: str,
         {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
         man.get("schema"), partition_by=pby,
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        generated=man.get("generated", {}))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1671,7 +1751,8 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
          "carried_buckets": len(carried)}, stats, rows, bcols,
         man.get("schema"), partition_by=man.get("partition_by", []),
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        generated=man.get("generated", {}))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1706,7 +1787,9 @@ def restore(path: str, to_version: int) -> int:
         partition_by=man.get("partition_by", []),
         dv=man.get("dv", []),
         constraints=man.get("constraints", {}),
-        identity=ident)
+        identity=ident,
+        analyze=man.get("analyze", {}),
+        generated=man.get("generated", {}))
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -1748,7 +1831,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []),
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        generated=man.get("generated", {}))
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -1781,8 +1865,8 @@ def describe_detail(spark: SparkSession, path: str,
     mode, data-dir / file / byte totals, the manifest-bookkept row
     count (NULL when some dir predates row recording), and the
     declared table properties (partition columns, bloom columns,
-    constraint names, identity column + high-water mark, live
-    deletion-vector stores).  Manifest JSON + file stat calls only —
+    constraint names, GENERATED ALWAYS AS column names, identity
+    column + high-water mark, live deletion-vector stores).  Manifest JSON + file stat calls only —
     never a data scan, so describing a 100 TB table costs the same
     as a 100 MB one."""
     v = latest_version(path) if version is None else version
@@ -1814,6 +1898,7 @@ def describe_detail(spark: SparkSession, path: str,
         "partition_by": list(man.get("partition_by", [])),
         "bloom_cols": list(man.get("bloom_cols", [])),
         "constraints": sorted(man.get("constraints", {})),
+        "generated_cols": sorted(man.get("generated", {})),
         "identity_col": ident.get("col"),
         "identity_hwm": ident.get("hwm"),
         "num_dv_stores": len(man.get("dv", [])),
@@ -1833,6 +1918,7 @@ def describe_detail(spark: SparkSession, path: str,
         StructField("partition_by", ArrayType(StringType())),
         StructField("bloom_cols", ArrayType(StringType())),
         StructField("constraints", ArrayType(StringType())),
+        StructField("generated_cols", ArrayType(StringType())),
         StructField("identity_col", StringType()),
         StructField("identity_hwm", LongType()),
         StructField("num_dv_stores", IntegerType()),
@@ -2251,7 +2337,9 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []), dv=dv,
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        analyze=man.get("analyze", {}),
+        generated=man.get("generated", {}))
 
 
 def vacuum(path: str, keep_latest: int = 2,

@@ -1894,6 +1894,71 @@ def q_txn_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(int(n_versions)).cast("bigint")))
 
 
+def q_txn_generated_columns(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns as a transaction-log table
+    property (operators/txnlog.py commit(generated=...) — Delta
+    generated columns; the reference derives night_flag/ingest_date
+    in its CTAS, sql/batchELT/core/11_trip_clean.slice_ctas.sql:1):
+    the trip feed is committed WITHOUT is_night_ride and the engine
+    computes it — plus a new pickup_date_key (the reference's
+    YYYYMMDD key derivation, sql/batchELT/mdl/load/
+    40_fact_trip.load.sql:91) — from the declared expressions at
+    commit time; a second batch inherits the property unredeclared;
+    an EXPLICIT write whose provided values contradict the
+    expression (night flag inverted) is REFUSED post-write by the
+    same one-agg-job machinery as CHECK constraints — table
+    unchanged, no version consumed.  The hashed output rolls up over
+    the ENGINE-COMPUTED values (the oracle recomputes them from raw
+    SQL), plus the refusal evidence."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txngen", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    gen = {
+        "is_night_ride": (
+            "CASE WHEN pickup_ts_utc IS NOT NULL AND "
+            "(hour(pickup_ts_utc) >= 22 OR hour(pickup_ts_utc) <= 5) "
+            "THEN 1 ELSE 0 END"),
+        "pickup_date_key": (
+            "CAST(year(pickup_ts_utc) * 10000 + "
+            "month(pickup_ts_utc) * 100 + "
+            "day(pickup_ts_utc) AS INT)"),
+    }
+    txnlog.commit(clean.where(day <= 15).drop("is_night_ride"), out,
+                  "overwrite", generated=gen)
+    txnlog.commit(clean.where(day > 15).drop("is_night_ride"), out,
+                  "append")               # property inherited
+    # an explicit write contradicting the expression must refuse
+    bad = (clean.where(day > 15)
+           .withColumn("is_night_ride",
+                       F.lit(1) - F.col("is_night_ride")))
+    refused = 0
+    try:
+        txnlog.commit(bad, out, "append")
+    except txnlog.ConstraintViolation:
+        refused = 1
+    n_versions = txnlog.latest_version(out) + 1
+    return (
+        txnlog.snapshot(spark, out)
+        .groupBy("is_night_ride")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.count_distinct("pickup_date_key").cast("bigint")
+             .alias("n_date_keys"),
+             F.min("pickup_date_key").cast("bigint").alias("min_dk"),
+             F.max("pickup_date_key").cast("bigint").alias("max_dk"))
+        .withColumn("refused_batches",
+                    F.lit(int(refused)).cast("bigint"))
+        .withColumn("n_versions",
+                    F.lit(int(n_versions)).cast("bigint")))
+
+
 def q_txn_identity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATED ALWAYS AS IDENTITY surrogate keys
     (operators/txnlog.py commit(identity=...) — the warehouse
@@ -2552,6 +2617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_time_travel": q_txn_time_travel,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
+    "txn_generated_columns": q_txn_generated_columns,
     "txn_identity_dim": q_txn_identity_dim,
     "txn_multi_table": q_txn_multi_table,
     "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
@@ -3223,6 +3289,27 @@ ORACLES["txn_constraint_gate"] = with_trips("""
              AS refused_rows,
            CAST(2 AS BIGINT) AS n_versions
     FROM trip_clean GROUP BY 1
+""")
+
+# the engine-computed generated columns must equal a raw-SQL
+# recompute of the same expressions; the inverted explicit write was
+# refused (1 refused batch, 2 surviving versions)
+ORACLES["txn_generated_columns"] = with_trips("""
+    , g AS (
+      SELECT is_night_ride,
+             CAST(year(pickup_ts_utc) * 10000 +
+                  month(pickup_ts_utc) * 100 +
+                  day(pickup_ts_utc) AS INT) AS pickup_date_key
+      FROM trip_clean)
+    SELECT is_night_ride,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT pickup_date_key) AS BIGINT)
+             AS n_date_keys,
+           CAST(MIN(pickup_date_key) AS BIGINT) AS min_dk,
+           CAST(MAX(pickup_date_key) AS BIGINT) AS max_dk,
+           CAST(1 AS BIGINT) AS refused_batches,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM g GROUP BY 1
 """)
 
 # the identity id SET is deterministic (1..n per phase) even though
