@@ -99,6 +99,7 @@ BENCH_NEW_QUERIES = [
     # round-10 additions (prepared on the r10-txnlog-prep branch)
     "txn_analyze_stats",
     "txn_generated_columns",
+    "dedup_prefix_filter",
 ]
 
 
