@@ -1524,6 +1524,60 @@ def q_txn_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket long, col string, n_rows long, nulls long, ndv long")
 
 
+def q_txn_join_size_estimate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Join-size estimation FROM MANIFEST METADATA — the use case
+    the ANALYZE stats exist for (System R's |A⋈B| ≈ |A|·|B| /
+    max(ndv_A, ndv_B) on the join key, the formula every cost-based
+    optimizer starts from; the reference maintains these statistics
+    for exactly this, sql/batchELT/mdl/load/45_postload_stats.sql:1).
+    Two txn tables (user events split by half-month) commit with
+    analyze_cols on the join key; the ESTIMATE is computed purely
+    from txnlog.analyze_stats readbacks — row counts and NDVs from
+    manifest JSON, NO data scan — then compared against the true
+    join cardinality (one real aggregation).  The estimate errs
+    exactly where theory says (uniform-frequency assumption vs the
+    feed's per-user skew), and BOTH numbers are deterministic
+    integer arithmetic the oracle replays from raw SQL — so the
+    entry pins that the metadata-only estimate is bit-right, not
+    that estimation is magically exact."""
+    import os
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnjoinest", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    ev = tf.events_ts_fixed(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type")
+    t_a = os.path.join(out, "first_half")
+    t_b = os.path.join(out, "second_half")
+    txnlog.commit(ev.where(F.dayofmonth("ts") <= 15), t_a,
+                  "overwrite", analyze_cols=["user_id"])
+    txnlog.commit(ev.where(F.dayofmonth("ts") > 15), t_b,
+                  "overwrite", analyze_cols=["user_id"])
+
+    def meta(path):
+        recs = [r for r in txnlog.analyze_stats(path)
+                if r["col"] == "user_id"]
+        # single overwrite commit → one dir; rows/ndv straight from
+        # manifest JSON (metadata only — no Spark job ran here)
+        return sum(r["rows"] for r in recs), max(r["ndv"] for r in recs)
+
+    rows_a, ndv_a = meta(t_a)
+    rows_b, ndv_b = meta(t_b)
+    est = rows_a * rows_b // max(ndv_a, ndv_b)
+    actual = (txnlog.snapshot(spark, t_a).alias("a")
+              .join(txnlog.snapshot(spark, t_b).alias("b"), "user_id")
+              .count())
+    return spark.createDataFrame(
+        [(rows_a, rows_b, ndv_a, ndv_b, est, actual,
+          est / actual if actual else None)],
+        "rows_a long, rows_b long, ndv_a long, ndv_b long, "
+        "est_join_rows long, actual_join_rows long, est_ratio double")
+
+
 def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookup on the txn table (operators/
     bloomindex.py): manifest min/max envelopes prune RANGES, but a
@@ -2630,6 +2684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
     "txn_analyze_stats": q_txn_analyze_stats,
+    "txn_join_size_estimate": q_txn_join_size_estimate,
     "txn_bloom_pruned_read": q_txn_bloom_pruned_read,
     "txn_partitioned_prune": q_txn_partitioned_prune,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
@@ -3104,6 +3159,34 @@ ORACLES["txn_stats_pruned_read"] = with_trips("""
     WHERE ingest_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
     GROUP BY 1
 """)
+
+# the metadata-only System-R estimate (rows_a*rows_b // max(ndv)) and
+# the true join cardinality, both replayed as integer arithmetic; the
+# ratio is the same IEEE division on both engines (hasher rounds it)
+ORACLES["txn_join_size_estimate"] = """
+    WITH ea AS (SELECT user_id FROM events
+                WHERE EXTRACT(day FROM ts) <= 15),
+    eb AS (SELECT user_id FROM events
+           WHERE EXTRACT(day FROM ts) > 15),
+    a AS (SELECT user_id, COUNT(*) AS c FROM ea GROUP BY 1),
+    b AS (SELECT user_id, COUNT(*) AS c FROM eb GROUP BY 1),
+    ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_a,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_a
+           FROM ea),
+    tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_b,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_b
+           FROM eb),
+    act AS (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+                     AS actual
+            FROM a JOIN b USING (user_id))
+    SELECT rows_a, rows_b, ndv_a, ndv_b,
+           rows_a * rows_b // GREATEST(ndv_a, ndv_b)
+             AS est_join_rows,
+           actual AS actual_join_rows,
+           CAST(rows_a * rows_b // GREATEST(ndv_a, ndv_b) AS DOUBLE)
+             / NULLIF(actual, 0) AS est_ratio
+    FROM ta, tb, act
+"""
 
 # the recorded ANALYZE stats must equal a fresh recompute of the
 # same per-bucket (rows, nulls, exact NDV) profile from raw SQL —

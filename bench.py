@@ -100,6 +100,7 @@ BENCH_NEW_QUERIES = [
     "txn_analyze_stats",
     "txn_generated_columns",
     "dedup_prefix_filter",
+    "txn_join_size_estimate",
 ]
 
 
