@@ -246,7 +246,13 @@ def prefix_filter_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
                & (PF_TAU_NUM * F.col("__nb")
                   <= PF_TAU_DEN * F.col("__na")))
         .select("doc_i", "doc_j").distinct())
-    sgs = shingle_arrays(docs, n).localCheckpoint()
+    # verify on HG-HASH arrays folded from the SAME checkpointed
+    # frame the candidates came from: no second tokenize pass of the
+    # corpus (tokenization dominates — see ngram_jaccard_pairs), and
+    # intersections count the identical 60-bit keys the oracle
+    # counts, so a hash collision lands on BOTH sides instead of
+    # diverging the compare (doc_shingles' stated contract)
+    sgs = sh.groupBy("doc_id").agg(F.collect_list("hg").alias("sgs"))
     av = sgs.select(F.col("doc_id").alias("doc_i"),
                     F.col("sgs").alias("__sa"))
     bv = sgs.select(F.col("doc_id").alias("doc_j"),

@@ -236,6 +236,12 @@ def _read_manifest(path: str, version: int) -> dict:
 # -------------------------------------------- multi-table txn groups
 
 GROUP_SETTLE_GRACE_SECONDS = 60.0
+# ceiling on a DECLARED per-group grace (commit_group's
+# grace_seconds): an unbounded or non-finite value would let one
+# crashed writer wedge every member table forever — a day bounds the
+# worst-case wedge while still covering any realistic multi-table
+# data write
+GROUP_GRACE_MAX_SECONDS = 86400.0
 
 
 def _group_state(man: dict) -> str | None:
@@ -265,17 +271,39 @@ def _group_state(man: dict) -> str | None:
         rec = None
     if rec is not None and rec.get("committed"):
         return "committed"
-    mk = g.get("marker")
-    if mk:
-        try:
-            with open(mk) as fh:
-                if json.load(fh).get("committed"):
-                    return "committed"
-        except (OSError, ValueError):
-            pass
+    if _any_member_marker_committed(g):
+        # own marker OR any sibling's (the "members" list): a commit
+        # decision that crashed mid-mirror still resurrects from
+        # whichever member's marker landed
+        return "committed"
     if rec is None:
         return "pending"
     return "aborted"
+
+
+def _any_member_marker_committed(g: dict) -> bool:
+    """Probe the group's decision mirrors — the member's own
+    ``marker`` plus every sibling's (derived from the ``members``
+    list).  Markers are written ONLY after a won COMMIT decision, so
+    one surviving marker anywhere proves the group committed, even
+    when the coordinator file (or its whole table) is gone and the
+    mirror loop crashed partway: without the sibling probe, the
+    marker-less members would read pending and eventually be
+    settle-aborted while the marker-ed ones read committed — a torn
+    multi-table transaction."""
+    paths = [g["marker"]] if g.get("marker") else []
+    gid = g.get("id", "")
+    paths += [os.path.join(_txn_dir(p), "groups",
+                           f"{gid}.decided.json")
+              for p in g.get("members", [])]
+    for mk in paths:
+        try:
+            with open(mk) as fh:
+                if json.load(fh).get("committed"):
+                    return True
+        except (OSError, ValueError):
+            continue
+    return False
 
 
 def _require_decided(path: str, v: int, man: dict) -> None:
@@ -339,6 +367,18 @@ def _settle_stale_groups(path: str) -> None:
             continue  # another settler cleared it; re-resolve
         st = _group_state(man)
         if st in (None, "committed"):
+            if st == "committed":
+                # SETTLE-REPAIR: committed-by-marker with the coord
+                # file lost (first member table deleted, crash mid-
+                # mirror) — republish the decision at the coord path
+                # so later readers converge in one read instead of
+                # probing every member's mirror
+                g = man["group"]
+                try:
+                    with open(g["coord"]) as fh:
+                        json.load(fh)
+                except (OSError, ValueError):
+                    _decide_group(g, committed=True)
             return
         if st == "pending":
             try:
@@ -349,9 +389,15 @@ def _settle_stale_groups(path: str) -> None:
             # data writes at scale) is honored by every settler —
             # a fixed 60 s would spuriously abort any group whose
             # later members write >60 s after the first publishes
-            # (r9 ADVICE low)
+            # (r9 ADVICE low).  Clamp defensively: a corrupt/hostile
+            # manifest value (inf, NaN, negative) must neither wedge
+            # the table forever nor disable the freshness check
             grace = float(man["group"].get(
                 "grace", GROUP_SETTLE_GRACE_SECONDS))
+            if not (0.0 < grace <= GROUP_GRACE_MAX_SECONDS):
+                grace = (GROUP_GRACE_MAX_SECONDS
+                         if grace > GROUP_GRACE_MAX_SECONDS
+                         else GROUP_SETTLE_GRACE_SECONDS)
             if age < grace:
                 return
             if _decide_group(man["group"], committed=False):
@@ -540,12 +586,17 @@ def analyze_stats(path: str, version: int | None = None) -> list[dict]:
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
     _require_decided(path, v, man)
+    import re as _re
+
     out: list[dict] = []
     for d in sorted(man.get("analyze", {})):
         rec = man["analyze"][d]
-        head = d.split("/", 1)[0]
-        born = int(head[len("data-v"):len("data-v") + 8]) \
-            if head.startswith("data-v") else -1
+        # \d+ not a fixed 8-char slice: {version:08d} grows past 8
+        # digits at version >= 10^8 (the same width bug the codebook
+        # GC regex had); clones key records by ABSOLUTE source path,
+        # so search any path segment
+        m = _re.search(r"(?:^|/)data-v(\d+)-", d)
+        born = int(m.group(1)) if m else -1
         for c in sorted(rec["cols"]):
             s = rec["cols"][c]
             out.append({"dir": d, "version_born": born,
@@ -772,6 +823,7 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # generated columns are a TABLE PROPERTY exactly like constraints
     pgen = pman.get("generated", {}) if parent is not None else {}
     gen = dict(pgen) if generated is None else dict(generated)
+    provided_gen_cols = set(gen) & set(df.columns)
     if gen:
         df = _compute_generated(df, gen)
     ident = _resolve_identity(pman, parent, identity, mode, path)
@@ -850,19 +902,28 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     if gen:
         # explicit writes must EQUAL the generation expression —
         # validated from the written files through the same one-job
-        # machinery as CHECK constraints; a newly declared column
-        # also validates the carried dirs under the merged schema
-        # (rows lacking it read NULL and refuse unless expr is NULL)
-        _validate_constraints(df.sparkSession, path, new_dirs,
-                              _generated_checks(gen),
-                              man={"schema": schema})
+        # machinery as CHECK constraints, but ONLY for columns the
+        # WRITER PROVIDED: engine-computed columns match their
+        # (deterministic) expression by construction, and re-scanning
+        # every new dir to prove it would tax the hot commit path for
+        # nothing.  A newly declared column also validates the
+        # carried dirs under the merged schema (rows lacking it read
+        # NULL and refuse unless expr is NULL), with the carried
+        # tombstones applied — invisible DV'd rows must not fail a
+        # new declaration (same rule as ADD CONSTRAINT above).
+        gprovided = {c: sql for c, sql in gen.items()
+                     if c in provided_gen_cols}
+        if gprovided:
+            _validate_constraints(df.sparkSession, path, new_dirs,
+                                  _generated_checks(gprovided),
+                                  man={"schema": schema})
         gadded = {c: sql for c, sql in gen.items()
                   if pgen.get(c) != sql}
         gcarried = [d for d in dirs if d not in new_dirs]
         if gadded and gcarried:
             _validate_constraints(df.sparkSession, path, gcarried,
                                   _generated_checks(gadded),
-                                  man={"schema": schema})
+                                  man={"schema": schema, "dv": dv})
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema,
                          partition_by=list(partition_by or []), dv=dv,
@@ -935,9 +996,21 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     g = {"id": gid,
          "coord": os.path.abspath(
              os.path.join(_txn_dir(paths[0]), "groups",
-                          f"{gid}.json"))}
+                          f"{gid}.json")),
+         # every member manifest knows ALL member paths, so a reader
+         # or settler can probe every decision mirror: one surviving
+         # marker anywhere resurrects a commit whose coordinator
+         # file (or table) was lost before the mirror loop finished
+         "members": list(paths)}
     if grace_seconds is not None:
-        g["grace"] = float(grace_seconds)
+        gs = float(grace_seconds)
+        if not (0.0 < gs <= GROUP_GRACE_MAX_SECONDS):
+            raise ValueError(
+                f"grace_seconds must be in (0, "
+                f"{GROUP_GRACE_MAX_SECONDS}] — an unbounded grace "
+                "would let a crashed writer wedge every member "
+                "table forever")
+        g["grace"] = gs
 
     def _marker(p: str) -> str:
         return os.path.join(_txn_dir(p), "groups",
@@ -1180,6 +1253,9 @@ def _commit_manifest(path: str, version: int, mode: str,
                     group["marker"])
             if group.get("grace") is not None:
                 body["group"]["grace"] = float(group["grace"])
+            if group.get("members"):
+                body["group"]["members"] = [
+                    os.path.abspath(p) for p in group["members"]]
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -1361,6 +1437,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
             # resurrected by the rewrite
             existing = _apply_dv(spark, path, existing, man["dv"])
     gen = man.get("generated", {})
+    provided_gen_cols = set(gen) & set(upserts.columns)
     if gen:
         # upserts written without the generated columns get them
         # computed here, BEFORE the identity split and the union —
@@ -1452,18 +1529,27 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # SQL CHECK semantics)
         _validate_constraints(spark, path, new_names, cons,
                               man={"schema": schema})
-    if gen:
+    gprovided = {c: sql for c, sql in gen.items()
+                 if c in provided_gen_cols}
+    if gprovided:
         # a provided-but-mismatched generated value in the upserts
-        # refuses the whole merge, same contract as the commit path
+        # refuses the whole merge, same contract as the commit path;
+        # engine-computed columns skip the scan (match by
+        # construction, same rule as commit)
         _validate_constraints(spark, path, new_names,
-                              _generated_checks(gen),
+                              _generated_checks(gprovided),
                               man={"schema": schema})
+    # ANALYZE records for SURVIVING dirs carry (their bytes are
+    # untouched); only the rewritten dirs' records drop — the
+    # documented contract on commit(analyze_cols=...)
+    kept_analyze = {d: a for d, a in man.get("analyze", {}).items()
+                    if d in dirs}
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
                          partition_by=pby, dv=dv,
                          constraints=cons, identity=ident,
-                         generated=gen)
+                         generated=gen, analyze=kept_analyze)
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -1752,7 +1838,9 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
         man.get("schema"), partition_by=man.get("partition_by", []),
         constraints=man.get("constraints", {}),
         identity=man.get("identity"),
-        generated=man.get("generated", {}))
+        generated=man.get("generated", {}),
+        analyze={d: a for d, a in man.get("analyze", {}).items()
+                 if d in carried})
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1832,7 +1920,12 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         partition_by=man.get("partition_by", []),
         constraints=man.get("constraints", {}),
         identity=man.get("identity"),
-        generated=man.get("generated", {}))
+        generated=man.get("generated", {}),
+        # same abspath re-keying as stats/rows: the cloned dirs are
+        # byte-identical, so their ANALYZE profile stays valid
+        analyze={os.path.join(src_abs, d): a
+                 for d, a in man.get("analyze", {}).items()
+                 if d in man["dirs"]})
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -2330,6 +2423,13 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
                            "dirs": per_dir})
         finally:
             hits.unpersist()
+    # ANALYZE records describe a dir's VISIBLE rows; a dir that just
+    # gained tombstones would overreport (rows/nulls/ndv of rows
+    # readers can no longer see), so its record drops — untouched
+    # dirs keep theirs (metadata_count stays exact via the dv
+    # subtraction; analyze has no per-row breakdown to subtract)
+    kept_analyze = {d: a for d, a in man.get("analyze", {}).items()
+                    if d not in per_dir}
     return _commit_manifest(
         path, version, "delete", man["dirs"],
         {"dv_rows_deleted": int(n_rows)},
@@ -2338,7 +2438,7 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         partition_by=man.get("partition_by", []), dv=dv,
         constraints=man.get("constraints", {}),
         identity=man.get("identity"),
-        analyze=man.get("analyze", {}),
+        analyze=kept_analyze,
         generated=man.get("generated", {}))
 
 

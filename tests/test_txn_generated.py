@@ -89,6 +89,36 @@ def test_clearing_and_late_declaration_over_existing_data(spark):
             txnlog.snapshot(spark, path).collect()] == [22]
 
 
+def test_late_declaration_ignores_tombstoned_rows(spark):
+    """Declaring a generated column over carried data that CONTAINS
+    the column validates only VISIBLE rows: a contradicting row
+    already killed by a deletion vector must not refuse the
+    declaration (same rule as ADD CONSTRAINT)."""
+    path = os.path.join(OUT, "t_dv_declare")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(1, 1, 2), (2, 2, 4), (3, 3, 99)],   # row 3 contradicts v*2
+        "k long, v long, v2 long")
+    txnlog.commit(df, path, "overwrite")       # no property yet
+    # without the DV, the late declaration refuses on row 3
+    with pytest.raises(txnlog.ConstraintViolation,
+                       match="generated:v2"):
+        txnlog.commit(spark.createDataFrame([(4, 4, 8)], df.schema),
+                      path, "append", generated={"v2": "v * 2"})
+    # tombstone the contradicting row; now the declaration lands
+    txnlog.delete_keys(spark, path,
+                       spark.createDataFrame([(3,)], "k long"), ["k"])
+    txnlog.commit(spark.createDataFrame([(4, 4, 8)], df.schema),
+                  path, "append", generated={"v2": "v * 2"})
+    got = {r["k"]: r["v2"] for r in
+           txnlog.snapshot(spark, path).collect()}
+    assert got == {1: 2, 2: 4, 4: 8}
+    # and the property now computes on later appends
+    txnlog.commit(_df(spark, [(5, 5)]), path, "append")
+    assert {r["k"]: r["v2"] for r in
+            txnlog.snapshot(spark, path).collect()}[5] == 10
+
+
 def test_merge_computes_on_upserts_and_validates(spark):
     path = _mk(spark, "t_merge")
     txnlog.merge_upsert(spark, path,

@@ -135,6 +135,56 @@ def test_group_grace_is_declarable_and_honored_by_settlers(spark):
     assert txnlog._read_manifest(d, 1)["group"]["grace"] == 120.0
 
 
+def test_grace_is_validated_and_bounded(spark):
+    """An unbounded (or non-positive) declared grace would let one
+    crashed writer wedge every member table forever — refused at the
+    API."""
+    a, b = _pair(spark, "t_grace_bad")
+    for bad in (float("inf"), 0.0, -5.0,
+                txnlog.GROUP_GRACE_MAX_SECONDS + 1):
+        with pytest.raises(ValueError, match="grace_seconds"):
+            txnlog.commit_group(
+                [(_df(spark, [(2, 20)]), a),
+                 (_df(spark, [(3, 30)]), b)], grace_seconds=bad)
+    # refused groups left nothing behind: both tables still commit
+    out = txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)],
+        grace_seconds=txnlog.GROUP_GRACE_MAX_SECONDS)
+    assert set(out.values()) == {1}
+
+
+def test_partial_mirror_repairs_via_sibling_marker(spark):
+    """The torn-transaction hole: commit decided, the mirror loop
+    crashed after writing only table A's marker, then the coord
+    table vanished.  Table B has a marker PATH but no marker FILE —
+    it must still read committed (the members list lets it probe A's
+    surviving marker), and a settler must REPAIR the lost coord
+    instead of aborting committed history."""
+    a, b = _pair(spark, "t_partial_mirror")
+    txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)])
+    man_b = txnlog._read_manifest(b, 1)
+    coord = man_b["group"]["coord"]
+    os.remove(man_b["group"]["marker"])   # B's own mirror never landed
+    os.remove(coord)                      # coordinator record lost
+    # B still resolves committed via A's marker from the members list
+    assert txnlog.latest_version(b) == 1
+    assert txnlog.snapshot(spark, b).count() == 2
+    # a settler past the grace REPAIRS the coord record (committed),
+    # never aborts, and the next write builds on the member
+    old = txnlog.GROUP_SETTLE_GRACE_SECONDS
+    txnlog.GROUP_SETTLE_GRACE_SECONDS = 0.0
+    try:
+        txnlog.commit(_df(spark, [(4, 40)]), b, "append")
+    finally:
+        txnlog.GROUP_SETTLE_GRACE_SECONDS = old
+    assert txnlog.latest_version(b) == 2
+    with open(coord) as fh:
+        assert json.load(fh)["committed"] is True
+    assert sorted(r["id"] for r in
+                  txnlog.snapshot(spark, b).collect()) == [1, 3, 4]
+
+
 def test_identity_redeclaration_continues_from_historical_hwm(spark):
     """Clearing an identity column and re-declaring it must continue
     above every id the column ever issued — never re-issue."""
