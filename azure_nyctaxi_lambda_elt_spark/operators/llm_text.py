@@ -177,6 +177,100 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# exact similarity join via prefix filtering (AllPairs / PPJoin family)
+
+# τ = PF_TAU_NUM / PF_TAU_DEN, kept as an integer RATIO so every
+# threshold comparison (prefix length, length filter, final Jaccard
+# test) is exact integer arithmetic on BOTH engines — ceil(0.8·n) in
+# doubles rounds the wrong way on knife-edge sizes (0.8·5 →
+# 4.000000000000000222 → ceil 5) and would silently shrink prefixes.
+PF_TAU_NUM, PF_TAU_DEN = 4, 5
+
+
+def prefix_filter_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """All pairs with word-n-gram set Jaccard ≥ τ (= 4/5) — EXACT,
+    via PREFIX FILTERING (the AllPairs/PPJoin family: Bayardo et al.
+    WWW'07, Xiao et al. WWW'08) instead of the full shingle
+    self-join: order every doc's shingles by a GLOBAL rarest-first
+    total order (document frequency, shingle-hash tiebreak); any
+    pair with J ≥ τ has intersection ≥ ⌈τ·|A|⌉, and by pigeonhole
+    its globally-rarest common shingle falls inside BOTH docs' first
+    |d| − ⌈τ·|d|⌉ + 1 shingles — so joining ONLY prefix rows has no
+    false negatives.  At τ = 0.8 the prefix is ≈20% of each doc's
+    rarest shingles, so the self-join shuffles a fifth of the rows
+    of the brute path into buckets keyed by RARE shingles (tiny
+    fan-out by construction — the frequent shingles that melt
+    reducers in the brute join sort to the suffix and never enter).
+    Candidates then verify with exact Jaccard on candidate rows only
+    (array_intersect — no per-shingle shuffle), the same
+    candidates-then-verify shape as lsh_jaccard_verified but with a
+    PROOF of recall 1.0 instead of a probabilistic bound.  The
+    length filter (τ·|A| ≤ |B| ≤ |A|/τ, integer form) prunes
+    size-incompatible pairs at candidate time.
+
+    Compare: ngram_jaccard_pairs = brute all-pairs (the quadratic
+    verifier), dedup_minhash_lsh = probabilistic candidates.  This
+    is the exact-at-scale third lane: recall-1.0 joins at high τ.
+    Reference parity target: the same dedup slice the staging lane
+    dedupes exactly (sql/batchELT/core/12_trip_clean.dedupe_load
+    .sql:1) — re-expressed for near-dup text at corpus scale."""
+    sh = doc_shingles(docs, n).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sg"))
+    dfreq = sh.groupBy("hg").agg(
+        F.count("*").cast("bigint").alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__df").asc(), F.col("hg").asc())
+    prefix_len = (
+        F.col("n_sg")
+        - F.expr(f"({PF_TAU_NUM} * n_sg + {PF_TAU_DEN - 1}) "
+                 f"div {PF_TAU_DEN}")
+        + F.lit(1))
+    ranked = (
+        sh.join(dfreq, "hg")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("__pos") <= prefix_len)
+        .select("doc_id", "hg", "n_sg"))
+    a = ranked.select(F.col("doc_id").alias("doc_i"),
+                      F.col("hg").alias("__hg"),
+                      F.col("n_sg").alias("__na"))
+    b = ranked.select(F.col("doc_id").alias("doc_j"),
+                      F.col("hg").alias("__hg"),
+                      F.col("n_sg").alias("__nb"))
+    cand = (
+        a.join(b, "__hg")
+        .where((F.col("doc_i") < F.col("doc_j"))
+               & (PF_TAU_NUM * F.col("__na")
+                  <= PF_TAU_DEN * F.col("__nb"))
+               & (PF_TAU_NUM * F.col("__nb")
+                  <= PF_TAU_DEN * F.col("__na")))
+        .select("doc_i", "doc_j").distinct())
+    # verify on HG-HASH arrays folded from the SAME checkpointed
+    # frame the candidates came from: no second tokenize pass of the
+    # corpus (tokenization dominates — see ngram_jaccard_pairs), and
+    # intersections count the identical 60-bit keys the oracle
+    # counts, so a hash collision lands on BOTH sides instead of
+    # diverging the compare (doc_shingles' stated contract)
+    sgs = sh.groupBy("doc_id").agg(F.collect_list("hg").alias("sgs"))
+    av = sgs.select(F.col("doc_id").alias("doc_i"),
+                    F.col("sgs").alias("__sa"))
+    bv = sgs.select(F.col("doc_id").alias("doc_j"),
+                    F.col("sgs").alias("__sb"))
+    inter = F.size(F.array_intersect(
+        F.col("__sa"), F.col("__sb"))).cast("bigint")
+    uni = (F.size("__sa") + F.size("__sb")).cast("bigint") - inter
+    return (
+        cand.join(av, "doc_i").join(bv, "doc_j")
+        .withColumn("__i", inter).withColumn("__u", uni)
+        .where(PF_TAU_DEN * F.col("__i") >= PF_TAU_NUM * F.col("__u"))
+        .select(
+            "doc_i", "doc_j",
+            F.round(F.col("__i").cast("double")
+                    / F.col("__u").cast("double"), 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + banded LSH
 
 N_PERMS = 12

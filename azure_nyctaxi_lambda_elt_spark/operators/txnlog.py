@@ -212,9 +212,14 @@ def latest_version(path: str) -> int | None:
     while v is not None and v >= 0:
         try:
             man = _read_manifest(path, v)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             # settled-away member manifest (a concurrent writer
-            # cleared an aborted group): keep walking down
+            # cleared an aborted group): keep walking down.  ONLY
+            # the vanished-file race walks — a manifest that still
+            # exists but fails to parse (torn write, corruption)
+            # re-raises: silently serving the PREVIOUS version as
+            # latest would have snapshot/commit operate on stale
+            # state with no error (r9 ADVICE medium)
             v -= 1
             continue
         if _group_state(man) in (None, "committed"):
@@ -231,21 +236,74 @@ def _read_manifest(path: str, version: int) -> dict:
 # -------------------------------------------- multi-table txn groups
 
 GROUP_SETTLE_GRACE_SECONDS = 60.0
+# ceiling on a DECLARED per-group grace (commit_group's
+# grace_seconds): an unbounded or non-finite value would let one
+# crashed writer wedge every member table forever — a day bounds the
+# worst-case wedge while still covering any realistic multi-table
+# data write
+GROUP_GRACE_MAX_SECONDS = 86400.0
 
 
 def _group_state(man: dict) -> str | None:
     """A manifest's transaction-group outcome: None (not a group
     member — decided by construction), 'committed', 'aborted', or
-    'pending' (coordinator record not yet published)."""
+    'pending' (no decision readable).
+
+    The coordinator record is the decision; the member's OWN
+    ``marker`` file (written under each member table's _txn/groups
+    right after a commit decision) is its durable mirror, so a
+    committed member's visibility never depends on a FOREIGN table's
+    files (r9 ADVICE medium: first-member table deleted/relocated ⇒
+    other members' committed versions read as pending and were
+    settle-aborted — silent loss of committed history).  A committed
+    marker also overrides an aborted coord: markers are only ever
+    written after a won COMMIT decision, so marker-committed with
+    coord-aborted can only mean a settler recreated a lost coord
+    file — the commit really happened."""
     g = man.get("group")
     if not g:
         return None
+    rec = None
     try:
         with open(g["coord"]) as fh:
             rec = json.load(fh)
     except (OSError, ValueError):
+        rec = None
+    if rec is not None and rec.get("committed"):
+        return "committed"
+    if _any_member_marker_committed(g):
+        # own marker OR any sibling's (the "members" list): a commit
+        # decision that crashed mid-mirror still resurrects from
+        # whichever member's marker landed
+        return "committed"
+    if rec is None:
         return "pending"
-    return "committed" if rec.get("committed") else "aborted"
+    return "aborted"
+
+
+def _any_member_marker_committed(g: dict) -> bool:
+    """Probe the group's decision mirrors — the member's own
+    ``marker`` plus every sibling's (derived from the ``members``
+    list).  Markers are written ONLY after a won COMMIT decision, so
+    one surviving marker anywhere proves the group committed, even
+    when the coordinator file (or its whole table) is gone and the
+    mirror loop crashed partway: without the sibling probe, the
+    marker-less members would read pending and eventually be
+    settle-aborted while the marker-ed ones read committed — a torn
+    multi-table transaction."""
+    paths = [g["marker"]] if g.get("marker") else []
+    gid = g.get("id", "")
+    paths += [os.path.join(_txn_dir(p), "groups",
+                           f"{gid}.decided.json")
+              for p in g.get("members", [])]
+    for mk in paths:
+        try:
+            with open(mk) as fh:
+                if json.load(fh).get("committed"):
+                    return True
+        except (OSError, ValueError):
+            continue
+    return False
 
 
 def _require_decided(path: str, v: int, man: dict) -> None:
@@ -309,13 +367,38 @@ def _settle_stale_groups(path: str) -> None:
             continue  # another settler cleared it; re-resolve
         st = _group_state(man)
         if st in (None, "committed"):
+            if st == "committed":
+                # SETTLE-REPAIR: committed-by-marker with the coord
+                # file lost (first member table deleted, crash mid-
+                # mirror) — republish the decision at the coord path
+                # so later readers converge in one read instead of
+                # probing every member's mirror
+                g = man["group"]
+                try:
+                    with open(g["coord"]) as fh:
+                        json.load(fh)
+                except (OSError, ValueError):
+                    _decide_group(g, committed=True)
             return
         if st == "pending":
             try:
                 age = time.time() - os.path.getmtime(mpath)
             except OSError:
                 continue
-            if age < GROUP_SETTLE_GRACE_SECONDS:
+            # a group declaring a longer grace (long multi-table
+            # data writes at scale) is honored by every settler —
+            # a fixed 60 s would spuriously abort any group whose
+            # later members write >60 s after the first publishes
+            # (r9 ADVICE low).  Clamp defensively: a corrupt/hostile
+            # manifest value (inf, NaN, negative) must neither wedge
+            # the table forever nor disable the freshness check
+            grace = float(man["group"].get(
+                "grace", GROUP_SETTLE_GRACE_SECONDS))
+            if not (0.0 < grace <= GROUP_GRACE_MAX_SECONDS):
+                grace = (GROUP_GRACE_MAX_SECONDS
+                         if grace > GROUP_GRACE_MAX_SECONDS
+                         else GROUP_SETTLE_GRACE_SECONDS)
+            if age < grace:
                 return
             if _decide_group(man["group"], committed=False):
                 return  # raced the owner and LOST: group committed
@@ -422,6 +505,107 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
              for c in cols}, int(row["__n"]))
 
 
+def _compute_generated(df: DataFrame,
+                       gen: dict[str, str]) -> DataFrame:
+    """GENERATED ALWAYS AS columns (Delta generated-column shape):
+    each declared column ABSENT from the frame is computed from its
+    SQL expression; columns the writer provided explicitly are left
+    in place and validated AGAINST the expression post-write (a
+    mismatch refuses the commit) — Delta's rule that explicit writes
+    are allowed only when they equal the generation expression.
+    Reference parity: the CTAS-derived night_flag / ingest_date
+    columns (sql/batchELT/core/11_trip_clean.slice_ctas.sql:1)."""
+    for c in sorted(gen):
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(gen[c]))
+    return df
+
+
+def _generated_checks(gen: dict[str, str]) -> dict[str, str]:
+    """The validation twin: one synthesized CHECK per generated
+    column — ``col <=> (expr)`` (null-safe, so an expression that
+    evaluates NULL must be stored as NULL, never free-passed) — run
+    through the SAME one-agg-job machinery as user CHECK constraints
+    (_validate_constraints), post-write over the written files."""
+    return {f"generated:{c}": f"{c} <=> ({sql})"
+            for c, sql in gen.items()}
+
+
+def _analyze_per_dir(spark: SparkSession, path: str,
+                     rel_dirs: list[str],
+                     cols: list[str]) -> dict:
+    """ANALYZE-grade per-dir column statistics over NEWLY WRITTEN
+    dirs: row count + per-column NULL count + exact NDV, computed by
+    ONE input_file_name-tagged aggregation job covering every dir
+    and column together (never a job per partition — the same shape
+    as _write_partitioned's stats restatement).  Exact NDV (hash
+    aggregate per dir) keeps the recorded stats oracle-pinnable; at
+    petabyte scale swap F.count_distinct for F.approx_count_distinct
+    here — the manifest format is unchanged.  Reference parity: the
+    post-load statistics maintenance pass
+    (sql/batchELT/mdl/load/45_postload_stats.sql:1).
+
+    Returns {rel_dir: {"rows": n, "cols": {col: {"nulls", "ndv"}}}}.
+    """
+    base = os.path.abspath(path)
+    scan = spark.read.parquet(
+        *[os.path.join(base, d) for d in rel_dirs])
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).cast("long")
+            .alias(f"__ndv_{c}"),
+        ]
+    out: dict = {}
+    for r in (scan.withColumn("__dir", _dir_col_decoded())
+              .groupBy("__dir").agg(*aggs).collect()):
+        rel = os.path.relpath(r["__dir"], base)
+        out[rel] = {
+            "rows": int(r["__n"]),
+            "cols": {c: {"nulls": int(r[f"__null_{c}"]),
+                         "ndv": int(r[f"__ndv_{c}"])} for c in cols},
+        }
+    return out
+
+
+def analyze_stats(path: str, version: int | None = None) -> list[dict]:
+    """Metadata-only readback of the per-dir ANALYZE statistics
+    recorded by ``commit(analyze_cols=...)`` — plain manifest JSON
+    reads, NO data scan and no Spark job at all (the structural
+    claim the txn_analyze_stats entry hashes): the null-count and
+    distinct-count profile of a 100 TB table answers from KBs of
+    metadata, which is what feeds join-size estimates and
+    count-distinct rewrites.  Returns one record per (dir, column):
+    {"dir", "version_born", "rows", "col", "nulls", "ndv"}, where
+    version_born is parsed from the writer-unique dir name
+    (data-v{version:08d}-...)."""
+    v = latest_version(path) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, v)
+    _require_decided(path, v, man)
+    import re as _re
+
+    out: list[dict] = []
+    for d in sorted(man.get("analyze", {})):
+        rec = man["analyze"][d]
+        # \d+ not a fixed 8-char slice: {version:08d} grows past 8
+        # digits at version >= 10^8 (the same width bug the codebook
+        # GC regex had); clones key records by ABSOLUTE source path,
+        # so search any path segment
+        m = _re.search(r"(?:^|/)data-v(\d+)-", d)
+        born = int(m.group(1)) if m else -1
+        for c in sorted(rec["cols"]):
+            s = rec["cols"][c]
+            out.append({"dir": d, "version_born": born,
+                        "rows": int(rec["rows"]), "col": c,
+                        "nulls": int(s["nulls"]),
+                        "ndv": int(s["ndv"])})
+    return out
+
+
 def _assign_identity(df: DataFrame, col: str,
                      hwm: int) -> tuple[DataFrame, int]:
     """Assign ``hwm+1 .. hwm+n`` to a new ``col`` — the distributed
@@ -467,14 +651,44 @@ def _assign_identity(df: DataFrame, col: str,
     return out, acc - 1
 
 
+def _historical_hwm(path: str, col: str) -> int:
+    """Highest high-water mark ``col`` ever reached across the
+    table's surviving manifests.  Re-declaring a previously used
+    identity column (after a '' clear, or switching columns and
+    back) must CONTINUE from it — starting over at 0 would re-issue
+    already-assigned surrogate ids, breaking the documented
+    'ids are NEVER reused' contract that restore() preserves with
+    the same monotone rule (r9 ADVICE low).  Only runs on the rare
+    re-declaration branch, never on the inherit path."""
+    try:
+        names = os.listdir(_txn_dir(path))
+    except OSError:
+        return 0
+    hwm = 0
+    for f in names:
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(_txn_dir(path), f)) as fh:
+                ident = json.load(fh).get("identity")
+        except (OSError, ValueError):
+            continue
+        if ident and ident.get("col") == col:
+            hwm = max(hwm, int(ident.get("hwm", 0)))
+    return hwm
+
+
 def _resolve_identity(pman: dict, parent: int | None,
-                      identity: str | None, mode: str) -> dict | None:
+                      identity: str | None, mode: str,
+                      path: str) -> dict | None:
     """The table's identity property for this commit: None inherits
     the parent's, a column name declares (hwm continues if the same
-    column was already declared), '' clears.  Declaring on an APPEND
-    to a table that already holds data is refused — the carried rows
-    would read back with NULL ids (Delta only allows IDENTITY at
-    table creation for the same reason); declare on an overwrite."""
+    column was already declared — including across a clear or a
+    column switch, via the manifest-history scan), '' clears.
+    Declaring on an APPEND to a table that already holds data is
+    refused — the carried rows would read back with NULL ids (Delta
+    only allows IDENTITY at table creation for the same reason);
+    declare on an overwrite."""
     pident = pman.get("identity") if parent is not None else None
     if identity is None:
         return dict(pident) if pident else None
@@ -487,7 +701,7 @@ def _resolve_identity(pman: dict, parent: int | None,
             f"cannot declare identity column '{identity}' on an "
             "append: carried rows would have no ids — declare it on "
             "an overwrite (or at table creation)")
-    return {"col": identity, "hwm": 0}
+    return {"col": identity, "hwm": _historical_hwm(path, identity)}
 
 
 def commit(df: DataFrame, path: str, mode: str = "overwrite",
@@ -497,8 +711,32 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
            partition_by: list[str] | None = None,
            constraints: dict[str, str] | None = None,
            identity: str | None = None,
-           group: dict | None = None) -> int:
+           group: dict | None = None,
+           analyze_cols: list[str] | None = None,
+           generated: dict[str, str] | None = None) -> int:
     """Atomically commit ``df`` as the next version.
+
+    ``generated`` declares GENERATED ALWAYS AS columns as a TABLE
+    PROPERTY ({col: sql_expr} — Delta generated columns; None
+    inherits the parent's, {} clears): a declared column absent from
+    ``df`` is computed from its expression before the write; a
+    column the writer provides explicitly is validated against the
+    expression post-write over the WRITTEN files (null-safe
+    equality) and a mismatch REFUSES the commit exactly like a CHECK
+    violation — the table unchanged, no version consumed.  Newly
+    declaring over existing data validates the carried dirs too
+    (rows lacking the column read NULL and refuse unless the
+    expression is NULL there).  MERGE computes absent generated
+    columns on its upserts and re-validates its rewritten dirs;
+    restore/clone/compact carry the property.
+
+    ``analyze_cols`` additionally records ANALYZE-grade per-dir
+    statistics (row count, per-column NULL count, exact NDV) in the
+    manifest for the NEW dirs — one tagged aggregation job, read
+    back without any data scan by :func:`analyze_stats`; appends
+    carry the parent's recorded dirs forward (rewrite paths — merge,
+    compact, zorder — drop the rewritten dirs' records; re-commit
+    with analyze_cols to refresh them).
 
     mode='overwrite' → the new version is exactly df's rows;
     mode='append'    → the new version is the parent's dirs + df's.
@@ -582,7 +820,13 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # inherits, an explicit dict replaces ({} clears)
     pcons = pman.get("constraints", {}) if parent is not None else {}
     cons = dict(pcons) if constraints is None else dict(constraints)
-    ident = _resolve_identity(pman, parent, identity, mode)
+    # generated columns are a TABLE PROPERTY exactly like constraints
+    pgen = pman.get("generated", {}) if parent is not None else {}
+    gen = dict(pgen) if generated is None else dict(generated)
+    provided_gen_cols = set(gen) & set(df.columns)
+    if gen:
+        df = _compute_generated(df, gen)
+    ident = _resolve_identity(pman, parent, identity, mode, path)
     if ident:
         # assignment happens BEFORE the data write so the ids are in
         # the files like any other column; the hwm advances by the
@@ -610,6 +854,11 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
                 df.sparkSession.read.parquet(data_dir), stats_cols)
             stats, rows = {name: cstats}, {name: n}
     new_dirs = list(dirs)
+    analyze: dict = {}
+    if analyze_cols:
+        analyze = _analyze_per_dir(
+            df.sparkSession, path, new_dirs,
+            sorted(set(analyze_cols)))
     bcols = sorted(set(bloom_cols or []))
     # the table schema rides in the manifest (Delta-style): snapshot
     # reads apply it explicitly, so columns added by later commits
@@ -631,6 +880,7 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         dirs = pman["dirs"] + dirs
         stats = {**pman.get("stats", {}), **stats}
         rows = {**pman.get("rows", {}), **rows}
+        analyze = {**pman.get("analyze", {}), **analyze}
         schema = _merge_schema_json(pman.get("schema"), written)
         # old dirs stay in the manifest, so their tombstones must too
         dv = pman.get("dv", [])
@@ -649,18 +899,44 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         if added and carried:
             _validate_constraints(df.sparkSession, path, carried,
                                   added, man=pman)
+    if gen:
+        # explicit writes must EQUAL the generation expression —
+        # validated from the written files through the same one-job
+        # machinery as CHECK constraints, but ONLY for columns the
+        # WRITER PROVIDED: engine-computed columns match their
+        # (deterministic) expression by construction, and re-scanning
+        # every new dir to prove it would tax the hot commit path for
+        # nothing.  A newly declared column also validates the
+        # carried dirs under the merged schema (rows lacking it read
+        # NULL and refuse unless expr is NULL), with the carried
+        # tombstones applied — invisible DV'd rows must not fail a
+        # new declaration (same rule as ADD CONSTRAINT above).
+        gprovided = {c: sql for c, sql in gen.items()
+                     if c in provided_gen_cols}
+        if gprovided:
+            _validate_constraints(df.sparkSession, path, new_dirs,
+                                  _generated_checks(gprovided),
+                                  man={"schema": schema})
+        gadded = {c: sql for c, sql in gen.items()
+                  if pgen.get(c) != sql}
+        gcarried = [d for d in dirs if d not in new_dirs]
+        if gadded and gcarried:
+            _validate_constraints(df.sparkSession, path, gcarried,
+                                  _generated_checks(gadded),
+                                  man={"schema": schema, "dv": dv})
     v = _commit_manifest(path, version, mode, dirs, meta, stats,
                          rows, bcols, schema,
                          partition_by=list(partition_by or []), dv=dv,
                          constraints=cons, identity=ident,
-                         group=group)
+                         group=group, analyze=analyze, generated=gen)
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
 
 def commit_group(writes: list[tuple[DataFrame, str]],
                  mode: str = "append",
-                 meta: dict | None = None) -> dict[str, int]:
+                 meta: dict | None = None,
+                 grace_seconds: float | None = None) -> dict[str, int]:
     """Multi-table TRANSACTION: commit one DataFrame per table such
     that readers see ALL the tables' new versions or NONE — the
     reference's sp-wrapped multi-statement batch (e.g. fact + run-log
@@ -688,13 +964,25 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     saw them; version numbers are reclaimed, data dirs left to
     vacuum).  A crashed coordinator leaves members pending: readers
     skip them, and the next writer on any member table settles the
-    group (abort) after GROUP_SETTLE_GRACE_SECONDS.
+    group (abort) after the group's grace window —
+    GROUP_SETTLE_GRACE_SECONDS by default, or ``grace_seconds`` when
+    the writer declares a longer one (member data writes that take
+    minutes at scale must not be aborted by design; the declared
+    grace rides in every member manifest so all settlers honor it).
 
-    Scale: the transaction adds two tiny JSON publishes beyond the
-    members' own commits — nothing per row, no cross-table lock, no
-    ordering constraint between the data writes (they could run in
-    parallel; members are published sequentially only to keep the
-    failure unwind simple).  Returns {table_path: version}."""
+    After a COMMIT decision the record is MIRRORED into every member
+    table's own ``_txn/groups/<gid>.decided.json``: read visibility
+    of committed history never depends on a foreign table's files
+    (first member deleted/relocated ⇒ without the mirror, the other
+    members' committed versions would read as pending and eventually
+    be settle-aborted — silent loss of durably committed history).
+
+    Scale: the transaction adds two tiny JSON publishes plus one
+    mirror write per member beyond the members' own commits —
+    nothing per row, no cross-table lock, no ordering constraint
+    between the data writes (they could run in parallel; members are
+    published sequentially only to keep the failure unwind simple).
+    Returns {table_path: version}."""
     import uuid
 
     if not writes:
@@ -708,7 +996,26 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     g = {"id": gid,
          "coord": os.path.abspath(
              os.path.join(_txn_dir(paths[0]), "groups",
-                          f"{gid}.json"))}
+                          f"{gid}.json")),
+         # every member manifest knows ALL member paths, so a reader
+         # or settler can probe every decision mirror: one surviving
+         # marker anywhere resurrects a commit whose coordinator
+         # file (or table) was lost before the mirror loop finished
+         "members": list(paths)}
+    if grace_seconds is not None:
+        gs = float(grace_seconds)
+        if not (0.0 < gs <= GROUP_GRACE_MAX_SECONDS):
+            raise ValueError(
+                f"grace_seconds must be in (0, "
+                f"{GROUP_GRACE_MAX_SECONDS}] — an unbounded grace "
+                "would let a crashed writer wedge every member "
+                "table forever")
+        g["grace"] = gs
+
+    def _marker(p: str) -> str:
+        return os.path.join(_txn_dir(p), "groups",
+                            f"{gid}.decided.json")
+
     done: dict[str, int] = {}
 
     def _unwind() -> None:
@@ -722,7 +1029,8 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     try:
         for df, path in writes:
             done[os.path.abspath(path)] = commit(
-                df, path, mode, meta=meta, group=g)
+                df, path, mode, meta=meta,
+                group={**g, "marker": _marker(path)})
     except BaseException:
         _unwind()
         raise
@@ -732,6 +1040,19 @@ def commit_group(writes: list[tuple[DataFrame, str]],
         raise TxnConflict(
             "transaction group aborted by a concurrent writer "
             "before its coordinator record landed")
+    for p in done:
+        # best-effort durable mirror (the coord record is already
+        # the decision; a member whose mirror write fails merely
+        # keeps depending on the coord file)
+        try:
+            mk = _marker(p)
+            os.makedirs(os.path.dirname(mk), exist_ok=True)
+            tmp = f"{mk}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
+            with open(tmp, "w") as fh:
+                json.dump({"id": gid, "committed": True}, fh)
+            os.replace(tmp, mk)
+        except OSError:
+            pass
     return done
 
 
@@ -900,7 +1221,9 @@ def _commit_manifest(path: str, version: int, mode: str,
                      dv: list[dict] | None = None,
                      constraints: dict[str, str] | None = None,
                      identity: dict | None = None,
-                     group: dict | None = None) -> int:
+                     group: dict | None = None,
+                     analyze: dict | None = None,
+                     generated: dict[str, str] | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -918,9 +1241,21 @@ def _commit_manifest(path: str, version: int, mode: str,
                 "constraints": constraints or {}}
         if identity:
             body["identity"] = identity
+        if analyze:
+            body["analyze"] = analyze
+        if generated:
+            body["generated"] = generated
         if group:
             body["group"] = {"id": group["id"],
                              "coord": os.path.abspath(group["coord"])}
+            if group.get("marker"):
+                body["group"]["marker"] = os.path.abspath(
+                    group["marker"])
+            if group.get("grace") is not None:
+                body["group"]["grace"] = float(group["grace"])
+            if group.get("members"):
+                body["group"]["members"] = [
+                    os.path.abspath(p) for p in group["members"]]
         if schema is not None:
             body["schema"] = schema
         json.dump(body, fh)
@@ -1101,6 +1436,14 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
             # rows an earlier DELETE tombstoned must not be
             # resurrected by the rewrite
             existing = _apply_dv(spark, path, existing, man["dv"])
+    gen = man.get("generated", {})
+    provided_gen_cols = set(gen) & set(upserts.columns)
+    if gen:
+        # upserts written without the generated columns get them
+        # computed here, BEFORE the identity split and the union —
+        # otherwise the rewrite would null-backfill them and the
+        # post-write validation below would refuse the merge
+        upserts = _compute_generated(upserts, gen)
     ident = man.get("identity")
     if ident:
         icol = ident["col"]
@@ -1186,11 +1529,27 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # SQL CHECK semantics)
         _validate_constraints(spark, path, new_names, cons,
                               man={"schema": schema})
+    gprovided = {c: sql for c, sql in gen.items()
+                 if c in provided_gen_cols}
+    if gprovided:
+        # a provided-but-mismatched generated value in the upserts
+        # refuses the whole merge, same contract as the commit path;
+        # engine-computed columns skip the scan (match by
+        # construction, same rule as commit)
+        _validate_constraints(spark, path, new_names,
+                              _generated_checks(gprovided),
+                              man={"schema": schema})
+    # ANALYZE records for SURVIVING dirs carry (their bytes are
+    # untouched); only the rewritten dirs' records drop — the
+    # documented contract on commit(analyze_cols=...)
+    kept_analyze = {d: a for d, a in man.get("analyze", {}).items()
+                    if d in dirs}
     v = _commit_manifest(path, version, "merge", dirs,
                          {"rewrote": affected}, kept_stats,
                          kept_rows, bcols, schema,
                          partition_by=pby, dv=dv,
-                         constraints=cons, identity=ident)
+                         constraints=cons, identity=ident,
+                         generated=gen, analyze=kept_analyze)
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -1313,7 +1672,8 @@ def compact(spark: SparkSession, path: str,
         {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
         man.get("schema"), partition_by=pby,
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        generated=man.get("generated", {}))
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1477,7 +1837,10 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
          "carried_buckets": len(carried)}, stats, rows, bcols,
         man.get("schema"), partition_by=man.get("partition_by", []),
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        generated=man.get("generated", {}),
+        analyze={d: a for d, a in man.get("analyze", {}).items()
+                 if d in carried})
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1512,7 +1875,9 @@ def restore(path: str, to_version: int) -> int:
         partition_by=man.get("partition_by", []),
         dv=man.get("dv", []),
         constraints=man.get("constraints", {}),
-        identity=ident)
+        identity=ident,
+        analyze=man.get("analyze", {}),
+        generated=man.get("generated", {}))
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -1554,7 +1919,13 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []),
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        generated=man.get("generated", {}),
+        # same abspath re-keying as stats/rows: the cloned dirs are
+        # byte-identical, so their ANALYZE profile stays valid
+        analyze={os.path.join(src_abs, d): a
+                 for d, a in man.get("analyze", {}).items()
+                 if d in man["dirs"]})
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -1587,8 +1958,8 @@ def describe_detail(spark: SparkSession, path: str,
     mode, data-dir / file / byte totals, the manifest-bookkept row
     count (NULL when some dir predates row recording), and the
     declared table properties (partition columns, bloom columns,
-    constraint names, identity column + high-water mark, live
-    deletion-vector stores).  Manifest JSON + file stat calls only —
+    constraint names, GENERATED ALWAYS AS column names, identity
+    column + high-water mark, live deletion-vector stores).  Manifest JSON + file stat calls only —
     never a data scan, so describing a 100 TB table costs the same
     as a 100 MB one."""
     v = latest_version(path) if version is None else version
@@ -1620,6 +1991,7 @@ def describe_detail(spark: SparkSession, path: str,
         "partition_by": list(man.get("partition_by", [])),
         "bloom_cols": list(man.get("bloom_cols", [])),
         "constraints": sorted(man.get("constraints", {})),
+        "generated_cols": sorted(man.get("generated", {})),
         "identity_col": ident.get("col"),
         "identity_hwm": ident.get("hwm"),
         "num_dv_stores": len(man.get("dv", [])),
@@ -1639,6 +2011,7 @@ def describe_detail(spark: SparkSession, path: str,
         StructField("partition_by", ArrayType(StringType())),
         StructField("bloom_cols", ArrayType(StringType())),
         StructField("constraints", ArrayType(StringType())),
+        StructField("generated_cols", ArrayType(StringType())),
         StructField("identity_col", StringType()),
         StructField("identity_hwm", LongType()),
         StructField("num_dv_stores", IntegerType()),
@@ -2050,6 +2423,13 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
                            "dirs": per_dir})
         finally:
             hits.unpersist()
+    # ANALYZE records describe a dir's VISIBLE rows; a dir that just
+    # gained tombstones would overreport (rows/nulls/ndv of rows
+    # readers can no longer see), so its record drops — untouched
+    # dirs keep theirs (metadata_count stays exact via the dv
+    # subtraction; analyze has no per-row breakdown to subtract)
+    kept_analyze = {d: a for d, a in man.get("analyze", {}).items()
+                    if d not in per_dir}
     return _commit_manifest(
         path, version, "delete", man["dirs"],
         {"dv_rows_deleted": int(n_rows)},
@@ -2057,7 +2437,9 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         man.get("bloom_cols", []), man.get("schema"),
         partition_by=man.get("partition_by", []), dv=dv,
         constraints=man.get("constraints", {}),
-        identity=man.get("identity"))
+        identity=man.get("identity"),
+        analyze=kept_analyze,
+        generated=man.get("generated", {}))
 
 
 def vacuum(path: str, keep_latest: int = 2,
@@ -2161,7 +2543,10 @@ def vacuum(path: str, keep_latest: int = 2,
         import re as _re
 
         for entry in sorted(os.listdir(cb_root)):
-            m = _re.match(r"codebook-v(\d{8})-", entry)
+            # \d+ not \d{8}: _artifact_path formats {version:08d},
+            # which grows past 8 digits at version >= 10^8 — a fixed
+            # width would leak those artifacts forever (r9 ADVICE)
+            m = _re.match(r"codebook-v(\d+)-", entry)
             if not m or int(m.group(1)) in keep_versions:
                 continue
             full = os.path.join(cb_root, entry)

@@ -1483,6 +1483,101 @@ def q_txn_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txn_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE statistics as manifest metadata (operators/txnlog.py
+    commit(analyze_cols=...) + analyze_stats): three day-range
+    commits record per-dir row count, per-column NULL count, and
+    exact NDV at commit time — one tagged aggregation job per commit,
+    the Spark ANALYZE TABLE / Delta dataSkippingStatsColumns shape of
+    the reference's post-load statistics maintenance
+    (sql/batchELT/mdl/load/45_postload_stats.sql:1).  The READBACK is
+    the structural claim: txnlog.analyze_stats answers from plain
+    manifest JSON — no data scan, no Spark job — and the result
+    frame is built with createDataFrame from that metadata, so the
+    oracle (which recomputes the same profile from raw SQL) verifies
+    the recorded stats are exactly right at any scale.  payment_type
+    carries ~33% real NULLs and rate_code_nk a small NULL tail in
+    this feed, so the null counts are non-vacuous."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnanalyze", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    acols = ["payment_type", "rate_code_nk", "vendor_code",
+             "pu_loc_id"]
+    txnlog.commit(clean.where(day <= 10), out, "overwrite",
+                  stats_cols=["ingest_date"], analyze_cols=acols)
+    txnlog.commit(clean.where((day >= 11) & (day <= 20)), out,
+                  "append", stats_cols=["ingest_date"],
+                  analyze_cols=acols)
+    txnlog.commit(clean.where(day >= 21), out, "append",
+                  stats_cols=["ingest_date"], analyze_cols=acols)
+    recs = txnlog.analyze_stats(out)   # plain JSON, no data scan
+    return spark.createDataFrame(
+        [(r["version_born"] + 1, r["col"], r["rows"], r["nulls"],
+          r["ndv"]) for r in recs],
+        "bucket long, col string, n_rows long, nulls long, ndv long")
+
+
+def q_txn_join_size_estimate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Join-size estimation FROM MANIFEST METADATA — the use case
+    the ANALYZE stats exist for (System R's |A⋈B| ≈ |A|·|B| /
+    max(ndv_A, ndv_B) on the join key, the formula every cost-based
+    optimizer starts from; the reference maintains these statistics
+    for exactly this, sql/batchELT/mdl/load/45_postload_stats.sql:1).
+    Two txn tables (user events split by half-month) commit with
+    analyze_cols on the join key; the ESTIMATE is computed purely
+    from txnlog.analyze_stats readbacks — row counts and NDVs from
+    manifest JSON, NO data scan — then compared against the true
+    join cardinality (one real aggregation).  The estimate errs
+    exactly where theory says (uniform-frequency assumption vs the
+    feed's per-user skew), and BOTH numbers are deterministic
+    integer arithmetic the oracle replays from raw SQL — so the
+    entry pins that the metadata-only estimate is bit-right, not
+    that estimation is magically exact."""
+    import os
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnjoinest", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    ev = tf.events_ts_fixed(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type")
+    t_a = os.path.join(out, "first_half")
+    t_b = os.path.join(out, "second_half")
+    txnlog.commit(ev.where(F.dayofmonth("ts") <= 15), t_a,
+                  "overwrite", analyze_cols=["user_id"])
+    txnlog.commit(ev.where(F.dayofmonth("ts") > 15), t_b,
+                  "overwrite", analyze_cols=["user_id"])
+
+    def meta(path):
+        recs = [r for r in txnlog.analyze_stats(path)
+                if r["col"] == "user_id"]
+        # single overwrite commit → one dir; rows/ndv straight from
+        # manifest JSON (metadata only — no Spark job ran here)
+        return sum(r["rows"] for r in recs), max(r["ndv"] for r in recs)
+
+    rows_a, ndv_a = meta(t_a)
+    rows_b, ndv_b = meta(t_b)
+    est = rows_a * rows_b // max(ndv_a, ndv_b)
+    actual = (txnlog.snapshot(spark, t_a).alias("a")
+              .join(txnlog.snapshot(spark, t_b).alias("b"), "user_id")
+              .count())
+    return spark.createDataFrame(
+        [(rows_a, rows_b, ndv_a, ndv_b, est, actual,
+          est / actual if actual else None)],
+        "rows_a long, rows_b long, ndv_a long, ndv_b long, "
+        "est_join_rows long, actual_join_rows long, est_ratio double")
+
+
 def q_txn_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookup on the txn table (operators/
     bloomindex.py): manifest min/max envelopes prune RANGES, but a
@@ -1848,6 +1943,71 @@ def q_txn_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("fare_amount").cast("decimal(18,2)"))
              .cast("double").alias("fare_sum"))
         .withColumn("refused_rows",
+                    F.lit(int(refused)).cast("bigint"))
+        .withColumn("n_versions",
+                    F.lit(int(n_versions)).cast("bigint")))
+
+
+def q_txn_generated_columns(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns as a transaction-log table
+    property (operators/txnlog.py commit(generated=...) — Delta
+    generated columns; the reference derives night_flag/ingest_date
+    in its CTAS, sql/batchELT/core/11_trip_clean.slice_ctas.sql:1):
+    the trip feed is committed WITHOUT is_night_ride and the engine
+    computes it — plus a new pickup_date_key (the reference's
+    YYYYMMDD key derivation, sql/batchELT/mdl/load/
+    40_fact_trip.load.sql:91) — from the declared expressions at
+    commit time; a second batch inherits the property unredeclared;
+    an EXPLICIT write whose provided values contradict the
+    expression (night flag inverted) is REFUSED post-write by the
+    same one-agg-job machinery as CHECK constraints — table
+    unchanged, no version consumed.  The hashed output rolls up over
+    the ENGINE-COMPUTED values (the oracle recomputes them from raw
+    SQL), plus the refusal evidence."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txngen", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    gen = {
+        "is_night_ride": (
+            "CASE WHEN pickup_ts_utc IS NOT NULL AND "
+            "(hour(pickup_ts_utc) >= 22 OR hour(pickup_ts_utc) <= 5) "
+            "THEN 1 ELSE 0 END"),
+        "pickup_date_key": (
+            "CAST(year(pickup_ts_utc) * 10000 + "
+            "month(pickup_ts_utc) * 100 + "
+            "day(pickup_ts_utc) AS INT)"),
+    }
+    txnlog.commit(clean.where(day <= 15).drop("is_night_ride"), out,
+                  "overwrite", generated=gen)
+    txnlog.commit(clean.where(day > 15).drop("is_night_ride"), out,
+                  "append")               # property inherited
+    # an explicit write contradicting the expression must refuse
+    bad = (clean.where(day > 15)
+           .withColumn("is_night_ride",
+                       F.lit(1) - F.col("is_night_ride")))
+    refused = 0
+    try:
+        txnlog.commit(bad, out, "append")
+    except txnlog.ConstraintViolation:
+        refused = 1
+    n_versions = txnlog.latest_version(out) + 1
+    return (
+        txnlog.snapshot(spark, out)
+        .groupBy("is_night_ride")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.count_distinct("pickup_date_key").cast("bigint")
+             .alias("n_date_keys"),
+             F.min("pickup_date_key").cast("bigint").alias("min_dk"),
+             F.max("pickup_date_key").cast("bigint").alias("max_dk"))
+        .withColumn("refused_batches",
                     F.lit(int(refused)).cast("bigint"))
         .withColumn("n_versions",
                     F.lit(int(n_versions)).cast("bigint")))
@@ -2511,6 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_time_travel": q_txn_time_travel,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
+    "txn_generated_columns": q_txn_generated_columns,
     "txn_identity_dim": q_txn_identity_dim,
     "txn_multi_table": q_txn_multi_table,
     "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
@@ -2522,6 +2683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_shallow_clone": q_txn_shallow_clone,
     "txn_cdc_merge": q_txn_cdc_merge,
     "txn_stats_pruned_read": q_txn_stats_pruned_read,
+    "txn_analyze_stats": q_txn_analyze_stats,
+    "txn_join_size_estimate": q_txn_join_size_estimate,
     "txn_bloom_pruned_read": q_txn_bloom_pruned_read,
     "txn_partitioned_prune": q_txn_partitioned_prune,
     "incremental_rollup_maintain": q_incremental_rollup_maintain,
@@ -2997,6 +3160,73 @@ ORACLES["txn_stats_pruned_read"] = with_trips("""
     GROUP BY 1
 """)
 
+# the metadata-only System-R estimate (rows_a*rows_b // max(ndv)) and
+# the true join cardinality, both replayed as integer arithmetic; the
+# ratio is the same IEEE division on both engines (hasher rounds it)
+ORACLES["txn_join_size_estimate"] = """
+    WITH ea AS (SELECT user_id FROM events
+                WHERE EXTRACT(day FROM ts) <= 15),
+    eb AS (SELECT user_id FROM events
+           WHERE EXTRACT(day FROM ts) > 15),
+    a AS (SELECT user_id, COUNT(*) AS c FROM ea GROUP BY 1),
+    b AS (SELECT user_id, COUNT(*) AS c FROM eb GROUP BY 1),
+    ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_a,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_a
+           FROM ea),
+    tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_b,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_b
+           FROM eb),
+    act AS (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+                     AS actual
+            FROM a JOIN b USING (user_id))
+    SELECT rows_a, rows_b, ndv_a, ndv_b,
+           rows_a * rows_b // GREATEST(ndv_a, ndv_b)
+             AS est_join_rows,
+           actual AS actual_join_rows,
+           CAST(rows_a * rows_b // GREATEST(ndv_a, ndv_b) AS DOUBLE)
+             / NULLIF(actual, 0) AS est_ratio
+    FROM ta, tb, act
+"""
+
+# the recorded ANALYZE stats must equal a fresh recompute of the
+# same per-bucket (rows, nulls, exact NDV) profile from raw SQL —
+# COUNT(DISTINCT c) ignores NULLs in both engines
+ORACLES["txn_analyze_stats"] = with_trips("""
+    , b AS (
+      SELECT CASE WHEN day(ingest_date) <= 10 THEN 1
+                  WHEN day(ingest_date) <= 20 THEN 2
+                  ELSE 3 END AS bucket,
+             payment_type, rate_code_nk, vendor_code, pu_loc_id
+      FROM trip_clean)
+    SELECT bucket, 'payment_type' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN payment_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nulls,
+           CAST(COUNT(DISTINCT payment_type) AS BIGINT) AS ndv
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT bucket, 'rate_code_nk',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN rate_code_nk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT rate_code_nk) AS BIGINT)
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT bucket, 'vendor_code',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN vendor_code IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT vendor_code) AS BIGINT)
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT bucket, 'pu_loc_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN pu_loc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT pu_loc_id) AS BIGINT)
+    FROM b GROUP BY 1
+""")
+
 # partitioned-commit pruning: the envelope rule replayed per
 # (month-half x vendor) dir — vendor env [v, v] (NULL dirs kept
 # conservatively), ingest_date env [min, max] within the dir; the
@@ -3142,6 +3372,27 @@ ORACLES["txn_constraint_gate"] = with_trips("""
              AS refused_rows,
            CAST(2 AS BIGINT) AS n_versions
     FROM trip_clean GROUP BY 1
+""")
+
+# the engine-computed generated columns must equal a raw-SQL
+# recompute of the same expressions; the inverted explicit write was
+# refused (1 refused batch, 2 surviving versions)
+ORACLES["txn_generated_columns"] = with_trips("""
+    , g AS (
+      SELECT is_night_ride,
+             CAST(year(pickup_ts_utc) * 10000 +
+                  month(pickup_ts_utc) * 100 +
+                  day(pickup_ts_utc) AS INT) AS pickup_date_key
+      FROM trip_clean)
+    SELECT is_night_ride,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT pickup_date_key) AS BIGINT)
+             AS n_date_keys,
+           CAST(MIN(pickup_date_key) AS BIGINT) AS min_dk,
+           CAST(MAX(pickup_date_key) AS BIGINT) AS max_dk,
+           CAST(1 AS BIGINT) AS refused_batches,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM g GROUP BY 1
 """)
 
 # the identity id SET is deterministic (1..n per phase) even though

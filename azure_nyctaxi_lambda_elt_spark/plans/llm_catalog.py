@@ -60,6 +60,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lt.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_N, JACCARD_TAU)
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact similarity JOIN at τ=0.8 via prefix filtering
+    (operators/llm_text.py prefix_filter_pairs — AllPairs/PPJoin):
+    rarest-first global shingle order, prefix-only self-join (recall
+    1.0 by pigeonhole), integer-ratio thresholds, exact verify on
+    candidates.  The oracle is the BRUTE all-pairs Jaccard — passing
+    proves the pruning dropped no qualifying pair."""
+    apply_engine_conf(spark)
+    return lt.prefix_filter_pairs(_docs(spark, sf_dir), JACCARD_N)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return lt.minhash_lsh_candidates(_docs(spark, sf_dir), JACCARD_N)
@@ -556,6 +567,25 @@ LLM_ORACLES: dict[str, str] = {
         JOIN sz sb ON sb.doc_id = doc_j
         WHERE round(CAST(n_inter AS DOUBLE)
                     / CAST(sa.n_sg + sb.n_sg - n_inter AS DOUBLE), 6) >= {JACCARD_TAU}
+    """,
+    # brute all-pairs at the SAME integer threshold — a hash match
+    # proves the prefix filter's recall-1.0 claim (no dropped pair)
+    "dedup_prefix_filter": f"""
+        WITH {_SHINGLES_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.hg = b.hg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_i, doc_j,
+               round(CAST(n_inter AS DOUBLE)
+                     / CAST(sa.n_sg + sb.n_sg - n_inter AS DOUBLE), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_i
+        JOIN sz sb ON sb.doc_id = doc_j
+        WHERE {lt.PF_TAU_DEN} * n_inter
+              >= {lt.PF_TAU_NUM} * (sa.n_sg + sb.n_sg - n_inter)
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
@@ -1471,6 +1501,7 @@ LLM_QUERIES = {
     "hard_negative_mine_ivf": q_hard_negative_mine_ivf,
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

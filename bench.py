@@ -96,6 +96,11 @@ BENCH_NEW_QUERIES = [
     "rrf_fusion_topk",
     # round-9 additions
     "streaming_group_sink",
+    # round-10 additions (prepared on the r10-txnlog-prep branch)
+    "txn_analyze_stats",
+    "txn_generated_columns",
+    "dedup_prefix_filter",
+    "txn_join_size_estimate",
 ]
 
 
