@@ -48,6 +48,28 @@ class TxnConflict(RuntimeError):
     """Another writer committed the same version first."""
 
 
+class ConcurrentModification(RuntimeError):
+    """A keyed read-modify-write (MERGE / DELETE called with
+    ``read_version=``) lost to a concurrent commit that touched the
+    same logical rows — or one whose touched set is undecidable:
+    retrying would silently overwrite the winner's change with intent
+    computed before seeing it (a lost update), so the engine refuses
+    instead (Delta's ConcurrentModificationException family).
+
+    Deliberately a SIBLING of TxnConflict, not a subclass:
+    ``commit_with_retry`` auto-retries TxnConflict (safe — every
+    operation recomputes against the new snapshot) but must surface
+    this one to the caller, who has to recompute their updates from
+    the current table state before trying again.
+
+    Isolation level: **WriteSerializable** (Delta's default) — blind
+    appends and physical-only rewrites (compact / zorder) serialize
+    before a concurrent keyed write without conflicting; keyed writes
+    against overlapping keys, table replaces (overwrite / restore),
+    and undecidable cases refuse.  The conflict matrix lives in
+    :func:`_check_write_conflict`."""
+
+
 class ConstraintViolation(ValueError):
     """A write's rows violate a declared table constraint — the
     commit is refused and the table is unchanged (Delta CHECK
@@ -928,7 +950,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
                          rows, bcols, schema,
                          partition_by=list(partition_by or []), dv=dv,
                          constraints=cons, identity=ident,
-                         group=group, analyze=analyze, generated=gen)
+                         group=group, analyze=analyze, generated=gen,
+                         op={"type": mode})
     _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
     return v
 
@@ -1223,7 +1246,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                      identity: dict | None = None,
                      group: dict | None = None,
                      analyze: dict | None = None,
-                     generated: dict[str, str] | None = None) -> int:
+                     generated: dict[str, str] | None = None,
+                     op: dict | None = None) -> int:
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -1245,6 +1269,11 @@ def _commit_manifest(path: str, version: int, mode: str,
             body["analyze"] = analyze
         if generated:
             body["generated"] = generated
+        if op:
+            # operation descriptor for the WriteSerializable conflict
+            # matrix (_check_write_conflict): type + the keyed ops'
+            # key-set fingerprint
+            body["op"] = op
         if group:
             body["group"] = {"id": group["id"],
                              "coord": os.path.abspath(group["coord"])}
@@ -1270,8 +1299,135 @@ def _commit_manifest(path: str, version: int, mode: str,
     return version
 
 
+OP_KEYS_CAP = 4096
+
+
+def _key_set_descriptor(keys: DataFrame, key_cols: list[str]) -> dict:
+    """Fingerprint of a keyed write's DISTINCT key set, recorded in
+    the manifest's ``op`` entry so a LATER writer that declared its
+    read snapshot can test key overlap against this commit from
+    metadata alone (:func:`_check_write_conflict`) — Delta records
+    per-file stats for the same adjudication; at dir-grain manifests
+    the key set itself is the sharper instrument.
+
+    Single-col keys record raw values (≤ OP_KEYS_CAP, ``_json_safe``
+    normalized so stored and live sides compare in one domain) plus a
+    [lo, hi] envelope; above the cap only the envelope survives
+    (bulk × bulk degrades to range overlap — conservative, never
+    silently wrong).  Multi-col keys record xxhash64 row hashes
+    (a collision manufactures a FALSE CONFLICT, never a missed one);
+    above the cap nothing is recorded and later overlap tests refuse
+    conservatively.  Cost: one early-stop limit probe + at most one
+    agg over the keys."""
+    kdf = keys.select(*key_cols).distinct()
+    if len(key_cols) > 1:
+        probe = kdf.select(
+            F.xxhash64(*[F.col(c) for c in key_cols]).alias("__h"))
+        sample = probe.limit(OP_KEYS_CAP + 1).collect()
+        if len(sample) > OP_KEYS_CAP:
+            return {"kind": "hash", "hashes": None}
+        return {"kind": "hash",
+                "hashes": sorted(int(r[0]) for r in sample)}
+    sample = kdf.limit(OP_KEYS_CAP + 1).collect()
+    if len(sample) <= OP_KEYS_CAP:
+        vals = [_json_safe(r[0]) for r in sample]
+        nn = [v for v in vals if v is not None]
+        return {"kind": "raw", "vals": vals,
+                "lo": min(nn) if nn else None,
+                "hi": max(nn) if nn else None}
+    k = key_cols[0]
+    row = kdf.agg(F.min(k).alias("lo"), F.max(k).alias("hi")) \
+        .collect()[0]
+    return {"kind": "raw", "vals": None,
+            "lo": _json_safe(row["lo"]), "hi": _json_safe(row["hi"])}
+
+
+def _keysets_overlap(a: dict, b: dict) -> bool:
+    """True unless descriptors ``a`` and ``b`` PROVABLY share no key;
+    anything unknown or incomparable answers True (the refuse side —
+    a false conflict costs a recompute, a missed one loses a write)."""
+    if not a or not b or a.get("kind") != b.get("kind"):
+        return True
+    if a["kind"] == "hash":
+        if a.get("hashes") is None or b.get("hashes") is None:
+            return True
+        return bool(set(a["hashes"]) & set(b["hashes"]))
+    av, bv = a.get("vals"), b.get("vals")
+    if av is not None and bv is not None:
+        return bool(set(av) & set(bv))
+    # at least one side is bulk (envelope only).  Envelopes ignore
+    # NULL keys, so a NULL anywhere is undecidable against a bulk
+    # side; an unknown envelope (all-NULL set) likewise.
+    for d in (a, b):
+        if d.get("lo") is None or d.get("hi") is None:
+            return True
+    if av is not None and any(v is None for v in av):
+        return True
+    if bv is not None and any(v is None for v in bv):
+        return True
+    try:
+        if av is not None:
+            return any(b["lo"] <= v <= b["hi"] for v in av)
+        if bv is not None:
+            return any(a["lo"] <= v <= a["hi"] for v in bv)
+        return not (a["hi"] < b["lo"] or b["hi"] < a["lo"])
+    except TypeError:
+        return True
+
+
+def _check_write_conflict(path: str, read_version: int, parent: int,
+                          key_cols: list[str], desc: dict,
+                          op_name: str) -> None:
+    """WriteSerializable conflict matrix (Delta's production
+    contract; the reference gets the equivalent from its sp-wrapped
+    MERGE's implicit table lock — sql/streaming/staging/
+    usp_upsert_trip_clean_from_slice_streaming.sql) for a keyed
+    read-modify-write that declared the snapshot its updates derive
+    from.  Every version committed in (``read_version``, ``parent``]
+    must be provably compatible:
+
+      - ``append`` / ``maintenance`` (compact, zorder): compatible —
+        blind inserts serialize before this write, physical rewrites
+        change no logical row; the recompute sees their rows either
+        way.
+      - ``merge`` / ``delete`` on the SAME key_cols with a PROVABLY
+        DISJOINT key set: compatible (concurrent disjoint-key MERGEs
+        both land).
+      - overlapping or undecidable keys, different key_cols,
+        ``replace`` (overwrite / restore / clone re-seed), or a
+        pre-op-era manifest: ConcurrentModification — retrying would
+        silently last-wins over the winner."""
+    if read_version > parent:
+        raise ValueError(
+            f"read_version {read_version} is ahead of the table "
+            f"(latest committed version is {parent})")
+    for v in range(read_version + 1, parent + 1):
+        man = _read_manifest(path, v)
+        op = man.get("op") or {}
+        typ = op.get("type") or (
+            "append" if man.get("mode") == "append" else None)
+        if typ in ("append", "maintenance"):
+            continue
+        if typ in ("merge", "delete"):
+            if op.get("key_cols") == list(key_cols) \
+                    and not _keysets_overlap(op.get("keys") or {},
+                                             desc):
+                continue
+            raise ConcurrentModification(
+                f"{op_name} on {path} derives from version "
+                f"{read_version}, but version {v} ({typ}) touched "
+                "the same (or an undecidable) key set — recompute "
+                "the updates against the current snapshot")
+        raise ConcurrentModification(
+            f"{op_name} on {path} derives from version "
+            f"{read_version}, but version {v} "
+            f"({typ or 'pre-conflict-tracking commit'}) replaced "
+            "table content — recompute against the current snapshot")
+
+
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
-                 key_cols: list[str]) -> int:
+                 key_cols: list[str],
+                 read_version: int | None = None) -> int:
     """Copy-on-write row-level MERGE (Delta MERGE WHEN MATCHED UPDATE /
     WHEN NOT MATCHED INSERT, upsert form): rewrite ONLY the data dirs
     that contain matched keys — every other committed file is carried
@@ -1285,18 +1441,31 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     this probe is a metadata query); (2) rewrite the affected dirs as
     (kept rows ANTI JOIN keys) ∪ updates into one fresh claimed dir;
     (3) commit parent_dirs − affected + [new] atomically.  Raises
-    TxnConflict like commit() if another writer lands first."""
-    return _merge_impl(spark, path, updates, updates, key_cols)
+    TxnConflict like commit() if another writer lands first.
+
+    ``read_version`` declares the snapshot the updates were computed
+    against (Delta's txn read version).  When passed, commits that
+    landed after it are checked against the WriteSerializable
+    conflict matrix (:class:`ConcurrentModification`): interleaved
+    appends / compactions rebase silently, a disjoint-key concurrent
+    MERGE/DELETE rebases too (both land), an overlapping or
+    undecidable one REFUSES instead of silently last-winning.  None
+    (the default) keeps the unchecked rebase-retry behavior for
+    writers that genuinely want latest-wins."""
+    return _merge_impl(spark, path, updates, updates, key_cols,
+                       read_version=read_version)
 
 
 def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
-                key_cols: list[str], delete_col: str) -> int:
+                key_cols: list[str], delete_col: str,
+                read_version: int | None = None) -> int:
     """Full I/U/D row-level MERGE (Delta's WHEN MATCHED DELETE branch
     added to merge_upsert's upsert form): ``changes`` rows with
     ``delete_col`` true DELETE their keys from the table, the rest
     upsert.  Same copy-on-write shape — only dirs containing touched
     keys (updated OR deleted) rewrite; a delete whose key is absent is
-    a no-op; prior versions stay time-travelable."""
+    a no-op; prior versions stay time-travelable.  ``read_version``:
+    same WriteSerializable conflict check as merge_upsert."""
     keys_src = changes.select(*key_cols).distinct()
     # NULL delete flag means NOT a delete: bare ~col(delete_col) is
     # NULL for NULL input, silently dropping the row from upserts
@@ -1305,8 +1474,12 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
         ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
     parent = latest_version(path)
     if parent is None:
+        if read_version is not None:
+            raise ValueError(
+                f"read_version {read_version} on an empty table")
         return commit(upserts, path, "overwrite")
-    return _merge_impl(spark, path, keys_src, upserts, key_cols)
+    return _merge_impl(spark, path, keys_src, upserts, key_cols,
+                       read_version=read_version)
 
 
 MERGE_BLOOM_PROBE_CAP = 4096
@@ -1376,12 +1549,16 @@ def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
 
 
 def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
-                upserts: DataFrame, key_cols: list[str]) -> int:
+                upserts: DataFrame, key_cols: list[str],
+                read_version: int | None = None) -> int:
     """Shared copy-on-write merge core: remove ``keys_src``'s keys
     from the affected dirs, land ``upserts`` in the fresh dir."""
     _settle_stale_groups(path)
     parent = latest_version(path)
     if parent is None:
+        if read_version is not None:
+            raise ValueError(
+                f"read_version {read_version} on an empty table")
         return commit(upserts, path, "overwrite")
     version = parent + 1
     if os.path.exists(_manifest_path(path, version)):
@@ -1396,6 +1573,14 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         _merge_schema_json(man["schema"], _schema_json(upserts))
     stats = man.get("stats", {})
     keys = keys_src.select(*key_cols).distinct()
+    # fingerprint the key set ONCE: recorded in the manifest so later
+    # read_version-declaring writers can adjudicate against THIS
+    # commit, and checked HERE against the commits that landed since
+    # our own declared snapshot (before any rewrite work runs)
+    op_desc = _key_set_descriptor(keys, key_cols)
+    if read_version is not None:
+        _check_write_conflict(path, read_version, parent, key_cols,
+                              op_desc, "merge")
     bkeys = F.broadcast(keys)
     candidates = _probe_candidate_dirs(
         spark, path, man, keys, key_cols, parent)
@@ -1549,7 +1734,10 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                          kept_rows, bcols, schema,
                          partition_by=pby, dv=dv,
                          constraints=cons, identity=ident,
-                         generated=gen, analyze=kept_analyze)
+                         generated=gen, analyze=kept_analyze,
+                         op={"type": "merge",
+                             "key_cols": list(key_cols),
+                             "keys": op_desc})
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
     _maintain_bloom(spark, path, v, bcols, new_names)
@@ -1673,7 +1861,10 @@ def compact(spark: SparkSession, path: str,
         man.get("schema"), partition_by=pby,
         constraints=man.get("constraints", {}),
         identity=man.get("identity"),
-        generated=man.get("generated", {}))
+        generated=man.get("generated", {}),
+        # physical-only rewrite: no logical row changes, compatible
+        # with any concurrent keyed write (conflict matrix)
+        op={"type": "maintenance"})
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1840,7 +2031,10 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
         identity=man.get("identity"),
         generated=man.get("generated", {}),
         analyze={d: a for d, a in man.get("analyze", {}).items()
-                 if d in carried})
+                 if d in carried},
+        # physical-only recluster: compatible with concurrent keyed
+        # writes (conflict matrix)
+        op={"type": "maintenance"})
     _maintain_bloom(spark, path, out, bcols, new_dirs)
     return out
 
@@ -1877,7 +2071,9 @@ def restore(path: str, to_version: int) -> int:
         constraints=man.get("constraints", {}),
         identity=ident,
         analyze=man.get("analyze", {}),
-        generated=man.get("generated", {}))
+        generated=man.get("generated", {}),
+        # content replace: a keyed write reading across this refuses
+        op={"type": "replace"})
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -1925,7 +2121,10 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         # byte-identical, so their ANALYZE profile stays valid
         analyze={os.path.join(src_abs, d): a
                  for d, a in man.get("analyze", {}).items()
-                 if d in man["dirs"]})
+                 if d in man["dirs"]},
+        # a clone's v0 seeds fresh content (replace semantics for
+        # any keyed write that somehow declared an older snapshot)
+        op={"type": "replace"})
 
 
 def metadata_count(path: str, version: int | None = None) -> int | None:
@@ -2295,7 +2494,8 @@ def _filter_dv(dv_entries: list[dict],
 
 
 def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
-                key_cols: list[str]) -> int:
+                key_cols: list[str],
+                read_version: int | None = None) -> int:
     """DELETE as a DELETION VECTOR commit (Delta DV shape): a small
     delete against a big table writes NO data dir — the keys' owning
     dirs are found with one tagged semi-join probe, the (dir, key)
@@ -2319,7 +2519,11 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
 
     Deletes bigger than DV_MAX_KEYS distinct keys must use
     merge_apply — a tombstone that big stops broadcasting, which is
-    the point of the cap.  Returns the committed version.
+    the point of the cap.  ``read_version``: same WriteSerializable
+    conflict check as merge_upsert — a commit that landed after the
+    declared snapshot and touched (or might touch) these keys raises
+    ConcurrentModification instead of silently tombstoning rows the
+    caller never saw.  Returns the committed version.
     Reference parity: the reference DELETEs through Synapse
     (sql/batchELT/core/12_trip_clean.dedupe_load.sql's key-scoped
     maintenance); a parquet lake needs the explicit tombstone layer."""
@@ -2349,6 +2553,27 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
             "tombstone must stay broadcastable); use merge_apply for "
             "bulk deletes")
     bk = spark.createDataFrame(sample, kdf.schema)
+    # key-set fingerprint for the manifest op record; single-col
+    # builds straight from the already-collected sample (no job),
+    # multi-col needs one tiny xxhash64 job over the local frame
+    if len(key_cols) == 1:
+        if len(sample) <= OP_KEYS_CAP:
+            vals = [_json_safe(r[0]) for r in sample]
+            nn = [v for v in vals if v is not None]
+            op_desc = {"kind": "raw", "vals": vals,
+                       "lo": min(nn) if nn else None,
+                       "hi": max(nn) if nn else None}
+        else:
+            nn = [_json_safe(r[0]) for r in sample
+                  if r[0] is not None]
+            op_desc = {"kind": "raw", "vals": None,
+                       "lo": min(nn) if nn else None,
+                       "hi": max(nn) if nn else None}
+    else:
+        op_desc = _key_set_descriptor(bk, key_cols)
+    if read_version is not None:
+        _check_write_conflict(path, read_version, parent, key_cols,
+                              op_desc, "delete_keys")
     candidates = _probe_candidate_dirs(
         spark, path, man, bk, key_cols, parent)
     base = os.path.abspath(path)
@@ -2439,7 +2664,9 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         constraints=man.get("constraints", {}),
         identity=man.get("identity"),
         analyze=kept_analyze,
-        generated=man.get("generated", {}))
+        generated=man.get("generated", {}),
+        op={"type": "delete", "key_cols": list(key_cols),
+            "keys": op_desc})
 
 
 def vacuum(path: str, keep_latest: int = 2,
@@ -2590,6 +2817,17 @@ def commit_with_retry(fn, max_attempts: int = 3,
     the winner's update (write skew is impossible: the recompute sees
     every committed row).  Static appends/overwrites are trivially
     retryable for the same reason.
+
+    Unchecked retry is LATEST-WINS for overlapping keyed writes: two
+    concurrent MERGEs on the same key both land, the loser's rebase
+    replacing the winner's value.  Writers that need Delta's refusal
+    contract instead pass ``read_version=`` to merge_upsert /
+    merge_apply / delete_keys: each (re)attempt then re-runs the
+    WriteSerializable conflict matrix against everything committed
+    since that snapshot, and an overlapping or undecidable
+    interleaved write raises :class:`ConcurrentModification` — which
+    this loop deliberately does NOT catch (it is not a TxnConflict):
+    the caller must recompute its updates before retrying.
 
     Each lost attempt orphans one claimed data dir; orphans are
     unreferenced by any manifest (never visible) and reclaimed by

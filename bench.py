@@ -136,6 +136,57 @@ def _calibrate(spark) -> float:
     return best
 
 
+# Fixed probe inputs for the scan-bound calibration axis: always the
+# committed sf0.1 files (NOT $SPARK_GRAFT_SF_DIR), so the probe is
+# constant work at any bench SF.
+CALIB_IO_DIR = "/root/testdata/sf0.1"
+CALIB_IO_TABLES = ["lineitem", "orders", "events", "documents",
+                   "embeddings"]
+
+
+def _calibrate_io(spark) -> float | None:
+    """Second calibration axis (r9 watch item): a FIXED scan-bound
+    probe.  `calib_sec` is a pure range→hash→agg job with no I/O, so
+    it is blind to page-cache / disk contention — in r9 the
+    parquet-scan-heavy headline cluster drifted +17–31% *normalized*
+    with provably zero code churn while CPU-bound queries sat flat.
+    This probe rides the same path those queries ride: full-file
+    parquet scans (every column decoded — xxhash64 over all columns
+    defeats pruning) over five committed sf0.1 files, min-of-3 after
+    one warm pass.  Scan-bound drift is environmental iff
+    calib_io_sec moved proportionally while calib_sec stayed flat;
+    BASELINE.md records CALIB_IO_REF and the two-axis rule."""
+    from pyspark.sql import functions as F
+    paths = [os.path.join(CALIB_IO_DIR, f"{t}.parquet")
+             for t in CALIB_IO_TABLES]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+
+    def job():
+        parts = []
+        for p in paths:
+            df = spark.read.parquet(p)
+            parts.append(df.select(
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+                .alias("h"),
+                F.count(F.lit(1)).alias("n")))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionAll(d)
+        _force(out.groupBy().agg(F.sum("h").alias("h"),
+                                 F.sum("n").alias("n")))
+
+    job()  # warm: page cache + codegen — the headline queries run
+    # warm too, so warm-scan throughput is the state to measure
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        dt = round(time.perf_counter() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def _force(df) -> None:
     """Force FULL plan execution.  count() lets Catalyst prune projected
     expressions (a map-only query would measure ~nothing); the noop sink
@@ -178,6 +229,7 @@ def main() -> None:
     # box-speed probe immediately after the headline block: same JVM,
     # same machine state the headline numbers were taken under
     calib_sec = _calibrate(spark)
+    calib_io_sec = _calibrate_io(spark)
     # new queries warm + time only now — their codegen/GC load never
     # touches the headline measurements above
     for name in BENCH_NEW_QUERIES:
@@ -217,6 +269,7 @@ def main() -> None:
                 "new_queries": new_timings,
                 "new_total": round(sum(new_timings.values()), 3),
                 "calib_sec": calib_sec,
+                "calib_io_sec": calib_io_sec,
                 "sf": sf_val,
             }
         )
