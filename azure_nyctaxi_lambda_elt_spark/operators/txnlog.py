@@ -250,9 +250,40 @@ def latest_version(path: str) -> int | None:
     return None
 
 
+class TornManifest(ValueError):
+    """A manifest's recorded content checksum does not match its
+    bytes: a torn or bit-rotted write that still parses as JSON.
+    Raised on READ — completing what the unparseable-manifest
+    re-raise starts (r9 ADVICE): a corrupt-but-parseable manifest
+    must surface as a loud refusal, never as a silently-wrong table
+    state served to snapshot/commit."""
+
+
+def _manifest_checksum(body: dict) -> str:
+    """Content checksum over the manifest body MINUS the checksum
+    field itself, computed on a canonical serialization (sorted keys,
+    minimal separators) so the verify side can recompute it from the
+    PARSED dict — json str/int/float/bool round-trip exactly, so
+    write-side and read-side canonical forms are byte-equal iff the
+    content is."""
+    import hashlib
+
+    canon = json.dumps(
+        {k: v for k, v in body.items() if k != "checksum"},
+        sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
-        return json.load(fh)
+        man = json.load(fh)
+    want = man.get("checksum")
+    if want is not None and _manifest_checksum(man) != want:
+        raise TornManifest(
+            f"manifest v{version} of {path} fails its content "
+            "checksum — torn or corrupted write; refusing to serve "
+            "it (restore an intact copy or roll the table back)")
+    return man
 
 
 # -------------------------------------------- multi-table txn groups
@@ -1248,6 +1279,8 @@ def _commit_manifest(path: str, version: int, mode: str,
                      analyze: dict | None = None,
                      generated: dict[str, str] | None = None,
                      op: dict | None = None) -> int:
+    import time
+
     os.makedirs(_txn_dir(path), exist_ok=True)
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
@@ -1257,6 +1290,10 @@ def _commit_manifest(path: str, version: int, mode: str,
            + f".tmp-{os.getpid()}-{next(_TMP_SEQ)}")
     with open(tmp, "w") as fh:
         body = {"version": version, "mode": mode, "dirs": dirs,
+                # commit wall time for AS OF TIMESTAMP resolution
+                # (version_at_timestamp); pre-r10 manifests fall back
+                # to the manifest file's mtime, Delta-style
+                "committed_at": time.time(),
                 "meta": meta or {}, "stats": stats or {},
                 "rows": rows or {},
                 "bloom_cols": bloom_cols or [],
@@ -1287,6 +1324,10 @@ def _commit_manifest(path: str, version: int, mode: str,
                     os.path.abspath(p) for p in group["members"]]
         if schema is not None:
             body["schema"] = schema
+        # content checksum LAST, over everything above: read-side
+        # recompute turns a torn-but-parseable manifest into a loud
+        # TornManifest instead of a silently-wrong version
+        body["checksum"] = _manifest_checksum(body)
         json.dump(body, fh)
     final = _manifest_path(path, version)
     try:
@@ -2039,18 +2080,28 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     return out
 
 
-def restore(path: str, to_version: int) -> int:
+def restore(path: str, to_version: int | None = None,
+            as_of_ts=None) -> int:
     """Delta ``RESTORE TABLE ... TO VERSION`` — roll the table back by
     committing a NEW version whose dirs / stats / row counts are
     exactly ``to_version``'s manifest.  Metadata-only: no data file is
     read, written, or deleted, so restoring a 100 TB table after a bad
     load is one tiny JSON commit, the bad version stays time-travelable
     for the post-mortem, and concurrent-writer safety is the same
-    test-and-set as any commit."""
+    test-and-set as any commit.
+
+    ``as_of_ts`` restores to the version live AT a wall-clock instant
+    (``RESTORE ... TO TIMESTAMP AS OF``; resolution + refusal rules
+    in :func:`version_at_timestamp`) — pass exactly one of
+    ``to_version`` / ``as_of_ts``."""
+    if (to_version is None) == (as_of_ts is None):
+        raise ValueError("pass exactly one of to_version / as_of_ts")
     _settle_stale_groups(path)
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
+    if as_of_ts is not None:
+        to_version = version_at_timestamp(path, as_of_ts)
     man = _read_manifest(path, to_version)
     _require_decided(path, to_version, man)
     # the identity high-water mark NEVER rolls back (Delta RESTORE
@@ -2335,9 +2386,72 @@ def prune_point_set(spark: SparkSession, path: str, col: str,
     return kept, all_dirs
 
 
+def commit_time(path: str, version: int) -> float:
+    """Epoch commit time of ``version``: the manifest's recorded
+    ``committed_at`` when present (r10+), else the manifest FILE's
+    modification time — the same fallback Delta uses to timestamp its
+    log entries, so pre-r10 tables stay timestamp-travelable."""
+    man = _read_manifest(path, version)
+    ts = man.get("committed_at")
+    return float(ts) if ts is not None \
+        else os.path.getmtime(_manifest_path(path, version))
+
+
+def _to_epoch(ts) -> float:
+    """Accepted AS OF forms → epoch seconds: numbers pass through,
+    ISO-8601 strings and datetime/date parse with naive values read
+    as LOCAL time (what a SQL session's unqualified literal means)."""
+    import datetime as _dt
+
+    if isinstance(ts, bool) or not isinstance(
+            ts, (int, float, str, _dt.date, _dt.datetime)):
+        raise TypeError(
+            f"unsupported AS OF timestamp type: {type(ts).__name__}")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if not isinstance(ts, _dt.datetime):  # plain date → midnight
+        ts = _dt.datetime.combine(ts, _dt.time.min)
+    return ts.timestamp()
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """``AS OF TIMESTAMP`` resolution (the form Delta and Iceberg
+    both serve, and the one a GDPR/audit consumer actually uses): the
+    LATEST version whose commit time ≤ ``ts``.  Commit times are made
+    monotone with a running max before comparing (file mtimes and
+    clock skew can invert adjacent commits; Delta applies the same
+    adjustment to its log timestamps), so a version never resolves
+    before its parent.  A timestamp EARLIER than version 0's commit
+    raises ValueError — the table did not exist yet, and serving v0
+    would fabricate history.  Accepts epoch seconds, ISO-8601
+    strings, datetime/date.  Manifest metadata only — no data scan,
+    O(versions) tiny JSON reads."""
+    epoch = _to_epoch(ts)
+    latest = latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    best, running = None, None
+    for v in range(latest + 1):
+        t = commit_time(path, v)
+        running = t if running is None else max(running, t)
+        if running <= epoch:
+            best = v
+        else:
+            break  # running max only grows — no later version fits
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} precedes version 0 of {path} "
+            f"(first commit at epoch {commit_time(path, 0)}); "
+            "there is no table state to serve")
+    return best
+
+
 def snapshot(spark: SparkSession, path: str,
              version: int | None = None,
-             prune: tuple | list | None = None) -> DataFrame:
+             prune: tuple | list | None = None,
+             as_of_ts=None) -> DataFrame:
     """Snapshot-isolated read of ``path`` at ``version`` (default:
     latest).  Reads exactly the dirs that version's manifest lists —
     concurrent commits and crashed half-writes are invisible.
@@ -2349,7 +2463,16 @@ def snapshot(spark: SparkSession, path: str,
     clustered dir is tight on SEVERAL columns at once
     (optimize_zorder).  Pruning only narrows WHICH dirs are scanned;
     callers still apply their row predicate — surviving dirs may
-    carry rows outside the range."""
+    carry rows outside the range.
+
+    ``as_of_ts`` reads the table AS OF a wall-clock instant instead
+    of a version number (``SELECT ... TIMESTAMP AS OF``; resolution
+    rules in :func:`version_at_timestamp`) — mutually exclusive with
+    ``version``."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_at_timestamp(path, as_of_ts)
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")

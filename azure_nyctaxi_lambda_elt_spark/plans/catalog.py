@@ -1845,6 +1845,71 @@ def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_txn_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (``TIMESTAMP AS OF`` — the form a
+    GDPR/audit consumer actually asks in; Delta and Iceberg both
+    serve it): replays txn_time_travel's three commits — v0 overwrite
+    (days 1-15), v1 append, v2 correction — then reads each version
+    back BY ITS COMMIT TIMESTAMP (txnlog.snapshot(as_of_ts=...),
+    resolution rules in txnlog.version_at_timestamp) and rolls up
+    identically, so content equality against the version-cut oracle
+    proves the ts→version mapping end-to-end.  Two structural pins
+    ride as columns: ``mid_resolves_prev`` (an instant strictly
+    between v1's and v2's commits serves v1 — latest-at-or-before,
+    never rounding up) and ``pre_epoch_refused`` (a timestamp before
+    v0's commit REFUSES: there is no table state to serve, the
+    fabricated-history failure mode).  Resolution is manifest
+    metadata only — no data scan, so the lookup costs the same on a
+    100 TB table.  Reference parity: the point-in-time restore reads
+    the reference's warehouse serves
+    (sql/batchELT/core/12_trip_clean.dedupe_load.sql's audited
+    rebuild); a parquet lake needs the explicit commit-time log."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnts", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    v0 = txnlog.commit(
+        clean.where(F.dayofmonth("ingest_date") <= 15), out, "overwrite")
+    v1 = txnlog.commit(
+        clean.where(F.dayofmonth("ingest_date") >= 16), out, "append")
+    corrected = clean.withColumn(
+        "fare_amount",
+        F.when(F.col("source_file_name") == "events_2024-01-05.parquet",
+               F.col("fare_amount") + F.lit(1.0))
+        .otherwise(F.col("fare_amount")))
+    v2 = txnlog.commit(corrected, out, "overwrite")
+    t1, t2 = txnlog.commit_time(out, v1), txnlog.commit_time(out, v2)
+    mid_ok = txnlog.version_at_timestamp(out, (t1 + t2) / 2.0) == v1
+    try:
+        txnlog.version_at_timestamp(
+            out, txnlog.commit_time(out, v0) - 3600.0)
+        refused = False
+    except ValueError:
+        refused = True
+    parts = []
+    for v in (v0, v1, v2):
+        snap = txnlog.snapshot(
+            spark, out, as_of_ts=txnlog.commit_time(out, v))
+        parts.append(snap.groupBy().agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+            .cast("double").alias("fare_sum"),
+            F.countDistinct("ingest_date").cast("bigint").alias("n_days"),
+        ).select("version", "n_rows", "fare_sum", "n_days"))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return (res
+            .withColumn("mid_resolves_prev", F.lit(bool(mid_ok)))
+            .withColumn("pre_epoch_refused", F.lit(bool(refused))))
+
+
 def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE as a deletion-vector commit (operators/txnlog.py
     delete_keys — the Delta DV shape): trip_clean lands as three
@@ -2669,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_group_sink": q_streaming_group_sink,
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
+    "txn_time_travel_ts": q_txn_time_travel_ts,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3494,6 +3560,35 @@ ORACLES["txn_time_travel"] = with_trips("""
       FROM trip_clean)
     SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
     SELECT * FROM v2
+""")
+
+# timestamp cut resolves to the same three versions; the two
+# structural pins (midpoint resolves backward, pre-epoch refuses)
+# must come back true
+ORACLES["txn_time_travel_ts"] = with_trips("""
+    , v0 AS (
+      SELECT CAST(0 AS INT) AS version,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS fare_sum,
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT) AS n_days
+      FROM trip_clean WHERE day(ingest_date) <= 15),
+    v1 AS (
+      SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean),
+    v2 AS (
+      SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(
+               CASE WHEN source_file_name = 'events_2024-01-05.parquet'
+                    THEN fare_amount + 1.0 ELSE fare_amount END
+               AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+      FROM trip_clean)
+    SELECT *, TRUE AS mid_resolves_prev, TRUE AS pre_epoch_refused
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
+          SELECT * FROM v2)
 """)
 
 # restore readback: v0 first half, v1 full, v2 the bad day-1 load,

@@ -228,6 +228,7 @@ def test_pre_op_era_manifest_refuses(spark, tmp_path):
     mp = txnlog._manifest_path(path, 1)
     man = json.load(open(mp))
     del man["op"]
+    del man["checksum"]  # pre-op-era manifests predate checksums too
     os.remove(mp)
     with open(mp, "w") as fh:
         json.dump(man, fh)
