@@ -1065,6 +1065,17 @@ def run_group_sink(spark: SparkSession, sf_dir: str, out_dir: str,
         .option("checkpointLocation", ckpt))
 
     fact_v = txnlog.latest_version(fact)
+    if fact_v is None:
+        # zero micro-batches (empty source feed): neither table was
+        # ever created — snapshot() would raise and `fact_v >= 0`
+        # would TypeError on None.  Return the empty rollup with the
+        # lockstep flags FALSE: "nothing committed" is not lockstep
+        # evidence (r9 ADVICE guard; the catalog feed is never empty
+        # but reuse outside it can be).
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, "
+                "value_sum double, versions_lockstep boolean, "
+                "log_totals_match boolean")
     log_v = txnlog.latest_version(runlog)
     snap = txnlog.snapshot(spark, fact)
     fact_tot = snap.agg(
@@ -1172,6 +1183,22 @@ def run_gdpr_delete_sink(spark: SparkSession, sf_dir: str,
         requests.writeStream.foreachBatch(erase)
         .option("checkpointLocation", ckpt))
     snap = txnlog.snapshot(spark, table)
+    # runtime vacuity guard (r9 ADVICE): the non-vacuity of the
+    # first-1/16 request window is data-distribution-dependent — at
+    # another scale factor the erased set could silently become
+    # empty (0==0 against the oracle, the exact r8 failure mode) or
+    # all-users (survivors 0==0).  Both counts come from manifest
+    # metadata (v0 seed rows; latest rows minus DV tombstones), so
+    # the guard costs no data scan at any scale.
+    seed_rows = txnlog.metadata_count(table, 0) or 0
+    survivors = txnlog.metadata_count(table)
+    n_erased = seed_rows - (survivors or 0)
+    if not (0 < n_erased < seed_rows):
+        raise AssertionError(
+            f"GDPR erasure window is vacuous at this scale: "
+            f"{seed_rows} seed users, {n_erased} erased — the "
+            "oracle comparison no longer discriminates; re-cut the "
+            "request window")
     # decimal accumulation: float-sum order would vary with the DV
     # anti-join's partitioning and break the hash oracle
     return snap.groupBy("last_op").agg(

@@ -135,3 +135,28 @@ def test_redelivery_is_idempotent_by_semantics(spark, feed_dir):
                                  source_dir=feed_dir, resume=True)
     assert sorted(map(tuple, again.collect())) == rows_before
     assert txnlog.snapshot(spark, table).count() == n_before
+
+
+def test_vacuous_erasure_fails_loudly(spark, feed_dir, monkeypatch):
+    """r9 ADVICE: the first-1/16 request window's non-vacuity is
+    data-distribution-dependent — if another scale factor made the
+    erased set empty (or total), the oracle comparison must FAIL
+    LOUDLY instead of silently passing 0==0.  Force the vacuous
+    readback through metadata_count and pin the AssertionError."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_gdpr_delete_sink)
+
+    real = txnlog.metadata_count
+
+    def nothing_erased(path, version=None):
+        n = real(path, 0)  # latest reads back == seed ⇒ n_erased 0
+        return n
+
+    monkeypatch.setattr(txnlog, "metadata_count", nothing_erased)
+    out = os.path.join(OUT, "sink_vacuous")
+    shutil.rmtree(out, ignore_errors=True)
+    with pytest.raises(AssertionError, match="vacuous"):
+        run_gdpr_delete_sink(spark, SF_SMOKE, out,
+                             max_files_per_trigger=1,
+                             source_dir=feed_dir)

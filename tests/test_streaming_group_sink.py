@@ -17,16 +17,22 @@ from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 
-OUT = "/tmp/spark_graft_group_sink_test"
+
+@pytest.fixture(scope="module")
+def group_sink_out(tmp_path_factory):
+    """Session-unique work root (r9 ADVICE: a fixed /tmp literal
+    collides across concurrent pytest runs — the repo's known
+    phantom-failure mode)."""
+    return str(tmp_path_factory.mktemp("group_sink"))
 
 
 @pytest.fixture(scope="module")
-def feed_dir(request):
+def feed_dir(request, group_sink_out):
     """events split into 3 time-ordered files → 3 micro-batches."""
     import pyspark.sql
 
     spark = request.getfixturevalue("spark")
-    src = os.path.join(OUT, "feed")
+    src = os.path.join(group_sink_out, "feed")
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,20 +49,20 @@ def feed_dir(request):
                          & (F.col("rn") <= (i + 1) * rows_per))
             .drop("rn").coalesce(1)
         )
-        stage = os.path.join(OUT, f"stage{i}")
+        stage = os.path.join(group_sink_out, f"stage{i}")
         part.write.mode("overwrite").parquet(stage)
         [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
         os.rename(pf, os.path.join(src, f"{i:03d}.parquet"))
     return src
 
 
-def test_lockstep_and_batch_oracle(spark, feed_dir):
+def test_lockstep_and_batch_oracle(spark, feed_dir, group_sink_out):
     from azure_nyctaxi_lambda_elt_spark.operators import txnlog
     from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
     from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
         run_group_sink)
 
-    out = os.path.join(OUT, "sink")
+    out = os.path.join(group_sink_out, "sink")
     shutil.rmtree(out, ignore_errors=True)
     res = run_group_sink(spark, SF_SMOKE, out,
                          max_files_per_trigger=1, source_dir=feed_dir)
@@ -82,6 +88,7 @@ def test_lockstep_and_batch_oracle(spark, feed_dir):
 
 
 def test_member_failure_mid_stream_advances_neither(spark, feed_dir,
+                                                    group_sink_out,
                                                     monkeypatch):
     """Batch 1's run-log member commit blows up mid-group: the fact
     member manifest already published for that group must be unwound
@@ -92,7 +99,7 @@ def test_member_failure_mid_stream_advances_neither(spark, feed_dir,
     from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
         run_group_sink)
 
-    out = os.path.join(OUT, "sink_fail")
+    out = os.path.join(group_sink_out, "sink_fail")
     shutil.rmtree(out, ignore_errors=True)
     runlog = os.path.join(out, "runlog")
 
@@ -132,3 +139,20 @@ def test_member_failure_mid_stream_advances_neither(spark, feed_dir,
     assert txnlog.latest_version(runlog) == 2
     assert sorted(r["batch_id"] for r in
                   txnlog.snapshot(spark, runlog).collect()) == [0, 1, 2]
+
+
+def test_empty_feed_returns_empty_rollup(spark, group_sink_out):
+    """Zero micro-batches (r9 ADVICE): no table is ever created —
+    the sink must return the empty rollup with the lockstep flags'
+    schema instead of TypeError-ing on a None version."""
+    from azure_nyctaxi_lambda_elt_spark.streaming.lane import (
+        run_group_sink)
+
+    empty = os.path.join(group_sink_out, "empty_feed")
+    os.makedirs(empty, exist_ok=True)
+    out = os.path.join(group_sink_out, "sink_empty")
+    res = run_group_sink(spark, SF_SMOKE, out, source_dir=empty)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "event_type", "n_events", "value_sum",
+        "versions_lockstep", "log_totals_match"]
