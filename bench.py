@@ -101,6 +101,7 @@ BENCH_NEW_QUERIES = [
     "txn_generated_columns",
     "dedup_prefix_filter",
     "txn_join_size_estimate",
+    "txn_time_travel_ts",
 ]
 
 
@@ -167,8 +168,10 @@ def _calibrate_io(spark) -> float | None:
         for p in paths:
             df = spark.read.parquet(p)
             parts.append(df.select(
-                F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
-                .alias("h"),
+                # decimal accumulator: ANSI mode makes a long SUM of
+                # full-range xxhash64 values overflow loudly
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
+                      .cast("decimal(38,0)")).alias("h"),
                 F.count(F.lit(1)).alias("n")))
         out = parts[0]
         for d in parts[1:]:
