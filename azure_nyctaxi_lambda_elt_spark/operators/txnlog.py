@@ -2201,6 +2201,55 @@ def metadata_count(path: str, version: int | None = None) -> int | None:
     return sum(rows[d] for d in man["dirs"]) - deleted
 
 
+def history(spark: SparkSession, path: str,
+            limit: int | None = None) -> DataFrame:
+    """``DESCRIBE HISTORY`` analog (Delta's table-history view, the
+    audit surface the reference reads from its warehouse's load-run
+    log — sql/batchELT/obs/70_obs_run_log.sql): one row per committed
+    version, newest first, from MANIFEST METADATA ALONE — version,
+    commit epoch, operation (the conflict-matrix op descriptor's
+    type; pre-op-era manifests fall back to mode), mode, dir count,
+    visible rows (metadata_count: exact, DV-aware), live DV stores,
+    and the transaction-group id for group members.  O(versions)
+    tiny JSON reads, no data scan — describing a 100 TB table's
+    history costs the same as a 100 MB one.  ``limit`` keeps only
+    the newest N versions."""
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StringType, StructField,
+                                   StructType)
+
+    latest = latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    lo = 0 if limit is None else max(0, latest + 1 - limit)
+    rows = []
+    for v in range(latest, lo - 1, -1):
+        man = _read_manifest(path, v)
+        op = man.get("op") or {}
+        g = man.get("group") or {}
+        rows.append({
+            "version": v,
+            "committed_at": commit_time(path, v),
+            "operation": op.get("type") or man.get("mode"),
+            "mode": man.get("mode"),
+            "n_dirs": len(man["dirs"]),
+            "rows_visible": metadata_count(path, v),
+            "dv_stores": len(man.get("dv", [])),
+            "group_id": g.get("id"),
+        })
+    schema = StructType([
+        StructField("version", IntegerType()),
+        StructField("committed_at", DoubleType()),
+        StructField("operation", StringType()),
+        StructField("mode", StringType()),
+        StructField("n_dirs", IntegerType()),
+        StructField("rows_visible", LongType()),
+        StructField("dv_stores", IntegerType()),
+        StructField("group_id", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def describe_detail(spark: SparkSession, path: str,
                     version: int | None = None) -> DataFrame:
     """Delta ``DESCRIBE DETAIL`` analog: ONE metadata-only row about

@@ -1910,6 +1910,54 @@ def q_txn_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("pre_epoch_refused", F.lit(bool(refused))))
 
 
+def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY readback (operators/txnlog.py history() —
+    Delta's table-history audit view; reference parity: the load-run
+    log the reference's ops queries read,
+    sql/batchELT/obs/70_obs_run_log.sql): five commits exercising
+    every operation class — v0 overwrite (days 1-15), v1 append
+    (days 16+), v2 copy-on-write MERGE (+1.00 on trip_uid % 101 = 7
+    fares), v3 deletion-vector DELETE (trip_uid % 103 = 11), v4
+    OPTIMIZE compact — then history() projected to its deterministic
+    columns.  The operation labels come from the conflict-matrix op
+    descriptors recorded at commit, rows_visible from the exact
+    DV-aware metadata counts, dv_stores shows the tombstone store
+    appearing at v3 and materializing away at v4 — all answered from
+    manifest metadata alone (no data scan at any table size), which
+    the SQL oracle replays as literal arithmetic over trip_clean."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnhist", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    # stats_cols makes every commit record per-dir row counts, which
+    # is what keeps rows_visible metadata-exact through MERGE/DV/
+    # compact (and gives the keyed ops their envelope pruning)
+    kw = dict(stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day <= 15), out, "overwrite", **kw)
+    txnlog.commit(clean.where(day >= 16), out, "append", **kw)
+    updates = (clean.where(F.col("trip_uid") % 101 == 7)
+               .withColumn("fare_amount",
+                           F.col("fare_amount") + F.lit(1.0)))
+    txnlog.merge_upsert(spark, out, updates, ["trip_uid"])
+    txnlog.delete_keys(
+        spark, out,
+        clean.where(F.col("trip_uid") % 103 == 11).select("trip_uid"),
+        ["trip_uid"])
+    txnlog.compact(spark, out)
+    return (txnlog.history(spark, out)
+            .select("version", "operation", "mode",
+                    F.col("rows_visible").cast("bigint")
+                    .alias("rows_visible"),
+                    F.col("dv_stores").cast("bigint")
+                    .alias("dv_stores")))
+
+
 def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE as a deletion-vector commit (operators/txnlog.py
     delete_keys — the Delta DV shape): trip_clean lands as three
@@ -2735,6 +2783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_data_audit": q_late_data_audit,
     "txn_time_travel": q_txn_time_travel,
     "txn_time_travel_ts": q_txn_time_travel_ts,
+    "txn_history": q_txn_history,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3589,6 +3638,33 @@ ORACLES["txn_time_travel_ts"] = with_trips("""
     SELECT *, TRUE AS mid_resolves_prev, TRUE AS pre_epoch_refused
     FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
           SELECT * FROM v2)
+""")
+
+# DESCRIBE HISTORY readback: operation labels from the op
+# descriptors, exact DV-aware row counts, the tombstone store
+# appearing at the delete and materializing away at the compact —
+# replayed as literal arithmetic over trip_clean
+ORACLES["txn_history"] = with_trips("""
+    , n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trip_clean),
+    n_head AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trip_clean
+               WHERE day(ingest_date) <= 15),
+    n_kept AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trip_clean
+               WHERE trip_uid % 103 <> 11)
+    SELECT CAST(4 AS INT) AS version, 'maintenance' AS operation,
+           'overwrite' AS mode, (SELECT n FROM n_kept) AS rows_visible,
+           CAST(0 AS BIGINT) AS dv_stores
+    UNION ALL
+    SELECT CAST(3 AS INT), 'delete', 'delete',
+           (SELECT n FROM n_kept), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT CAST(2 AS INT), 'merge', 'merge',
+           (SELECT n FROM n_all), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT CAST(1 AS INT), 'append', 'append',
+           (SELECT n FROM n_all), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT CAST(0 AS INT), 'overwrite', 'overwrite',
+           (SELECT n FROM n_head), CAST(0 AS BIGINT)
 """)
 
 # restore readback: v0 first half, v1 full, v2 the bad day-1 load,

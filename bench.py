@@ -102,6 +102,7 @@ BENCH_NEW_QUERIES = [
     "dedup_prefix_filter",
     "txn_join_size_estimate",
     "txn_time_travel_ts",
+    "txn_history",
 ]
 
 
