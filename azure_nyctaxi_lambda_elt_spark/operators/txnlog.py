@@ -1785,12 +1785,22 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     return v
 
 
-def change_feed(spark: SparkSession, path: str, from_version: int,
-                to_version: int, key_cols: list[str]) -> DataFrame:
+def change_feed(spark: SparkSession, path: str,
+                from_version: int | None = None,
+                to_version: int | None = None,
+                key_cols: list[str] | None = None,
+                from_ts=None, to_ts=None) -> DataFrame:
     """Change-data-feed between two committed versions (Delta CDF /
     `table_changes` analog): every row delta classified as
     ``insert`` / ``delete`` / ``update_preimage`` /
     ``update_postimage`` in a ``_change_type`` column.
+
+    Each endpoint can be given as a version number OR a wall-clock
+    instant (``from_ts`` / ``to_ts`` — Delta's
+    ``table_changes(..., startingTimestamp, endingTimestamp)``),
+    resolved through :func:`version_at_timestamp` (latest version at
+    or before the instant; pre-epoch refuses).  Pass exactly one
+    form per endpoint.
 
     Scale: data dirs carried UNCHANGED between the two manifests are
     skipped entirely — immutability means a dir present in both
@@ -1800,6 +1810,17 @@ def change_feed(spark: SparkSession, path: str, from_version: int,
     full-row exceptAlls over those dirs; rows whose key appears on
     both sides are update pre/post images, the rest are
     inserts/deletes."""
+    if key_cols is None:
+        raise TypeError("change_feed requires key_cols")
+    if (from_version is None) == (from_ts is None):
+        raise ValueError(
+            "pass exactly one of from_version / from_ts")
+    if (to_version is None) == (to_ts is None):
+        raise ValueError("pass exactly one of to_version / to_ts")
+    if from_ts is not None:
+        from_version = version_at_timestamp(path, from_ts)
+    if to_ts is not None:
+        to_version = version_at_timestamp(path, to_ts)
     man_a = _read_manifest(path, from_version)
     man_b = _read_manifest(path, to_version)
     _require_decided(path, from_version, man_a)

@@ -119,3 +119,19 @@ def test_bad_timestamp_types(spark, tmp_path):
 
     iso = dt.datetime.now().isoformat()
     assert txnlog.version_at_timestamp(path, iso) == 2
+
+
+def test_change_feed_by_timestamp(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _three_versions(spark, path)
+    # v0 → v1 was an append of (2, 20): the ts-cut feed sees it
+    feed = txnlog.change_feed(spark, path, key_cols=["id"],
+                              from_ts=t[0], to_ts=(t[1] + t[2]) / 2)
+    got = {(r["id"], r["v"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(2, 20, "insert")}
+    # endpoint forms are mutually exclusive per endpoint
+    with pytest.raises(ValueError):
+        txnlog.change_feed(spark, path, from_version=0, from_ts=t[0],
+                           to_version=1, key_cols=["id"])
+    with pytest.raises(ValueError):
+        txnlog.change_feed(spark, path, from_version=0, key_cols=["id"])
