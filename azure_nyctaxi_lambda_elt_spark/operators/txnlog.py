@@ -2863,7 +2863,8 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
 
 
 def vacuum(path: str, keep_latest: int = 2,
-           grace_seconds: float = 3600.0) -> list[str]:
+           grace_seconds: float = 3600.0,
+           dry_run: bool = False) -> list[str]:
     """Drop data dirs unreachable from the ``keep_latest`` newest
     manifests (and the older manifests themselves) — Delta VACUUM.
     Returns the removed dir names.
@@ -2874,7 +2875,12 @@ def vacuum(path: str, keep_latest: int = 2,
     would delete the data that writer is about to publish.  Dirs whose
     mtime is within the grace window are skipped (Delta's VACUUM
     retention check plays the same role).  Pass ``grace_seconds=0``
-    only when no writer can be concurrent."""
+    only when no writer can be concurrent.
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) reports exactly
+    what a real run would reclaim — same walks, same grace checks —
+    WITHOUT deleting anything: audit the blast radius first, then
+    run for real."""
     import time
 
     latest = latest_version(path)
@@ -2898,7 +2904,8 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue  # stray data-v*-named FILE is not ours to GC
             if now - os.path.getmtime(full) < grace_seconds:
                 continue  # possibly an in-flight writer's claim
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed.append(entry)
     # leaf-grain GC: a partitioned MERGE (or zorder) rewrites SOME
     # leaves of a claimed dir — the replaced leaf becomes unreachable
@@ -2930,12 +2937,13 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue
             if now - mtime < grace_seconds:
                 continue
-            shutil.rmtree(root)
+            if not dry_run:
+                shutil.rmtree(root)
             removed.append(rel)
     for v in range(latest + 1):
         if v not in keep_versions:
             m = _manifest_path(path, v)
-            if os.path.exists(m):
+            if os.path.exists(m) and not dry_run:
                 os.remove(m)
     # GC deletion-vector stores no kept manifest references (same
     # grace rule: a store written by an in-flight delete_keys whose
@@ -2950,7 +2958,8 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue
             if now - os.path.getmtime(full) < grace_seconds:
                 continue
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed.append(f"_txn/dv/{entry}")
     # GC per-table ANN codebook artifacts (operators/clustering.py
     # fit_centroids_txn stores them under _txn/codebooks named
@@ -2974,7 +2983,8 @@ def vacuum(path: str, keep_latest: int = 2,
                 continue
             if now - os.path.getmtime(full) < grace_seconds:
                 continue
-            os.unlink(full)
+            if not dry_run:
+                os.unlink(full)
             removed.append(f"_txn/codebooks/{entry}")
     # GC bloom sidecars of the dropped dirs (operators/bloomindex.py
     # names them <quote(dirname)>.<col>.json under _txn/bloom) — a
@@ -2982,7 +2992,7 @@ def vacuum(path: str, keep_latest: int = 2,
     # CLONE's source-referencing dirs encode absolute paths and are
     # untouched by the clone's own dir removals
     bloom_root = os.path.join(_txn_dir(path), "bloom")
-    if removed and os.path.isdir(bloom_root):
+    if removed and not dry_run and os.path.isdir(bloom_root):
         prefixes = tuple(
             urllib.parse.quote(name, safe="") + sep
             for name in removed

@@ -1958,6 +1958,59 @@ def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dv_stores")))
 
 
+def q_txn_vacuum_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM DRY RUN (operators/txnlog.py vacuum(dry_run=True) —
+    Delta's audit-before-reclaim form): v0 overwrite (days 1-15) +
+    v1 append (days 16+) + v2 OPTIMIZE compact leave the two
+    pre-compact dirs unreachable from the kept head; the dry run
+    must REPORT exactly those two dirs while deleting nothing (the
+    full snapshot still reads), and the real vacuum must then
+    reclaim exactly the reported set — the structural claims ride as
+    columns (n_dry, dry_equals_real, intact_after_dry) over the
+    post-vacuum per-date rollup, which equals the plain trip_clean
+    rollup because vacuum never touches reachable data.  At 100 TB
+    the dry run costs a directory listing + manifest reads — no data
+    scan — which is why the audit can run before every real
+    reclaim.  Reference parity: the retention checks around the
+    reference's partition-rebuild maintenance
+    (sql/batchELT/core/12_trip_clean.dedupe_load.sql:1)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnvdr", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    txnlog.commit(clean.where(day >= 16), out, "append")
+    txnlog.compact(spark, out)
+    dry = sorted(txnlog.vacuum(out, keep_latest=1, grace_seconds=0,
+                               dry_run=True))
+    # nothing deleted: every version's manifest and the full snapshot
+    # still read after the dry run
+    intact = bool(
+        txnlog.latest_version(out) == 2
+        # the PRE-compact version still reads: its manifest and its
+        # (reported-as-dead) data dirs are all untouched by the dry
+        # run — the whole point of the audit form
+        and txnlog.snapshot(spark, out, version=1).limit(1)
+        .count() == 1
+        and txnlog.snapshot(spark, out).limit(1).count() == 1)
+    real = sorted(txnlog.vacuum(out, keep_latest=1, grace_seconds=0))
+    return (
+        txnlog.snapshot(spark, out)
+        .groupBy("ingest_date")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+             .cast("double").alias("fare_sum"))
+        .withColumn("n_dry", F.lit(len(dry)).cast("bigint"))
+        .withColumn("dry_equals_real", F.lit(bool(dry == real)))
+        .withColumn("intact_after_dry", F.lit(intact)))
+
+
 def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE as a deletion-vector commit (operators/txnlog.py
     delete_keys — the Delta DV shape): trip_clean lands as three
@@ -2784,6 +2837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_time_travel": q_txn_time_travel,
     "txn_time_travel_ts": q_txn_time_travel_ts,
     "txn_history": q_txn_history,
+    "txn_vacuum_dry_run": q_txn_vacuum_dry_run,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3665,6 +3719,21 @@ ORACLES["txn_history"] = with_trips("""
     UNION ALL
     SELECT CAST(0 AS INT), 'overwrite', 'overwrite',
            (SELECT n FROM n_head), CAST(0 AS BIGINT)
+""")
+
+# vacuum dry run: the two pre-compact dirs are the reported set,
+# nothing is deleted until the real run, and the final per-date
+# rollup is the untouched trip_clean rollup
+ORACLES["txn_vacuum_dry_run"] = with_trips("""
+    SELECT ingest_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(2 AS BIGINT) AS n_dry,
+           TRUE AS dry_equals_real,
+           TRUE AS intact_after_dry
+    FROM trip_clean
+    GROUP BY ingest_date
 """)
 
 # restore readback: v0 first half, v1 full, v2 the bad day-1 load,

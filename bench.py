@@ -103,6 +103,7 @@ BENCH_NEW_QUERIES = [
     "txn_join_size_estimate",
     "txn_time_travel_ts",
     "txn_history",
+    "txn_vacuum_dry_run",
 ]
 
 

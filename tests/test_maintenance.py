@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -54,3 +56,31 @@ def test_compaction_reduces_files_preserves_rows(spark):
     srows = stats.collect()
     assert all(r["n_files"] == 1 and r["total_bytes"] > 0 for r in srows)
     assert sum(r["n_rows"] for r in srows) == n0
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """Delta VACUUM DRY RUN parity: the dry run returns exactly the
+    set a real run would reclaim — same walks, same grace — while
+    deleting nothing (old versions still read)."""
+    from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(1, 6)],
+                               "id long, v long")
+    txnlog.commit(df, path, "overwrite")
+    txnlog.commit(df.selectExpr("id + 10 AS id", "v"), path, "append")
+    txnlog.compact(spark, path)
+    dry = sorted(txnlog.vacuum(path, keep_latest=1, grace_seconds=0,
+                               dry_run=True))
+    assert len(dry) == 2  # the two pre-compact dirs
+    # nothing deleted: v0 and v1 still read in full
+    assert txnlog.snapshot(spark, path, version=0).count() == 5
+    assert txnlog.snapshot(spark, path, version=1).count() == 10
+    # grace keeps everything when the window is wide — both modes
+    assert txnlog.vacuum(path, keep_latest=1, grace_seconds=1e9,
+                         dry_run=True) == []
+    real = sorted(txnlog.vacuum(path, keep_latest=1, grace_seconds=0))
+    assert real == dry
+    with pytest.raises(FileNotFoundError):
+        txnlog.snapshot(spark, path, version=0).count()
+    assert txnlog.snapshot(spark, path).count() == 10
