@@ -766,7 +766,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
            identity: str | None = None,
            group: dict | None = None,
            analyze_cols: list[str] | None = None,
-           generated: dict[str, str] | None = None) -> int:
+           generated: dict[str, str] | None = None,
+           read_version: int | None = None) -> int:
     """Atomically commit ``df`` as the next version.
 
     ``generated`` declares GENERATED ALWAYS AS columns as a TABLE
@@ -853,6 +854,12 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     transaction group (use :func:`commit_group`, which supplies it):
     the published manifest stays INVISIBLE to every reader until the
     group's coordinator record decides committed.
+    ``read_version`` declares the snapshot this write derives from
+    (same contract as merge_upsert's): a declared OVERWRITE refuses
+    (ConcurrentModification) when ANY commit landed after it —
+    publishing would silently discard that write — while a declared
+    APPEND, which reads nothing, refuses only table REPLACES and
+    serializes freely past appends / keyed writes / maintenance.
     Returns the committed version number.  Raises TxnConflict if a
     concurrent writer committed the same version first (retry against
     the new parent, Delta-style)."""
@@ -861,6 +868,14 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     version = 0 if parent is None else parent + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
+    if read_version is not None:
+        # declared-snapshot writer: run the full-table conflict rule
+        # (overwrite conflicts with everything after read_version;
+        # append only with replaces) BEFORE any work
+        if parent is None:
+            raise ValueError(
+                f"read_version {read_version} on an empty table")
+        _check_commit_conflict(path, read_version, parent, mode)
     pman = _read_manifest(path, parent) if parent is not None else {}
     # partition_by is a TABLE PROPERTY like bloom_cols: declared once
     # at table creation, every later commit (append OR overwrite)
@@ -1462,6 +1477,41 @@ def _check_write_conflict(path: str, read_version: int, parent: int,
         raise ConcurrentModification(
             f"{op_name} on {path} derives from version "
             f"{read_version}, but version {v} "
+            f"({typ or 'pre-conflict-tracking commit'}) replaced "
+            "table content — recompute against the current snapshot")
+
+
+def _check_commit_conflict(path: str, read_version: int, parent: int,
+                           mode: str) -> None:
+    """Conflict rule for DECLARED-SNAPSHOT full-table writers
+    (``commit(read_version=)``): an OVERWRITE derived from version R
+    replaces the whole table, so ANY commit after R invalidates it —
+    publishing would silently discard the interleaved write (Delta:
+    overwrite conflicts with everything).  A declared-snapshot APPEND
+    reads nothing, so only a table REPLACE (overwrite / restore)
+    after R invalidates it; keyed writes, other appends, and
+    physical maintenance serialize before it (WriteSerializable)."""
+    if read_version > parent:
+        raise ValueError(
+            f"read_version {read_version} is ahead of the table "
+            f"(latest committed version is {parent})")
+    for v in range(read_version + 1, parent + 1):
+        man = _read_manifest(path, v)
+        op = man.get("op") or {}
+        typ = op.get("type") or (
+            "append" if man.get("mode") == "append" else None)
+        if mode == "overwrite":
+            raise ConcurrentModification(
+                f"overwrite of {path} derives from version "
+                f"{read_version}, but version {v} "
+                f"({typ or 'pre-conflict-tracking commit'}) landed "
+                "after it — publishing would discard that write; "
+                "recompute against the current snapshot")
+        if typ in ("append", "maintenance", "merge", "delete"):
+            continue
+        raise ConcurrentModification(
+            f"append to {path} derives from version {read_version}, "
+            f"but version {v} "
             f"({typ or 'pre-conflict-tracking commit'}) replaced "
             "table content — recompute against the current snapshot")
 
@@ -2245,7 +2295,11 @@ def history(spark: SparkSession, path: str,
     lo = 0 if limit is None else max(0, latest + 1 - limit)
     rows = []
     for v in range(latest, lo - 1, -1):
-        man = _read_manifest(path, v)
+        try:
+            man = _read_manifest(path, v)
+        except FileNotFoundError:
+            continue  # vacuumed-away version: not part of the
+            # retained history (Delta's history stops there too)
         op = man.get("op") or {}
         g = man.get("group") or {}
         rows.append({
@@ -2502,9 +2556,17 @@ def version_at_timestamp(path: str, ts) -> int:
     latest = latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no committed version under {path}")
-    best, running = None, None
+    best, running, earliest = None, None, None
     for v in range(latest + 1):
-        t = commit_time(path, v)
+        try:
+            t = commit_time(path, v)
+        except FileNotFoundError:
+            # vacuumed-away manifest: that version's state is no
+            # longer servable — resolution starts at the earliest
+            # RETAINED version (Delta can't time-travel past its
+            # retention either)
+            continue
+        earliest = v if earliest is None else earliest
         running = t if running is None else max(running, t)
         if running <= epoch:
             best = v
@@ -2512,9 +2574,10 @@ def version_at_timestamp(path: str, ts) -> int:
             break  # running max only grows — no later version fits
     if best is None:
         raise ValueError(
-            f"timestamp {ts!r} precedes version 0 of {path} "
-            f"(first commit at epoch {commit_time(path, 0)}); "
-            "there is no table state to serve")
+            f"timestamp {ts!r} precedes the retained history of "
+            f"{path} (earliest retained version {earliest}, "
+            f"committed at epoch {commit_time(path, earliest)}); "
+            "there is no servable table state that old")
     return best
 
 

@@ -243,3 +243,36 @@ def test_pre_op_era_manifest_refuses(spark, tmp_path):
     v = txnlog.merge_upsert(spark, path, _df(spark, [(1, 100)]),
                             ["id"], read_version=rv)
     assert v == 2
+
+
+def test_declared_overwrite_conflicts_with_anything(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)
+    txnlog.commit(_df(spark, [(11, 110)]), path, "append")
+    with pytest.raises(ConcurrentModification):
+        txnlog.commit(_df(spark, [(1, 1)]), path, "overwrite",
+                      read_version=rv)
+    # undeclared overwrite keeps the unchecked semantics
+    v = txnlog.commit(_df(spark, [(1, 1)]), path, "overwrite")
+    assert v == 2
+
+
+def test_declared_append_only_refuses_replaces(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)
+    txnlog.merge_upsert(spark, path, _df(spark, [(2, 22)]), ["id"])
+    txnlog.commit(_df(spark, [(11, 110)]), path, "append")
+    txnlog.compact(spark, path)
+    # keyed write + append + maintenance all serialize before it
+    v = txnlog.commit(_df(spark, [(12, 120)]), path, "append",
+                      read_version=rv)
+    assert v == 4
+    # ...but a replace after the declared snapshot refuses
+    txnlog.restore(path, 0)
+    with pytest.raises(ConcurrentModification):
+        txnlog.commit(_df(spark, [(13, 130)]), path, "append",
+                      read_version=4)
+    with pytest.raises(ValueError):
+        txnlog.commit(_df(spark, [(1, 1)]),
+                      str(tmp_path / "empty"), "overwrite",
+                      read_version=0)

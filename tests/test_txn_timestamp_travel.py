@@ -43,7 +43,7 @@ def test_resolution_latest_at_or_before(spark, tmp_path):
 def test_pre_epoch_refuses(spark, tmp_path):
     path = str(tmp_path / "t")
     t = _three_versions(spark, path)
-    with pytest.raises(ValueError, match="precedes version 0"):
+    with pytest.raises(ValueError, match="precedes the retained"):
         txnlog.version_at_timestamp(path, t[0] - 1.0)
     with pytest.raises(ValueError):
         txnlog.snapshot(spark, path, as_of_ts=t[0] - 1.0)
@@ -135,3 +135,24 @@ def test_change_feed_by_timestamp(spark, tmp_path):
                            to_version=1, key_cols=["id"])
     with pytest.raises(ValueError):
         txnlog.change_feed(spark, path, from_version=0, key_cols=["id"])
+
+
+def test_vacuumed_history_resolves_from_earliest_retained(spark,
+                                                          tmp_path):
+    """A vacuumed table loses its oldest manifests: timestamp
+    resolution and history() must serve the RETAINED range instead
+    of crashing on the missing files, and a timestamp older than the
+    earliest retained commit refuses with the retention message."""
+    path = str(tmp_path / "t")
+    t = _three_versions(spark, path)
+    txnlog.vacuum(path, keep_latest=2, grace_seconds=0)
+    assert not os.path.exists(txnlog._manifest_path(path, 0))
+    assert txnlog.version_at_timestamp(path, t[2]) == 2
+    assert txnlog.version_at_timestamp(path, t[1]) == 1
+    with pytest.raises(ValueError, match="retained history"):
+        txnlog.version_at_timestamp(path, t[1] - 0.5)
+    h = txnlog.history(spark, path).collect()
+    assert [r["version"] for r in h] == [2, 1]
+    got = {(r["id"], r["v"]) for r in
+           txnlog.snapshot(spark, path, as_of_ts=t[1]).collect()}
+    assert got == {(1, 10), (2, 20)}
