@@ -1352,6 +1352,8 @@ def _commit_manifest(path: str, version: int, mode: str,
         if os.path.exists(tmp):
             os.remove(tmp)
     _write_head_hint(path, version)  # only the publish WINNER advances
+    if version and version % TS_INDEX_INTERVAL == 0:
+        _maybe_write_ts_index(path, version)
     return version
 
 
@@ -2540,6 +2542,80 @@ def _to_epoch(ts) -> float:
     return ts.timestamp()
 
 
+# checkpoint cadence for the timestamp index: every K-th commit
+# rolls the adjusted commit-time array up into _txn/ts-index.json so
+# AS OF TIMESTAMP resolution reads O(K) manifests instead of
+# O(versions) on long-history tables (Delta's _last_checkpoint plays
+# the same role for its log replay)
+TS_INDEX_INTERVAL = 100
+
+
+def _ts_index_path(path: str) -> str:
+    return os.path.join(_txn_dir(path), "ts-index.json")
+
+
+def _load_ts_index(path: str) -> dict | None:
+    """Advisory read: a missing/corrupt/ill-shaped index returns None
+    and resolution falls back to the full manifest walk — the index
+    can speed the answer up but can never change it."""
+    try:
+        with open(_ts_index_path(path)) as fh:
+            idx = json.load(fh)
+        if (isinstance(idx.get("base"), int)
+                and isinstance(idx.get("upto"), int)
+                and isinstance(idx.get("times"), list)
+                and len(idx["times"]) == idx["upto"] - idx["base"] + 1
+                and all(isinstance(t, (int, float))
+                        for t in idx["times"])
+                and all(a <= b for a, b in zip(idx["times"],
+                                               idx["times"][1:]))):
+            return idx
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _maybe_write_ts_index(path: str, version: int) -> None:
+    """Roll the adjusted commit-time array up to ``version`` into the
+    index file (tmp + atomic replace; LAST-WINS — the index is
+    advisory, so two racing checkpointers can't corrupt anything a
+    reader trusts).  Extends the previous checkpoint when present;
+    rebuilds from the earliest retained manifest otherwise.  Never
+    fails the commit that triggered it: this is a hint path, like
+    the head hint."""
+    try:
+        prev = _load_ts_index(path)
+        if prev and prev["upto"] >= version:
+            return
+        if prev and os.path.exists(
+                _manifest_path(path, prev["upto"])):
+            base, times = prev["base"], list(prev["times"])
+            start, running = prev["upto"] + 1, prev["times"][-1]
+        else:
+            base, times, start, running = None, [], 0, None
+        for v in range(start, version + 1):
+            try:
+                t = commit_time(path, v)
+            except FileNotFoundError:
+                if not times:
+                    continue  # vacuumed prefix: base starts later
+                t = running  # vacuumed mid-range: carry (monotone)
+            if base is None:
+                base = v
+            running = t if running is None else max(running, t)
+            times.append(running)
+        if base is None:
+            return
+        tmp = _ts_index_path(path) + \
+            f".tmp-{os.getpid()}-{next(_TMP_SEQ)}"
+        with open(tmp, "w") as fh:
+            json.dump({"base": base, "upto": version,
+                       "times": times}, fh)
+        os.replace(tmp, _ts_index_path(path))
+    except (OSError, ValueError, KeyError):
+        pass  # advisory hint: a lost checkpoint costs a full walk
+
+
 def version_at_timestamp(path: str, ts) -> int:
     """``AS OF TIMESTAMP`` resolution (the form Delta and Iceberg
     both serve, and the one a GDPR/audit consumer actually uses): the
@@ -2550,12 +2626,40 @@ def version_at_timestamp(path: str, ts) -> int:
     before its parent.  A timestamp EARLIER than version 0's commit
     raises ValueError — the table did not exist yet, and serving v0
     would fabricate history.  Accepts epoch seconds, ISO-8601
-    strings, datetime/date.  Manifest metadata only — no data scan,
-    O(versions) tiny JSON reads."""
+    strings, datetime/date.  Manifest metadata only — no data scan;
+    long histories resolve through the rolled-up checkpoint index
+    (every TS_INDEX_INTERVAL-th commit; O(log n + K) instead of
+    O(versions)), with the full walk as the always-correct
+    fallback."""
     epoch = _to_epoch(ts)
     latest = latest_version(path)
     if latest is None:
         raise FileNotFoundError(f"no committed version under {path}")
+    # checkpoint fast path: binary-search the rolled-up adjusted
+    # times, walk only the manifests past the checkpoint — O(log n +
+    # K) instead of O(versions).  Falls through to the full walk
+    # whenever the index can't prove the answer (pre-base timestamp,
+    # vacuumed candidate, stale/corrupt index).
+    idx = _load_ts_index(path)
+    if idx and idx["upto"] <= latest:
+        import bisect
+
+        pos = bisect.bisect_right(idx["times"], epoch) - 1
+        if pos >= 0:
+            best = idx["base"] + pos
+            running = idx["times"][-1]
+            for v in range(idx["upto"] + 1, latest + 1):
+                try:
+                    t = commit_time(path, v)
+                except FileNotFoundError:
+                    continue
+                running = max(running, t)
+                if running <= epoch:
+                    best = v
+                else:
+                    break
+            if os.path.exists(_manifest_path(path, best)):
+                return best
     best, running, earliest = None, None, None
     for v in range(latest + 1):
         try:
