@@ -264,18 +264,24 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # key order matters: the round driver's artifact capture keeps
+    # only the TAIL of this line when it is long, so the ever-growing
+    # new_queries map goes FIRST and the headline trend metrics — the
+    # frozen 28-query map and the total "value" — go LAST, where a
+    # front-truncated capture still retains them (r10 verdict: the
+    # driver row lost the headline value to front-truncation)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "sf": sf_val,
                 "new_queries": new_timings,
                 "new_total": round(sum(new_timings.values()), 3),
                 "calib_sec": calib_sec,
                 "calib_io_sec": calib_io_sec,
-                "sf": sf_val,
+                "queries": timings,
+                "value": round(sum(timings.values()), 3),
             }
         )
     )
