@@ -380,7 +380,12 @@ def _decide_group(g: dict, committed: bool) -> bool:
     os.makedirs(os.path.dirname(coord), exist_ok=True)
     tmp = f"{coord}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
     with open(tmp, "w") as fh:
-        json.dump({"id": g["id"], "committed": committed}, fh)
+        # the member list rides in the record so vacuum's group-file
+        # GC can repair every member's own decision mirror before
+        # retiring a committed coordinator file (pre-r11 records
+        # without it are never GC'd — conservative)
+        json.dump({"id": g["id"], "committed": committed,
+                   "members": list(g.get("members", []))}, fh)
     try:
         _LOG_STORE.publish(coord, tmp)
     except TxnConflict:
@@ -443,10 +448,16 @@ def _settle_stale_groups(path: str) -> None:
             # a fixed 60 s would spuriously abort any group whose
             # later members write >60 s after the first publishes
             # (r9 ADVICE low).  Clamp defensively: a corrupt/hostile
-            # manifest value (inf, NaN, negative) must neither wedge
-            # the table forever nor disable the freshness check
-            grace = float(man["group"].get(
-                "grace", GROUP_SETTLE_GRACE_SECONDS))
+            # manifest value (inf, NaN, negative — or a NON-NUMERIC
+            # one, possible in pre-checksum/tampered manifests) must
+            # neither wedge the table forever nor disable the
+            # freshness check; a ValueError here would wedge every
+            # subsequent writer's settle pass
+            try:
+                grace = float(man["group"].get(
+                    "grace", GROUP_SETTLE_GRACE_SECONDS))
+            except (TypeError, ValueError):
+                grace = GROUP_SETTLE_GRACE_SECONDS
             if not (0.0 < grace <= GROUP_GRACE_MAX_SECONDS):
                 grace = (GROUP_GRACE_MAX_SECONDS
                          if grace > GROUP_GRACE_MAX_SECONDS
@@ -597,6 +608,14 @@ def _analyze_per_dir(spark: SparkSession, path: str,
     here — the manifest format is unchanged.  Reference parity: the
     post-load statistics maintenance pass
     (sql/batchELT/mdl/load/45_postload_stats.sql:1).
+
+    Partition columns ARE analyzable: the engine's partitioned
+    layout keeps them as ordinary data columns in the leaf files
+    (the dir name is layout, not the value authority —
+    _write_partitioned's shadow-column invariant), so an
+    analyze_cols entry naming one reads real values from the leaf
+    scan like any other column (pinned by
+    tests/test_txn_analyze.py::test_analyze_partition_column).
 
     Returns {rel_dir: {"rows": n, "cols": {col: {"nulls", "ndv"}}}}.
     """
@@ -869,6 +888,21 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
     if read_version is not None:
+        if group is not None:
+            # a group member's manifest publishes at PREPARE but
+            # becomes visible only at the group's atomic DECIDE flip,
+            # so there is no single conflict point the declared
+            # snapshot could be checked against (commits can land
+            # between the member's prepare and the coordinator's
+            # decision and would evade the check).  Refuse loudly
+            # rather than offer a check that silently under-covers;
+            # run keyed conflict-checked writes as per-table commits
+            raise ValueError(
+                "read_version inside a transaction group is not "
+                "supported: a group member's visibility flips at the "
+                "coordinator decision, after the conflict window this "
+                "check could cover — commit conflict-checked writes "
+                "outside the group")
         # declared-snapshot writer: run the full-table conflict rule
         # (overwrite conflicts with everything after read_version;
         # append only with replaces) BEFORE any work
@@ -1118,7 +1152,8 @@ def commit_group(writes: list[tuple[DataFrame, str]],
             os.makedirs(os.path.dirname(mk), exist_ok=True)
             tmp = f"{mk}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
             with open(tmp, "w") as fh:
-                json.dump({"id": gid, "committed": True}, fh)
+                json.dump({"id": gid, "committed": True,
+                           "members": list(paths)}, fh)
             os.replace(tmp, mk)
         except OSError:
             pass
@@ -1460,7 +1495,19 @@ def _check_write_conflict(path: str, read_version: int, parent: int,
             f"read_version {read_version} is ahead of the table "
             f"(latest committed version is {parent})")
     for v in range(read_version + 1, parent + 1):
-        man = _read_manifest(path, v)
+        try:
+            man = _read_manifest(path, v)
+        except FileNotFoundError as e:
+            # vacuumed-away interleaved commit: its touched set is
+            # undecidable, and undecidable refuses (the class
+            # contract) — callers following the recompute-and-retry
+            # protocol catch ConcurrentModification, never a raw
+            # FileNotFoundError out of the conflict window
+            raise ConcurrentModification(
+                f"{op_name} on {path} derives from version "
+                f"{read_version}, but version {v}'s manifest was "
+                "vacuumed away — its touched key set is undecidable; "
+                "recompute against the current snapshot") from e
         op = man.get("op") or {}
         typ = op.get("type") or (
             "append" if man.get("mode") == "append" else None)
@@ -1498,7 +1545,18 @@ def _check_commit_conflict(path: str, read_version: int, parent: int,
             f"read_version {read_version} is ahead of the table "
             f"(latest committed version is {parent})")
     for v in range(read_version + 1, parent + 1):
-        man = _read_manifest(path, v)
+        try:
+            man = _read_manifest(path, v)
+        except FileNotFoundError as e:
+            # same rule as _check_write_conflict: a vacuumed
+            # interleaved commit is undecidable → refuse through the
+            # documented exception, not a raw FileNotFoundError
+            raise ConcurrentModification(
+                f"commit to {path} derives from version "
+                f"{read_version}, but version {v}'s manifest was "
+                "vacuumed away — whether it replaced table content "
+                "is undecidable; recompute against the current "
+                "snapshot") from e
         op = man.get("op") or {}
         typ = op.get("type") or (
             "append" if man.get("mode") == "append" else None)
@@ -2302,6 +2360,11 @@ def history(spark: SparkSession, path: str,
         except FileNotFoundError:
             continue  # vacuumed-away version: not part of the
             # retained history (Delta's history stops there too)
+        except TornManifest:
+            continue  # torn manifest: skipped here like a vacuumed
+            # one so one rotted old file can't brick the whole audit
+            # view; SERVING that version (snapshot/restore/clone)
+            # still refuses loudly with TornManifest
         op = man.get("op") or {}
         g = man.get("group") or {}
         rows.append({
@@ -2596,7 +2659,9 @@ def _maybe_write_ts_index(path: str, version: int) -> None:
         for v in range(start, version + 1):
             try:
                 t = commit_time(path, v)
-            except FileNotFoundError:
+            except (FileNotFoundError, TornManifest):
+                # vacuumed — or torn, same treatment for the
+                # advisory index: resolution skips it either way
                 if not times:
                     continue  # vacuumed prefix: base starts later
                 t = running  # vacuumed mid-range: carry (monotone)
@@ -2651,24 +2716,34 @@ def version_at_timestamp(path: str, ts) -> int:
             for v in range(idx["upto"] + 1, latest + 1):
                 try:
                     t = commit_time(path, v)
-                except FileNotFoundError:
+                except (FileNotFoundError, TornManifest):
                     continue
                 running = max(running, t)
                 if running <= epoch:
                     best = v
                 else:
                     break
-            if os.path.exists(_manifest_path(path, best)):
+            try:
+                _read_manifest(path, best)
                 return best
+            except (FileNotFoundError, TornManifest):
+                pass  # candidate unservable: full walk decides
     best, running, earliest = None, None, None
     for v in range(latest + 1):
         try:
             t = commit_time(path, v)
-        except FileNotFoundError:
+        except (FileNotFoundError, TornManifest):
             # vacuumed-away manifest: that version's state is no
             # longer servable — resolution starts at the earliest
             # RETAINED version (Delta can't time-travel past its
-            # retention either)
+            # retention either).  A TORN manifest is treated the
+            # same way FOR RESOLUTION ONLY (skip it, keep the
+            # running max from its neighbors): one bit-rotted old
+            # file must not brick AS OF travel for every timestamp
+            # table-wide.  SERVING the torn version itself still
+            # refuses loudly — snapshot/_read_manifest raise
+            # TornManifest — so loudness is preserved exactly where
+            # it matters
             continue
         earliest = v if earliest is None else earliest
         running = t if running is None else max(running, t)
@@ -2733,6 +2808,28 @@ def snapshot(spark: SparkSession, path: str,
         # DV-free table (the common case) takes the bare scan above
         df = _apply_dv(spark, path, df, dv)
     return df
+
+
+def snapshot_sql(spark: SparkSession, path: str, view_name: str,
+                 version: int | None = None,
+                 prune: tuple | list | None = None,
+                 as_of_ts=None) -> str:
+    """SQL front-end for versioned reads: register
+    ``snapshot(path, version=|as_of_ts=)`` as a TEMP VIEW so SQL-text
+    consumers reach time travel the way ``sql_bi_view`` reaches the
+    BI view — ``SELECT ... FROM <view_name>`` is the engine's
+    ``SELECT ... FROM t VERSION AS OF v`` / ``TIMESTAMP AS OF ts``.
+    The view captures the RESOLVED manifest's dir list at
+    registration (snapshot isolation: later commits never leak in),
+    stays lazy (no materialization — Catalyst plans through it, so
+    filters still push into the parquet scan), and re-registering the
+    name repoints it.  Returns ``view_name`` for call chaining.
+    Reference parity: the reference's consumers are T-SQL views over
+    Synapse tables (sql/batchELT/bi/20_bi_views.sql); this is the
+    same surface over a pinned table version."""
+    snapshot(spark, path, version=version, prune=prune,
+             as_of_ts=as_of_ts).createOrReplaceTempView(view_name)
+    return view_name
 
 
 def _read_dirs(spark: SparkSession, path: str, names: list[str],
@@ -2851,6 +2948,49 @@ def _filter_dv(dv_entries: list[dict],
         if dirs:
             out.append({**e, "dirs": dirs})
     return out
+
+
+def _append_dv_entry(spark: SparkSession, path: str, version: int,
+                     dv: list[dict], pairs: DataFrame,
+                     key_cols: list[str],
+                     per_dir: dict) -> tuple[list[dict], dict]:
+    """Write ``pairs`` ((__dv_dir, *key_cols) rows) as a tombstone
+    store and append its entry to ``dv`` — the shared tail of
+    delete_keys and delete_where's DV lane.  Bounds the live-store
+    CHAIN: _apply_dv adds one broadcast anti-join per listed store,
+    so N chatty deletes before a compact would put N joins in every
+    snapshot read; once the same-key_cols chain reaches
+    DV_COALESCE_LIVE_STORES it folds (plus the new pairs) into ONE
+    store — never more broadcast bytes than the N separate stores
+    summed (the pairs are disjoint: each delete applies the live DVs
+    before tombstoning), but one join instead of N.
+    compact()/zorder stay the real materialization.  Returns the
+    updated (dv, per_dir) — per_dir absorbs folded entries' per-dir
+    deleted-row counts so metadata_count stays exact."""
+    same = [e for e in dv if e["key_cols"] == list(key_cols)]
+    if len(same) >= DV_COALESCE_LIVE_STORES:
+        for e in same:
+            pairs = pairs.unionByName(
+                spark.read.parquet(
+                    _dv_store_dir(path, e["store"]))
+                .select("__dv_dir", *key_cols))
+        merged: dict = {}
+        for e in same:
+            for d, n in e["dirs"].items():
+                merged[d] = merged.get(d, 0) + n
+        for d, n in per_dir.items():
+            merged[d] = merged.get(d, 0) + n
+        per_dir = merged
+        dv = [e for e in dv if e["key_cols"] != list(key_cols)]
+    store_name = _claim_dv_store(path, version)
+    (pairs.distinct()
+     .write.mode("overwrite").parquet(
+         _dv_store_dir(path, store_name)))
+    dv = list(dv)
+    dv.append({"store": store_name,
+               "key_cols": list(key_cols),
+               "dirs": per_dir})
+    return dv, per_dir
 
 
 def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
@@ -2972,40 +3112,9 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
             if n_rows:
                 pairs = hits.select(
                     rel.alias("__dv_dir"), *key_cols).distinct()
-                same = [e for e in dv
-                        if e["key_cols"] == list(key_cols)]
-                if len(same) >= DV_COALESCE_LIVE_STORES:
-                    # bound the live-store CHAIN: _apply_dv adds one
-                    # broadcast anti-join per listed store, so N
-                    # chatty deletes before a compact would put N
-                    # joins in every snapshot read.  Fold the whole
-                    # same-key chain plus the new pairs into ONE
-                    # store — never more broadcast bytes than the N
-                    # separate stores summed (the pairs are disjoint:
-                    # each delete applies the live DVs before
-                    # tombstoning), but one join instead of N.
-                    # compact()/zorder stay the real materialization.
-                    for e in same:
-                        pairs = pairs.unionByName(
-                            spark.read.parquet(
-                                _dv_store_dir(path, e["store"]))
-                            .select("__dv_dir", *key_cols))
-                    merged = {}
-                    for e in same:
-                        for d, n in e["dirs"].items():
-                            merged[d] = merged.get(d, 0) + n
-                    for d, n in per_dir.items():
-                        merged[d] = merged.get(d, 0) + n
-                    per_dir = merged
-                    dv = [e for e in dv
-                          if e["key_cols"] != list(key_cols)]
-                store_name = _claim_dv_store(path, version)
-                (pairs.distinct()
-                 .write.mode("overwrite").parquet(
-                     _dv_store_dir(path, store_name)))
-                dv.append({"store": store_name,
-                           "key_cols": list(key_cols),
-                           "dirs": per_dir})
+                dv, per_dir = _append_dv_entry(
+                    spark, path, version, dv, pairs, key_cols,
+                    per_dir)
         finally:
             hits.unpersist()
     # ANALYZE records describe a dir's VISIBLE rows; a dir that just
@@ -3027,6 +3136,256 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         generated=man.get("generated", {}),
         op={"type": "delete", "key_cols": list(key_cols),
             "keys": op_desc})
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str,
+                 key_cols: list[str] | None = None,
+                 read_version: int | None = None,
+                 prune: tuple | list | None = None) -> int:
+    """Predicate-level row DELETE — ``DELETE FROM t WHERE <pred>``
+    (Delta's arbitrary-predicate DELETE; reference parity: the
+    delete-by-blob-predicate maintenance statement
+    sql/streaming/staging/0005_delete.sql generalized from its fixed
+    blob predicate to any row predicate).  SQL DELETE semantics: only
+    rows where the predicate evaluates literal TRUE die; NULL keeps
+    the row.
+
+    One DISCOVERY scan finds the affected rows and their owning dirs
+    (Catalyst pushes the predicate into the parquet scan, so footer
+    min/max prune row groups; ``prune=(col, lo, hi)`` — or a list of
+    such triples — additionally skips whole dirs via the manifest
+    stats envelopes, same contract as ``snapshot(prune=)``; pruning
+    a dir the predicate could match UNDER-deletes, so pass only
+    ranges implied by the predicate).  Then one of two lanes:
+
+    - **DV lane** (small delete on a big table): when ``key_cols``
+      is given, the matched keys are ≤ DV_MAX_KEYS, and tombstoning
+      those (dir, key) pairs would kill EXACTLY the matched rows
+      (verified with one counting probe over the affected dirs — a
+      non-matching row sharing a key with a matching one means the
+      key under-identifies rows and forces the rewrite lane), the
+      delete lands as a deletion-vector commit: no data dir written,
+      O(|matched|) cost, same lifecycle as :func:`delete_keys`.
+    - **Copy-on-write lane** (bulk or un-keyed): only the affected
+      dirs rewrite (kept rows = predicate-false-or-null, prior DVs
+      applied so tombstoned rows are not resurrected); every other
+      dir carries into the new manifest untouched — cost scales with
+      the touched fraction, not the table.
+
+    A zero-match delete still commits a (content-identical) delete
+    version, like ``delete_keys`` — the op record keeps declared-
+    snapshot bookkeeping simple.  ``read_version``: the same
+    WriteSerializable conflict matrix as merge/delete_keys, checked
+    against the DISCOVERED key set when ``key_cols`` is given; with
+    no key_cols the touched set is undecidable to later writers and
+    this writer refuses any interleaved keyed write or replace
+    (conservative both directions).  Returns the committed version."""
+    _settle_stale_groups(path)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    version = parent + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    man = _read_manifest(path, parent)
+    if any(os.path.isabs(d) for d in man["dirs"]):
+        raise ValueError(
+            "delete_where on a table referencing external dirs "
+            "(shallow clone): run compact() first to localize them")
+    base = os.path.abspath(path)
+    names = man["dirs"]
+    if prune is not None:
+        preds = prune if isinstance(prune[0], (list, tuple)) \
+            else [prune]
+        names, _ = prune_plan(path, parent, list(preds))
+    pred = F.expr(predicate)
+    hit_pred = F.coalesce(pred, F.lit(False))
+    dv = list(man.get("dv", []))
+    if names:
+        scan = (_read_dirs(spark, path, names, man)
+                .withColumn("__dir", _dir_col_decoded()))
+        if man.get("dv"):
+            scan = _apply_dv(spark, path, scan, man["dv"],
+                             keep_dir=True)
+        matched = scan.where(hit_pred).persist()
+    else:
+        matched = None
+    try:
+        rel = F.expr(f"substring(__dir, {len(base) + 2})")
+        per_dir = {} if matched is None else {
+            r["__d"]: int(r["n"])
+            for r in matched.groupBy(rel.alias("__d"))
+            .agg(F.count("*").alias("n")).collect()}
+        n_rows = sum(per_dir.values())
+        affected = sorted(per_dir)
+        if key_cols and matched is not None:
+            op_desc = _key_set_descriptor(matched, key_cols)
+            op_kc = list(key_cols)
+        else:
+            # no key identity declared: later declared-snapshot
+            # writers see key_cols=[] / keys={} and refuse
+            # (undecidable — the conservative side)
+            op_desc, op_kc = {}, list(key_cols or [])
+        if read_version is not None:
+            _check_write_conflict(path, read_version, parent,
+                                  op_kc, op_desc, "delete_where")
+        carry = dict(
+            partition_by=man.get("partition_by", []),
+            constraints=man.get("constraints", {}),
+            identity=man.get("identity"),
+            generated=man.get("generated", {}))
+        op = {"type": "delete", "key_cols": op_kc, "keys": op_desc}
+        if n_rows == 0:
+            return _commit_manifest(
+                path, version, "delete", man["dirs"],
+                {"predicate": predicate, "dv_rows_deleted": 0,
+                 "lane": "noop"},
+                man.get("stats", {}), man.get("rows", {}),
+                man.get("bloom_cols", []), man.get("schema"),
+                dv=dv, analyze=man.get("analyze", {}),
+                op=op, **carry)
+        use_dv, pairs = False, None
+        if key_cols:
+            ksample = (matched.select(*key_cols).distinct()
+                       .limit(DV_MAX_KEYS + 1).collect())
+            if len(ksample) <= DV_MAX_KEYS:
+                pairs = matched.select(
+                    rel.alias("__dv_dir"), *key_cols).distinct()
+                # SAFETY PROBE: a key tombstone kills EVERY row
+                # sharing (dir, key), not just predicate matches —
+                # count the rows the tombstone would kill and take
+                # the DV lane only when that equals the matched
+                # count (per-dir counts then match too: would-die
+                # covers matched per dir, so equal totals force
+                # equality everywhere)
+                bpairs = F.broadcast(pairs.select(
+                    F.concat(F.lit(base + "/"), F.col("__dv_dir"))
+                    .alias("__t_abs"),
+                    *[F.col(k).alias(f"__t_{k}")
+                      for k in key_cols]))
+                cond = F.col("__dir") == F.col("__t_abs")
+                for k in key_cols:
+                    cond = cond & F.col(k).eqNullSafe(
+                        F.col(f"__t_{k}"))
+                aff_scan = (_read_dirs(spark, path, affected, man)
+                            .withColumn("__dir", _dir_col_decoded()))
+                if man.get("dv"):
+                    aff_scan = _apply_dv(spark, path, aff_scan,
+                                         man["dv"], keep_dir=True)
+                would_die = aff_scan.join(
+                    bpairs, cond, "left_semi").count()
+                use_dv = would_die == n_rows
+        if use_dv:
+            dv, per_dir_m = _append_dv_entry(
+                spark, path, version, dv, pairs, key_cols, per_dir)
+            # same ANALYZE rule as delete_keys: a dir that gained
+            # tombstones would overreport visible rows — drop its
+            # record, untouched dirs keep theirs
+            kept_analyze = {
+                d: a for d, a in man.get("analyze", {}).items()
+                if d not in per_dir_m}
+            return _commit_manifest(
+                path, version, "delete", man["dirs"],
+                {"predicate": predicate,
+                 "dv_rows_deleted": int(n_rows), "lane": "dv"},
+                man.get("stats", {}), man.get("rows", {}),
+                man.get("bloom_cols", []), man.get("schema"),
+                dv=dv, analyze=kept_analyze, op=op, **carry)
+        # COPY-ON-WRITE lane: rewrite ONLY the affected dirs minus
+        # their matching rows; everything else carries untouched
+        existing = (_read_dirs(spark, path, affected, man)
+                    .withColumn("__dir", _dir_col_decoded()))
+        if man.get("dv"):
+            existing = _apply_dv(spark, path, existing, man["dv"],
+                                 keep_dir=True)
+        kept = existing.where(~hit_pred).drop("__dir")
+        data_dir = _claim_data_dir(path, version)
+        name = os.path.basename(data_dir)
+        pby = man.get("partition_by", [])
+        stats = man.get("stats", {})
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        new_stats, new_rows_map = {}, {}
+        if pby:
+            new_names, new_stats, new_rows_map = _write_partitioned(
+                spark, path, data_dir, kept, pby, stat_cols)
+        else:
+            kept.write.mode("overwrite").parquet(data_dir)
+            new_names = [name]
+            if stat_cols:
+                # envelopes from the WRITTEN files (same
+                # nondeterministic-lineage rule as commit/merge)
+                cstats, n = _col_stats(
+                    spark.read.parquet(data_dir), stat_cols)
+                new_stats, new_rows_map = {name: cstats}, {name: n}
+        gone = set(affected)
+        dirs = [d for d in man["dirs"] if d not in gone] + new_names
+        kept_stats = {d: s for d, s in stats.items() if d in dirs}
+        kept_stats.update(new_stats)
+        kept_rows = {d: n for d, n in man.get("rows", {}).items()
+                     if d in dirs}
+        kept_rows.update(new_rows_map)
+        bcols = man.get("bloom_cols", [])
+        v = _commit_manifest(
+            path, version, "delete", dirs,
+            {"predicate": predicate, "rewrote": affected,
+             "rows_deleted": int(n_rows), "lane": "rewrite"},
+            kept_stats, kept_rows, bcols, man.get("schema"),
+            dv=_filter_dv(dv, dirs),
+            analyze={d: a for d, a in man.get("analyze", {}).items()
+                     if d in dirs},
+            op=op, **carry)
+        _maintain_bloom(spark, path, v, bcols, new_names)
+        return v
+    finally:
+        if matched is not None:
+            matched.unpersist()
+
+
+def _repair_member_markers(gid: str, members: list) -> bool:
+    """Pre-GC repair for a COMMITTED group record about to be
+    retired: every member table whose RETAINED manifests still
+    reference ``gid`` must carry its OWN decision mirror
+    (``_txn/groups/<gid>.decided.json``) before the record holding
+    the decision is deleted — otherwise that member's committed
+    version would read pending and eventually be settle-aborted.
+    Probes each member's manifest listing (O(retained manifests),
+    only on the rare retire-a-group path); an unreadable manifest is
+    conservatively assumed to reference the group.  Returns False
+    when any repair could not be completed — the caller then keeps
+    the record file."""
+    ok = True
+    for m in members:
+        try:
+            mk = os.path.join(_txn_dir(m), "groups",
+                              f"{gid}.decided.json")
+            if os.path.isfile(mk):
+                continue
+            refs = False
+            d = _txn_dir(m)
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    if not (f.startswith("v") and f.endswith(".json")):
+                        continue
+                    try:
+                        with open(os.path.join(d, f)) as fh:
+                            man = json.load(fh)
+                    except (OSError, ValueError):
+                        refs = True  # torn/unreadable: could
+                        break        # reference the group — repair
+                    if (man.get("group") or {}).get("id") == gid:
+                        refs = True
+                        break
+            if not refs:
+                continue  # nothing resolves through this member
+            os.makedirs(os.path.dirname(mk), exist_ok=True)
+            tmp = f"{mk}.tmp-{os.getpid()}-{next(_TMP_SEQ)}"
+            with open(tmp, "w") as fh:
+                json.dump({"id": gid, "committed": True,
+                           "members": list(members)}, fh)
+            os.replace(tmp, mk)
+        except OSError:
+            ok = False  # could not prove or repair: keep the record
+    return ok
 
 
 def vacuum(path: str, keep_latest: int = 2,
@@ -3153,6 +3512,54 @@ def vacuum(path: str, keep_latest: int = 2,
             if not dry_run:
                 os.unlink(full)
             removed.append(f"_txn/codebooks/{entry}")
+    # GC multi-table transaction-group bookkeeping (coordinator
+    # records + per-member decision markers under _txn/groups): the
+    # per-micro-batch group sink (streaming/lane.py run_group_sink)
+    # writes two tiny files per batch that would otherwise accumulate
+    # forever.  A file whose gid is still referenced by any KEPT
+    # manifest stays — readers resolve those versions' visibility
+    # through it.  For unreferenced files past the grace window:
+    # aborted records delete freely (the aborted member manifests
+    # were already cleared at settle — nothing resolves through
+    # them); committed records first REPAIR every member's own
+    # decision mirror (a member manifest in ANOTHER table may still
+    # reference the gid with its mirror lost to a crash mid-mirror —
+    # deleting the only surviving commit evidence would flip that
+    # member committed → pending → settle-aborted, silently losing
+    # durably committed history), then delete; records without a
+    # member list (pre-r11 format) are kept, conservative.
+    groups_root = os.path.join(_txn_dir(path), "groups")
+    if os.path.isdir(groups_root):
+        live_gids = set()
+        for v2 in keep_versions:
+            gref = _read_manifest(path, v2).get("group") or {}
+            if gref.get("id"):
+                live_gids.add(gref["id"])
+        for entry in sorted(os.listdir(groups_root)):
+            full = os.path.join(groups_root, entry)
+            gid = entry.split(".", 1)[0]
+            if gid in live_gids or not os.path.isfile(full):
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            try:
+                with open(full) as fh:
+                    rec = json.load(fh)
+            except (OSError, ValueError):
+                rec = None  # unreadable: carries no decision any
+                # reader can resolve through — removal is
+                # state-neutral (reads identically to absent)
+            if rec is not None and rec.get("committed"):
+                members = rec.get("members")
+                if members is None:
+                    continue  # pre-members record: not provably safe
+                if not dry_run and not _repair_member_markers(
+                        gid, members):
+                    continue  # a referencing member could not be
+                    # repaired — keep the evidence file
+            if not dry_run:
+                os.remove(full)
+            removed.append(f"_txn/groups/{entry}")
     # GC bloom sidecars of the dropped dirs (operators/bloomindex.py
     # names them <quote(dirname)>.<col>.json under _txn/bloom) — a
     # sidecar for a vacuumed dir is dead weight; sidecars for a

@@ -2011,6 +2011,133 @@ def q_txn_vacuum_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("intact_after_dry", F.lit(intact)))
 
 
+def q_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-level DELETE (operators/txnlog.py delete_where —
+    ``DELETE FROM t WHERE <pred>``, Delta's arbitrary-predicate
+    DELETE; reference parity: sql/streaming/staging/0005_delete.sql's
+    delete-by-blob-predicate generalized to any row predicate).  Two
+    deletes exercise BOTH lanes on a two-commit trip_clean table:
+
+    - a narrow predicate (one source file, fare > 20, uid % 7) WITH
+      key identity → the **DV lane**: the discovered keys land as a
+      dir-scoped tombstone store, no data dir rewritten (the safety
+      probe proves the keys identify exactly the matched rows first);
+    - a bulk un-keyed predicate (CASH rides in the second commit's
+      day range) → the **copy-on-write lane**: only the affected dir
+      rewrites minus its matching rows; the first commit's dir — and
+      its still-live tombstone store — carry untouched.
+
+    The final snapshot therefore reads through a live DV AND a
+    rewritten dir at once; the rollup equals trip_clean minus both
+    predicates under SQL DELETE NULL semantics (predicate NULL keeps
+    the row — the NULL-payment_type rows survive the CASH delete),
+    and the lane-taken claims ride as structural columns.  At 100 TB:
+    discovery is one predicate-pushed scan (footer pruning), the DV
+    lane writes O(|matched|), the rewrite lane O(affected dirs)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txndelwhere", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day >= 16), out, "append",
+                  stats_cols=["trip_uid"])
+    p_dv = ("source_file_name = 'events_2024-01-05.parquet' "
+            "AND fare_amount > 20.0 AND trip_uid % 7 = 0")
+    v_dv = txnlog.delete_where(spark, out, p_dv,
+                               key_cols=["trip_uid"])
+    p_rw = "payment_type = 'CASH' AND day(ingest_date) >= 16"
+    v_rw = txnlog.delete_where(spark, out, p_rw)
+    lane_dv = txnlog._read_manifest(out, v_dv)["meta"].get("lane")
+    lane_rw = txnlog._read_manifest(out, v_rw)["meta"].get("lane")
+    snap = txnlog.snapshot(spark, out)
+    return (snap.groupBy("payment_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"),
+        F.countDistinct("trip_uid").cast("bigint").alias("n_trips"))
+        .withColumn("dv_lane", F.lit(lane_dv == "dv"))
+        .withColumn("rewrite_lane", F.lit(lane_rw == "rewrite")))
+
+
+def q_txn_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn table consumed AS A STRUCTURED STREAM
+    (streaming/txn_source.py read_stream_txn — the Delta
+    ``readStream.format("delta")`` / ``startingVersion=`` shape on
+    this engine's manifest log, built on PySpark's Python DataSource
+    API with version-number offsets and Arrow-batch file reads), fed
+    into the idempotent txn SINK: the end-to-end exactly-once
+    log-to-log pipeline (streaming/lane.py run_txn_stream_copy).
+    Reference parity: the hourly curated→warehouse consumer
+    (orchestration/adf/pipeline/
+    pl_streaming_curated_to_stg_core_mdl.json +
+    t_hourly_backfill_streaming.json) — a poll-for-new-commits loop —
+    as one checkpointed stream.  Full oracle: version-ordered
+    append-for-append consumption makes the sink rollup
+    batching-independent, so it equals the plain trip_clean rollup;
+    the consumed-commit count rides as a structural column.  The
+    multi-batch stop → commit → resume contract is pinned by
+    tests/test_txn_stream_read.py."""
+    from ..streaming.lane import run_txn_stream_copy
+
+    apply_engine_conf(spark)
+    return run_txn_stream_copy(
+        spark, sf_dir, _out_dir(_STREAM_TMP, "txn_stream_read", sf_dir))
+
+
+def q_txn_snapshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end for time travel (operators/txnlog.py
+    snapshot_sql): the three txn_time_travel commits replayed, each
+    version registered as a TEMP VIEW — v0/v1 pinned by VERSION, v2
+    resolved by TIMESTAMP — and the whole three-version rollup
+    computed in ONE ``spark.sql`` text over those views: the way a
+    T-SQL consumer reaches ``VERSION AS OF`` / ``TIMESTAMP AS OF``
+    without touching the DataFrame API (sql_bi_view's contract
+    extended to versioned reads; reference consumers are T-SQL views,
+    sql/batchELT/bi/20_bi_views.sql).  The views stay lazy — Catalyst
+    plans through them, predicates still reach the parquet scans —
+    and capture each manifest's dir list at registration (snapshot
+    isolation).  Oracle: identical to txn_time_travel's (content
+    equality proves the SQL surface serves the same versions)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnsql", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    v0 = txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    v1 = txnlog.commit(clean.where(day >= 16), out, "append")
+    corrected = clean.withColumn(
+        "fare_amount",
+        F.when(F.col("source_file_name") == "events_2024-01-05.parquet",
+               F.col("fare_amount") + F.lit(1.0))
+        .otherwise(F.col("fare_amount")))
+    v2 = txnlog.commit(corrected, out, "overwrite")
+    txnlog.snapshot_sql(spark, out, "snap_v0", version=v0)
+    txnlog.snapshot_sql(spark, out, "snap_v1", version=v1)
+    txnlog.snapshot_sql(spark, out, "snap_v2",
+                        as_of_ts=txnlog.commit_time(out, v2))
+    rollup = """
+        SELECT CAST({v} AS INT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS fare_sum,
+               CAST(COUNT(DISTINCT ingest_date) AS BIGINT) AS n_days
+        FROM snap_v{v}"""
+    return spark.sql(" UNION ALL ".join(
+        rollup.format(v=v) for v in (v0, v1, v2)))
+
+
 def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE as a deletion-vector commit (operators/txnlog.py
     delete_keys — the Delta DV shape): trip_clean lands as three
@@ -2838,6 +2965,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_time_travel_ts": q_txn_time_travel_ts,
     "txn_history": q_txn_history,
     "txn_vacuum_dry_run": q_txn_vacuum_dry_run,
+    "txn_delete_where": q_txn_delete_where,
+    "txn_stream_read": q_txn_stream_read,
+    "txn_snapshot_sql": q_txn_snapshot_sql,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3489,6 +3619,40 @@ ORACLES["txn_metadata_count"] = with_trips("""
 """)
 
 # compaction is a pure layout change: the rollup equals trip_clean's
+# predicate DELETE: final state = trip_clean minus both predicates
+# under SQL DELETE NULL semantics (NOT COALESCE(pred, FALSE) keeps
+# predicate-NULL rows — the NULL-payment_type group must survive);
+# the two lane claims are TRUE constants to the oracle, live
+# manifest-meta reads on the Spark side
+ORACLES["txn_delete_where"] = with_trips("""
+    SELECT payment_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips,
+           TRUE AS dv_lane, TRUE AS rewrite_lane
+    FROM trip_clean
+    WHERE NOT COALESCE(
+            source_file_name = 'events_2024-01-05.parquet'
+            AND fare_amount > 20.0 AND trip_uid % 7 = 0, FALSE)
+      AND NOT COALESCE(
+            payment_type = 'CASH' AND day(ingest_date) >= 16, FALSE)
+    GROUP BY 1
+""")
+
+# streaming read of the txn log: version-ordered append-for-append
+# consumption into the idempotent sink is batching-independent, so
+# the sink rollup equals the plain trip_clean rollup; 3 = the
+# consumed source commits (v0 overwrite + two appends)
+ORACLES["txn_stream_read"] = with_trips("""
+    SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips,
+           CAST(3 AS INT) AS source_versions
+    FROM trip_clean GROUP BY 1
+""")
+
 ORACLES["txn_compact"] = with_trips("""
     SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
@@ -3664,6 +3828,11 @@ ORACLES["txn_time_travel"] = with_trips("""
     SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
     SELECT * FROM v2
 """)
+
+# SQL front-end twin of version/timestamp time travel: the temp-view
+# surface (snapshot_sql) must serve exactly the versions the
+# DataFrame read does — same oracle by construction
+ORACLES["txn_snapshot_sql"] = ORACLES["txn_time_travel"]
 
 # timestamp cut resolves to the same three versions; the two
 # structural pins (midpoint resolves backward, pre-epoch refuses)

@@ -68,8 +68,28 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def _ensure_pythonpath() -> None:
+    """Make this package importable in freshly spawned Python workers.
+
+    Pandas-UDF bodies and Python data source classes
+    (streaming/txn_source.py) are pickled BY REFERENCE — the worker
+    process re-imports them by module name, so the repo root must be
+    on the worker's import path.  Workers inherit the driver's
+    PYTHONPATH env var (local mode spawns them from the same
+    environment); running from the repo root happens to work via the
+    daemon's cwd entry, but any other driver cwd would fail the
+    import.  Must run BEFORE the JVM/daemon starts — mutating
+    os.environ later never reaches already-spawned workers."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            root + (os.pathsep + pp if pp else ""))
+
+
 def get_spark(app_name: str = "azure-nyctaxi-lambda-elt-spark") -> SparkSession:
     """Build (or fetch) a local SparkSession with engine defaults."""
+    _ensure_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -1002,6 +1002,89 @@ def run_txn_sink(spark: SparkSession, sf_dir: str, out_dir: str,
     )
 
 
+def build_txn_stream_source(spark: SparkSession, sf_dir: str,
+                            table: str, upto_day: int = 31) -> int:
+    """Seed (or extend) the SOURCE table for the txn stream-read
+    pipeline: trip_clean split into three day-range commits (v0
+    overwrite days ≤10, v1 append 11–20, v2 append ≥21), truncated at
+    ``upto_day`` so the restart pytest can grow the table between
+    runs.  Returns the latest committed version."""
+    from ..operators import txnlog
+    from ..session import pin
+
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    slices = [(day <= 10, "overwrite"),
+              ((day >= 11) & (day <= 20), "append"),
+              (day >= 21, "append")]
+    bounds = (10, 20, 31)
+    done = txnlog.latest_version(table)
+    for i, (cond, mode) in enumerate(slices):
+        if bounds[i] > upto_day:
+            break
+        if done is not None and i <= done:
+            continue  # already committed on a previous run
+        txnlog.commit(clean.where(cond), table, mode)
+    return txnlog.latest_version(table)
+
+
+def run_txn_stream_copy(spark: SparkSession, sf_dir: str,
+                        out_dir: str, resume: bool = False,
+                        upto_day: int = 31) -> DataFrame:
+    """End-to-end EXACTLY-ONCE log-to-log pipeline: a transaction-log
+    table consumed AS A STREAM (streaming/txn_source.py
+    read_stream_txn — per-micro-batch consumption of newly committed
+    versions, Delta's ``readStream.format("delta")`` shape) feeding
+    the idempotent txn SINK (batch id in the manifest meta,
+    redeliveries skipped) — the reference's hourly curated→warehouse
+    consumer (orchestration/adf/pipeline/
+    pl_streaming_curated_to_stg_core_mdl.json +
+    t_hourly_backfill_streaming.json) as one checkpointed stream
+    instead of a poll loop.
+
+    Version offsets ride in the stream checkpoint: ``resume=True``
+    keeps the source table, sink, and checkpoint, so appending new
+    commits to the source and re-running continues at the next
+    unconsumed version (the restart pytest drives this; stop →
+    commit → resume delivers every row exactly once).
+
+    Returns the per-ingest_date rollup of the final SINK snapshot —
+    consumption is version-ordered append-for-append, so the rollup
+    is batching-independent and the batch trip_clean table is a FULL
+    oracle.  ``source_versions`` rides along as a structural pin
+    (3 commits consumed)."""
+    from ..operators import txnlog
+    from .txn_source import read_stream_txn
+
+    source = os.path.join(out_dir, "source")
+    sink = os.path.join(out_dir, "sink")
+    ckpt = os.path.join(out_dir, "ckpt")
+    if not resume:
+        _reset(source, sink, ckpt)
+    src_v = build_txn_stream_source(spark, sf_dir, source, upto_day)
+    st = read_stream_txn(spark, source, starting_version=0)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _committed_batch_high(sink):
+            return  # redelivery: already durably committed
+        txnlog.commit(batch, sink, "append",
+                      meta={"batch_id": batch_id})
+        _advance_stream_high(sink, batch_id)
+
+    _run_available_now(
+        st.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt))
+    snap = txnlog.snapshot(spark, sink)
+    return snap.groupBy("ingest_date").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"),
+        F.countDistinct("trip_uid").cast("bigint").alias("n_trips"),
+    ).withColumn("source_versions",
+                 F.lit(int(src_v) + 1).cast("int"))
+
+
 def run_group_sink(spark: SparkSession, sf_dir: str, out_dir: str,
                    max_files_per_trigger: int | None = None,
                    source_dir: str | None = None,

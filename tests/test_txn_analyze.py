@@ -180,3 +180,28 @@ def test_rewrite_paths_drop_stale_records(spark):
     assert recs[0]["rows"] == 7
     assert recs[0]["nulls"] == 3
     assert recs[0]["ndv"] == 3
+
+
+def test_analyze_partition_column(spark):
+    """analyze_cols ∩ partition_by works BY DESIGN: the partitioned
+    layout keeps partition columns as ordinary data columns in the
+    leaf files (the dir name is layout, not the value authority —
+    _write_partitioned's shadow-column invariant), so the per-leaf
+    ANALYZE job reads real values for them like any other column
+    (adjudicates the r10 ADVICE claim that it would fail)."""
+    path = os.path.join(OUT, "t_pcol")
+    shutil.rmtree(path, ignore_errors=True)
+    txnlog.commit(_df(spark, ROWS_A), path, "overwrite",
+                  partition_by=["grp"], analyze_cols=["grp", "v"])
+    recs = txnlog.analyze_stats(path)
+    by_dir_col = {(r["dir"].rsplit("=", 1)[-1], r["col"]): r
+                  for r in recs}
+    # each leaf's grp record: NDV exactly 1 (one value per leaf, by
+    # the dir-per-value invariant), zero nulls, rows = leaf rows
+    gx = by_dir_col[("x", "grp")]
+    gy = by_dir_col[("y", "grp")]
+    assert (gx["ndv"], gx["nulls"], gx["rows"]) == (1, 0, 2)
+    assert (gy["ndv"], gy["nulls"], gy["rows"]) == (1, 0, 2)
+    # the ordinary column's profile rides alongside
+    assert by_dir_col[("x", "v")]["nulls"] == 1
+    assert by_dir_col[("y", "v")]["ndv"] == 2

@@ -276,3 +276,52 @@ def test_declared_append_only_refuses_replaces(spark, tmp_path):
         txnlog.commit(_df(spark, [(1, 1)]),
                       str(tmp_path / "empty"), "overwrite",
                       read_version=0)
+
+
+def test_vacuumed_conflict_window_refuses_not_crashes(spark, tmp_path):
+    """A declared-snapshot writer whose conflict window includes a
+    vacuumed-away manifest must get ConcurrentModification (vacuumed
+    interleaved commit = undecidable touched set), never a raw
+    FileNotFoundError — callers following the recompute-and-retry
+    contract only catch the former."""
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)
+    for i in range(3):
+        txnlog.commit(_df(spark, [(100 + i, i)]), path, "append")
+    txnlog.vacuum(path, keep_latest=1, grace_seconds=0)
+    # keyed write path (_check_write_conflict)
+    with pytest.raises(ConcurrentModification, match="vacuumed"):
+        txnlog.merge_upsert(spark, path, _df(spark, [(1, 11)]),
+                            ["id"], read_version=rv)
+    with pytest.raises(ConcurrentModification, match="vacuumed"):
+        txnlog.delete_keys(spark, path,
+                           spark.createDataFrame([(1,)], "id long"),
+                           ["id"], read_version=rv)
+    # full-table commit path (_check_commit_conflict)
+    with pytest.raises(ConcurrentModification, match="vacuumed"):
+        txnlog.commit(_df(spark, [(50, 500)]), path, "append",
+                      read_version=rv)
+
+
+def test_group_member_read_version_refused(spark, tmp_path):
+    """read_version inside a transaction group has no single conflict
+    point (visibility flips at the coordinator decision, after any
+    window the check could cover) — the combination refuses loudly
+    instead of offering an under-covering check."""
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)
+    gid = "feedbeeffeedbeef"
+    g = {"id": gid,
+         "coord": os.path.join(path, "_txn", "groups", f"{gid}.json"),
+         "members": [path]}
+    with pytest.raises(ValueError, match="transaction group"):
+        txnlog.commit(_df(spark, [(11, 110)]), path, "append",
+                      group=g, read_version=rv)
+    # the refusal consumed no version and published nothing
+    assert txnlog.latest_version(path) == 0
+    assert not os.path.exists(
+        os.path.join(path, "_txn", "groups", f"{gid}.json"))
+    # the same write WITHOUT the group (or without the declared
+    # snapshot) is fine — only the combination is refused
+    assert txnlog.commit(_df(spark, [(11, 110)]), path, "append",
+                         read_version=rv) == 1

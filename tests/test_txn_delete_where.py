@@ -1,0 +1,209 @@
+"""Predicate-level DELETE (operators/txnlog.py delete_where —
+``DELETE FROM t WHERE <pred>``): lane selection (DV vs copy-on-write
+vs no-op), the key-collision safety probe, SQL NULL semantics,
+metadata_count exactness, the DV_MAX_KEYS threshold both ways, and
+the WriteSerializable read_version contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from azure_nyctaxi_lambda_elt_spark.operators import txnlog
+from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+    ConcurrentModification)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v double")
+
+
+def _seed(spark, path):
+    """Two commits: ids 1-10 (grp a/b alternating), ids 11-20 (grp
+    c, plus two NULL-grp rows 19/20)."""
+    txnlog.commit(
+        _df(spark, [(i, "a" if i % 2 else "b", i * 1.0)
+                    for i in range(1, 11)]),
+        path, "overwrite", stats_cols=["id"])
+    txnlog.commit(
+        _df(spark, [(i, None if i >= 19 else "c", i * 1.0)
+                    for i in range(11, 21)]),
+        path, "append", stats_cols=["id"])
+    return txnlog.latest_version(path)
+
+
+def _ids(spark, path, version=None):
+    return {r["id"] for r in
+            txnlog.snapshot(spark, path, version).collect()}
+
+
+def test_dv_lane_small_keyed_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    v = txnlog.delete_where(spark, path, "id % 5 = 0 AND id <= 10",
+                            key_cols=["id"])
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["lane"] == "dv"
+    # no data dir written: the manifest lists exactly the parent dirs
+    assert man["dirs"] == txnlog._read_manifest(path, v - 1)["dirs"]
+    assert len(man["dv"]) == 1
+    assert _ids(spark, path) == set(range(1, 21)) - {5, 10}
+    # exact metadata count through the DV subtraction
+    assert txnlog.metadata_count(path) == 18
+    # prior version still time-travels whole
+    assert _ids(spark, path, v - 1) == set(range(1, 21))
+
+
+def test_key_collision_forces_rewrite(spark, tmp_path):
+    """The safety probe: tombstoning grp='a' keys for a predicate
+    that matches only SOME grp='a' rows would kill non-matching rows
+    sharing the key — delete_where must detect it and take the
+    copy-on-write lane instead."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    v = txnlog.delete_where(spark, path, "grp = 'a' AND v < 4.0",
+                            key_cols=["grp"])
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["lane"] == "rewrite"
+    assert not man.get("dv")
+    # exactly the matched rows died: ids 1, 3 (grp a, v<4)
+    assert _ids(spark, path) == set(range(1, 21)) - {1, 3}
+
+
+def test_rewrite_lane_unkeyed_touches_only_affected_dirs(
+        spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    pdirs = txnlog._read_manifest(path, 1)["dirs"]
+    v = txnlog.delete_where(spark, path, "grp = 'c'")
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["lane"] == "rewrite"
+    # dir 0 (ids 1-10) had no grp='c' rows: carried byte-identical
+    assert pdirs[0] in man["dirs"]
+    assert pdirs[1] not in man["dirs"]
+    # NULL-grp rows (19, 20) SURVIVE: predicate NULL keeps the row
+    assert _ids(spark, path) == (set(range(1, 11)) | {19, 20})
+    assert txnlog.metadata_count(path) == 12
+
+
+def test_null_semantics_explicit_is_null(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    txnlog.delete_where(spark, path, "grp IS NULL")
+    assert _ids(spark, path) == set(range(1, 19))
+
+
+def test_zero_match_commits_noop_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    parent = _seed(spark, path)
+    v = txnlog.delete_where(spark, path, "id > 999",
+                            key_cols=["id"])
+    assert v == parent + 1
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["lane"] == "noop"
+    assert man["dirs"] == txnlog._read_manifest(path, parent)["dirs"]
+    assert _ids(spark, path) == set(range(1, 21))
+
+
+def test_dv_cap_threshold_both_ways(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    monkeypatch.setattr(txnlog, "DV_MAX_KEYS", 3)
+    # 4 matched keys > cap ⇒ rewrite even with key identity
+    v = txnlog.delete_where(spark, path, "id <= 4", key_cols=["id"])
+    assert txnlog._read_manifest(path, v)["meta"]["lane"] == "rewrite"
+    # 3 matched keys <= cap ⇒ DV
+    v2 = txnlog.delete_where(spark, path, "id IN (5, 6, 7)",
+                             key_cols=["id"])
+    assert txnlog._read_manifest(path, v2)["meta"]["lane"] == "dv"
+    assert _ids(spark, path) == set(range(8, 21))
+
+
+def test_delete_where_after_dv_does_not_resurrect(spark, tmp_path):
+    """Copy-on-write rewrite over a dir with live tombstones must
+    apply them first — a rewrite that reads raw files would
+    resurrect the tombstoned rows."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    txnlog.delete_where(spark, path, "id = 2", key_cols=["id"])
+    v = txnlog.delete_where(spark, path, "grp = 'b'")
+    assert txnlog._read_manifest(path, v)["meta"]["lane"] == "rewrite"
+    # id=2 (grp b, tombstoned earlier) stays gone; other b's die now
+    assert _ids(spark, path) == ({1, 3, 5, 7, 9}
+                                 | set(range(11, 21)))
+
+
+def test_read_version_conflict_matrix(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)  # rv = 1 (two commits: 0, 1)
+    # interleaved disjoint keyed delete rebases fine
+    txnlog.delete_keys(spark, path,
+                       spark.createDataFrame([(20,)], "id long"),
+                       ["id"])
+    v = txnlog.delete_where(spark, path, "id = 1", key_cols=["id"],
+                            read_version=rv)
+    assert v == rv + 2
+    # interleaved OVERLAPPING merge refuses
+    txnlog.merge_upsert(
+        spark, path, _df(spark, [(2, "a", 2.5)]), ["id"])
+    with pytest.raises(ConcurrentModification):
+        txnlog.delete_where(spark, path, "id = 2", key_cols=["id"],
+                            read_version=rv)
+    # un-keyed delete_where: ANY interleaved keyed write refuses
+    # (no key identity to prove disjointness — the conservative side)
+    with pytest.raises(ConcurrentModification):
+        txnlog.delete_where(spark, path, "id = 9",
+                            read_version=rv)
+
+
+def test_undeclared_unkeyed_delete_blocks_later_declared_writer(
+        spark, tmp_path):
+    """The op record of an un-keyed delete_where must read as
+    undecidable to LATER declared-snapshot writers."""
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)
+    txnlog.delete_where(spark, path, "v > 15.0")
+    with pytest.raises(ConcurrentModification):
+        txnlog.merge_upsert(spark, path,
+                            _df(spark, [(1, "a", 1.5)]), ["id"],
+                            read_version=rv)
+
+
+def test_partitioned_table_rewrite_keeps_leaf_invariant(
+        spark, tmp_path):
+    """On a partitioned table the copy-on-write dir splits per
+    partition value like every other commit (dir-per-value is an
+    invariant through DELETE, same as MERGE)."""
+    path = str(tmp_path / "t")
+    df = _df(spark, [(i, "g" + str(i % 3), float(i))
+                     for i in range(1, 31)])
+    txnlog.commit(df, path, "overwrite", partition_by=["grp"])
+    v = txnlog.delete_where(spark, path, "grp = 'g1' AND id < 10")
+    man = txnlog._read_manifest(path, v)
+    assert man["meta"]["lane"] == "rewrite"
+    # every manifest dir is a partition leaf of some claimed dir
+    assert all("__p_grp=" in d for d in man["dirs"])
+    got = {r["id"] for r in txnlog.snapshot(spark, path).collect()}
+    assert got == set(range(1, 31)) - {1, 4, 7}
+
+
+def test_prune_hint_narrows_discovery(spark, tmp_path):
+    """A prune hint consistent with the predicate must not change
+    the result (it only narrows which dirs the discovery scan
+    opens)."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    v = txnlog.delete_where(spark, path, "id >= 18",
+                            key_cols=["id"], prune=("id", 18, 20))
+    assert txnlog._read_manifest(path, v)["meta"]["lane"] == "dv"
+    # only the second dir's rows could match; result exact
+    assert _ids(spark, path) == set(range(1, 18))
+
+
+def test_shallow_clone_refused(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _seed(spark, src)
+    txnlog.shallow_clone(src, dst)
+    with pytest.raises(ValueError, match="external dirs"):
+        txnlog.delete_where(spark, dst, "id = 1", key_cols=["id"])

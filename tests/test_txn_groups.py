@@ -198,3 +198,109 @@ def test_describe_detail_metadata_only(spark):
     old = txnlog.describe_detail(spark, path, version=0) \
         .collect()[0].asDict()
     assert old["num_dirs"] == 2 and old["num_rows"] == 2
+
+
+def test_vacuum_gc_unreferenced_group_files(spark):
+    """Group bookkeeping files (coordinator records + decision
+    markers) GC with vacuum once no kept manifest references their
+    gid — the per-micro-batch group sink must not accumulate two
+    files per batch forever — while files of still-referenced gids
+    stay."""
+    a, b = _pair(spark, "t_gc")
+    gids = []
+    for i in range(3):
+        txnlog.commit_group(
+            [(_df(spark, [(10 + i, i)]), a),
+             (_df(spark, [(20 + i, i)]), b)])
+        gids.append(txnlog._read_manifest(
+            a, txnlog.latest_version(a))["group"]["id"])
+    groups_a = os.path.join(a, "_txn", "groups")
+    # 3 coords + 3 markers before the GC
+    assert len(os.listdir(groups_a)) == 6
+    removed = txnlog.vacuum(a, keep_latest=1, grace_seconds=0)
+    left = os.listdir(groups_a)
+    # only the kept head's gid survives (its coord + its marker)
+    assert {f.split(".", 1)[0] for f in left} == {gids[-1]}
+    assert any(e.startswith("_txn/groups/") for e in removed)
+    # b never vacuumed: all its versions still read as committed
+    # (its own markers are intact; retired coords were repaired-first)
+    for v in range(txnlog.latest_version(b) + 1):
+        txnlog.snapshot(spark, b, version=v)
+
+
+def test_vacuum_gc_repairs_missing_sibling_marker(spark):
+    """Retiring a committed coordinator record must first repair a
+    referencing member whose own mirror was lost (crash mid-mirror):
+    deleting the only surviving commit evidence would flip that
+    member committed → pending → settle-aborted."""
+    a, b = _pair(spark, "t_repair")
+    txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)])
+    gid = txnlog._read_manifest(b, 1)["group"]["id"]
+    # b's mirror lost to a crash; the coord in a is the only evidence
+    os.remove(os.path.join(b, "_txn", "groups",
+                           f"{gid}.decided.json"))
+    # a moves on: kept manifests no longer reference the gid
+    txnlog.commit(_df(spark, [(4, 40)]), a, "append")
+    txnlog.commit(_df(spark, [(5, 50)]), a, "append")
+    txnlog.vacuum(a, keep_latest=2, grace_seconds=0)
+    assert not os.path.exists(
+        os.path.join(a, "_txn", "groups", f"{gid}.json"))
+    # ...but b's mirror was rewritten BEFORE the coord retired
+    mk = os.path.join(b, "_txn", "groups", f"{gid}.decided.json")
+    assert os.path.exists(mk)
+    assert json.load(open(mk))["committed"] is True
+    # b's group member still reads committed and never settle-aborts
+    assert txnlog.latest_version(b) == 1
+    assert txnlog.snapshot(spark, b).count() == 2
+    txnlog.commit(_df(spark, [(6, 60)]), b, "append")
+    assert txnlog.latest_version(b) == 2
+
+
+def test_vacuum_keeps_pre_members_committed_records(spark):
+    """A committed record without a member list (pre-r11 format)
+    is never GC'd — provably-safe retirement needs the members."""
+    a, b = _pair(spark, "t_oldrec")
+    txnlog.commit_group(
+        [(_df(spark, [(2, 20)]), a), (_df(spark, [(3, 30)]), b)])
+    gid = txnlog._read_manifest(a, 1)["group"]["id"]
+    coord = os.path.join(a, "_txn", "groups", f"{gid}.json")
+    with open(coord, "w") as fh:
+        json.dump({"id": gid, "committed": True}, fh)  # old format
+    txnlog.commit(_df(spark, [(4, 40)]), a, "append")
+    txnlog.commit(_df(spark, [(5, 50)]), a, "append")
+    txnlog.vacuum(a, keep_latest=2, grace_seconds=0)
+    assert os.path.exists(coord)
+
+
+def test_settle_tolerates_non_numeric_grace(spark):
+    """A non-numeric declared grace in a (pre-checksum / tampered)
+    pending member manifest must fall back to the default instead of
+    raising ValueError out of every subsequent writer's settle pass
+    (which would wedge the table)."""
+    import time
+
+    p = os.path.join(OUT, "t_badgrace")
+    shutil.rmtree(p, ignore_errors=True)
+    txnlog.commit(_df(spark, [(1, 10)]), p, "overwrite")
+    gid = "deadbeefdeadbeef"
+    g = {"id": gid,
+         "coord": os.path.join(p, "_txn", "groups", f"{gid}.json"),
+         "members": [p], "grace": 1.0}
+    txnlog.commit(_df(spark, [(2, 20)]), p, "append", group=g)
+    mp = txnlog._manifest_path(p, 1)
+    man = json.load(open(mp))
+    man["group"]["grace"] = "oops"          # non-numeric
+    man["checksum"] = txnlog._manifest_checksum(man)
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(man, fh)
+    old = time.time() - 3600
+    os.utime(mp, (old, old))                # well past any grace
+    # pending member is invisible; the next writer's settle must
+    # ABORT it (fallback grace expired), not crash on float("oops")
+    assert txnlog.latest_version(p) == 0
+    v = txnlog.commit(_df(spark, [(3, 30)]), p, "append")
+    assert v == 1
+    assert "group" not in txnlog._read_manifest(p, 1)
+    assert txnlog.snapshot(spark, p).count() == 2

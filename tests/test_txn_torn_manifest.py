@@ -93,3 +93,35 @@ def test_tampered_pre_checksum_manifest_is_the_known_gap(spark,
 
     _tamper(path, 1, strip_and_bump)
     assert txnlog.latest_version(path) == 1
+
+
+def test_torn_mid_history_resolution_skips_not_bricks(spark, tmp_path):
+    """A single rotted OLD manifest must not disable AS OF travel
+    table-wide: timestamp resolution and history() treat the torn
+    version like a vacuumed one (skip, keep the running max from
+    neighbors) while SERVING it still refuses loudly."""
+    path = str(tmp_path / "t")
+    txnlog.commit(_df(spark, [(1, 10)]), path, "overwrite")
+    txnlog.commit(_df(spark, [(2, 20)]), path, "append")
+    txnlog.commit(_df(spark, [(3, 30)]), path, "append")
+    t0 = txnlog.commit_time(path, 0)
+    t2 = txnlog.commit_time(path, 2)
+    _tamper(path, 1, lambda m: m.__setitem__("dirs", m["dirs"][:1]))
+    # resolutions targeting intact versions keep working
+    assert txnlog.version_at_timestamp(path, t2) == 2
+    assert txnlog.version_at_timestamp(path, t2 + 60) == 2
+    assert txnlog.version_at_timestamp(path, t0) == 0
+    # a timestamp in the torn version's window serves the intact
+    # predecessor (same rule as a vacuumed version)
+    assert txnlog.version_at_timestamp(
+        path, (t0 + t2) / 2.0) in (0, 2)
+    # the torn version itself still refuses to SERVE
+    with pytest.raises(TornManifest):
+        txnlog.snapshot(spark, path, version=1).count()
+    # history skips the torn row, serves the rest
+    vs = [r["version"]
+          for r in txnlog.history(spark, path).collect()]
+    assert vs == [2, 0]
+    # snapshot(as_of_ts=...) composes end to end
+    assert txnlog.snapshot(
+        spark, path, as_of_ts=t2).count() == 3
