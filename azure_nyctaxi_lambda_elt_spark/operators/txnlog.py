@@ -3341,6 +3341,258 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
             matched.unpersist()
 
 
+def update_where(spark: SparkSession, path: str, predicate: str,
+                 set_exprs: dict[str, str],
+                 key_cols: list[str] | None = None,
+                 read_version: int | None = None,
+                 prune: tuple | list | None = None) -> int:
+    """Predicate-level row UPDATE — ``UPDATE t SET c = expr WHERE
+    <pred>`` (Delta's arbitrary-predicate UPDATE; reference parity:
+    the slice-correction maintenance the reference runs through
+    Synapse UPDATEs on trip_clean,
+    sql/batchELT/core/12_trip_clean.dedupe_load.sql's key-scoped
+    restatements).  SQL UPDATE semantics: rows where the predicate is
+    literal TRUE take the SET expressions (evaluated SIMULTANEOUSLY
+    against the pre-update row, standard UPDATE assignment); NULL or
+    false leaves the row untouched.
+
+    Same discovery-scan-then-two-lanes shape as :func:`delete_where`:
+
+    - **DV update lane** (small update on a big table — what Delta
+      does with deletion vectors enabled): when ``key_cols`` is
+      given, the matched keys pass the DV cap AND the counting
+      safety probe (the (dir, key) tombstones must kill EXACTLY the
+      matched rows), ONE commit tombstones the old row versions and
+      appends a fresh dir holding just the UPDATED rows — cost
+      O(|matched|), not O(affected dirs); visible row count is
+      unchanged by construction and metadata_count stays exact
+      (added rows == tombstoned rows).
+    - **Copy-on-write lane** otherwise: only the affected dirs
+      rewrite, each row mapped through ``CASE WHEN pred THEN expr
+      ELSE col END`` in one projection; every other dir carries.
+
+    ``set_exprs`` may only name existing non-generated, non-identity
+    columns (generated columns are recomputed from their declared
+    expressions on the updated rows — so a SET touching a generated
+    column's SOURCE keeps the stored value consistent; identity
+    values ride along unchanged, the stable surrogate key).  CHECK
+    constraints validate the updated rows before publish, exactly
+    like MERGE.  ``read_version``: the WriteSerializable matrix on
+    the DISCOVERED key set (op type ``merge`` — an update is a keyed
+    rewrite to later writers).  Returns the committed version."""
+    _settle_stale_groups(path)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    version = parent + 1
+    if os.path.exists(_manifest_path(path, version)):
+        raise TxnConflict(f"version {version} already committed")
+    man = _read_manifest(path, parent)
+    if any(os.path.isabs(d) for d in man["dirs"]):
+        raise ValueError(
+            "update_where on a table referencing external dirs "
+            "(shallow clone): run compact() first to localize them")
+    gen = man.get("generated", {})
+    ident = man.get("identity") or {}
+    for c in set_exprs:
+        if c in gen:
+            raise ValueError(
+                f"column '{c}' is GENERATED ALWAYS AS — the engine "
+                "recomputes it from its expression; SET its source "
+                "columns instead")
+        if c == ident.get("col"):
+            raise ValueError(
+                f"identity column '{c}' is GENERATED ALWAYS: "
+                "updates keep the matched row's id")
+    base = os.path.abspath(path)
+    names = man["dirs"]
+    if prune is not None:
+        preds = prune if isinstance(prune[0], (list, tuple)) \
+            else [prune]
+        names, _ = prune_plan(path, parent, list(preds))
+    pred = F.expr(predicate)
+    hit_pred = F.coalesce(pred, F.lit(False))
+    dv = list(man.get("dv", []))
+
+    def _check_set_cols(cols: list[str]) -> None:
+        missing = sorted(set(set_exprs) - set(cols))
+        if missing:
+            raise ValueError(
+                f"SET names columns not in the table: {missing}")
+
+    def _apply_set(df: DataFrame, everywhere: bool) -> DataFrame:
+        """One projection = simultaneous assignment from the
+        pre-update row; ``everywhere`` skips the per-row CASE when
+        the frame holds only matched rows (DV lane)."""
+        cols = [c for c in df.columns if c != "__dir"]
+        _check_set_cols(cols)
+        out = []
+        for c in cols:
+            if c in set_exprs:
+                e = F.expr(set_exprs[c]).cast(df.schema[c].dataType)
+                out.append((e if everywhere
+                            else F.when(hit_pred, e)
+                            .otherwise(F.col(c))).alias(c))
+            else:
+                out.append(F.col(c))
+        res = df.select(*out)
+        if gen:
+            # recompute generated columns from their declared
+            # expressions so a SET on a source column can't leave a
+            # stale stored value (deterministic exprs: untouched
+            # rows recompute to their existing values)
+            res = _compute_generated(res.drop(*gen.keys()), gen)
+        return res
+
+    if names:
+        scan = (_read_dirs(spark, path, names, man)
+                .withColumn("__dir", _dir_col_decoded()))
+        if man.get("dv"):
+            scan = _apply_dv(spark, path, scan, man["dv"],
+                             keep_dir=True)
+        matched = scan.where(hit_pred).persist()
+    else:
+        matched = None
+    try:
+        rel = F.expr(f"substring(__dir, {len(base) + 2})")
+        per_dir = {} if matched is None else {
+            r["__d"]: int(r["n"])
+            for r in matched.groupBy(rel.alias("__d"))
+            .agg(F.count("*").alias("n")).collect()}
+        n_rows = sum(per_dir.values())
+        affected = sorted(per_dir)
+        if key_cols and matched is not None:
+            op_desc = _key_set_descriptor(matched, key_cols)
+            op_kc = list(key_cols)
+        else:
+            op_desc, op_kc = {}, list(key_cols or [])
+        if read_version is not None:
+            _check_write_conflict(path, read_version, parent,
+                                  op_kc, op_desc, "update_where")
+        carry = dict(
+            partition_by=man.get("partition_by", []),
+            constraints=man.get("constraints", {}),
+            identity=man.get("identity"),
+            generated=gen)
+        op = {"type": "merge", "key_cols": op_kc, "keys": op_desc}
+        cons = man.get("constraints", {})
+        if n_rows == 0:
+            # still verify the SET names resolve (a typo'd no-op
+            # UPDATE should fail loudly, not silently succeed)
+            if man.get("schema"):
+                _check_set_cols([f["name"] for f in json.loads(
+                    man["schema"])["fields"]])
+            return _commit_manifest(
+                path, version, "update", man["dirs"],
+                {"predicate": predicate, "rows_updated": 0,
+                 "lane": "noop"},
+                man.get("stats", {}), man.get("rows", {}),
+                man.get("bloom_cols", []), man.get("schema"),
+                dv=dv, analyze=man.get("analyze", {}),
+                op=op, **carry)
+        use_dv, pairs = False, None
+        if key_cols:
+            ksample = (matched.select(*key_cols).distinct()
+                       .limit(DV_MAX_KEYS + 1).collect())
+            if len(ksample) <= DV_MAX_KEYS:
+                pairs = matched.select(
+                    rel.alias("__dv_dir"), *key_cols).distinct()
+                # same safety probe as delete_where: the tombstones
+                # must kill exactly the matched rows, or the update
+                # would silently DELETE non-matching key-sharers
+                bpairs = F.broadcast(pairs.select(
+                    F.concat(F.lit(base + "/"), F.col("__dv_dir"))
+                    .alias("__t_abs"),
+                    *[F.col(k).alias(f"__t_{k}")
+                      for k in key_cols]))
+                cond = F.col("__dir") == F.col("__t_abs")
+                for k in key_cols:
+                    cond = cond & F.col(k).eqNullSafe(
+                        F.col(f"__t_{k}"))
+                aff_scan = (_read_dirs(spark, path, affected, man)
+                            .withColumn("__dir", _dir_col_decoded()))
+                if man.get("dv"):
+                    aff_scan = _apply_dv(spark, path, aff_scan,
+                                         man["dv"], keep_dir=True)
+                would_die = aff_scan.join(
+                    bpairs, cond, "left_semi").count()
+                use_dv = would_die == n_rows
+        data_dir = _claim_data_dir(path, version)
+        name = os.path.basename(data_dir)
+        pby = man.get("partition_by", [])
+        stats = man.get("stats", {})
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        if use_dv:
+            # DV update lane: tombstone the old row versions, land
+            # ONLY the updated rows in the fresh dir — one atomic
+            # manifest carries both sides
+            payload = _apply_set(matched.drop("__dir"),
+                                 everywhere=True)
+            rewrote: list[str] = []
+        else:
+            existing = (_read_dirs(spark, path, affected, man)
+                        .withColumn("__dir", _dir_col_decoded()))
+            if man.get("dv"):
+                existing = _apply_dv(spark, path, existing,
+                                     man["dv"], keep_dir=True)
+            payload = _apply_set(existing, everywhere=False)
+            rewrote = affected
+        new_stats, new_rows_map = {}, {}
+        if pby:
+            new_names, new_stats, new_rows_map = _write_partitioned(
+                spark, path, data_dir, payload, pby, stat_cols)
+        else:
+            payload.write.mode("overwrite").parquet(data_dir)
+            new_names = [name]
+            if stat_cols:
+                cstats, n = _col_stats(
+                    spark.read.parquet(data_dir), stat_cols)
+                new_stats, new_rows_map = {name: cstats}, {name: n}
+        if cons:
+            # only the updated rows can newly violate — but the
+            # written dir is the validation unit, same as MERGE
+            _validate_constraints(spark, path, new_names, cons,
+                                  man={"schema": man.get("schema")})
+        if gen:
+            gchecks = _generated_checks(gen)
+            _validate_constraints(spark, path, new_names, gchecks,
+                                  man={"schema": man.get("schema")})
+        if use_dv:
+            dv, per_dir_m = _append_dv_entry(
+                spark, path, version, dv, pairs, key_cols, per_dir)
+            dirs = list(man["dirs"]) + new_names
+            kept_analyze = {
+                d: a for d, a in man.get("analyze", {}).items()
+                if d not in per_dir_m}
+            lane = "dv"
+        else:
+            gone = set(affected)
+            dirs = [d for d in man["dirs"]
+                    if d not in gone] + new_names
+            dv = _filter_dv(dv, dirs)
+            kept_analyze = {
+                d: a for d, a in man.get("analyze", {}).items()
+                if d in dirs}
+            lane = "rewrite"
+        kept_stats = {d: s for d, s in stats.items() if d in dirs}
+        kept_stats.update(new_stats)
+        kept_rows = {d: n for d, n in man.get("rows", {}).items()
+                     if d in dirs}
+        kept_rows.update(new_rows_map)
+        bcols = man.get("bloom_cols", [])
+        v = _commit_manifest(
+            path, version, "update", dirs,
+            {"predicate": predicate, "rewrote": rewrote,
+             "rows_updated": int(n_rows), "lane": lane},
+            kept_stats, kept_rows, bcols, man.get("schema"),
+            dv=dv, analyze=kept_analyze, op=op, **carry)
+        _maintain_bloom(spark, path, v, bcols, new_names)
+        return v
+    finally:
+        if matched is not None:
+            matched.unpersist()
+
+
 def _repair_member_markers(gid: str, members: list) -> bool:
     """Pre-GC repair for a COMMITTED group record about to be
     retired: every member table whose RETAINED manifests still

@@ -2066,6 +2066,64 @@ def q_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rewrite_lane", F.lit(lane_rw == "rewrite")))
 
 
+def q_txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-level UPDATE (operators/txnlog.py update_where —
+    ``UPDATE t SET c = expr WHERE <pred>``, Delta's
+    arbitrary-predicate UPDATE; reference parity: the key-scoped
+    Synapse restatements around
+    sql/batchELT/core/12_trip_clean.dedupe_load.sql).  Two updates
+    exercise BOTH lanes on a two-commit trip_clean table:
+
+    - a narrow keyed fare correction (+5.00 on one source file's
+      uid%7 rows) → the **DV update lane** (what Delta does with
+      deletion vectors on): ONE commit tombstones the old row
+      versions and appends a fresh dir holding just the updated
+      rows — O(|matched|), no dir rewritten, visible count unchanged
+      by construction;
+    - a bulk un-keyed tip restatement (+1.50 on CARD rides in the
+      second commit's day range) → the **copy-on-write lane**: only
+      the affected dir rewrites through one CASE-mapped projection.
+
+    SET expressions evaluate SIMULTANEOUSLY against the pre-update
+    row; predicate NULL leaves the row untouched (the
+    NULL-payment_type rows keep their tips).  The rollup equals
+    trip_clean with both CASE restatements applied; lane claims ride
+    as structural columns."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnupdwhere", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite",
+                  stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day >= 16), out, "append",
+                  stats_cols=["trip_uid"])
+    p_dv = ("source_file_name = 'events_2024-01-05.parquet' "
+            "AND trip_uid % 7 = 0")
+    v_dv = txnlog.update_where(
+        spark, out, p_dv, {"fare_amount": "fare_amount + 5.0"},
+        key_cols=["trip_uid"])
+    p_rw = "payment_type = 'CARD' AND day(ingest_date) >= 16"
+    v_rw = txnlog.update_where(
+        spark, out, p_rw, {"tip_amount": "tip_amount + 1.5"})
+    lane_dv = txnlog._read_manifest(out, v_dv)["meta"].get("lane")
+    lane_rw = txnlog._read_manifest(out, v_rw)["meta"].get("lane")
+    snap = txnlog.snapshot(spark, out)
+    return (snap.groupBy("payment_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"),
+        F.round(F.sum(F.col("tip_amount").cast("decimal(18,6)"))
+                .cast("double"), 6).alias("tip_sum"))
+        .withColumn("dv_lane", F.lit(lane_dv == "dv"))
+        .withColumn("rewrite_lane", F.lit(lane_rw == "rewrite")))
+
+
 def q_txn_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Txn table consumed AS A STRUCTURED STREAM
     (streaming/txn_source.py read_stream_txn — the Delta
@@ -2966,6 +3024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_history": q_txn_history,
     "txn_vacuum_dry_run": q_txn_vacuum_dry_run,
     "txn_delete_where": q_txn_delete_where,
+    "txn_update_where": q_txn_update_where,
     "txn_stream_read": q_txn_stream_read,
     "txn_snapshot_sql": q_txn_snapshot_sql,
     "txn_delete_vector": q_txn_delete_vector,
@@ -3638,6 +3697,27 @@ ORACLES["txn_delete_where"] = with_trips("""
       AND NOT COALESCE(
             payment_type = 'CASH' AND day(ingest_date) >= 16, FALSE)
     GROUP BY 1
+""")
+
+# predicate UPDATE: both CASE restatements applied under SQL UPDATE
+# NULL semantics (predicate NULL leaves the row untouched); lane
+# claims are TRUE constants to the oracle
+ORACLES["txn_update_where"] = with_trips("""
+    SELECT payment_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(
+             CASE WHEN COALESCE(
+                    source_file_name = 'events_2024-01-05.parquet'
+                    AND trip_uid % 7 = 0, FALSE)
+                  THEN fare_amount + 5.0 ELSE fare_amount END
+             AS DECIMAL(18,2))) AS DOUBLE) AS fare_sum,
+           round(CAST(SUM(CAST(
+             CASE WHEN COALESCE(payment_type = 'CARD'
+                    AND day(ingest_date) >= 16, FALSE)
+                  THEN tip_amount + 1.5 ELSE tip_amount END
+             AS DECIMAL(18,6))) AS DOUBLE), 6) AS tip_sum,
+           TRUE AS dv_lane, TRUE AS rewrite_lane
+    FROM trip_clean GROUP BY 1
 """)
 
 # streaming read of the txn log: version-ordered append-for-append
