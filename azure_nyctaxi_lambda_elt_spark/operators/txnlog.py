@@ -3138,6 +3138,100 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
             "keys": op_desc})
 
 
+def _ranges_from_predicate(predicate: str) -> list[tuple]:
+    """CONSERVATIVE range extraction from a predicate string for
+    manifest-stats dir pruning (the automatic half of
+    delete_where/update_where's ``prune=``): only a top-level AND of
+    ``col <op> literal`` / ``literal <op> col`` / ``col BETWEEN a
+    AND b`` clauses contributes; any OR / NOT / parenthesis /
+    IS NULL anywhere bails to no pruning, and an unparseable AND-ed
+    clause is simply ignored (dropping a conjunct can only WIDEN the
+    kept-dir set — the safe side).  Literals: numbers and
+    single-quoted strings (ISO dates/timestamps compare
+    lexicographically, the same normalized domain the manifest
+    envelopes store via _json_safe).  Equality contributes a point
+    range; one-sided comparisons leave the other bound open (None —
+    callers substitute the envelope's own bound).  Returns
+    [(col, lo, hi), ...]; [] means no pruning."""
+    import re as _re
+
+    s = predicate.strip()
+    if _re.search(r"\(|\)|\bOR\b|\bNOT\b|\bIS\s+NULL\b", s,
+                  _re.IGNORECASE):
+        return []
+    lit = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
+
+    def _val(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1]
+        return float(tok) if "." in tok else int(tok)
+
+    # protect BETWEEN's own AND before splitting conjuncts
+    s = _re.sub(rf"(\bBETWEEN\s+{lit})\s+AND\s+", r"\1 ~BTW~ ", s,
+                flags=_re.IGNORECASE)
+    out: list[tuple] = []
+    for clause in _re.split(r"\bAND\b", s, flags=_re.IGNORECASE):
+        clause = clause.strip()
+        m = _re.fullmatch(
+            rf"(\w+)\s+BETWEEN\s+({lit})\s+~BTW~\s+({lit})",
+            clause, _re.IGNORECASE)
+        if m:
+            out.append((m.group(1), _val(m.group(2)),
+                        _val(m.group(3))))
+            continue
+        m = _re.fullmatch(rf"(\w+)\s*(>=|<=|=|==|>|<)\s*({lit})",
+                          clause)
+        if m:
+            c, op, v = m.group(1), m.group(2), _val(m.group(3))
+        else:
+            m = _re.fullmatch(rf"({lit})\s*(>=|<=|=|==|>|<)\s*(\w+)",
+                              clause)
+            if not m:
+                continue  # unparseable conjunct: ignore (widens)
+            v, c = _val(m.group(1)), m.group(3)
+            op = {">": "<", "<": ">", ">=": "<=",
+                  "<=": ">="}.get(m.group(2), m.group(2))
+        if op in ("=", "=="):
+            out.append((c, v, v))
+        elif op in (">", ">="):
+            # strictness ignored: envelope pruning is inclusive
+            # either way (conservative)
+            out.append((c, v, None))
+        else:
+            out.append((c, None, v))
+    return out
+
+
+def _auto_prune_names(path: str, parent: int, man: dict,
+                      predicate: str) -> list[str]:
+    """Dir names the discovery scan must open for ``predicate``:
+    manifest-envelope pruning on the ranges the predicate provably
+    implies, with every failure mode falling back to all dirs."""
+    ranges = [(c, lo, hi) for c, lo, hi
+              in _ranges_from_predicate(predicate)
+              if any(c in s for s in man.get("stats", {}).values())]
+    if not ranges:
+        return man["dirs"]
+    stats = man.get("stats", {})
+    kept = []
+    for d in man["dirs"]:
+        keep = True
+        for c, lo, hi in ranges:
+            env = stats.get(d, {}).get(c)
+            if not env or env[0] is None or env[1] is None:
+                continue  # no envelope: must open (conservative)
+            try:
+                if ((hi is not None and env[0] > hi)
+                        or (lo is not None and env[1] < lo)):
+                    keep = False
+                    break
+            except TypeError:
+                continue  # cross-type literal: can't prove, open
+        if keep:
+            kept.append(d)
+    return kept
+
+
 def delete_where(spark: SparkSession, path: str, predicate: str,
                  key_cols: list[str] | None = None,
                  read_version: int | None = None,
@@ -3193,11 +3287,16 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
             "delete_where on a table referencing external dirs "
             "(shallow clone): run compact() first to localize them")
     base = os.path.abspath(path)
-    names = man["dirs"]
     if prune is not None:
         preds = prune if isinstance(prune[0], (list, tuple)) \
             else [prune]
         names, _ = prune_plan(path, parent, list(preds))
+    else:
+        # automatic: ranges the predicate PROVABLY implies prune
+        # dirs through the manifest envelopes (conservative parser —
+        # anything unprovable opens the dir; explicit prune= hints
+        # override for predicates the parser won't touch)
+        names = _auto_prune_names(path, parent, man, predicate)
     pred = F.expr(predicate)
     hit_pred = F.coalesce(pred, F.lit(False))
     dv = list(man.get("dv", []))
@@ -3405,11 +3504,16 @@ def update_where(spark: SparkSession, path: str, predicate: str,
                 f"identity column '{c}' is GENERATED ALWAYS: "
                 "updates keep the matched row's id")
     base = os.path.abspath(path)
-    names = man["dirs"]
     if prune is not None:
         preds = prune if isinstance(prune[0], (list, tuple)) \
             else [prune]
         names, _ = prune_plan(path, parent, list(preds))
+    else:
+        # automatic: ranges the predicate PROVABLY implies prune
+        # dirs through the manifest envelopes (conservative parser —
+        # anything unprovable opens the dir; explicit prune= hints
+        # override for predicates the parser won't touch)
+        names = _auto_prune_names(path, parent, man, predicate)
     pred = F.expr(predicate)
     hit_pred = F.coalesce(pred, F.lit(False))
     dv = list(man.get("dv", []))

@@ -207,3 +207,47 @@ def test_shallow_clone_refused(spark, tmp_path):
     txnlog.shallow_clone(src, dst)
     with pytest.raises(ValueError, match="external dirs"):
         txnlog.delete_where(spark, dst, "id = 1", key_cols=["id"])
+
+
+def test_auto_prune_range_extraction():
+    """The conservative predicate→range parser behind automatic
+    discovery pruning: AND-ed simple comparisons contribute, any
+    OR/NOT/paren/IS NULL bails entirely, unparseable conjuncts are
+    ignored (widening — the safe side)."""
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _ranges_from_predicate as rp)
+
+    assert rp("id >= 5 AND id < 9") == [("id", 5, None),
+                                        ("id", None, 9)]
+    assert rp("d = '2024-01-05'") == [("d", "2024-01-05",
+                                       "2024-01-05")]
+    assert rp("id BETWEEN 3 AND 7") == [("id", 3, 7)]
+    assert rp("5 <= id") == [("id", 5, None)]
+    assert rp("id >= 5 AND uid % 3 = 1") == [("id", 5, None)]
+    # parens could group ORs — bail outright, like OR/NOT
+    assert rp("id >= 5 AND weird_fn(x) = 1") == []
+    # bail cases: pruning on these would be unsound
+    assert rp("id >= 5 OR grp = 'a'") == []
+    assert rp("NOT (id >= 5)") == []
+    assert rp("(id >= 5)") == []
+    assert rp("grp IS NULL") == []
+
+
+def test_auto_prune_narrows_discovery_correctly(spark, tmp_path):
+    """End to end: a range predicate on a stats column auto-prunes
+    the discovery scan to the matching dirs (observable through the
+    helper) and the delete result is exact."""
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _auto_prune_names)
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # dir0: ids 1-10, dir1: ids 11-20, stats on id
+    man = txnlog._read_manifest(path, 1)
+    kept = _auto_prune_names(path, 1, man, "id >= 18 AND grp <> 'zzz'")
+    # "grp <> 'zzz'" is ignored (unparseable conjunct), id >= 18
+    # prunes dir0 via its [1, 10] envelope
+    assert kept == [man["dirs"][1]]
+    v = txnlog.delete_where(spark, path, "id >= 18",
+                            key_cols=["id"])
+    assert txnlog._read_manifest(path, v)["meta"]["lane"] == "dv"
+    assert _ids(spark, path) == set(range(1, 18))
