@@ -104,6 +104,11 @@ BENCH_NEW_QUERIES = [
     "txn_time_travel_ts",
     "txn_history",
     "txn_vacuum_dry_run",
+    # round-11 additions
+    "txn_stream_read",
+    "txn_delete_where",
+    "txn_update_where",
+    "txn_snapshot_sql",
 ]
 
 
