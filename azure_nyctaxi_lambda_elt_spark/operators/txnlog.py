@@ -1895,6 +1895,71 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     return v
 
 
+def _dv_delta_rows(spark: SparkSession, path: str, man_a: dict,
+                   man_b: dict, shared: list[str]) -> DataFrame | None:
+    """Rows visible at version A, living in dirs CARRIED into
+    version B, whose (dir, key) pair is tombstoned in B but not in A
+    — the delete contribution of the deletion-vector commits between
+    the two versions, for :func:`change_feed`.
+
+    Works on tombstone pair SETS (union of B's stores minus union of
+    A's, per key-column signature), so store coalescing
+    (_append_dv_entry's fold) and per-dir entry filtering between A
+    and B never change the answer.  Tombstones in carried dirs only
+    GROW from A to B (the only operation that sheds pairs rewrites
+    the dir away, removing it from `shared`), so the set difference
+    is exactly "deleted between A and B".  Scan cost: tombstone
+    stores are KB-scale by the DV_MAX_KEYS contract, and the data
+    scan opens ONLY the carried dirs the B-side entries name — the
+    dirs the deletes actually touched.  Rows already invisible at A
+    (an older tombstone, any key signature) are excluded by applying
+    A's vectors before the pair match."""
+    base = os.path.abspath(path)
+    shared_set = set(shared)
+    dv_a, dv_b = man_a.get("dv", []), man_b.get("dv", [])
+
+    def pairs(entries, kc: tuple) -> DataFrame | None:
+        dfs = [spark.read.parquet(_dv_store_dir(path, e["store"]))
+               .select("__dv_dir", *kc)
+               for e in entries if tuple(e["key_cols"]) == kc]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct()
+
+    result = None
+    for kc in sorted({tuple(e["key_cols"]) for e in dv_b}):
+        pb = pairs(dv_b, kc)
+        pa = pairs(dv_a, kc)
+        delta = pb if pa is None else pb.exceptAll(pa)
+        # dirs the B-side entries of this signature name, ∩ carried:
+        # a conservative superset of the delta's dirs, known from
+        # manifest metadata without collecting the delta
+        target = sorted({d for e in dv_b
+                         if tuple(e["key_cols"]) == kc
+                         for d in e.get("dirs", {})} & shared_set)
+        if not target:
+            continue
+        rows = (_read_dirs(spark, path, target, man_b)
+                .withColumn("__dir", _dir_col_decoded()))
+        eff_a = _filter_dv(dv_a, target)
+        if eff_a:
+            rows = _apply_dv(spark, path, rows, eff_a,
+                             keep_dir=True)
+        bdelta = F.broadcast(delta.select(
+            F.concat(F.lit(base + "/"), F.col("__dv_dir"))
+            .alias("__t_abs"),
+            *[F.col(k).alias(f"__t_{k}") for k in kc]))
+        cond = F.col("__dir") == F.col("__t_abs")
+        for k in kc:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+        hit = rows.join(bdelta, cond, "left_semi").drop("__dir")
+        result = hit if result is None else result.unionByName(hit)
+    return result
+
+
 def change_feed(spark: SparkSession, path: str,
                 from_version: int | None = None,
                 to_version: int | None = None,
@@ -1919,7 +1984,18 @@ def change_feed(spark: SparkSession, path: str,
     merges actually touched), not the table.  The diff itself is two
     full-row exceptAlls over those dirs; rows whose key appears on
     both sides are update pre/post images, the rest are
-    inserts/deletes."""
+    inserts/deletes.
+
+    Deletion-vector commits (r11): the feed is DV-EXACT without
+    materializing.  Each side shows only the rows VISIBLE at its
+    version (its own vectors applied over its exclusive dirs), and
+    rows in CARRIED dirs whose (dir, key) tombstone pair exists at
+    ``to`` but not at ``from`` join the removed side
+    (:func:`_dv_delta_rows` — pair-set semantics, so store
+    coalescing never confuses it; a DV-deleted key re-inserted by a
+    later commit classifies as update pre/post, Delta's own CDF+DV
+    behavior).  The extra scan opens only the carried dirs the new
+    tombstones name."""
     if key_cols is None:
         raise TypeError("change_feed requires key_cols")
     if (from_version is None) == (from_ts is None):
@@ -1935,15 +2011,11 @@ def change_feed(spark: SparkSession, path: str,
     man_b = _read_manifest(path, to_version)
     _require_decided(path, from_version, man_a)
     _require_decided(path, to_version, man_b)
-    if man_a.get("dv", []) != man_b.get("dv", []):
-        # a deletion-vector commit changes NO dirs, so the dir-set
-        # diff below would silently miss its deletes — refuse rather
-        # than emit a wrong feed (Delta gates CDF+DV the same way)
-        raise ValueError(
-            "change_feed across deletion-vector commits: run "
-            "compact() to materialize tombstones first")
+    dv_a, dv_b = man_a.get("dv", []), man_b.get("dv", [])
+    dv_aware = dv_a != dv_b
     only_a = [d for d in man_a["dirs"] if d not in set(man_b["dirs"])]
     only_b = [d for d in man_b["dirs"] if d not in set(man_a["dirs"])]
+    shared = [d for d in man_a["dirs"] if d in set(man_b["dirs"])]
 
     def read(dirs: list[str], like: list[str]) -> DataFrame:
         # both sides read under the TO-version's manifest schema
@@ -1959,8 +2031,35 @@ def change_feed(spark: SparkSession, path: str,
     # old side's column order (a merge-written dir can serialize its
     # columns in a different order than the original commit)
     new = read(only_b, man_a["dirs"]).select(*old.columns)
+    if dv_aware:
+        # deletion-vector commits change NO dirs, so the dir-set diff
+        # alone would miss their deletes.  Three adjustments make the
+        # feed DV-exact (pair-SET semantics, so store coalescing and
+        # per-dir entry filtering never confuse it):
+        # (1) the A side shows only rows VISIBLE at A — a dir dropped
+        #     between A and B may carry A-era tombstones whose rows
+        #     must not surface as deletes twice;
+        # (2) the B side likewise (a dir appended then DV-deleted
+        #     between A and B);
+        # (3) rows in CARRIED dirs whose (dir, key) pair is
+        #     tombstoned in B but not A join the removed side — the
+        #     DV-delete contribution, scanned ONLY over the dirs the
+        #     new tombstones actually name.
+        eff_a = _filter_dv(dv_a, only_a)
+        if eff_a:
+            old = _apply_dv(spark, path, old, eff_a)
+        eff_b = _filter_dv(dv_b, only_b)
+        if eff_b:
+            new = _apply_dv(spark, path, new, eff_b)
+            new = new.select(*old.columns)
     removed = old.exceptAll(new)
     added = new.exceptAll(old)
+    if dv_aware and shared:
+        dv_removed = _dv_delta_rows(spark, path, man_a, man_b,
+                                    shared)
+        if dv_removed is not None:
+            removed = removed.unionByName(
+                dv_removed.select(*old.columns))
     both = (removed.select(*key_cols)
             .intersect(added.select(*key_cols)))
     bkeys = F.broadcast(both)
@@ -3012,8 +3111,10 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
     DV-filtered snapshot and commit dv=[]); MERGE applies them before
     rewriting and carries the rest; restore/time-travel see each
     version's own dv list; vacuum GCs stores no kept manifest
-    references; change_feed and shallow_clone REFUSE across live DVs
-    (compact first) rather than silently miss deletes.  Stats
+    references; shallow_clone REFUSES across live DVs (compact
+    first — the stores live under the SOURCE's _txn dir), while
+    change_feed (r11) is DV-exact: tombstone pair-set deltas surface
+    DV deletes in the feed without materializing.  Stats
     envelopes stay valid (conservative supersets); metadata_count
     subtracts each entry's recorded rows_deleted and stays exact.
 

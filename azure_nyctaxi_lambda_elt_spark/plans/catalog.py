@@ -2066,6 +2066,47 @@ def q_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rewrite_lane", F.lit(lane_rw == "rewrite")))
 
 
+def q_txn_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed ACROSS live deletion vectors
+    (operators/txnlog.py change_feed + _dv_delta_rows — Delta's
+    CDF+DV behavior, r11; previously a documented refusal): a DV
+    delete (trip_uid % 13 = 7, tombstones in both day-range dirs, NO
+    dir rewritten) followed by an append that RE-INSERTS the early
+    days' deleted keys with corrected fares (+9.00) plus fresh
+    cloned keys.  The v1→v3 feed must classify re-inserted keys as
+    update pre/post pairs, the other tombstoned keys as deletes
+    (surfaced from the tombstone PAIR-SET delta — the dir diff alone
+    is blind to them), and the cloned keys as inserts.  Scale: the
+    delta scan opens only the carried dirs the new tombstones name,
+    and tombstone stores are KB-scale by the DV_MAX_KEYS contract —
+    the feed never materializes the vectors."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txncdfdv", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite",
+                  stats_cols=["trip_uid"])
+    a = txnlog.commit(clean.where(day >= 16), out, "append",
+                      stats_cols=["trip_uid"])
+    txnlog.delete_where(spark, out, "trip_uid % 13 = 7",
+                        key_cols=["trip_uid"])
+    hit = F.col("trip_uid") % 13 == 7
+    re_ins = (clean.where(hit & (day <= 5))
+              .withColumn("fare_amount",
+                          F.col("fare_amount") + F.lit(9.0)))
+    fresh = (clean.where(day == 2)
+             .withColumn("trip_uid",
+                         F.col("trip_uid") + F.lit(20_000_000)))
+    b = txnlog.commit(re_ins.unionByName(fresh), out, "append")
+    return txnlog.change_feed(spark, out, a, b, ["trip_uid"])
+
+
 def q_txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate-level UPDATE (operators/txnlog.py update_where —
     ``UPDATE t SET c = expr WHERE <pred>``, Delta's
@@ -3025,6 +3066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_vacuum_dry_run": q_txn_vacuum_dry_run,
     "txn_delete_where": q_txn_delete_where,
     "txn_update_where": q_txn_update_where,
+    "txn_cdf_dv": q_txn_cdf_dv,
     "txn_stream_read": q_txn_stream_read,
     "txn_snapshot_sql": q_txn_snapshot_sql,
     "txn_delete_vector": q_txn_delete_vector,
@@ -3662,6 +3704,32 @@ ORACLES["txn_change_feed"] = with_trips(f"""
                              src="'merge_new.parquet'")}
     FROM (SELECT * REPLACE (trip_uid + 10000000 AS trip_uid)
           FROM trip_clean WHERE day(ingest_date) = 1) t
+""")
+
+# CDF across live deletion vectors: re-inserted tombstoned keys as
+# pre/post pairs, remaining tombstoned keys as deletes, cloned keys
+# as inserts — all reconstructed literally from trip_clean
+ORACLES["txn_cdf_dv"] = with_trips(f"""
+    SELECT 'update_preimage' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount", src="source_file_name")}
+    FROM trip_clean
+    WHERE trip_uid % 13 = 7 AND day(ingest_date) <= 5
+    UNION ALL
+    SELECT 'update_postimage' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount + 9.0",
+                             src="source_file_name")}
+    FROM trip_clean
+    WHERE trip_uid % 13 = 7 AND day(ingest_date) <= 5
+    UNION ALL
+    SELECT 'delete' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount", src="source_file_name")}
+    FROM trip_clean
+    WHERE trip_uid % 13 = 7 AND day(ingest_date) > 5
+    UNION ALL
+    SELECT 'insert' AS _change_type,
+           {_CDF_COLS.format(fare="fare_amount", src="source_file_name")}
+    FROM (SELECT * REPLACE (trip_uid + 20000000 AS trip_uid)
+          FROM trip_clean WHERE day(ingest_date) = 2) t
 """)
 
 # metadata-only counts: cumulative day-range totals from trip_clean

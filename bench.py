@@ -109,6 +109,7 @@ BENCH_NEW_QUERIES = [
     "txn_delete_where",
     "txn_update_where",
     "txn_snapshot_sql",
+    "txn_cdf_dv",
 ]
 
 

@@ -124,9 +124,11 @@ def test_restore_and_refusals(spark):
     path, df = _table(spark, "t_refuse")
     v_before = txnlog.latest_version(path)
     dv_v = txnlog.delete_keys(spark, path, _keys(spark, [9]), ["id"])
-    # change feed across the DV commit refuses (its dir diff is empty)
-    with pytest.raises(ValueError):
-        txnlog.change_feed(spark, path, v_before, dv_v, ["id"])
+    # change feed across the DV commit (r11): the dir diff is empty,
+    # but the tombstone pair delta surfaces the delete exactly
+    feed = txnlog.change_feed(spark, path, v_before, dv_v, ["id"])
+    assert [(r["id"], r["_change_type"]) for r in feed.collect()] \
+        == [(9, "delete")]
     # clone of a live-DV table refuses (stores live under src _txn)
     with pytest.raises(ValueError):
         txnlog.shallow_clone(path, os.path.join(OUT, "t_refuse_c"))
@@ -393,3 +395,73 @@ def test_dv_chain_coalesces_bounded_antijoins(spark):
     left = set(os.listdir(os.path.join(path, "_txn", "dv")))
     assert left == live and any("_txn/dv/" in r for r in removed)
     assert txnlog.snapshot(spark, path).count() == 280
+
+
+def test_cdf_dv_delete_then_reinsert_classifies_update(spark):
+    """DV-aware CDF end to end: a DV delete followed by an append
+    re-inserting some of the keys — the feed shows re-inserted keys
+    as update pre/post pairs, the rest as deletes, fresh keys as
+    inserts, all without materializing the vectors."""
+    path, df = _table(spark, "t_cdf_dv")
+    a = txnlog.latest_version(path)           # 1
+    txnlog.delete_keys(spark, path, _keys(spark, [5, 6, 200]), ["id"])
+    re_ins = spark.createDataFrame(
+        [(5, 2, 5555), (999, 0, 9990)], ["id", "d", "v"])
+    b = txnlog.commit(re_ins, path, "append")
+    feed = txnlog.change_feed(spark, path, a, b, ["id"])
+    got = {(r["id"], r["_change_type"]): r["v"]
+           for r in feed.collect()}
+    assert got == {
+        (5, "update_preimage"): 50,
+        (5, "update_postimage"): 5555,
+        (6, "delete"): 60,
+        (200, "delete"): 2000,
+        (999, "insert"): 9990,
+    }
+
+
+def test_cdf_dv_coalesced_stores_pair_set_exact(spark, monkeypatch):
+    """Store coalescing between the endpoints must not re-report
+    pairs already tombstoned at A: the feed works on pair SETS, not
+    store identity."""
+    monkeypatch.setattr(txnlog, "DV_COALESCE_LIVE_STORES", 2)
+    path, df = _table(spark, "t_cdf_fold")
+    txnlog.delete_keys(spark, path, _keys(spark, [1]), ["id"])
+    txnlog.delete_keys(spark, path, _keys(spark, [2]), ["id"])
+    a = txnlog.latest_version(path)
+    # this third delete folds the whole chain into ONE new store
+    b = txnlog.delete_keys(spark, path, _keys(spark, [3]), ["id"])
+    assert len(txnlog._read_manifest(path, b)["dv"]) == 1
+    feed = txnlog.change_feed(spark, path, a, b, ["id"])
+    assert [(r["id"], r["_change_type"]) for r in feed.collect()] \
+        == [(3, "delete")]
+
+
+def test_cdf_dv_dropped_dir_tombstones_not_double_counted(spark):
+    """A dir tombstoned at A and REWRITTEN away before B: its
+    A-dead rows must not surface as deletes (they were invisible at
+    A already); only the merge's own change shows."""
+    path, df = _table(spark, "t_cdf_drop")
+    txnlog.delete_keys(spark, path, _keys(spark, [7]), ["id"])
+    a = txnlog.latest_version(path)
+    # merge rewrites dir 0 (id 8 lives there): id 7 stays dead
+    up = spark.createDataFrame([(8, 2, 888)], ["id", "d", "v"])
+    b = txnlog.merge_upsert(spark, path, up, ["id"])
+    feed = txnlog.change_feed(spark, path, a, b, ["id"])
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(8, "update_preimage"), (8, "update_postimage")}
+
+
+def test_cdf_dv_update_where_lane_reads_as_update(spark):
+    """update_where's DV lane (tombstone + append in ONE commit)
+    must read back through CDF as update pre/post pairs."""
+    path, df = _table(spark, "t_cdf_upd")
+    a = txnlog.latest_version(path)
+    b = txnlog.update_where(spark, path, "id = 77",
+                            {"v": "v + 1"}, key_cols=["id"])
+    assert txnlog._read_manifest(path, b)["meta"]["lane"] == "dv"
+    feed = txnlog.change_feed(spark, path, a, b, ["id"])
+    got = {(r["id"], r["_change_type"]): r["v"]
+           for r in feed.collect()}
+    assert got == {(77, "update_preimage"): 770,
+                   (77, "update_postimage"): 771}
