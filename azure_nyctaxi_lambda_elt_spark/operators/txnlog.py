@@ -3402,12 +3402,26 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
     hit_pred = F.coalesce(pred, F.lit(False))
     dv = list(man.get("dv", []))
     if names:
+        # predicate FIRST, __dir tag second: the tag expressions
+        # (input_file_name / reflect-decode) are NONDETERMINISTIC,
+        # and Catalyst refuses to push any predicate through a
+        # projection containing one — tagging first leaves the scan
+        # reading every row of every file.  Filtering below the tag
+        # puts the bare conjunction straight on the FileScan as
+        # PushedFilters (footer min/max skip row groups).  The BARE
+        # predicate, not coalesce(pred, false): WHERE already drops
+        # predicate-NULL rows (same matched set) and stays pushable.
+        # Plan-audited; pinned by tests/test_r11_plan_shapes.py.
         scan = (_read_dirs(spark, path, names, man)
+                .where(pred)
                 .withColumn("__dir", _dir_col_decoded()))
         if man.get("dv"):
+            # DV after the filter: tombstone application is an
+            # anti-join on (dir, key) — order with the row predicate
+            # is immaterial, and the matched set stays DV-exact
             scan = _apply_dv(spark, path, scan, man["dv"],
                              keep_dir=True)
-        matched = scan.where(hit_pred).persist()
+        matched = scan.persist()
     else:
         matched = None
     try:
@@ -3650,12 +3664,26 @@ def update_where(spark: SparkSession, path: str, predicate: str,
         return res
 
     if names:
+        # predicate FIRST, __dir tag second: the tag expressions
+        # (input_file_name / reflect-decode) are NONDETERMINISTIC,
+        # and Catalyst refuses to push any predicate through a
+        # projection containing one — tagging first leaves the scan
+        # reading every row of every file.  Filtering below the tag
+        # puts the bare conjunction straight on the FileScan as
+        # PushedFilters (footer min/max skip row groups).  The BARE
+        # predicate, not coalesce(pred, false): WHERE already drops
+        # predicate-NULL rows (same matched set) and stays pushable.
+        # Plan-audited; pinned by tests/test_r11_plan_shapes.py.
         scan = (_read_dirs(spark, path, names, man)
+                .where(pred)
                 .withColumn("__dir", _dir_col_decoded()))
         if man.get("dv"):
+            # DV after the filter: tombstone application is an
+            # anti-join on (dir, key) — order with the row predicate
+            # is immaterial, and the matched set stays DV-exact
             scan = _apply_dv(spark, path, scan, man["dv"],
                              keep_dir=True)
-        matched = scan.where(hit_pred).persist()
+        matched = scan.persist()
     else:
         matched = None
     try:
