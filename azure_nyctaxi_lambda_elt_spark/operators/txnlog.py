@@ -3244,29 +3244,78 @@ def _ranges_from_predicate(predicate: str) -> list[tuple]:
     manifest-stats dir pruning (the automatic half of
     delete_where/update_where's ``prune=``): only a top-level AND of
     ``col <op> literal`` / ``literal <op> col`` / ``col BETWEEN a
-    AND b`` clauses contributes; any OR / NOT / parenthesis /
-    IS NULL anywhere bails to no pruning, and an unparseable AND-ed
-    clause is simply ignored (dropping a conjunct can only WIDEN the
-    kept-dir set — the safe side).  Literals: numbers and
-    single-quoted strings (ISO dates/timestamps compare
-    lexicographically, the same normalized domain the manifest
-    envelopes store via _json_safe).  Equality contributes a point
-    range; one-sided comparisons leave the other bound open (None —
-    callers substitute the envelope's own bound).  Returns
-    [(col, lo, hi), ...]; [] means no pruning."""
+    AND b`` / ``col IN (lit, ...)`` clauses contributes; any OR /
+    NOT / unflattenable parenthesis / IS NULL bails to no pruning,
+    and an unparseable AND-ed clause (or an ``IS NOT NULL``, which
+    carries no range) is simply ignored — dropping a conjunct can
+    only WIDEN the kept-dir set, the safe side.  String literals are
+    stashed behind placeholder tokens FIRST, so quoted content
+    containing AND/OR/parens can never confuse the clause split
+    (a mis-split could otherwise manufacture a false range and
+    under-delete).  Literals: numbers and single-quoted strings (ISO
+    dates/timestamps compare lexicographically, the same normalized
+    domain the manifest envelopes store via _json_safe).  IN lists
+    contribute their [min, max] literal envelope; parenthesized
+    pure-AND groups flatten (an OR/NOT anywhere still bails, checked
+    AFTER flattening).  Equality contributes a point range;
+    one-sided comparisons leave the other bound open (None).
+    Returns [(col, lo, hi), ...]; [] means no pruning."""
     import re as _re
 
     s = predicate.strip()
+    # stash string literals FIRST: everything below operates on
+    # placeholder tokens, immune to quoted AND/OR/parens
+    stash: list[str] = []
+
+    def _hide(m):
+        stash.append(m.group(0)[1:-1])
+        return f"~L{len(stash) - 1}~"
+
+    s = _re.sub(r"'[^']*'", _hide, s)
+    if "'" in s:
+        return []  # unbalanced quote: refuse to guess
+    lit = r"(?:-?\d+(?:\.\d+)?|~L\d+~)"
+
+    def _val(tok: str):
+        if tok.startswith("~"):
+            return stash[int(tok[2:-1])]
+        return float(tok) if "." in tok else int(tok)
+
+    # IS NOT NULL conjuncts carry no range information — neutralize
+    # them BEFORE the NOT bail (ignoring a conjunct only widens)
+    s = _re.sub(r"\b\w+\s+IS\s+NOT\s+NULL\b", "~TRUE~", s,
+                flags=_re.IGNORECASE)
+    # IN lists are disjunctions of equalities on ONE column: their
+    # [min, max] literal envelope bounds the clause — rewrite to
+    # BETWEEN before the paren bail (conservative superset)
+    def _in_to_between(m):
+        vals = _re.findall(lit, m.group(2))
+        if not vals:
+            return m.group(0)
+        try:
+            lo = min(vals, key=_val)
+            hi = max(vals, key=_val)
+        except TypeError:
+            return m.group(0)  # mixed literal types: leave (bails)
+        return f"{m.group(1)} BETWEEN {lo} AND {hi}"
+
+    s = _re.sub(
+        rf"\b(\w+)\s+IN\s*\(\s*({lit}(?:\s*,\s*{lit})*)\s*\)",
+        _in_to_between, s, flags=_re.IGNORECASE)
+    # parenthesized groups containing ONLY AND-ed clauses are
+    # associativity noise: flatten them (innermost-out); a group
+    # hiding an OR/NOT stays parenthesized and the bail below fires
+    prev = None
+    while prev != s:
+        prev = s
+        s = _re.sub(
+            r"\(([^()]*)\)",
+            lambda m: (" " + m.group(1) + " ")
+            if not _re.search(r"\bOR\b|\bNOT\b", m.group(1),
+                              _re.IGNORECASE) else m.group(0), s)
     if _re.search(r"\(|\)|\bOR\b|\bNOT\b|\bIS\s+NULL\b", s,
                   _re.IGNORECASE):
         return []
-    lit = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
-
-    def _val(tok: str):
-        if tok.startswith("'"):
-            return tok[1:-1]
-        return float(tok) if "." in tok else int(tok)
-
     # protect BETWEEN's own AND before splitting conjuncts
     s = _re.sub(rf"(\bBETWEEN\s+{lit})\s+AND\s+", r"\1 ~BTW~ ", s,
                 flags=_re.IGNORECASE)
@@ -3277,8 +3326,12 @@ def _ranges_from_predicate(predicate: str) -> list[tuple]:
             rf"(\w+)\s+BETWEEN\s+({lit})\s+~BTW~\s+({lit})",
             clause, _re.IGNORECASE)
         if m:
-            out.append((m.group(1), _val(m.group(2)),
-                        _val(m.group(3))))
+            lo, hi = _val(m.group(2)), _val(m.group(3))
+            if type(lo) is not type(hi) and not (
+                    isinstance(lo, (int, float))
+                    and isinstance(hi, (int, float))):
+                continue  # mixed-type bounds: ignore (widens)
+            out.append((m.group(1), lo, hi))
             continue
         m = _re.fullmatch(rf"(\w+)\s*(>=|<=|=|==|>|<)\s*({lit})",
                           clause)

@@ -224,12 +224,13 @@ def test_auto_prune_range_extraction():
     assert rp("id BETWEEN 3 AND 7") == [("id", 3, 7)]
     assert rp("5 <= id") == [("id", 5, None)]
     assert rp("id >= 5 AND uid % 3 = 1") == [("id", 5, None)]
-    # parens could group ORs — bail outright, like OR/NOT
-    assert rp("id >= 5 AND weird_fn(x) = 1") == []
+    # r11 widening: a pure-AND paren group flattens, and a function
+    # conjunct is ignored (dropping a conjunct only widens)
+    assert rp("id >= 5 AND weird_fn(x) = 1") == [("id", 5, None)]
+    assert rp("(id >= 5)") == [("id", 5, None)]
     # bail cases: pruning on these would be unsound
     assert rp("id >= 5 OR grp = 'a'") == []
     assert rp("NOT (id >= 5)") == []
-    assert rp("(id >= 5)") == []
     assert rp("grp IS NULL") == []
 
 
@@ -251,3 +252,27 @@ def test_auto_prune_narrows_discovery_correctly(spark, tmp_path):
                             key_cols=["id"])
     assert txnlog._read_manifest(path, v)["meta"]["lane"] == "dv"
     assert _ids(spark, path) == set(range(1, 18))
+
+
+def test_auto_prune_widened_grammar():
+    """r11 parser widening: IN lists contribute their literal
+    envelope, IS NOT NULL conjuncts are neutral, pure-AND parens
+    flatten, and string literals containing AND/OR/parens can never
+    manufacture a false range (stashed before tokenizing)."""
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _ranges_from_predicate as rp)
+
+    assert rp("id IN (7, 3, 5)") == [("id", 3, 7)]
+    assert rp("d IN ('2024-02-01', '2024-01-05')") \
+        == [("d", "2024-01-05", "2024-02-01")]
+    assert rp("(id >= 5 AND k = 3)") == [("id", 5, None),
+                                         ("k", 3, 3)]
+    assert rp("grp IS NOT NULL AND id >= 18") == [("id", 18, None)]
+    # a hostile literal must not become a range on another column
+    assert rp("grp = 'x AND id = 3 AND'") \
+        == [("grp", "x AND id = 3 AND", "x AND id = 3 AND")]
+    assert rp("grp = 'a(b))' AND id > 4") \
+        == [("grp", "a(b))", "a(b))"), ("id", 4, None)]
+    # ORs hiding inside parens still bail after flattening
+    assert rp("(id >= 5 OR k = 1) AND v > 2") == []
+    assert rp("id IN (3, 'x')") == []  # mixed literal types
