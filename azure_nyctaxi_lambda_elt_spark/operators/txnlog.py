@@ -1080,6 +1080,31 @@ def commit_group(writes: list[tuple[DataFrame, str]],
     members' committed versions would read as pending and eventually
     be settle-aborted — silent loss of durably committed history).
 
+    KEYED WRITES AS MEMBERS (r11): an element of ``writes`` may be
+    an OPERATION DESCRIPTOR dict instead of a plain ``(df, path)``
+    pair —
+
+    - ``{"op": "merge", "df": updates, "path": p, "key_cols": [...]}``
+      → :func:`merge_upsert` as a group member;
+    - ``{"op": "merge_apply", "df": changes, "path": p,
+      "key_cols": [...], "delete_col": c}`` → full I/U/D merge;
+    - ``{"op": "delete", "keys": kdf, "path": p, "key_cols": [...]}``
+      → :func:`delete_keys` (deletion-vector commit);
+    - ``{"op": "append"|"overwrite", "df": df, "path": p}`` → plain
+      commit with that mode (overriding the call-level ``mode``).
+
+    The atomicity story is unchanged because every one of these ends
+    in the same ``_commit_manifest`` publish carrying the group
+    marker: a keyed member's new version (and its DV store / claimed
+    dirs) is INVISIBLE until the coordinator decides, an abort
+    removes the member manifests (reclaiming version numbers; the
+    orphaned dirs and stores are vacuum fodder), and the reference's
+    sp-wrapped "MERGE fact + INSERT run-log in one transaction"
+    (sql/streaming/staging/usp_upsert_fact_trip_streaming.sql +
+    0006_LogSuccess.sql) maps one-to-one.  ``read_version`` is not
+    accepted inside a group (no single conflict point across the
+    visibility flip — the same refusal commit() makes).
+
     Scale: the transaction adds two tiny JSON publishes plus one
     mirror write per member beyond the members' own commits —
     nothing per row, no cross-table lock, no ordering constraint
@@ -1090,7 +1115,11 @@ def commit_group(writes: list[tuple[DataFrame, str]],
 
     if not writes:
         return {}
-    paths = [os.path.abspath(p) for _, p in writes]
+
+    def _w_path(w) -> str:
+        return w["path"] if isinstance(w, dict) else w[1]
+
+    paths = [os.path.abspath(_w_path(w)) for w in writes]
     if len(set(paths)) != len(paths):
         raise ValueError(
             "commit_group: each table may appear once (batch its "
@@ -1130,10 +1159,34 @@ def commit_group(writes: list[tuple[DataFrame, str]],
                     pass
 
     try:
-        for df, path in writes:
-            done[os.path.abspath(path)] = commit(
-                df, path, mode, meta=meta,
-                group={**g, "marker": _marker(path)})
+        for w in writes:
+            path = _w_path(w)
+            gm = {**g, "marker": _marker(path)}
+            if isinstance(w, dict):
+                op = w.get("op", "append")
+                if op == "merge":
+                    v = merge_upsert(
+                        w["df"].sparkSession, path, w["df"],
+                        list(w["key_cols"]), group=gm)
+                elif op == "merge_apply":
+                    v = merge_apply(
+                        w["df"].sparkSession, path, w["df"],
+                        list(w["key_cols"]), w["delete_col"],
+                        group=gm)
+                elif op == "delete":
+                    v = delete_keys(
+                        w["keys"].sparkSession, path, w["keys"],
+                        list(w["key_cols"]), group=gm)
+                elif op in ("append", "overwrite"):
+                    v = commit(w["df"], path, op, meta=meta,
+                               group=gm)
+                else:
+                    raise ValueError(
+                        f"commit_group: unknown member op {op!r}")
+            else:
+                df, _ = w
+                v = commit(df, path, mode, meta=meta, group=gm)
+            done[os.path.abspath(path)] = v
     except BaseException:
         _unwind()
         raise
@@ -1578,7 +1631,8 @@ def _check_commit_conflict(path: str, read_version: int, parent: int,
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                  key_cols: list[str],
-                 read_version: int | None = None) -> int:
+                 read_version: int | None = None,
+                 group: dict | None = None) -> int:
     """Copy-on-write row-level MERGE (Delta MERGE WHEN MATCHED UPDATE /
     WHEN NOT MATCHED INSERT, upsert form): rewrite ONLY the data dirs
     that contain matched keys — every other committed file is carried
@@ -1604,12 +1658,13 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     (the default) keeps the unchecked rebase-retry behavior for
     writers that genuinely want latest-wins."""
     return _merge_impl(spark, path, updates, updates, key_cols,
-                       read_version=read_version)
+                       read_version=read_version, group=group)
 
 
 def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
                 key_cols: list[str], delete_col: str,
-                read_version: int | None = None) -> int:
+                read_version: int | None = None,
+                group: dict | None = None) -> int:
     """Full I/U/D row-level MERGE (Delta's WHEN MATCHED DELETE branch
     added to merge_upsert's upsert form): ``changes`` rows with
     ``delete_col`` true DELETE their keys from the table, the rest
@@ -1628,9 +1683,9 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
         if read_version is not None:
             raise ValueError(
                 f"read_version {read_version} on an empty table")
-        return commit(upserts, path, "overwrite")
+        return commit(upserts, path, "overwrite", group=group)
     return _merge_impl(spark, path, keys_src, upserts, key_cols,
-                       read_version=read_version)
+                       read_version=read_version, group=group)
 
 
 MERGE_BLOOM_PROBE_CAP = 4096
@@ -1701,16 +1756,27 @@ def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
 
 def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                 upserts: DataFrame, key_cols: list[str],
-                read_version: int | None = None) -> int:
+                read_version: int | None = None,
+                group: dict | None = None) -> int:
     """Shared copy-on-write merge core: remove ``keys_src``'s keys
-    from the affected dirs, land ``upserts`` in the fresh dir."""
+    from the affected dirs, land ``upserts`` in the fresh dir.
+    ``group`` marks the commit as a multi-table transaction member
+    (invisible until the coordinator decides — commit_group supplies
+    it); read_version inside a group refuses exactly like commit()."""
+    if group is not None and read_version is not None:
+        raise ValueError(
+            "read_version inside a transaction group is not "
+            "supported: a group member's visibility flips at the "
+            "coordinator decision, after the conflict window this "
+            "check could cover — commit conflict-checked writes "
+            "outside the group")
     _settle_stale_groups(path)
     parent = latest_version(path)
     if parent is None:
         if read_version is not None:
             raise ValueError(
                 f"read_version {read_version} on an empty table")
-        return commit(upserts, path, "overwrite")
+        return commit(upserts, path, "overwrite", group=group)
     version = parent + 1
     if os.path.exists(_manifest_path(path, version)):
         raise TxnConflict(f"version {version} already committed")
@@ -1886,6 +1952,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                          partition_by=pby, dv=dv,
                          constraints=cons, identity=ident,
                          generated=gen, analyze=kept_analyze,
+                         group=group,
                          op={"type": "merge",
                              "key_cols": list(key_cols),
                              "keys": op_desc})
@@ -3094,7 +3161,8 @@ def _append_dv_entry(spark: SparkSession, path: str, version: int,
 
 def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
                 key_cols: list[str],
-                read_version: int | None = None) -> int:
+                read_version: int | None = None,
+                group: dict | None = None) -> int:
     """DELETE as a DELETION VECTOR commit (Delta DV shape): a small
     delete against a big table writes NO data dir — the keys' owning
     dirs are found with one tagged semi-join probe, the (dir, key)
@@ -3131,6 +3199,11 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
     from functools import reduce
     from operator import and_
 
+    if group is not None and read_version is not None:
+        raise ValueError(
+            "read_version inside a transaction group is not "
+            "supported (see commit()); run conflict-checked deletes "
+            "outside the group")
     _settle_stale_groups(path)
     parent = latest_version(path)
     if parent is None:
@@ -3235,6 +3308,7 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
         identity=man.get("identity"),
         analyze=kept_analyze,
         generated=man.get("generated", {}),
+        group=group,
         op={"type": "delete", "key_cols": list(key_cols),
             "keys": op_desc})
 

@@ -304,3 +304,107 @@ def test_settle_tolerates_non_numeric_grace(spark):
     assert v == 1
     assert "group" not in txnlog._read_manifest(p, 1)
     assert txnlog.snapshot(spark, p).count() == 2
+
+
+def test_group_merge_member_atomic_with_log(spark):
+    """r11: a keyed MERGE as a transaction-group member — the
+    reference's 'MERGE fact + INSERT run-log in one transaction'
+    shape.  Both tables flip visible together, the merge's op
+    descriptor and group marker ride in its manifest, and prior
+    versions stay time-travelable."""
+    fact, log = _pair(spark, "t_gmerge")
+    out = txnlog.commit_group([
+        {"op": "merge", "df": _df(spark, [(1, 99), (7, 70)]),
+         "path": fact, "key_cols": ["id"]},
+        (_df(spark, [(100, 1)]), log),
+    ])
+    assert out == {os.path.abspath(fact): 1, os.path.abspath(log): 1}
+    got = {r["id"]: r["v"] for r in
+           txnlog.snapshot(spark, fact).collect()}
+    assert got == {1: 99, 7: 70}  # update + insert both landed
+    man = txnlog._read_manifest(fact, 1)
+    assert man["op"]["type"] == "merge"
+    assert man["group"]["id"] == \
+        txnlog._read_manifest(log, 1)["group"]["id"]
+    # pre-merge version still serves the old value
+    assert {r["id"]: r["v"] for r in
+            txnlog.snapshot(spark, fact, 0).collect()} == {1: 10}
+
+
+def test_group_keyed_member_failure_unwinds_all(spark):
+    """A constraint violation inside a MERGE member aborts the whole
+    group: the already-published plain member unwinds, neither table
+    advances, and both stay writable (version numbers reclaimed)."""
+    fact, log = _pair(spark, "t_gmergefail")
+    txnlog.commit(_df(spark, [(2, 20)]), fact, "append",
+                  constraints={"v_nonneg": "v >= 0"})
+    with pytest.raises(txnlog.ConstraintViolation):
+        txnlog.commit_group([
+            (_df(spark, [(100, 1)]), log),
+            {"op": "merge", "df": _df(spark, [(2, -5)]),
+             "path": fact, "key_cols": ["id"]},
+        ])
+    assert txnlog.latest_version(log) == 0
+    assert txnlog.latest_version(fact) == 1
+    assert {r["v"] for r in
+            txnlog.snapshot(spark, fact).collect()} == {10, 20}
+    txnlog.commit(_df(spark, [(3, 30)]), fact, "append")
+    assert txnlog.latest_version(fact) == 2
+
+
+def test_group_delete_member_atomic(spark):
+    """A deletion-vector DELETE as a group member: the tombstone
+    store becomes visible exactly when the audit append does."""
+    fact, log = _pair(spark, "t_gdel")
+    txnlog.commit(_df(spark, [(2, 20), (3, 30)]), fact, "append")
+    txnlog.commit_group([
+        {"op": "delete",
+         "keys": spark.createDataFrame([(2,)], "id long"),
+         "path": fact, "key_cols": ["id"]},
+        (_df(spark, [(200, 1)]), log),
+    ])
+    assert {r["id"] for r in
+            txnlog.snapshot(spark, fact).collect()} == {1, 3}
+    assert txnlog.metadata_count(fact) is None or \
+        txnlog.metadata_count(fact) == 2
+    assert txnlog.snapshot(spark, log).count() == 2
+    man = txnlog._read_manifest(fact, txnlog.latest_version(fact))
+    assert man["op"]["type"] == "delete" and man["group"]["id"]
+    # the pre-delete version still shows the row
+    assert {r["id"] for r in
+            txnlog.snapshot(spark, fact, 1).collect()} == {1, 2, 3}
+
+
+def test_group_mixed_ops_and_mode_override(spark):
+    """merge_apply and an explicit per-member overwrite compose in
+    one group; the descriptor's op overrides the call-level mode."""
+    fact, log = _pair(spark, "t_gmix")
+    changes = spark.createDataFrame(
+        [(1, 11, False), (9, 90, False)], "id long, v long, del boolean")
+    txnlog.commit_group([
+        {"op": "merge_apply", "df": changes, "path": fact,
+         "key_cols": ["id"], "delete_col": "del"},
+        {"op": "overwrite", "df": _df(spark, [(500, 5)]),
+         "path": log},
+    ], mode="append")
+    assert {r["id"]: r["v"] for r in
+            txnlog.snapshot(spark, fact).collect()} == {1: 11, 9: 90}
+    got = txnlog.snapshot(spark, log).collect()
+    assert len(got) == 1 and got[0]["id"] == 500  # overwrite, not append
+
+
+def test_group_member_refuses_read_version(spark):
+    """Keyed writes inside a group refuse read_version exactly like
+    commit() — no single conflict point across the visibility flip."""
+    fact, _ = _pair(spark, "t_grv")
+    g = {"id": "cafebabecafebabe",
+         "coord": os.path.join(fact, "_txn", "groups", "x.json"),
+         "members": [fact]}
+    with pytest.raises(ValueError, match="transaction group"):
+        txnlog.merge_upsert(spark, fact, _df(spark, [(1, 2)]),
+                            ["id"], read_version=0, group=g)
+    with pytest.raises(ValueError, match="transaction group"):
+        txnlog.delete_keys(spark, fact,
+                           spark.createDataFrame([(1,)], "id long"),
+                           ["id"], read_version=0, group=g)
+    assert txnlog.latest_version(fact) == 0
