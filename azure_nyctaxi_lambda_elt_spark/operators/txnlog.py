@@ -1973,9 +1973,17 @@ def _dv_delta_rows(spark: SparkSession, path: str, man_a: dict,
     A's, per key-column signature), so store coalescing
     (_append_dv_entry's fold) and per-dir entry filtering between A
     and B never change the answer.  Tombstones in carried dirs only
-    GROW from A to B (the only operation that sheds pairs rewrites
-    the dir away, removing it from `shared`), so the set difference
-    is exactly "deleted between A and B".  Scan cost: tombstone
+    GROW from A to B under normal writes (the only operation that
+    sheds pairs rewrites the dir away, removing it from `shared`),
+    so the set difference is exactly "deleted between A and B" —
+    EXCEPT :func:`restore`, a metadata-only commit that carries dirs
+    unchanged while reverting dv to an older, smaller set.  A shrink
+    means rows RESURRECTED between A and B, which this B-minus-A
+    delta cannot express (they belong on the feed's added side); the
+    guard below detects per-signature pair loss over the carried
+    dirs and refuses loudly instead of emitting a silently
+    incomplete feed (the pre-r11 contract for feeds across a
+    restore).  Scan cost: tombstone
     stores are KB-scale by the DV_MAX_KEYS contract, and the data
     scan opens ONLY the carried dirs the B-side entries name — the
     dirs the deletes actually touched.  Rows already invisible at A
@@ -1996,6 +2004,27 @@ def _dv_delta_rows(spark: SparkSession, path: str, man_a: dict,
             out = out.unionByName(d)
         return out.distinct()
 
+    # shrink guard: for every A-side signature, the A-pairs living in
+    # CARRIED dirs must all survive into B — pairs() frames are
+    # KB-scale by the DV_MAX_KEYS contract, so this is a cheap
+    # driver-side set check, exact where an op-type walk would
+    # over-refuse (a restore that re-commits an identical dv set is
+    # harmless and passes)
+    for kc in sorted({tuple(e["key_cols"]) for e in dv_a}):
+        pa = pairs(dv_a, kc)
+        if pa is None:
+            continue
+        pa_shared = pa.where(F.col("__dv_dir").isin(list(shared)))
+        pb = pairs(dv_b, kc)
+        shed = pa_shared if pb is None else pa_shared.exceptAll(pb)
+        if shed.limit(1).count():
+            raise ValueError(
+                "change_feed across a restore that resurrected "
+                "DV-deleted rows in carried dirs: the B-minus-A "
+                "tombstone delta cannot express un-deletes (key "
+                f"signature {list(kc)}).  Narrow the feed window to "
+                "exclude the restore commit, or read the two "
+                "snapshots directly.")
     result = None
     for kc in sorted({tuple(e["key_cols"]) for e in dv_b}):
         pb = pairs(dv_b, kc)
@@ -3313,6 +3342,48 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame,
             "keys": op_desc})
 
 
+_ISO_DATE_RE = None  # compiled lazily in _norm_iso_literal
+
+
+def _norm_iso_literal(s: str) -> str:
+    """Map a SQL date/timestamp literal into the manifest-envelope
+    string domain.  Envelopes store timestamps via
+    ``datetime.isoformat()`` — a 'T' separator — while SQL literals
+    use a space (``'2024-01-05 23:59:59'``); since ' ' < 'T', a raw
+    lexicographic compare against an envelope bound silently prunes
+    dirs whose every row matches (an under-delete).  Normalizing the
+    separator puts both sides in the same total order.  Non-temporal
+    strings pass through untouched."""
+    global _ISO_DATE_RE
+    if _ISO_DATE_RE is None:
+        import re as _re
+        _ISO_DATE_RE = _re.compile(
+            r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}")
+    if _ISO_DATE_RE.match(s):
+        return s.replace(" ", "T", 1)
+    return s
+
+
+def _env_provably_gt(a, b) -> bool:
+    """``a > b`` ONLY when the envelope domain can prove it.  For
+    ISO-date-shaped strings a prefix relationship is inconclusive: a
+    date-only literal ``'2024-01-05'`` semantically means midnight
+    (``2024-01-05T00:00:00``) on a timestamp column, but
+    lexicographically it sorts BELOW every same-day isoformat bound —
+    claiming '2024-01-05T00:00:00' > '2024-01-05' would prune a dir
+    whose midnight rows match a ``<=`` predicate.  Prefix pairs fall
+    to "can't prove" (dir stays open — pruning may only widen).
+    Everything else is the plain total-order compare, same as
+    before."""
+    if (isinstance(a, str) and isinstance(b, str)
+            and len(a) >= 10 and len(b) >= 10
+            and a[:4].isdigit() and b[:4].isdigit()
+            and a[4] == "-" and b[4] == "-"
+            and (a.startswith(b) or b.startswith(a))):
+        return False
+    return a > b
+
+
 def _ranges_from_predicate(predicate: str) -> list[tuple]:
     """CONSERVATIVE range extraction from a predicate string for
     manifest-stats dir pruning (the automatic half of
@@ -3352,7 +3423,7 @@ def _ranges_from_predicate(predicate: str) -> list[tuple]:
 
     def _val(tok: str):
         if tok.startswith("~"):
-            return stash[int(tok[2:-1])]
+            return _norm_iso_literal(stash[int(tok[2:-1])])
         return float(tok) if "." in tok else int(tok)
 
     # IS NOT NULL conjuncts carry no range information — neutralize
@@ -3449,8 +3520,9 @@ def _auto_prune_names(path: str, parent: int, man: dict,
             if not env or env[0] is None or env[1] is None:
                 continue  # no envelope: must open (conservative)
             try:
-                if ((hi is not None and env[0] > hi)
-                        or (lo is not None and env[1] < lo)):
+                if ((hi is not None and _env_provably_gt(env[0], hi))
+                        or (lo is not None
+                            and _env_provably_gt(lo, env[1]))):
                     keep = False
                     break
             except TypeError:
@@ -3822,7 +3894,23 @@ def update_where(spark: SparkSession, path: str, predicate: str,
         n_rows = sum(per_dir.values())
         affected = sorted(per_dir)
         if key_cols and matched is not None:
-            op_desc = _key_set_descriptor(matched, key_cols)
+            if set(set_exprs) & set(key_cols):
+                # SET rewrites a key column: the commit touches BOTH
+                # the pre-update key values (rows leaving them) and
+                # the post-update ones (rows arriving at them).  A
+                # descriptor holding only the pre-set would let a
+                # later declared-snapshot writer on the NEW values
+                # prove disjointness and silently last-wins over this
+                # update — record the union (matched is persisted, so
+                # the post-image projection is one cheap pass; cap
+                # overflow degrades to the envelope, conservative)
+                post = _apply_set(matched.drop("__dir"),
+                                  everywhere=True)
+                op_desc = _key_set_descriptor(
+                    matched.select(*key_cols)
+                    .unionByName(post.select(*key_cols)), key_cols)
+            else:
+                op_desc = _key_set_descriptor(matched, key_cols)
             op_kc = list(key_cols)
         else:
             op_desc, op_kc = {}, list(key_cols or [])

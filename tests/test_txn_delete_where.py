@@ -276,3 +276,72 @@ def test_auto_prune_widened_grammar():
     # ORs hiding inside parens still bail after flattening
     assert rp("(id >= 5 OR k = 1) AND v > 2") == []
     assert rp("id IN (3, 'x')") == []  # mixed literal types
+
+
+def test_auto_prune_timestamp_literal_domain():
+    """r12 fix (ADVICE r11, high): SQL timestamp literals use a
+    space separator while manifest envelopes store isoformat's 'T';
+    since ' ' < 'T', a raw compare pruned dirs whose every row
+    matched.  The parser normalizes the literal into the envelope
+    domain, and prefix-related ISO bounds (date-only literal vs full
+    timestamp envelope) are inconclusive — the dir stays open."""
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _env_provably_gt, _ranges_from_predicate as rp)
+
+    assert rp("ts <= '2024-01-05 23:59:59'") \
+        == [("ts", None, "2024-01-05T23:59:59")]
+    assert rp("ts BETWEEN '2024-01-05 00:00:00' AND "
+              "'2024-01-06 12:00:00'") \
+        == [("ts", "2024-01-05T00:00:00", "2024-01-06T12:00:00")]
+    # date-only literals pass through (the date-envelope domain)
+    assert rp("d = '2024-01-05'") \
+        == [("d", "2024-01-05", "2024-01-05")]
+    # prefix relation (date-only vs full ISO): can't prove, keep
+    assert not _env_provably_gt("2024-01-05T00:00:00", "2024-01-05")
+    assert not _env_provably_gt("2024-01-05", "2024-01-05T00:00:00")
+    # non-prefix ISO bounds compare exactly
+    assert _env_provably_gt("2024-01-06T00:00:00",
+                            "2024-01-05T23:59:59")
+    assert not _env_provably_gt("2024-01-05T10:00:00",
+                                "2024-01-05T23:59:59")
+    # plain strings keep the exact total-order compare
+    assert _env_provably_gt("applesauce", "apple")
+
+
+def test_timestamp_column_delete_where_prunes_correctly(
+        spark, tmp_path):
+    """End to end on a TIMESTAMP stats column: the day-05 dir's
+    envelope min is '2024-01-05T00:00:00' (isoformat); a space-form
+    literal '<= 2024-01-05 23:59:59' must still open the dir and
+    delete every day-05 row (pre-fix: the dir was silently pruned
+    and the delete matched nothing)."""
+    import datetime
+
+    path = str(tmp_path / "tts")
+    rows5 = [(i, datetime.datetime(2024, 1, 5, i, 0, 0))
+             for i in range(0, 10)]
+    rows6 = [(i + 100, datetime.datetime(2024, 1, 6, i, 0, 0))
+             for i in range(0, 10)]
+    mk = lambda r: spark.createDataFrame(r, "id long, ts timestamp")
+    txnlog.commit(mk(rows5), path, "overwrite", stats_cols=["ts"])
+    txnlog.commit(mk(rows6), path, "append", stats_cols=["ts"])
+    man = txnlog._read_manifest(path, 1)
+    # the envelope really is in the isoformat 'T' domain
+    assert any(s["ts"][0] == "2024-01-05T00:00:00"
+               for s in man["stats"].values())
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _auto_prune_names)
+
+    kept = _auto_prune_names(
+        path, 1, man, "ts <= '2024-01-05 23:59:59'")
+    assert kept == [man["dirs"][0]]  # day-06 dir pruned, day-05 kept
+    v = txnlog.delete_where(spark, path,
+                            "ts <= '2024-01-05 23:59:59'")
+    assert txnlog.snapshot(spark, path, v).count() == 10
+    assert {r["id"] for r in
+            txnlog.snapshot(spark, path, v).collect()} \
+        == {i + 100 for i in range(10)}
+    # date-only literal against the timestamp envelope: prefix is
+    # inconclusive, so the day-05 dir (midnight row included) opens
+    kept = _auto_prune_names(path, 1, man, "ts <= '2024-01-05'")
+    assert man["dirs"][0] in kept

@@ -202,3 +202,33 @@ def test_partitioned_update_can_move_partitions(spark, tmp_path):
     got = {r["id"]: r["grp"] for r in
            txnlog.snapshot(spark, path).collect()}
     assert got[2] == "moved" and len(got) == 8
+
+
+def test_key_column_set_records_union_for_conflicts(
+        spark, tmp_path):
+    """r12 fix (ADVICE r11, low): a SET that rewrites a key column
+    must record BOTH the pre-update and post-update key values in
+    the op descriptor — otherwise a later declared-snapshot keyed
+    writer touching only the NEW values proves disjointness and
+    silently last-wins over the update."""
+    path = str(tmp_path / "t")
+    rv = _seed(spark, path)
+    v = txnlog.update_where(spark, path, "id = 3",
+                            {"id": "CAST(303 AS BIGINT)"},
+                            key_cols=["id"])
+    man = txnlog._read_manifest(path, v)
+    assert set(man["op"]["keys"]["vals"]) == {3, 303}
+    assert txnlog.snapshot(spark, path).where("id = 303").count() == 1
+    # a declared writer on the NEW key value now conflicts
+    with pytest.raises(ConcurrentModification):
+        txnlog.merge_upsert(spark, path,
+                            _df(spark, [(303, "z", 0.0)]), ["id"],
+                            read_version=rv)
+    # the OLD value conflicts too (it always did)
+    with pytest.raises(ConcurrentModification):
+        txnlog.merge_upsert(spark, path,
+                            _df(spark, [(3, "z", 0.0)]), ["id"],
+                            read_version=rv)
+    # a provably disjoint key still rebases fine
+    txnlog.merge_upsert(spark, path, _df(spark, [(7, "z", 7.5)]),
+                        ["id"], read_version=rv)

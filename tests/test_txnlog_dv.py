@@ -465,3 +465,29 @@ def test_cdf_dv_update_where_lane_reads_as_update(spark):
            for r in feed.collect()}
     assert got == {(77, "update_preimage"): 770,
                    (77, "update_postimage"): 771}
+
+
+def test_feed_across_restore_shrink_refuses(spark):
+    """r12 fix (ADVICE r11, medium): restore() carries dirs
+    unchanged while reverting dv to an older, SMALLER pair set — a
+    B-minus-A tombstone delta cannot express the resurrected rows,
+    so the feed must refuse loudly instead of silently omitting
+    them (the pre-r11 contract for feeds across a restore)."""
+    path, df = _table(spark, "t_restore_shrink")
+    v_before = txnlog.latest_version(path)
+    dv_v = txnlog.delete_keys(spark, path, _keys(spark, [9, 21]),
+                              ["id"])
+    rv = txnlog.restore(path, v_before)
+    # A post-delete, B post-restore: identical dirs, shrunken pairs
+    with pytest.raises(ValueError, match="restore"):
+        txnlog.change_feed(spark, path, dv_v, rv, ["id"]).collect()
+    # endpoints with EQUAL dv (pre-delete → post-restore) are fine:
+    # the states are identical and the feed is empty
+    feed = txnlog.change_feed(spark, path, v_before, rv, ["id"])
+    assert feed.count() == 0
+    # growth across the same window still feeds exactly (guard only
+    # fires on shrink): delete again after the restore
+    dv2 = txnlog.delete_keys(spark, path, _keys(spark, [33]), ["id"])
+    feed = txnlog.change_feed(spark, path, rv, dv2, ["id"])
+    assert [(r["id"], r["_change_type"]) for r in feed.collect()] \
+        == [(33, "delete")]
