@@ -44,6 +44,28 @@ immutable parquet files the batch reads scan, split per file across
 executors.  A stream that falls behind the table's vacuum retention
 refuses loudly (the consumed-to-latest window must be contiguous
 retained history), exactly Delta's behavior.
+
+**Admission control** (Delta's ``maxFilesPerTrigger`` /
+Delta-streaming's rate limiting): ``maxVersionsPerTrigger`` caps how
+many committed versions ``latestOffset`` admits past the stream's
+position per trigger; ``maxFilesPerTrigger`` admits whole versions
+until their cumulative NEW-file count reaches the cap (always at
+least one version, so a single jumbo commit still flows — Delta's
+soft-cap semantics).  A catch-up consumer against a long backlog
+thereby processes bounded micro-batches with checkpoint progress
+between them instead of one giant batch.  The Python DataSource API
+passes no start offset to ``latestOffset``, so the reader tracks its
+position itself: a fresh query measures from ``startingVersion``
+(Spark calls ``latestOffset`` before ``initialOffset`` there), and a
+restarted query re-plans the WAL's last batch BEFORE its first
+``latestOffset``, so ``partitions``/``commit`` have already taught
+the reader the checkpointed position — capping can never regress a
+restarted stream's offset (both orders pinned by the tests).
+Note Trigger.AvailableNow falls back to single-batch
+execution for Python sources (Spark logs the fallback), so with a
+cap an AvailableNow run lands ONE bounded batch and stops short of
+the head — re-run to drain, or use a ProcessingTime trigger
+(pinned by tests/test_txn_stream_read.py).
 """
 
 from __future__ import annotations
@@ -102,9 +124,19 @@ class TxnTableStreamReader(DataSourceStreamReader):
         self.start_v = int(options.get("startingversion", 0))
         self.skip_change = str(
             options.get("skipchangecommits", "false")).lower() == "true"
+        self.max_versions = int(
+            options.get("maxversionspertrigger", 0)) or None
+        self.max_files = int(
+            options.get("maxfilespertrigger", 0)) or None
+        # best-known consumed position (a committed VERSION number):
+        # seeded by initialOffset on a fresh query, re-learned from
+        # partitions()/commit() on a restarted one — the admission
+        # caps measure forward from here
+        self._pos: int | None = None
 
     # ------------------------------------------------ offsets
     def initialOffset(self) -> dict:
+        self._pos = self.start_v - 1
         return {"version": self.start_v - 1}
 
     def latestOffset(self) -> dict:
@@ -113,70 +145,135 @@ class TxnTableStreamReader(DataSourceStreamReader):
         v = txnlog.latest_version(self.path)
         if v is None or v < self.start_v - 1:
             return {"version": self.start_v - 1}
-        return {"version": v}
+        if self.max_versions is None and self.max_files is None:
+            return {"version": v}
+        pos = self._pos
+        if pos is None:
+            # fresh query: Spark calls latestOffset BEFORE
+            # initialOffset (observed under single-batch execution —
+            # pinned by tests/test_txn_stream_read.py), so the
+            # stream's own start is the position.  A RESTARTED query
+            # re-plans the WAL's last batch first, so partitions()
+            # has already taught us the checkpointed position by the
+            # time latestOffset runs — capping from start_v here can
+            # therefore never regress a restarted stream's offset.
+            pos = self.start_v - 1
+        if v <= pos:
+            return {"version": v}
+        return {"version": self._admit(pos, v)}
+
+    def _admit(self, pos: int, head: int) -> int:
+        """The capped batch end: admit whole versions past ``pos``
+        until a cap trips — always at least one, so a single commit
+        larger than maxFilesPerTrigger still flows (Delta's soft-cap
+        semantics).  maxVersionsPerTrigger alone is pure arithmetic;
+        maxFilesPerTrigger walks the candidate versions' manifests
+        (JSON KBs) and new-dir file lists, the same metadata the
+        subsequent partitions() call reads anyway."""
+        end = head
+        if self.max_versions is not None:
+            end = min(end, pos + self.max_versions)
+        if self.max_files is None:
+            return end
+        files = 0
+        admitted = pos
+        prev_dirs: set | None = None
+        for v in range(pos + 1, end + 1):
+            if admitted > pos and files >= self.max_files:
+                break
+            try:
+                vfiles, prev_dirs = self._version_files(v, prev_dirs)
+            except (RuntimeError, FileNotFoundError):
+                # fell behind retention or a refused commit class:
+                # admit through it and let partitions() raise the
+                # canonical loud error for the planned batch
+                return end
+            files += len(vfiles)
+            admitted = v
+        return admitted
 
     # ------------------------------------------------ planning
-    def partitions(self, start: dict, end: dict):
+    def _version_files(self, v: int,
+                       prev_dirs: set | None) -> tuple[list, set]:
+        """(new parquet files of version ``v``, ``v``'s dir set)
+        under the append-only contract — the single source of truth
+        for both batch planning and file-cap admission."""
         from ..operators import txnlog
 
+        try:
+            man = txnlog._read_manifest(self.path, v)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"txntable stream on {self.path} needs version "
+                f"{v}, but its manifest is gone (vacuumed past "
+                "the stream's position, or an aborted group "
+                "reclaimed it) — the stream fell behind the "
+                "table's retention; rebuild it from a fresh "
+                "startingVersion") from e
+        # belt-and-braces: latest_version never returns an
+        # undecided head, and writers never commit past an
+        # undecided version, so this cannot fire mid-range
+        txnlog._require_decided(self.path, v, man)
+        op = (man.get("op") or {}).get("type") or (
+            "append" if man.get("mode") == "append" else None)
+        if v == 0:
+            # table creation: the initial content streams whole
+            new = list(man["dirs"])
+        elif op == "maintenance":
+            return [], set(man["dirs"])  # physical-only rewrite
+        elif op == "append":
+            if prev_dirs is None:
+                try:
+                    prev_dirs = set(
+                        txnlog._read_manifest(
+                            self.path, v - 1)["dirs"])
+                except FileNotFoundError as e:
+                    raise RuntimeError(
+                        f"txntable stream on {self.path} cannot "
+                        f"diff version {v} against vacuumed "
+                        f"parent {v - 1} — fell behind "
+                        "retention") from e
+            new = [d for d in man["dirs"] if d not in prev_dirs]
+        elif self.skip_change:
+            return [], set(man["dirs"])  # Delta skipChangeCommits
+        else:
+            raise RuntimeError(
+                f"txntable stream on {self.path} hit a "
+                f"content-changing commit at version {v} "
+                f"({op or 'pre-op-era'}): the source serves "
+                "append-only history — pass "
+                "skip_change_commits=True to skip "
+                "replace/merge/delete commits, or consume them "
+                "through change_feed()")
+        files: list[str] = []
+        for d in new:
+            full = d if os.path.isabs(d) \
+                else os.path.join(self.path, d)
+            files.extend(_walk_parquet_files(full))
+        return files, set(man["dirs"])
+
+    def partitions(self, start: dict, end: dict):
+        end_v = int(end["version"])
+        if end_v < int(start["version"]):
+            # a backwards range means an offset regressed somewhere
+            # (checkpoint surgery, or an admission bug): serving it
+            # as empty would let the WAL regress and re-deliver
+            # consumed versions — fail loudly instead
+            raise RuntimeError(
+                f"txntable stream on {self.path} planned a "
+                f"backwards batch ({start} -> {end}); refusing to "
+                "regress the checkpointed position")
+        # learn/advance the position: on a restart this is the first
+        # sight of the checkpointed offsets, and re-planning a
+        # retried batch never moves it backwards
+        if self._pos is None or end_v > self._pos:
+            self._pos = end_v
         parts: list[_TxnFilesPartition] = []
         prev_dirs: set | None = None
-        for v in range(int(start["version"]) + 1,
-                       int(end["version"]) + 1):
-            try:
-                man = txnlog._read_manifest(self.path, v)
-            except FileNotFoundError as e:
-                raise RuntimeError(
-                    f"txntable stream on {self.path} needs version "
-                    f"{v}, but its manifest is gone (vacuumed past "
-                    "the stream's position, or an aborted group "
-                    "reclaimed it) — the stream fell behind the "
-                    "table's retention; rebuild it from a fresh "
-                    "startingVersion") from e
-            # belt-and-braces: latest_version never returns an
-            # undecided head, and writers never commit past an
-            # undecided version, so this cannot fire mid-range
-            txnlog._require_decided(self.path, v, man)
-            op = (man.get("op") or {}).get("type") or (
-                "append" if man.get("mode") == "append" else None)
-            if v == 0:
-                # table creation: the initial content streams whole
-                new = list(man["dirs"])
-            elif op == "maintenance":
-                prev_dirs = set(man["dirs"])
-                continue  # physical-only rewrite: no logical change
-            elif op == "append":
-                if prev_dirs is None:
-                    try:
-                        prev_dirs = set(
-                            txnlog._read_manifest(
-                                self.path, v - 1)["dirs"])
-                    except FileNotFoundError as e:
-                        raise RuntimeError(
-                            f"txntable stream on {self.path} cannot "
-                            f"diff version {v} against vacuumed "
-                            f"parent {v - 1} — fell behind "
-                            "retention") from e
-                new = [d for d in man["dirs"] if d not in prev_dirs]
-            elif self.skip_change:
-                prev_dirs = set(man["dirs"])
-                continue  # Delta skipChangeCommits semantics
-            else:
-                raise RuntimeError(
-                    f"txntable stream on {self.path} hit a "
-                    f"content-changing commit at version {v} "
-                    f"({op or 'pre-op-era'}): the source serves "
-                    "append-only history — pass "
-                    "skip_change_commits=True to skip "
-                    "replace/merge/delete commits, or consume them "
-                    "through change_feed()")
-            prev_dirs = set(man["dirs"])
-            for d in new:
-                full = d if os.path.isabs(d) \
-                    else os.path.join(self.path, d)
-                for f in _walk_parquet_files(full):
-                    parts.append(
-                        _TxnFilesPartition(f, self.schema_json))
+        for v in range(int(start["version"]) + 1, end_v + 1):
+            files, prev_dirs = self._version_files(v, prev_dirs)
+            for f in files:
+                parts.append(_TxnFilesPartition(f, self.schema_json))
         # Spark requires at least one partition per planned batch;
         # an empty file list (all-maintenance range) reads as empty
         return parts or [_TxnFilesPartition("", None)]
@@ -215,8 +312,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
         return gen()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint WAL; the log
-        # keeps nothing per-consumer (like Delta)
+        # offsets live in Spark's checkpoint WAL; the log keeps
+        # nothing per-consumer (like Delta).  Only the admission
+        # position advances here.
+        v = int(end["version"])
+        if self._pos is None or v > self._pos:
+            self._pos = v
 
 
 class TxnTableStreamDataSource(DataSource):
@@ -259,7 +360,10 @@ class TxnTableStreamDataSource(DataSource):
 
 def read_stream_txn(spark: SparkSession, path: str,
                     starting_version: int = 0,
-                    skip_change_commits: bool = False) -> DataFrame:
+                    skip_change_commits: bool = False,
+                    max_versions_per_trigger: int | None = None,
+                    max_files_per_trigger: int | None = None
+                    ) -> DataFrame:
     """Open a txnlog table as a streaming DataFrame: registers the
     Python data source (idempotent per session) and returns
     ``readStream.format("txntable")`` over ``path``, consuming
@@ -267,11 +371,22 @@ def read_stream_txn(spark: SparkSession, path: str,
     ``writeStream`` / ``foreachBatch`` like any stream.  Offsets ride
     in the sink's checkpoint, so stop/restart resumes at the next
     unconsumed commit (exactly-once with an idempotent sink — e.g.
-    lane.run_txn_stream_copy's log-to-log pipeline)."""
+    lane.run_txn_stream_copy's log-to-log pipeline).
+
+    ``max_versions_per_trigger`` / ``max_files_per_trigger``:
+    admission control for catch-up consumers (module docstring) — a
+    long backlog drains as bounded micro-batches with checkpoint
+    progress between them, Delta's ``maxFilesPerTrigger`` shape."""
     spark.dataSource.register(TxnTableStreamDataSource)
-    return (spark.readStream.format(FORMAT_NAME)
-            .option("path", os.path.abspath(path))
-            .option("startingVersion", int(starting_version))
-            .option("skipChangeCommits",
-                    "true" if skip_change_commits else "false")
-            .load())
+    rd = (spark.readStream.format(FORMAT_NAME)
+          .option("path", os.path.abspath(path))
+          .option("startingVersion", int(starting_version))
+          .option("skipChangeCommits",
+                  "true" if skip_change_commits else "false"))
+    if max_versions_per_trigger is not None:
+        rd = rd.option("maxVersionsPerTrigger",
+                       int(max_versions_per_trigger))
+    if max_files_per_trigger is not None:
+        rd = rd.option("maxFilesPerTrigger",
+                       int(max_files_per_trigger))
+    return rd.load()

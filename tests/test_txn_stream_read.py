@@ -171,3 +171,130 @@ def test_log_to_log_pipeline_restart(spark, tmp_path):
     assert n1 < want  # first run really was partial
     assert total[0] == want
     assert total[1] == want  # distinct uids == rows: exactly-once
+
+
+def _drain_available_now(spark, table, ckpt, batches, runs_cap=8,
+                         want_rows=None, **kw):
+    """Repeated availableNow runs (the single-batch fallback: each
+    run = ONE planned batch) until the sink saw ``want_rows``."""
+    st = read_stream_txn(spark, table, **kw)
+
+    def fb(batch, bid):
+        batches.append((int(bid), batch.count()))
+
+    runs = 0
+    while runs < runs_cap:
+        q = (st.writeStream.foreachBatch(fb)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        runs += 1
+        if want_rows is not None \
+                and sum(n for _, n in batches) >= want_rows:
+            break
+    return runs
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    """r12 admission control: a 5-commit backlog with
+    maxVersionsPerTrigger=2 drains as ≥2 bounded micro-batches with
+    checkpoint progress between them (not one giant batch), and the
+    end state is exactly-once.  Also pins the AvailableNow fallback:
+    Python sources fall back to single-batch execution, so each
+    availableNow RUN lands exactly one capped batch and stops short
+    of the head — re-running resumes from the checkpoint."""
+    table, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    txnlog.commit(_df(spark, 0, 10), table, "overwrite")
+    for lo in range(10, 50, 10):
+        txnlog.commit(_df(spark, lo, lo + 10), table, "append")
+    batches: list = []
+    runs = _drain_available_now(spark, table, ckpt, batches,
+                                want_rows=50,
+                                max_versions_per_trigger=2)
+    # 5 versions / cap 2 → three runs of one batch each: 20/20/10
+    assert runs == 3
+    assert [n for _, n in batches] == [20, 20, 10]
+    assert [b for b, _ in batches] == [0, 1, 2]  # ckpt progressed
+    # exactly-once: every id exactly once across the batches
+    assert sum(n for _, n in batches) == 50
+
+
+def test_max_versions_processing_time_multi_batch(spark, tmp_path):
+    """The same cap under a ProcessingTime trigger drains the
+    backlog as multiple bounded batches within ONE query run."""
+    import time
+
+    table, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    txnlog.commit(_df(spark, 0, 10), table, "overwrite")
+    for lo in range(10, 50, 10):
+        txnlog.commit(_df(spark, lo, lo + 10), table, "append")
+    batches: list = []
+
+    def fb(batch, bid):
+        batches.append((int(bid), batch.count()))
+
+    st = read_stream_txn(spark, table, max_versions_per_trigger=2)
+    q = (st.writeStream.foreachBatch(fb)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="100 milliseconds").start())
+    t0 = time.time()
+    while time.time() - t0 < 120 and sum(n for _, n in batches) < 50:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    assert [n for _, n in batches[:3]] == [20, 20, 10]
+    assert sum(n for _, n in batches) == 50
+
+
+def test_max_files_per_trigger_soft_cap(spark, tmp_path):
+    """maxFilesPerTrigger admits whole versions until the cumulative
+    new-file count reaches the cap — and always at least one version,
+    so a single commit larger than the cap still flows (Delta's
+    soft-cap semantics)."""
+    import time
+
+    table, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    # v0: one file; v1: a JUMBO 3-file commit; v2: one file
+    txnlog.commit(_df(spark, 0, 10).coalesce(1), table, "overwrite")
+    txnlog.commit(_df(spark, 10, 40).repartition(3), table, "append")
+    txnlog.commit(_df(spark, 40, 50).coalesce(1), table, "append")
+    batches: list = []
+
+    def fb(batch, bid):
+        batches.append((int(bid), batch.count()))
+
+    st = read_stream_txn(spark, table, max_files_per_trigger=1)
+    q = (st.writeStream.foreachBatch(fb)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="100 milliseconds").start())
+    t0 = time.time()
+    while time.time() - t0 < 120 and sum(n for _, n in batches) < 50:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    # one version per batch: 10 (v0), 30 (jumbo v1 whole), 10 (v2)
+    assert [n for _, n in batches[:3]] == [10, 30, 10]
+    assert sum(n for _, n in batches) == 50
+
+
+def test_capped_restart_exactly_once(spark, tmp_path):
+    """Stop a capped stream mid-backlog, append MORE commits, resume:
+    the restarted reader re-learns its position from the WAL replay
+    (never regresses the offset) and every row lands exactly once."""
+    table, sink, ckpt = (str(tmp_path / d)
+                         for d in ("t", "sink", "ckpt"))
+    txnlog.commit(_df(spark, 0, 10), table, "overwrite")
+    for lo in range(10, 40, 10):
+        txnlog.commit(_df(spark, lo, lo + 10), table, "append")
+    # run 1: one capped batch (v0..v1 = 20 rows), then stops
+    _run_to_parquet(spark, table, sink, ckpt,
+                    max_versions_per_trigger=2)
+    assert _ids(spark, sink) == set(range(20))
+    txnlog.commit(_df(spark, 40, 50), table, "append")
+    # drain: each resume consumes ≤2 more versions
+    for _ in range(3):
+        _run_to_parquet(spark, table, sink, ckpt,
+                        max_versions_per_trigger=2)
+    got = spark.read.parquet(sink)
+    assert got.count() == 50
+    assert got.select("id").distinct().count() == 50
