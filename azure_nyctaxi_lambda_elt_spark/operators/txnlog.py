@@ -3027,6 +3027,37 @@ def snapshot_sql(spark: SparkSession, path: str, view_name: str,
     return view_name
 
 
+def history_sql(spark: SparkSession, path: str, view_name: str,
+                limit: int | None = None) -> str:
+    """SQL front-end for the table-history audit view: register
+    :func:`history` as a TEMP VIEW so SQL-text consumers reach
+    ``DESCRIBE HISTORY`` the way ``snapshot_sql`` reaches versioned
+    reads — the reference's ops run-log consumers are T-SQL
+    (sql/batchELT/staging/stg_logrun.sql,
+    sql/batchELT/obs/70_obs_run_log.sql), and this is that surface
+    over the manifest log.  The view holds the history AS OF
+    registration (one tiny driver-side frame — O(versions) manifest
+    JSON reads, no data scan at any table size); re-register to
+    refresh after new commits.  Returns ``view_name`` for
+    chaining."""
+    history(spark, path, limit=limit) \
+        .createOrReplaceTempView(view_name)
+    return view_name
+
+
+def describe_detail_sql(spark: SparkSession, path: str,
+                        view_name: str,
+                        version: int | None = None) -> str:
+    """SQL front-end for :func:`describe_detail` — ``DESCRIBE
+    DETAIL`` as a one-row TEMP VIEW (table layout, size, row count,
+    declared properties), the same T-SQL-consumer contract as
+    :func:`history_sql`.  Metadata + file stat calls at registration
+    only; re-register to refresh.  Returns ``view_name``."""
+    describe_detail(spark, path, version=version) \
+        .createOrReplaceTempView(view_name)
+    return view_name
+
+
 def _read_dirs(spark: SparkSession, path: str, names: list[str],
                man: dict) -> DataFrame:
     """Scan manifest dirs under the manifest-recorded table schema

@@ -2237,6 +2237,96 @@ def q_txn_snapshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.format(v=v) for v in (v0, v1, v2)))
 
 
+def q_txn_history_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end for DESCRIBE HISTORY (operators/txnlog.py
+    history_sql): the five txn_history commits replayed — overwrite,
+    append, copy-on-write MERGE, deletion-vector DELETE, OPTIMIZE
+    compact — then the audit view registered as a TEMP VIEW and the
+    whole readback computed in ONE ``spark.sql`` text: how a T-SQL
+    consumer (the reference's ops run-log readers,
+    sql/batchELT/staging/stg_logrun.sql +
+    sql/batchELT/obs/70_obs_run_log.sql) reaches the table history
+    without touching the DataFrame API (snapshot_sql's contract
+    extended to the audit surface).  Registration is O(versions)
+    manifest-JSON reads, no data scan at any table size.  Oracle:
+    identical to txn_history's (content equality proves the SQL
+    surface serves the same audit rows)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnhistsql", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    kw = dict(stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day <= 15), out, "overwrite", **kw)
+    txnlog.commit(clean.where(day >= 16), out, "append", **kw)
+    updates = (clean.where(F.col("trip_uid") % 101 == 7)
+               .withColumn("fare_amount",
+                           F.col("fare_amount") + F.lit(1.0)))
+    txnlog.merge_upsert(spark, out, updates, ["trip_uid"])
+    txnlog.delete_keys(
+        spark, out,
+        clean.where(F.col("trip_uid") % 103 == 11).select("trip_uid"),
+        ["trip_uid"])
+    txnlog.compact(spark, out)
+    txnlog.history_sql(spark, out, "txn_hist_v")
+    return spark.sql("""
+        SELECT CAST(version AS INT) AS version, operation, mode,
+               CAST(rows_visible AS BIGINT) AS rows_visible,
+               CAST(dv_stores AS BIGINT) AS dv_stores
+        FROM txn_hist_v""")
+
+
+def q_txn_detail_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end for DESCRIBE DETAIL (operators/txnlog.py
+    describe_detail_sql): trip_clean lands PARTITIONED BY ingest_date
+    in two day-slice commits (one dir per live date, the layout
+    OPTIMIZE preserves) with trip_uid stats + bloom sidecars, a small
+    DV delete follows (trip_uid % 103 = 11 — no dir rewritten), and
+    the one-row layout/properties readback is served through a TEMP
+    VIEW in ONE ``spark.sql`` text (array properties flattened to
+    CSV so the surface is plain-SQL-typed).  Everything the row
+    claims is metadata-derivable and the oracle recomputes it from
+    the data: version/mode pin the commit sequence, num_dirs = the
+    live date count (dir-per-partition-value invariant), num_rows =
+    the exact DV-aware metadata count, num_dv_stores the live
+    tombstone stores.  Reference parity: the reference's consumers
+    read table properties through T-SQL catalog views
+    (sql/batchELT/obs/70_obs_run_log.sql's sys-table joins); a
+    parquet lake needs the explicit manifest readback."""
+    import shutil
+
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txndetail", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    kw = dict(stats_cols=["trip_uid"], bloom_cols=["trip_uid"],
+              partition_by=["ingest_date"])
+    txnlog.commit(clean.where(day <= 15), out, "overwrite", **kw)
+    txnlog.commit(clean.where(day >= 16), out, "append", **kw)
+    txnlog.delete_keys(
+        spark, out,
+        clean.where(F.col("trip_uid") % 103 == 11).select("trip_uid"),
+        ["trip_uid"])
+    txnlog.describe_detail_sql(spark, out, "txn_detail_v")
+    return spark.sql("""
+        SELECT CAST(version AS INT) AS version, mode,
+               CAST(num_dirs AS BIGINT) AS num_dirs,
+               CAST(num_rows AS BIGINT) AS num_rows,
+               concat_ws(',', partition_by) AS partition_by_csv,
+               concat_ws(',', bloom_cols) AS bloom_cols_csv,
+               CAST(num_dv_stores AS BIGINT) AS num_dv_stores
+        FROM txn_detail_v""")
+
+
 def q_txn_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE as a deletion-vector commit (operators/txnlog.py
     delete_keys — the Delta DV shape): trip_clean lands as three
@@ -3069,6 +3159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_cdf_dv": q_txn_cdf_dv,
     "txn_stream_read": q_txn_stream_read,
     "txn_snapshot_sql": q_txn_snapshot_sql,
+    "txn_history_sql": q_txn_history_sql,
+    "txn_detail_sql": q_txn_detail_sql,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3982,6 +4074,25 @@ ORACLES["txn_time_travel"] = with_trips("""
 # DataFrame read does — same oracle by construction
 ORACLES["txn_snapshot_sql"] = ORACLES["txn_time_travel"]
 
+# (txn_history_sql's oracle is assigned right after txn_history's
+# below — the SQL front-end serves exactly the same audit rows)
+
+# DESCRIBE DETAIL readback: version/mode pin the 3-commit sequence
+# (overwrite, append, DV delete), num_dirs = the dir-per-live-date
+# partitioned-layout invariant, num_rows = the exact DV-aware
+# metadata count, the declared properties flatten to CSV
+ORACLES["txn_detail_sql"] = with_trips("""
+    SELECT CAST(2 AS INT) AS version,
+           'delete' AS mode,
+           (SELECT CAST(COUNT(DISTINCT ingest_date) AS BIGINT)
+            FROM trip_clean) AS num_dirs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+            WHERE trip_uid % 103 <> 11) AS num_rows,
+           'ingest_date' AS partition_by_csv,
+           'trip_uid' AS bloom_cols_csv,
+           CAST(1 AS BIGINT) AS num_dv_stores
+""")
+
 # timestamp cut resolves to the same three versions; the two
 # structural pins (midpoint resolves backward, pre-epoch refuses)
 # must come back true
@@ -4037,6 +4148,7 @@ ORACLES["txn_history"] = with_trips("""
     SELECT CAST(0 AS INT), 'overwrite', 'overwrite',
            (SELECT n FROM n_head), CAST(0 AS BIGINT)
 """)
+ORACLES["txn_history_sql"] = ORACLES["txn_history"]
 
 # vacuum dry run: the two pre-compact dirs are the reported set,
 # nothing is deleted until the real run, and the final per-date

@@ -110,6 +110,9 @@ BENCH_NEW_QUERIES = [
     "txn_update_where",
     "txn_snapshot_sql",
     "txn_cdf_dv",
+    # round-12 additions
+    "txn_history_sql",
+    "txn_detail_sql",
 ]
 
 
