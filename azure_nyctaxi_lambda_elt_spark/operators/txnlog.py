@@ -2675,11 +2675,20 @@ def latest_meta(path: str) -> dict:
 def _overlaps(stats: dict, d: str, col: str, lo, hi) -> bool:
     """True unless dir ``d``'s recorded [min, max] for ``col`` is
     disjoint from [lo, hi].  Dirs without stats are always read
-    (pruning must be conservative)."""
+    (pruning must be conservative).  Bounds arrive pre-normalized
+    into the envelope domain by prune_plan; disjointness uses the
+    same provable-order compare as auto-pruning (prefix-related ISO
+    strings are inconclusive → overlap assumed), and a cross-type
+    compare keeps the dir rather than raising."""
     env = stats.get(d, {}).get(col)
     if not env or env[0] is None or env[1] is None:
         return True
-    return not (env[1] < lo or env[0] > hi)
+    try:
+        return not ((lo is not None and _env_provably_gt(lo, env[1]))
+                    or (hi is not None
+                        and _env_provably_gt(env[0], hi)))
+    except TypeError:
+        return True  # incomparable literal: can't prove, open
 
 
 def prune_plan(path: str, version: int | None,
@@ -2695,6 +2704,16 @@ def prune_plan(path: str, version: int | None,
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
     stats = man.get("stats", {})
+    # bounds into the envelope domain: datetime/date/Decimal via
+    # _json_safe (both sides must compare in one domain), space-form
+    # timestamp strings via the same literal normalization the
+    # predicate parser applies
+    def _nb(x):
+        x = _json_safe(x)
+        return _norm_iso_literal(x) if isinstance(x, str) else x
+
+    predicates = [(col, _nb(lo), _nb(hi))
+                  for (col, lo, hi) in predicates]
     kept = [d for d in man["dirs"]
             if all(_overlaps(stats, d, col, lo, hi)
                    for (col, lo, hi) in predicates)]
@@ -3054,6 +3073,29 @@ def describe_detail_sql(spark: SparkSession, path: str,
     :func:`history_sql`.  Metadata + file stat calls at registration
     only; re-register to refresh.  Returns ``view_name``."""
     describe_detail(spark, path, version=version) \
+        .createOrReplaceTempView(view_name)
+    return view_name
+
+
+def change_feed_sql(spark: SparkSession, path: str, view_name: str,
+                    from_version: int | None = None,
+                    to_version: int | None = None,
+                    key_cols: list[str] | None = None,
+                    from_ts=None, to_ts=None) -> str:
+    """SQL front-end for the change-data-feed — Delta's
+    ``table_changes('t', from, to)`` TVF as a TEMP VIEW, completing
+    the SQL surface family (snapshot_sql / history_sql /
+    describe_detail_sql): ``SELECT ... FROM <view_name>`` serves the
+    classified row deltas (``_change_type`` ∈ insert / delete /
+    update_preimage / update_postimage) between two committed
+    versions or instants.  The view stays LAZY — change_feed is a
+    DataFrame plan (dir-set diff + exceptAlls + DV pair deltas), so
+    Catalyst plans through the view and endpoint resolution happens
+    at registration (the endpoints are pinned, later commits never
+    leak in).  Returns ``view_name`` for chaining."""
+    change_feed(spark, path, from_version=from_version,
+                to_version=to_version, key_cols=key_cols,
+                from_ts=from_ts, to_ts=to_ts) \
         .createOrReplaceTempView(view_name)
     return view_name
 

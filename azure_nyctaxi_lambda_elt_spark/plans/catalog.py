@@ -1202,6 +1202,30 @@ def q_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txnlog.change_feed(spark, out, 2, 3, ["trip_uid"])
 
 
+def q_txn_cdf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end for the change-data-feed (operators/txnlog.py
+    change_feed_sql — Delta's ``table_changes('t', from, to)`` TVF
+    as a TEMP VIEW, completing the SQL surface family with
+    snapshot_sql / history_sql / describe_detail_sql): the
+    txn_change_feed merge scenario replayed, the v2→v3 feed
+    registered once, and the classified row deltas served in ONE
+    ``spark.sql`` text.  The view stays LAZY — change_feed is a
+    DataFrame plan (symmetric-difference dir scan + exceptAlls), so
+    Catalyst plans through it and the endpoints are pinned at
+    registration.  Oracle: identical to txn_change_feed's (content
+    equality proves the SQL surface serves the same feed).
+    Reference parity: the reference's CDC consumers are T-SQL
+    (sql/batchELT/core/12_trip_clean.dedupe_load.sql's restatement
+    readers); this is that surface over the manifest log's CDF."""
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out = _txn_merge_scenario(spark, sf_dir, "txncdfsql")
+    txnlog.change_feed_sql(spark, out, "txn_cdf_v", 2, 3,
+                           ["trip_uid"])
+    return spark.sql("SELECT * FROM txn_cdf_v")
+
+
 def q_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE bin-packing on the transaction log
     (operators/txnlog.py compact): a per-day-range appended table is
@@ -3161,6 +3185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_snapshot_sql": q_txn_snapshot_sql,
     "txn_history_sql": q_txn_history_sql,
     "txn_detail_sql": q_txn_detail_sql,
+    "txn_cdf_sql": q_txn_cdf_sql,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3797,6 +3822,8 @@ ORACLES["txn_change_feed"] = with_trips(f"""
     FROM (SELECT * REPLACE (trip_uid + 10000000 AS trip_uid)
           FROM trip_clean WHERE day(ingest_date) = 1) t
 """)
+# the SQL CDF front-end serves exactly the same classified deltas
+ORACLES["txn_cdf_sql"] = ORACLES["txn_change_feed"]
 
 # CDF across live deletion vectors: re-inserted tombstoned keys as
 # pre/post pairs, remaining tombstoned keys as deletes, cloned keys

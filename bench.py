@@ -113,6 +113,7 @@ BENCH_NEW_QUERIES = [
     # round-12 additions
     "txn_history_sql",
     "txn_detail_sql",
+    "txn_cdf_sql",
 ]
 
 

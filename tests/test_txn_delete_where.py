@@ -345,3 +345,34 @@ def test_timestamp_column_delete_where_prunes_correctly(
     # inconclusive, so the day-05 dir (midnight row included) opens
     kept = _auto_prune_names(path, 1, man, "ts <= '2024-01-05'")
     assert man["dirs"][0] in kept
+
+
+def test_explicit_prune_normalizes_bounds(spark, tmp_path):
+    """r12: explicit prune_plan bounds go through the same
+    envelope-domain normalization as the automatic parser —
+    datetime objects via _json_safe, space-form timestamp strings
+    via the literal normalization — and cross-type bounds keep the
+    dir instead of raising."""
+    import datetime
+
+    path = str(tmp_path / "tts2")
+    rows5 = [(i, datetime.datetime(2024, 1, 5, i, 0, 0))
+             for i in range(0, 10)]
+    rows6 = [(i + 100, datetime.datetime(2024, 1, 6, i, 0, 0))
+             for i in range(0, 10)]
+    mk = lambda r: spark.createDataFrame(r, "id long, ts timestamp")
+    txnlog.commit(mk(rows5), path, "overwrite", stats_cols=["ts"])
+    txnlog.commit(mk(rows6), path, "append", stats_cols=["ts"])
+    man = txnlog._read_manifest(path, 1)
+    # datetime bounds: normalized into the isoformat domain
+    kept, _ = txnlog.prune_plan(path, 1, [
+        ("ts", datetime.datetime(2024, 1, 5, 0, 0, 0),
+         datetime.datetime(2024, 1, 5, 23, 59, 59))])
+    assert kept == [man["dirs"][0]]
+    # space-form string bounds: same normalization as the parser
+    kept, _ = txnlog.prune_plan(path, 1, [
+        ("ts", "2024-01-06 00:00:00", "2024-01-06 23:59:59")])
+    assert kept == [man["dirs"][1]]
+    # cross-type bound: inconclusive, every dir stays open
+    kept, _ = txnlog.prune_plan(path, 1, [("ts", 0, 100)])
+    assert kept == man["dirs"]
