@@ -2214,6 +2214,32 @@ def q_txn_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "txn_stream_read", sf_dir))
 
 
+def q_txn_stream_backpressure(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Stream-source ADMISSION CONTROL end to end
+    (streaming/txn_source.py maxVersionsPerTrigger + streaming/
+    lane.py run_txn_stream_backpressure): the 3-commit source
+    drained ONE VERSION PER TRIGGER through the exactly-once txn
+    sink — the sink commits once per micro-batch, so
+    ``sink_versions`` = 3 proves every batch was bounded (an
+    uncapped availableNow run lands all three versions as ONE batch
+    = 1 sink version) and ``n_runs`` = 3 pins the drain length;
+    the per-date rollup equals the batch trip_clean rollup
+    (batching-independence, the same claim txn_stream_read makes
+    uncapped).  The 100 TB story this demonstrates: a catch-up
+    consumer against a long backlog checkpoints progress between
+    bounded batches instead of planning one giant first batch —
+    Delta's maxFilesPerTrigger; reference parity: the hourly
+    trigger's one-slice-per-poll batching
+    (orchestration/adf/trigger/t_hourly_backfill_streaming.json)."""
+    from ..streaming.lane import run_txn_stream_backpressure
+
+    apply_engine_conf(spark)
+    return run_txn_stream_backpressure(
+        spark, sf_dir,
+        _out_dir(_STREAM_TMP, "txn_stream_bp", sf_dir))
+
+
 def q_txn_snapshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front-end for time travel (operators/txnlog.py
     snapshot_sql): the three txn_time_travel commits replayed, each
@@ -3186,6 +3212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_history_sql": q_txn_history_sql,
     "txn_detail_sql": q_txn_detail_sql,
     "txn_cdf_sql": q_txn_cdf_sql,
+    "txn_stream_backpressure": q_txn_stream_backpressure,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
     "txn_generated_columns": q_txn_generated_columns,
@@ -3917,6 +3944,19 @@ ORACLES["txn_stream_read"] = with_trips("""
              AS fare_sum,
            CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips,
            CAST(3 AS INT) AS source_versions
+    FROM trip_clean GROUP BY 1
+""")
+
+# capped drain: same batching-independent rollup; the structural
+# columns pin 3 bounded batches (one sink version per source
+# version) across 3 availableNow runs
+ORACLES["txn_stream_backpressure"] = with_trips("""
+    SELECT ingest_date, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips,
+           CAST(3 AS INT) AS n_runs,
+           CAST(3 AS INT) AS sink_versions
     FROM trip_clean GROUP BY 1
 """)
 

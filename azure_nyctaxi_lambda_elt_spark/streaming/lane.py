@@ -1085,6 +1085,64 @@ def run_txn_stream_copy(spark: SparkSession, sf_dir: str,
                  F.lit(int(src_v) + 1).cast("int"))
 
 
+def run_txn_stream_backpressure(spark: SparkSession, sf_dir: str,
+                                out_dir: str) -> DataFrame:
+    """The txn stream-copy pipeline under ADMISSION CONTROL
+    (streaming/txn_source.py maxVersionsPerTrigger — Delta's
+    maxFilesPerTrigger shape): the same 3-commit source drained with
+    a ONE-VERSION-per-trigger cap through repeated availableNow runs
+    (the pinned single-batch fallback: each run = one capped batch,
+    checkpoint progress between runs).  Structural proof the cap
+    bounded every batch: the idempotent txn SINK commits once per
+    micro-batch, so ``sink_versions`` = 3 — an UNCAPPED availableNow
+    run would land all three source versions as ONE batch (= 1 sink
+    version); ``n_runs`` = 3 pins the drain length.  Content proof:
+    version-ordered append-for-append consumption is
+    batching-independent, so the final per-date rollup equals the
+    batch trip_clean rollup regardless of the cap.  Reference
+    parity: the hourly trigger's inherent one-slice-per-poll
+    batching (orchestration/adf/trigger/
+    t_hourly_backfill_streaming.json) as engine-level rate
+    limiting."""
+    from ..operators import txnlog
+    from .txn_source import read_stream_txn
+
+    source = os.path.join(out_dir, "source")
+    sink = os.path.join(out_dir, "sink")
+    ckpt = os.path.join(out_dir, "ckpt")
+    _reset(source, sink, ckpt)
+    build_txn_stream_source(spark, sf_dir, source)
+    want = txnlog.snapshot(spark, source).count()
+    st = read_stream_txn(spark, source, starting_version=0,
+                         max_versions_per_trigger=1)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _committed_batch_high(sink):
+            return  # redelivery: already durably committed
+        txnlog.commit(batch, sink, "append",
+                      meta={"batch_id": batch_id})
+        _advance_stream_high(sink, batch_id)
+
+    runs = 0
+    while runs < 8:
+        _run_available_now(
+            st.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt))
+        runs += 1
+        if txnlog.snapshot(spark, sink).count() >= want:
+            break
+    sink_versions = txnlog.latest_version(sink) + 1
+    snap = txnlog.snapshot(spark, sink)
+    return (snap.groupBy("ingest_date").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"),
+        F.countDistinct("trip_uid").cast("bigint").alias("n_trips"))
+        .withColumn("n_runs", F.lit(int(runs)).cast("int"))
+        .withColumn("sink_versions",
+                    F.lit(int(sink_versions)).cast("int")))
+
+
 def run_group_sink(spark: SparkSession, sf_dir: str, out_dir: str,
                    max_files_per_trigger: int | None = None,
                    source_dir: str | None = None,

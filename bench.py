@@ -114,6 +114,7 @@ BENCH_NEW_QUERIES = [
     "txn_history_sql",
     "txn_detail_sql",
     "txn_cdf_sql",
+    "txn_stream_backpressure",
 ]
 
 
