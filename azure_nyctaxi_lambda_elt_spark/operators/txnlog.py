@@ -2011,10 +2011,23 @@ def _dv_delta_rows(spark: SparkSession, path: str, man_a: dict,
     # over-refuse (a restore that re-commits an identical dv set is
     # harmless and passes)
     for kc in sorted({tuple(e["key_cols"]) for e in dv_a}):
+        # metadata short-circuit: the A-side entries' dir maps name
+        # every dir their stores can reference — no carried dir
+        # named, no shrink possible for this signature, no store read
+        a_dirs = sorted({d for e in dv_a
+                         if tuple(e["key_cols"]) == kc
+                         for d in e.get("dirs", {})} & shared_set)
+        if not a_dirs:
+            continue
         pa = pairs(dv_a, kc)
         if pa is None:
             continue
-        pa_shared = pa.where(F.col("__dv_dir").isin(list(shared)))
+        # semi-join against the carried-dir list, not isin(): a
+        # 100k-literal In expression bloats the plan; the dir frame
+        # broadcasts at any realistic dir count
+        sh_df = F.broadcast(spark.createDataFrame(
+            [(d,) for d in a_dirs], ["__dv_dir"]))
+        pa_shared = pa.join(sh_df, "__dv_dir", "left_semi")
         pb = pairs(dv_b, kc)
         shed = pa_shared if pb is None else pa_shared.exceptAll(pb)
         if shed.limit(1).count():
