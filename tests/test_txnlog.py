@@ -469,7 +469,11 @@ def test_racing_writers_through_double_exactly_one_wins(
     orig_publish = memory_store.publish
 
     def synced_publish(final, tmp):
-        barrier.wait(timeout=30)  # both writers reach the commit point
+        # both writers reach the commit point; generous timeout —
+        # each writer runs Spark jobs before publishing, and a
+        # saturated box (overlapping gate runs) can starve one past
+        # a tight bound (flaked at 30s under a concurrent driver_sim)
+        barrier.wait(timeout=180)
         orig_publish(final, tmp)
 
     memory_store.publish = synced_publish
