@@ -1,0 +1,278 @@
+"""SQL STATEMENT front-end for the transaction-log maintenance /
+DML / audit surface — the action half of the T-SQL-consumer story
+(the view half is txnlog's snapshot_sql / history_sql /
+describe_detail_sql / change_feed_sql temp-view registrations).
+
+Delta ships a SQL extension parser (DeltaSqlParser) so operators can
+type ``OPTIMIZE t`` / ``VACUUM t`` / ``RESTORE t`` instead of
+calling Scala APIs; the reference's audience writes exactly such
+maintenance statements (sql/streaming/staging/0005_delete.sql's
+DELETE, the sp-wrapped MERGE restatements around
+sql/batchELT/core/12_trip_clean.dedupe_load.sql, Synapse OPTIMIZE
+runbooks).  :func:`txn_sql` is that surface over this engine's log:
+ONE statement string in, ONE result DataFrame out.
+
+Grammar (keywords case-insensitive, the table is a single-quoted
+path, ``[...]`` optional):
+
+- ``DESCRIBE HISTORY '<path>' [LIMIT <n>]``
+- ``DESCRIBE DETAIL '<path>' [VERSION AS OF <n>]``
+- ``DELETE FROM '<path>' [KEY BY (c1[, c2…])] WHERE <pred>``
+- ``UPDATE '<path>' SET c = <expr>[, …] [KEY BY (…)] WHERE <pred>``
+- ``OPTIMIZE '<path>' [ZORDER BY (colA, colB)]``
+- ``VACUUM '<path>' [RETAIN <n> VERSIONS] [GRACE <s> SECONDS]
+  [DRY RUN]``
+- ``RESTORE '<path>' TO VERSION AS OF <n> |
+  TO TIMESTAMP AS OF '<ts>'``
+
+``KEY BY`` is this engine's (non-Delta) extension declaring the row
+identity so DELETE/UPDATE can take the deletion-vector lane and
+record conflict descriptors — omitted, both fall back to
+copy-on-write with the conservative undecidable-op record
+(txnlog.delete_where's documented contract).  ``GRACE`` exposes
+vacuum's retention window for test/runbook use (Delta:
+``spark.databricks.delta.retentionDurationCheck``).
+
+The parser is deliberately CONSERVATIVE: predicates and SET
+expressions pass through VERBATIM to delete_where/update_where
+(Spark SQL semantics, same strings their own API takes), clause
+splitting is quote- and paren-aware so string literals containing
+keywords or commas can never confuse it, and any statement that
+does not match the grammar refuses loudly with the supported forms
+— a mis-parse must be an error, never a different action.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from . import txnlog
+
+_GRAMMAR = (
+    "supported statements: DESCRIBE HISTORY '<path>' [LIMIT n] | "
+    "DESCRIBE DETAIL '<path>' [VERSION AS OF n] | "
+    "DELETE FROM '<path>' [KEY BY (cols)] WHERE <pred> | "
+    "UPDATE '<path>' SET c = expr[, ...] [KEY BY (cols)] "
+    "WHERE <pred> | OPTIMIZE '<path>' [ZORDER BY (colA, colB)] | "
+    "VACUUM '<path>' [RETAIN n VERSIONS] [GRACE s SECONDS] "
+    "[DRY RUN] | RESTORE '<path>' TO VERSION AS OF n | "
+    "RESTORE '<path>' TO TIMESTAMP AS OF '<ts>'")
+
+
+def _refuse(statement: str) -> ValueError:
+    return ValueError(
+        f"txn_sql could not parse: {statement!r}\n{_GRAMMAR}")
+
+
+def _find_top_keyword(s: str, word: str) -> int:
+    """Index of the first occurrence of ``word`` at paren-depth 0
+    outside single-quoted literals (-1 if none) — so a WHERE/KEY
+    inside a string literal or a function call can never split a
+    clause."""
+    depth = 0
+    i, n, w = 0, len(s), len(word)
+    up = s.upper()
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                return -1  # unbalanced quote: caller refuses
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and up.startswith(word, i)
+              and (i == 0 or not (s[i - 1].isalnum()
+                                  or s[i - 1] == "_"))
+              and (i + w == n or not (s[i + w].isalnum()
+                                      or s[i + w] == "_"))):
+            return i
+        i += 1
+    return -1
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at depth 0 outside quotes (SET-list items —
+    ``greatest(a, b)`` and ``'x,y'`` stay whole)."""
+    out, buf, depth, i, n = [], [], 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                raise ValueError(f"unbalanced quote in {s!r}")
+            buf.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+def _cols_list(inner: str) -> list[str]:
+    cols = [c.strip() for c in inner.split(",")]
+    if not cols or any(not re.fullmatch(r"\w+", c) for c in cols):
+        raise ValueError(f"expected a column list, got {inner!r}")
+    return cols
+
+
+def _one_row(spark: SparkSession, fields: list[tuple]) -> DataFrame:
+    """One-row result frame from [(name, value, sparktype), ...]."""
+    schema = StructType(
+        [StructField(n, t) for n, _, t in fields])
+    return spark.createDataFrame(
+        [tuple(v for _, v, _ in fields)], schema)
+
+
+def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
+    """Execute one maintenance / DML / audit statement against a
+    txnlog table (module docstring: grammar + contract).  Returns
+    the statement's result DataFrame: the audit frame for DESCRIBE,
+    a one-row outcome summary (committed version, affected rows,
+    lane taken) for DML/OPTIMIZE/RESTORE, and the reclaimed-dir
+    report for VACUUM."""
+    s = statement.strip().rstrip(";").strip()
+    up = s.upper()
+
+    m = re.match(r"DESCRIBE\s+HISTORY\s+'([^']+)'"
+                 r"(?:\s+LIMIT\s+(\d+))?$", s, re.IGNORECASE)
+    if m:
+        return txnlog.history(
+            spark, m.group(1),
+            limit=int(m.group(2)) if m.group(2) else None)
+
+    m = re.match(r"DESCRIBE\s+DETAIL\s+'([^']+)'"
+                 r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$", s,
+                 re.IGNORECASE)
+    if m:
+        return txnlog.describe_detail(
+            spark, m.group(1),
+            version=int(m.group(2)) if m.group(2) else None)
+
+    if up.startswith("DELETE"):
+        m = re.match(r"DELETE\s+FROM\s+'([^']+)'\s*(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise _refuse(statement)
+        path, rest = m.group(1), m.group(2).strip()
+        key_cols = None
+        km = re.match(r"KEY\s+BY\s*\(([^)]*)\)\s*(.*)$", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if km:
+            key_cols = _cols_list(km.group(1))
+            rest = km.group(2).strip()
+        if not re.match(r"WHERE\b", rest, re.IGNORECASE):
+            raise _refuse(statement)
+        pred = rest[5:].strip()
+        if not pred:
+            raise _refuse(statement)
+        v = txnlog.delete_where(spark, path, pred,
+                                key_cols=key_cols)
+        meta = txnlog._read_manifest(path, v).get("meta", {})
+        n = meta.get("rows_deleted", meta.get("dv_rows_deleted", 0))
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("rows_deleted", int(n), LongType()),
+            ("lane", meta.get("lane"), StringType())])
+
+    if up.startswith("UPDATE"):
+        m = re.match(r"UPDATE\s+'([^']+)'\s+SET\s+(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise _refuse(statement)
+        path, rest = m.group(1), m.group(2)
+        wi = _find_top_keyword(rest, "WHERE")
+        if wi < 0:
+            raise _refuse(statement)
+        set_part, pred = rest[:wi].strip(), rest[wi + 5:].strip()
+        key_cols = None
+        ki = _find_top_keyword(set_part, "KEY")
+        if ki >= 0:
+            km = re.match(r"KEY\s+BY\s*\(([^)]*)\)\s*$",
+                          set_part[ki:], re.IGNORECASE | re.DOTALL)
+            if not km:
+                raise _refuse(statement)
+            key_cols = _cols_list(km.group(1))
+            set_part = set_part[:ki].strip().rstrip(",").strip()
+        set_exprs: dict[str, str] = {}
+        for item in _split_top_commas(set_part):
+            am = re.match(r"\s*(\w+)\s*=\s*(.+)$", item, re.DOTALL)
+            if not am:
+                raise _refuse(statement)
+            set_exprs[am.group(1)] = am.group(2).strip()
+        if not set_exprs or not pred:
+            raise _refuse(statement)
+        v = txnlog.update_where(spark, path, pred, set_exprs,
+                                key_cols=key_cols)
+        meta = txnlog._read_manifest(path, v).get("meta", {})
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("rows_updated", int(meta.get("rows_updated", 0)),
+             LongType()),
+            ("lane", meta.get("lane"), StringType())])
+
+    m = re.match(r"OPTIMIZE\s+'([^']+)'"
+                 r"(?:\s+ZORDER\s+BY\s*\((\w+)\s*,\s*(\w+)\))?$",
+                 s, re.IGNORECASE)
+    if m:
+        path = m.group(1)
+        if m.group(2):
+            v = txnlog.optimize_zorder(spark, path, m.group(2),
+                                       m.group(3))
+            action = "zorder"
+        else:
+            v = txnlog.compact(spark, path)
+            action = "compact"
+        return _one_row(spark, [
+            ("version", None if v is None else int(v),
+             IntegerType()),
+            ("action", action, StringType()),
+            ("noop", v is None, BooleanType())])
+
+    m = re.match(r"VACUUM\s+'([^']+)'"
+                 r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+                 r"(?:\s+GRACE\s+(\d+(?:\.\d+)?)\s+SECONDS)?"
+                 r"(\s+DRY\s+RUN)?$", s, re.IGNORECASE)
+    if m:
+        kw: dict = {"dry_run": bool(m.group(4))}
+        if m.group(2):
+            kw["keep_latest"] = int(m.group(2))
+        if m.group(3):
+            kw["grace_seconds"] = float(m.group(3))
+        removed = txnlog.vacuum(m.group(1), **kw)
+        return _one_row(spark, [
+            ("removed_dirs", len(removed), LongType()),
+            ("dry_run", bool(m.group(4)), BooleanType())])
+
+    m = re.match(r"RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF"
+                 r"\s+(\d+)$", s, re.IGNORECASE)
+    if m:
+        v = txnlog.restore(m.group(1), to_version=int(m.group(2)))
+        return _one_row(spark, [("version", int(v), IntegerType())])
+    m = re.match(r"RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF"
+                 r"\s+'([^']+)'$", s, re.IGNORECASE)
+    if m:
+        import datetime
+
+        ts = datetime.datetime.fromisoformat(
+            m.group(2).replace(" ", "T", 1)).timestamp()
+        v = txnlog.restore(m.group(1), as_of_ts=ts)
+        return _one_row(spark, [("version", int(v), IntegerType())])
+
+    raise _refuse(statement)

@@ -2214,6 +2214,67 @@ def q_txn_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _out_dir(_STREAM_TMP, "txn_stream_read", sf_dir))
 
 
+def q_txn_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL STATEMENT front-end for maintenance/DML actions
+    (operators/txnsql.py txn_sql — the action half of the T-SQL
+    surface; Delta's DeltaSqlParser role): a whole maintenance
+    session driven by STATEMENT STRINGS — ``UPDATE ... SET ... KEY
+    BY ... WHERE`` (fare restatement, DV lane), ``DELETE FROM ...
+    KEY BY ... WHERE`` (DV lane), ``OPTIMIZE`` (bin-pack +
+    DV materialization), ``VACUUM ... RETAIN 1 VERSIONS ... DRY
+    RUN`` (audit-only reclaim report) — then the final snapshot
+    rolled up per date.  The statements' own result rows ride as
+    structural columns: rows_updated/rows_deleted from the commit
+    metadata, both lane claims, and the dry-run's reclaimable count
+    (exactly 5: the two pre-compact data dirs + the DV update's
+    appended dir + the two dead tombstone stores the compact
+    materialized away — deterministic because both DML take the DV
+    lane).  Reference parity: the reference's operators run
+    exactly such maintenance statements as T-SQL
+    (sql/streaming/staging/0005_delete.sql's DELETE, the restatement
+    UPDATEs around sql/batchELT/core/12_trip_clean.dedupe_load.sql,
+    Synapse OPTIMIZE runbooks)."""
+    import shutil
+
+    from ..operators import txnlog, txnsql
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txndmlsql", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
+    clean = clean.transform(pin)
+    day = F.dayofmonth("ingest_date")
+    kw = dict(stats_cols=["trip_uid"])
+    txnlog.commit(clean.where(day <= 15), out, "overwrite", **kw)
+    txnlog.commit(clean.where(day >= 16), out, "append", **kw)
+    upd = txnsql.txn_sql(
+        spark,
+        f"UPDATE '{out}' SET fare_amount = fare_amount + 1.0 "
+        "KEY BY (trip_uid) WHERE trip_uid % 101 = 7").collect()[0]
+    dele = txnsql.txn_sql(
+        spark,
+        f"DELETE FROM '{out}' KEY BY (trip_uid) "
+        "WHERE trip_uid % 103 = 11").collect()[0]
+    txnsql.txn_sql(spark, f"OPTIMIZE '{out}'")
+    vac = txnsql.txn_sql(
+        spark,
+        f"VACUUM '{out}' RETAIN 1 VERSIONS GRACE 0 SECONDS "
+        "DRY RUN").collect()[0]
+    snap = txnlog.snapshot(spark, out)
+    return (snap.groupBy("ingest_date").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"))
+        .withColumn("rows_updated",
+                    F.lit(int(upd["rows_updated"])).cast("bigint"))
+        .withColumn("rows_deleted",
+                    F.lit(int(dele["rows_deleted"])).cast("bigint"))
+        .withColumn("upd_lane", F.lit(upd["lane"]))
+        .withColumn("del_lane", F.lit(dele["lane"]))
+        .withColumn("vacuum_reported",
+                    F.lit(int(vac["removed_dirs"])).cast("bigint")))
+
+
 def q_txn_stream_backpressure(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Stream-source ADMISSION CONTROL end to end
@@ -3212,6 +3273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_history_sql": q_txn_history_sql,
     "txn_detail_sql": q_txn_detail_sql,
     "txn_cdf_sql": q_txn_cdf_sql,
+    "txn_dml_sql": q_txn_dml_sql,
     "txn_stream_backpressure": q_txn_stream_backpressure,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
@@ -3945,6 +4007,27 @@ ORACLES["txn_stream_read"] = with_trips("""
            CAST(COUNT(DISTINCT trip_uid) AS BIGINT) AS n_trips,
            CAST(3 AS INT) AS source_versions
     FROM trip_clean GROUP BY 1
+""")
+
+# SQL-statement maintenance session: the fare restatement applies to
+# %101=7 rows, the %103=11 rows die, both through DV-lane statements;
+# the statements' own result rows are literal-arithmetic constants
+ORACLES["txn_dml_sql"] = with_trips("""
+    SELECT ingest_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(
+             CASE WHEN trip_uid % 101 = 7
+                  THEN fare_amount + 1.0 ELSE fare_amount END
+             AS DECIMAL(18,2))) AS DOUBLE) AS fare_sum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+            WHERE trip_uid % 101 = 7) AS rows_updated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+            WHERE trip_uid % 103 = 11) AS rows_deleted,
+           'dv' AS upd_lane, 'dv' AS del_lane,
+           CAST(5 AS BIGINT) AS vacuum_reported
+    FROM trip_clean
+    WHERE trip_uid % 103 <> 11
+    GROUP BY 1
 """)
 
 # capped drain: same batching-independent rollup; the structural

@@ -115,6 +115,7 @@ BENCH_NEW_QUERIES = [
     "txn_detail_sql",
     "txn_cdf_sql",
     "txn_stream_backpressure",
+    "txn_dml_sql",
 ]
 
 
