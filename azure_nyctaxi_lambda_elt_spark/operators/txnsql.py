@@ -17,6 +17,14 @@ path, ``[...]`` optional):
 
 - ``DESCRIBE HISTORY '<path>' [LIMIT <n>]``
 - ``DESCRIBE DETAIL '<path>' [VERSION AS OF <n>]``
+- ``INSERT INTO '<path>' <select-query>`` /
+  ``INSERT OVERWRITE '<path>' <select-query>`` — the query text
+  runs through ``spark.sql`` verbatim (views, CTEs, anything SQL),
+  the result commits as one append / overwrite version
+- ``MERGE INTO '<path>' USING <view | (subquery)> KEY BY
+  (c1[, c2…])`` — key-matched rows rewrite, the rest insert
+  (txnlog.merge_upsert's WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED
+  INSERT ALL semantics)
 - ``DELETE FROM '<path>' [KEY BY (c1[, c2…])] WHERE <pred>``
 - ``UPDATE '<path>' SET c = <expr>[, …] [KEY BY (…)] WHERE <pred>``
 - ``OPTIMIZE '<path>' [ZORDER BY (colA, colB)]``
@@ -55,6 +63,8 @@ from . import txnlog
 _GRAMMAR = (
     "supported statements: DESCRIBE HISTORY '<path>' [LIMIT n] | "
     "DESCRIBE DETAIL '<path>' [VERSION AS OF n] | "
+    "INSERT INTO|OVERWRITE '<path>' <select-query> | "
+    "MERGE INTO '<path>' USING <view|(subquery)> KEY BY (cols) | "
     "DELETE FROM '<path>' [KEY BY (cols)] WHERE <pred> | "
     "UPDATE '<path>' SET c = expr[, ...] [KEY BY (cols)] "
     "WHERE <pred> | OPTIMIZE '<path>' [ZORDER BY (colA, colB)] | "
@@ -164,6 +174,50 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
         return txnlog.describe_detail(
             spark, m.group(1),
             version=int(m.group(2)) if m.group(2) else None)
+
+    m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+'([^']+)'\s+(.+)$",
+                 s, re.IGNORECASE | re.DOTALL)
+    if m:
+        mode = ("append" if m.group(1).upper() == "INTO"
+                else "overwrite")
+        df = spark.sql(m.group(3)).persist()
+        try:
+            # persist so the count and the committed write are ONE
+            # evaluation of the query (a non-deterministic SELECT
+            # must not produce a count from a different run)
+            n = df.count()
+            v = txnlog.commit(df, m.group(2), mode)
+        finally:
+            df.unpersist()
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("mode", mode, StringType()),
+            ("rows_inserted", int(n), LongType())])
+
+    m = re.match(r"MERGE\s+INTO\s+'([^']+)'\s+USING\s+(.+?)\s+"
+                 r"KEY\s+BY\s*\(([^)]*)\)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        path, src, key_cols = m.group(1), m.group(2).strip(), \
+            _cols_list(m.group(3))
+        if src.startswith("(") and src.endswith(")"):
+            updf = spark.sql(src[1:-1])
+        elif re.fullmatch(r"\w+", src):
+            updf = spark.table(src)
+        else:
+            raise _refuse(statement)
+        updf = updf.persist()
+        try:
+            n = updf.count()
+            v = txnlog.merge_upsert(spark, path, updf, key_cols)
+        finally:
+            updf.unpersist()
+        meta = txnlog._read_manifest(path, v).get("meta", {})
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("rows_upserted", int(n), LongType()),
+            ("rewrote_dirs", len(meta.get("rewrote", [])),
+             LongType())])
 
     if up.startswith("DELETE"):
         m = re.match(r"DELETE\s+FROM\s+'([^']+)'\s*(.*)$", s,

@@ -2215,23 +2215,27 @@ def q_txn_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txn_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL STATEMENT front-end for maintenance/DML actions
+    """SQL STATEMENT front-end for the whole table lifecycle
     (operators/txnsql.py txn_sql — the action half of the T-SQL
-    surface; Delta's DeltaSqlParser role): a whole maintenance
-    session driven by STATEMENT STRINGS — ``UPDATE ... SET ... KEY
-    BY ... WHERE`` (fare restatement, DV lane), ``DELETE FROM ...
-    KEY BY ... WHERE`` (DV lane), ``OPTIMIZE`` (bin-pack +
-    DV materialization), ``VACUUM ... RETAIN 1 VERSIONS ... DRY
-    RUN`` (audit-only reclaim report) — then the final snapshot
-    rolled up per date.  The statements' own result rows ride as
-    structural columns: rows_updated/rows_deleted from the commit
-    metadata, both lane claims, and the dry-run's reclaimable count
-    (exactly 5: the two pre-compact data dirs + the DV update's
-    appended dir + the two dead tombstone stores the compact
-    materialized away — deterministic because both DML take the DV
-    lane).  Reference parity: the reference's operators run
-    exactly such maintenance statements as T-SQL
-    (sql/streaming/staging/0005_delete.sql's DELETE, the restatement
+    surface; Delta's DeltaSqlParser role): EVERY write in this
+    scenario is a STATEMENT STRING — ``INSERT OVERWRITE`` (v0, days
+    ≤15) and ``INSERT INTO`` (v1, days ≥16) from a temp view,
+    ``MERGE INTO ... USING (subquery) KEY BY`` (v2: insert-only
+    day-1 clones at trip_uid+10M — rewrote_dirs pins 0), ``UPDATE
+    ... SET ... KEY BY ... WHERE`` (v3: +1.00 restatement on
+    trip_uid % 101 = 7, DV lane), ``DELETE FROM ... KEY BY ...
+    WHERE`` (v4: trip_uid % 103 = 11, DV lane), ``OPTIMIZE`` (v5:
+    bin-pack + DV materialization), ``VACUUM ... RETAIN 1 VERSIONS
+    GRACE 0 SECONDS DRY RUN`` (audit-only reclaim report) — then
+    the final snapshot rolled up per date.  The statements' own
+    result rows ride as structural columns; the dry-run count is
+    exactly 6 (four dead data dirs v0-v3 + the two dead tombstone
+    stores the compact materialized away — deterministic because
+    the MERGE is insert-only and both DML take the DV lane).
+    Reference parity: the reference's operators drive exactly this
+    lifecycle as T-SQL statements (the sp-wrapped MERGE
+    sql/streaming/staging/usp_upsert_trip_clean_from_slice_streaming
+    .sql, the DELETE maintenance 0005_delete.sql, the restatement
     UPDATEs around sql/batchELT/core/12_trip_clean.dedupe_load.sql,
     Synapse OPTIMIZE runbooks)."""
     import shutil
@@ -2243,10 +2247,23 @@ def q_txn_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     clean = tf.trip_clean(tf.typed_trips(tf.raw_trips(spark, sf_dir)))
     clean = clean.transform(pin)
-    day = F.dayofmonth("ingest_date")
-    kw = dict(stats_cols=["trip_uid"])
-    txnlog.commit(clean.where(day <= 15), out, "overwrite", **kw)
-    txnlog.commit(clean.where(day >= 16), out, "append", **kw)
+    clean.createOrReplaceTempView("trips_dml_src")
+    txnsql.txn_sql(
+        spark,
+        f"INSERT OVERWRITE '{out}' SELECT * FROM trips_dml_src "
+        "WHERE day(ingest_date) <= 15")
+    txnsql.txn_sql(
+        spark,
+        f"INSERT INTO '{out}' SELECT * FROM trips_dml_src "
+        "WHERE day(ingest_date) >= 16")
+    clone_cols = ", ".join(
+        "trip_uid + 10000000 AS trip_uid" if c == "trip_uid" else c
+        for c in clean.columns)
+    mrg = txnsql.txn_sql(
+        spark,
+        f"MERGE INTO '{out}' USING (SELECT {clone_cols} "
+        "FROM trips_dml_src WHERE day(ingest_date) = 1) "
+        "KEY BY (trip_uid)").collect()[0]
     upd = txnsql.txn_sql(
         spark,
         f"UPDATE '{out}' SET fare_amount = fare_amount + 1.0 "
@@ -2265,6 +2282,10 @@ def q_txn_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("fare_amount").cast("decimal(18,2)"))
         .cast("double").alias("fare_sum"))
+        .withColumn("rows_upserted",
+                    F.lit(int(mrg["rows_upserted"])).cast("bigint"))
+        .withColumn("rewrote_dirs",
+                    F.lit(int(mrg["rewrote_dirs"])).cast("bigint"))
         .withColumn("rows_updated",
                     F.lit(int(upd["rows_updated"])).cast("bigint"))
         .withColumn("rows_deleted",
@@ -4009,10 +4030,16 @@ ORACLES["txn_stream_read"] = with_trips("""
     FROM trip_clean GROUP BY 1
 """)
 
-# SQL-statement maintenance session: the fare restatement applies to
-# %101=7 rows, the %103=11 rows die, both through DV-lane statements;
-# the statements' own result rows are literal-arithmetic constants
+# SQL-statement lifecycle: base = trip_clean plus the insert-only
+# day-1 clones; the fare restatement applies to %101=7, %103=11 rows
+# die, both through DV-lane statements; the statements' own result
+# rows are literal-arithmetic constants
 ORACLES["txn_dml_sql"] = with_trips("""
+    , dml_base AS (
+      SELECT trip_uid, ingest_date, fare_amount FROM trip_clean
+      UNION ALL
+      SELECT trip_uid + 10000000, ingest_date, fare_amount
+      FROM trip_clean WHERE day(ingest_date) = 1)
     SELECT ingest_date,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(
@@ -4020,12 +4047,15 @@ ORACLES["txn_dml_sql"] = with_trips("""
                   THEN fare_amount + 1.0 ELSE fare_amount END
              AS DECIMAL(18,2))) AS DOUBLE) AS fare_sum,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+            WHERE day(ingest_date) = 1) AS rows_upserted,
+           CAST(0 AS BIGINT) AS rewrote_dirs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dml_base
             WHERE trip_uid % 101 = 7) AS rows_updated,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM trip_clean
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dml_base
             WHERE trip_uid % 103 = 11) AS rows_deleted,
            'dv' AS upd_lane, 'dv' AS del_lane,
-           CAST(5 AS BIGINT) AS vacuum_reported
-    FROM trip_clean
+           CAST(6 AS BIGINT) AS vacuum_reported
+    FROM dml_base
     WHERE trip_uid % 103 <> 11
     GROUP BY 1
 """)

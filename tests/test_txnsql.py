@@ -151,3 +151,54 @@ def test_unparseable_statements_refuse(spark, tmp_path):
     # the original table is untouched by every refusal
     assert txnlog.latest_version(path) == 1
     assert len(_vals(spark, path)) == 20
+
+
+def test_insert_statements_build_table(spark, tmp_path):
+    """INSERT OVERWRITE creates v0, INSERT INTO appends v1 — the
+    query text runs through spark.sql verbatim (views/CTEs work),
+    and the result row reports the committed version + row count."""
+    path = str(tmp_path / "t")
+    _df(spark, [(i, "a", i * 1.0) for i in range(1, 6)]) \
+        .createOrReplaceTempView("src_lo")
+    _df(spark, [(i, "b", i * 1.0) for i in range(6, 11)]) \
+        .createOrReplaceTempView("src_hi")
+    row = txn_sql(
+        spark,
+        f"INSERT OVERWRITE '{path}' SELECT * FROM src_lo"
+    ).collect()[0]
+    assert (row["version"], row["mode"], row["rows_inserted"]) \
+        == (0, "overwrite", 5)
+    row = txn_sql(
+        spark,
+        f"INSERT INTO '{path}' "
+        "WITH x AS (SELECT * FROM src_hi WHERE id <= 8) "
+        "SELECT * FROM x").collect()[0]
+    assert (row["version"], row["mode"], row["rows_inserted"]) \
+        == (1, "append", 3)
+    assert set(_vals(spark, path)) == set(range(1, 9))
+
+
+def test_merge_statement_view_and_subquery(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    _df(spark, [(2, "z", 222.0), (99, "z", 999.0)]) \
+        .createOrReplaceTempView("upserts_v")
+    row = txn_sql(
+        spark,
+        f"MERGE INTO '{path}' USING upserts_v KEY BY (id)"
+    ).collect()[0]
+    assert row["rows_upserted"] == 2 and row["rewrote_dirs"] == 1
+    got = _vals(spark, path)
+    assert got[2] == 222.0 and got[99] == 999.0 and len(got) == 21
+    # subquery source
+    row = txn_sql(
+        spark,
+        f"MERGE INTO '{path}' USING "
+        "(SELECT id, 'q' AS grp, v * 10 AS v FROM upserts_v "
+        "WHERE id = 2) KEY BY (id)").collect()[0]
+    assert row["rows_upserted"] == 1
+    assert _vals(spark, path)[2] == 2220.0
+    # a bare non-identifier source refuses
+    with pytest.raises(ValueError):
+        txn_sql(spark,
+                f"MERGE INTO '{path}' USING no such KEY BY (id)")
