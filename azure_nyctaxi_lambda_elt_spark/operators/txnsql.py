@@ -22,9 +22,12 @@ path, ``[...]`` optional):
   runs through ``spark.sql`` verbatim (views, CTEs, anything SQL),
   the result commits as one append / overwrite version
 - ``MERGE INTO '<path>' USING <view | (subquery)> KEY BY
-  (c1[, c2…])`` — key-matched rows rewrite, the rest insert
-  (txnlog.merge_upsert's WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED
-  INSERT ALL semantics)
+  (c1[, c2…]) [DELETE WHEN <flagcol>]`` — key-matched rows rewrite,
+  the rest insert (txnlog.merge_upsert's WHEN MATCHED UPDATE ALL /
+  WHEN NOT MATCHED INSERT ALL semantics); with ``DELETE WHEN``,
+  source rows whose boolean ``<flagcol>`` is true DELETE their keys
+  instead (txnlog.merge_apply — Delta's WHEN MATCHED DELETE branch,
+  the CDC I/U/D contract; the flag column is dropped from upserts)
 - ``DELETE FROM '<path>' [KEY BY (c1[, c2…])] WHERE <pred>``
 - ``UPDATE '<path>' SET c = <expr>[, …] [KEY BY (…)] WHERE <pred>``
 - ``OPTIMIZE '<path>' [ZORDER BY (colA, colB)]``
@@ -64,7 +67,8 @@ _GRAMMAR = (
     "supported statements: DESCRIBE HISTORY '<path>' [LIMIT n] | "
     "DESCRIBE DETAIL '<path>' [VERSION AS OF n] | "
     "INSERT INTO|OVERWRITE '<path>' <select-query> | "
-    "MERGE INTO '<path>' USING <view|(subquery)> KEY BY (cols) | "
+    "MERGE INTO '<path>' USING <view|(subquery)> KEY BY (cols) "
+    "[DELETE WHEN <flagcol>] | "
     "DELETE FROM '<path>' [KEY BY (cols)] WHERE <pred> | "
     "UPDATE '<path>' SET c = expr[, ...] [KEY BY (cols)] "
     "WHERE <pred> | OPTIMIZE '<path>' [ZORDER BY (colA, colB)] | "
@@ -195,7 +199,8 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
             ("rows_inserted", int(n), LongType())])
 
     m = re.match(r"MERGE\s+INTO\s+'([^']+)'\s+USING\s+(.+?)\s+"
-                 r"KEY\s+BY\s*\(([^)]*)\)$", s,
+                 r"KEY\s+BY\s*\(([^)]*)\)"
+                 r"(?:\s+DELETE\s+WHEN\s+(\w+))?$", s,
                  re.IGNORECASE | re.DOTALL)
     if m:
         path, src, key_cols = m.group(1), m.group(2).strip(), \
@@ -209,10 +214,16 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
         updf = updf.persist()
         try:
             n = updf.count()
-            v = txnlog.merge_upsert(spark, path, updf, key_cols)
+            if m.group(4):
+                v = txnlog.merge_apply(spark, path, updf, key_cols,
+                                       delete_col=m.group(4))
+            else:
+                v = txnlog.merge_upsert(spark, path, updf, key_cols)
         finally:
             updf.unpersist()
         meta = txnlog._read_manifest(path, v).get("meta", {})
+        # rows_upserted = SOURCE row count (with DELETE WHEN it
+        # includes the delete-flagged rows — the change-set size)
         return _one_row(spark, [
             ("version", int(v), IntegerType()),
             ("rows_upserted", int(n), LongType()),

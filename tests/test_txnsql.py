@@ -202,3 +202,45 @@ def test_merge_statement_view_and_subquery(spark, tmp_path):
     with pytest.raises(ValueError):
         txn_sql(spark,
                 f"MERGE INTO '{path}' USING no such KEY BY (id)")
+
+
+def test_merge_delete_when_branch(spark, tmp_path):
+    """MERGE ... DELETE WHEN <flag>: flagged source rows delete
+    their keys (merge_apply's CDC I/U/D contract), the rest upsert,
+    and the flag column never lands in the table."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    spark.createDataFrame(
+        [(1, "z", 111.0, False), (3, "z", 0.0, True),
+         (99, "z", 999.0, False)],
+        "id long, grp string, v double, is_del boolean"
+    ).createOrReplaceTempView("cdc_v")
+    row = txn_sql(
+        spark,
+        f"MERGE INTO '{path}' USING cdc_v KEY BY (id) "
+        "DELETE WHEN is_del").collect()[0]
+    assert row["rows_upserted"] == 3
+    got = _vals(spark, path)
+    assert 3 not in got                      # deleted
+    assert got[1] == 111.0 and got[99] == 999.0
+    assert len(got) == 20                    # 20 - 1 del + 1 insert
+    cols = txnlog.snapshot(spark, path).columns
+    assert "is_del" not in cols
+
+
+def test_restore_timestamp_statement(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF '<iso>': the instant resolves
+    through version_at_timestamp in the same clock domain as
+    commit_time."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    t1 = txnlog.commit_time(path, 1)
+    txn_sql(spark, f"DELETE FROM '{path}' KEY BY (id) WHERE id = 7")
+    iso = datetime.datetime.fromtimestamp(t1).isoformat()
+    row = txn_sql(
+        spark,
+        f"RESTORE '{path}' TO TIMESTAMP AS OF '{iso}'").collect()[0]
+    assert row["version"] == 3
+    assert 7 in _vals(spark, path)
