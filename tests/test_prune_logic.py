@@ -112,3 +112,71 @@ def test_null_envelope_is_conservative():
     _write_manifest(dirs, stats)
     kept, _ = txnlog.prune_plan(OUT, None, [("a", 100, 200)])
     assert kept == dirs
+
+
+_ts_base = st.datetimes(
+    min_value=__import__("datetime").datetime(2024, 1, 1),
+    max_value=__import__("datetime").datetime(2024, 1, 6))
+
+
+def _literal_forms(dt):
+    """The three ways a SQL consumer writes the instant: date-only
+    (midnight), space-separated, isoformat 'T'."""
+    return (dt.date().isoformat(),
+            dt.strftime("%Y-%m-%d %H:%M:%S"),
+            dt.replace(microsecond=0).isoformat())
+
+
+def _sem(lit):
+    """The timestamp a literal means under Spark's cast (date-only =
+    midnight)."""
+    import datetime
+
+    if len(lit) == 10:
+        return datetime.datetime.fromisoformat(lit + "T00:00:00")
+    return datetime.datetime.fromisoformat(lit.replace(" ", "T", 1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_timestamp_auto_prune_never_skips_matches(data):
+    """r12 property (the ADVICE-r11 high bug class): auto-prune over
+    TIMESTAMP envelopes (datetime.isoformat strings) against SQL
+    literals in any of their three written forms — date-only,
+    space-separated, isoformat — may only skip dirs that provably
+    hold no matching row, for <=, >=, and BETWEEN predicates."""
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _auto_prune_names)
+
+    n_dirs = data.draw(st.integers(min_value=1, max_value=5))
+    dirs, stats, rows_by_dir = [], {}, {}
+    for i in range(n_dirs):
+        name = f"data-v{i:08d}-0000"
+        dirs.append(name)
+        rows = data.draw(st.lists(
+            _ts_base.map(lambda d: d.replace(microsecond=0)),
+            min_size=1, max_size=6))
+        rows_by_dir[name] = rows
+        stats[name] = {"ts": [min(rows).isoformat(),
+                              max(rows).isoformat()]}
+    man = {"dirs": dirs, "stats": stats}
+    a = data.draw(_ts_base)
+    b = data.draw(_ts_base)
+    la = data.draw(st.sampled_from(_literal_forms(a)))
+    lb = data.draw(st.sampled_from(_literal_forms(b)))
+    kind = data.draw(st.sampled_from(["le", "ge", "between"]))
+    if kind == "le":
+        pred = f"ts <= '{la}'"
+        match = lambda t: t <= _sem(la)
+    elif kind == "ge":
+        pred = f"ts >= '{la}'"
+        match = lambda t: t >= _sem(la)
+    else:
+        lo_l, hi_l = (la, lb) if _sem(la) <= _sem(lb) else (lb, la)
+        pred = f"ts BETWEEN '{lo_l}' AND '{hi_l}'"
+        match = lambda t: _sem(lo_l) <= t <= _sem(hi_l)
+    kept = set(_auto_prune_names("/nonexistent", 0, man, pred))
+    for d, rows in rows_by_dir.items():
+        if any(match(t) for t in rows):
+            assert d in kept, (d, pred, stats[d],
+                               [r.isoformat() for r in rows])
