@@ -2011,13 +2011,26 @@ def _dv_delta_rows(spark: SparkSession, path: str, man_a: dict,
     # over-refuse (a restore that re-commits an identical dv set is
     # harmless and passes)
     for kc in sorted({tuple(e["key_cols"]) for e in dv_a}):
-        # metadata short-circuit: the A-side entries' dir maps name
+        # metadata short-circuit 1: the A-side entries' dir maps name
         # every dir their stores can reference — no carried dir
         # named, no shrink possible for this signature, no store read
         a_dirs = sorted({d for e in dv_a
                          if tuple(e["key_cols"]) == kc
                          for d in e.get("dirs", {})} & shared_set)
         if not a_dirs:
+            continue
+        # metadata short-circuit 2: stores are immutable files, so
+        # if every A-side store (this signature) is still referenced
+        # by B, B's pair union is a superset of A's — no shrink,
+        # zero I/O.  The common no-restore feed exits here; a
+        # coalescing fold (which legitimately drops store names
+        # while preserving pairs) falls through to the exact
+        # pair-set check below.
+        a_stores = {e["store"] for e in dv_a
+                    if tuple(e["key_cols"]) == kc}
+        b_stores = {e["store"] for e in dv_b
+                    if tuple(e["key_cols"]) == kc}
+        if a_stores <= b_stores:
             continue
         pa = pairs(dv_a, kc)
         if pa is None:
@@ -2717,15 +2730,13 @@ def prune_plan(path: str, version: int | None,
         raise FileNotFoundError(f"no committed version under {path}")
     man = _read_manifest(path, v)
     stats = man.get("stats", {})
-    # bounds into the envelope domain: datetime/date/Decimal via
-    # _json_safe (both sides must compare in one domain), space-form
-    # timestamp strings via the same literal normalization the
-    # predicate parser applies
-    def _nb(x):
-        x = _json_safe(x)
-        return _norm_iso_literal(x) if isinstance(x, str) else x
-
-    predicates = [(col, _nb(lo), _nb(hi))
+    # bounds into the envelope TYPE domain: datetime/date/Decimal
+    # via _json_safe (both sides must compare as one type).  String
+    # separator normalization (space vs 'T') is NOT applied here —
+    # _overlaps' _env_provably_gt proves disjointness in both string
+    # domains, so a one-sided mapping can never flip the bug onto
+    # string columns holding space-form values
+    predicates = [(col, _json_safe(lo), _json_safe(hi))
                   for (col, lo, hi) in predicates]
     kept = [d for d in man["dirs"]
             if all(_overlaps(stats, d, col, lo, hi)
@@ -2778,14 +2789,35 @@ def prune_point_set(spark: SparkSession, path: str, col: str,
     import bisect
 
     svals = sorted(_json_safe(x) for x in vals)
+    # string probes additionally test in the space→'T' normalized
+    # domain: a timestamp column's envelopes are isoformat ('T')
+    # while a probe literal may be space-form — and a STRING column
+    # may hold space-form values — so a dir is pruned only when BOTH
+    # domains prove exclusion (same both-domain rule as
+    # _env_provably_gt; the r12 self-review catch)
+    nvals = sorted(_norm_iso_literal(v) for v in svals) \
+        if svals and isinstance(svals[0], str) else None
+
+    def _hit(sv, lo, hi) -> bool:
+        i = bisect.bisect_left(sv, lo)
+        return i < len(sv) and sv[i] <= hi
+
     kept = []
     for d in all_dirs:
         env = stats.get(d, {}).get(col)
         if not env or env[0] is None or env[1] is None:
             kept.append(d)  # no envelope: conservative keep
             continue
-        i = bisect.bisect_left(svals, env[0])
-        if i < len(svals) and svals[i] <= env[1]:
+        try:
+            hit = _hit(svals, env[0], env[1])
+            if (not hit and nvals is not None
+                    and isinstance(env[0], str)
+                    and isinstance(env[1], str)):
+                hit = _hit(nvals, _norm_iso_literal(env[0]),
+                           _norm_iso_literal(env[1]))
+        except TypeError:
+            hit = True  # cross-type probe: can't prove, open
+        if hit:
             kept.append(d)  # some probe value inside [lo, hi]
     if kept:
         # unconditional (NOT gated on the manifest's bloom_cols
@@ -3451,22 +3483,31 @@ def _norm_iso_literal(s: str) -> str:
 
 
 def _env_provably_gt(a, b) -> bool:
-    """``a > b`` ONLY when the envelope domain can prove it.  For
-    ISO-date-shaped strings a prefix relationship is inconclusive: a
-    date-only literal ``'2024-01-05'`` semantically means midnight
-    (``2024-01-05T00:00:00``) on a timestamp column, but
-    lexicographically it sorts BELOW every same-day isoformat bound —
-    claiming '2024-01-05T00:00:00' > '2024-01-05' would prune a dir
-    whose midnight rows match a ``<=`` predicate.  Prefix pairs fall
-    to "can't prove" (dir stays open — pruning may only widen).
-    Everything else is the plain total-order compare, same as
-    before."""
-    if (isinstance(a, str) and isinstance(b, str)
-            and len(a) >= 10 and len(b) >= 10
-            and a[:4].isdigit() and b[:4].isdigit()
-            and a[4] == "-" and b[4] == "-"
-            and (a.startswith(b) or b.startswith(a))):
-        return False
+    """``a > b`` ONLY when EVERY plausible string domain can prove
+    it.  Two hazards meet here: (1) timestamp columns store
+    envelopes as ``datetime.isoformat()`` ('T' separator) while SQL
+    literals use a space — since ' ' < 'T' a raw compare proves
+    false disjointness; (2) a STRING column may legitimately hold
+    space-form values, so normalizing only one side would flip the
+    bug to the other domain (the r12 self-review catch).  Resolution:
+    prove in BOTH domains — the raw compare AND the compare after
+    mapping each side through the same space→'T' literal
+    normalization.  Whichever domain is the column's true one, its
+    test keeps every dir that could match, so the conjunction is
+    conservative in all of them.  ISO-date-shaped prefix pairs are
+    inconclusive in either domain: a date-only literal
+    ``'2024-01-05'`` semantically means midnight on a timestamp
+    column but sorts BELOW every same-day isoformat bound — prefix
+    falls to "can't prove" (the dir stays open; pruning may only
+    widen)."""
+    if isinstance(a, str) and isinstance(b, str):
+        na, nb = _norm_iso_literal(a), _norm_iso_literal(b)
+        if (len(a) >= 10 and len(b) >= 10
+                and a[:4].isdigit() and b[:4].isdigit()
+                and a[4] == "-" and b[4] == "-"
+                and (na.startswith(nb) or nb.startswith(na))):
+            return False
+        return a > b and na > nb
     return a > b
 
 
@@ -3509,7 +3550,12 @@ def _ranges_from_predicate(predicate: str) -> list[tuple]:
 
     def _val(tok: str):
         if tok.startswith("~"):
-            return _norm_iso_literal(stash[int(tok[2:-1])])
+            # RAW literal — domain normalization lives in the
+            # compare (_env_provably_gt proves in both the raw and
+            # the space→'T' domain), so normalizing here would
+            # re-introduce the one-sided-normalization bug for
+            # string columns holding space-form values
+            return stash[int(tok[2:-1])]
         return float(tok) if "." in tok else int(tok)
 
     # IS NOT NULL conjuncts carry no range information — neutralize
@@ -3526,6 +3572,18 @@ def _ranges_from_predicate(predicate: str) -> list[tuple]:
         try:
             lo = min(vals, key=_val)
             hi = max(vals, key=_val)
+            # the [lo, hi] envelope must cover the list in EVERY
+            # plausible string domain: if the space→'T' normalized
+            # order picks different endpoints (mixed literal forms
+            # in one IN list), no single pair covers both — leave
+            # the clause unrewritten (bails to no pruning, safe)
+            if isinstance(_val(lo), str):
+                def _nk(t):
+                    return _norm_iso_literal(_val(t))
+
+                if (lo is not min(vals, key=_nk)
+                        or hi is not max(vals, key=_nk)):
+                    return m.group(0)
         except TypeError:
             return m.group(0)  # mixed literal types: leave (bails)
         return f"{m.group(1)} BETWEEN {lo} AND {hi}"

@@ -267,7 +267,22 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
             raise _refuse(statement)
         set_part, pred = rest[:wi].strip(), rest[wi + 5:].strip()
         key_cols = None
-        ki = _find_top_keyword(set_part, "KEY")
+        # find the KEY BY *clause*, not the bare word KEY — a SET
+        # target or expression may legitimately reference a column
+        # named `key` (r12 self-review catch): only a top-level KEY
+        # immediately followed by BY( is the clause; anything else
+        # stays part of the SET list
+        ki, probe = -1, 0
+        while True:
+            k = _find_top_keyword(set_part[probe:], "KEY")
+            if k < 0:
+                break
+            k += probe
+            if re.match(r"KEY\s+BY\s*\(", set_part[k:],
+                        re.IGNORECASE):
+                ki = k
+                break
+            probe = k + 3
         if ki >= 0:
             km = re.match(r"KEY\s+BY\s*\(([^)]*)\)\s*$",
                           set_part[ki:], re.IGNORECASE | re.DOTALL)
@@ -333,11 +348,11 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
     m = re.match(r"RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF"
                  r"\s+'([^']+)'$", s, re.IGNORECASE)
     if m:
-        import datetime
-
-        ts = datetime.datetime.fromisoformat(
-            m.group(2).replace(" ", "T", 1)).timestamp()
-        v = txnlog.restore(m.group(1), as_of_ts=ts)
+        # the literal passes through VERBATIM: txnlog._to_epoch is
+        # the single place defining the AS OF clock convention
+        # (naive = session-local), so the SQL surface can never
+        # diverge from the Python API's
+        v = txnlog.restore(m.group(1), as_of_ts=m.group(2))
         return _one_row(spark, [("version", int(v), IntegerType())])
 
     raise _refuse(statement)

@@ -288,14 +288,24 @@ def test_auto_prune_timestamp_literal_domain():
     from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
         _env_provably_gt, _ranges_from_predicate as rp)
 
+    # literals stay RAW in the parsed ranges — domain normalization
+    # lives in the compare, which must prove in BOTH string domains
     assert rp("ts <= '2024-01-05 23:59:59'") \
-        == [("ts", None, "2024-01-05T23:59:59")]
-    assert rp("ts BETWEEN '2024-01-05 00:00:00' AND "
-              "'2024-01-06 12:00:00'") \
-        == [("ts", "2024-01-05T00:00:00", "2024-01-06T12:00:00")]
+        == [("ts", None, "2024-01-05 23:59:59")]
     # date-only literals pass through (the date-envelope domain)
     assert rp("d = '2024-01-05'") \
         == [("d", "2024-01-05", "2024-01-05")]
+    # the r11-ADVICE bug: 'T'-form envelope min vs space-form
+    # literal must NOT prove disjointness
+    assert not _env_provably_gt("2024-01-05T00:00:00",
+                                "2024-01-05 23:59:59")
+    # ...while a STRING column whose envelopes are THEMSELVES
+    # space-form keeps exact pruning (the r12 self-review catch:
+    # normalizing only the literal side would flip the bug here)
+    assert not _env_provably_gt("2024-01-05T01:00:00",
+                                "2024-01-05 23:00:00")
+    assert _env_provably_gt("2024-01-05 10:00:00",
+                            "2024-01-05 09:00:00")
     # prefix relation (date-only vs full ISO): can't prove, keep
     assert not _env_provably_gt("2024-01-05T00:00:00", "2024-01-05")
     assert not _env_provably_gt("2024-01-05", "2024-01-05T00:00:00")
@@ -306,6 +316,10 @@ def test_auto_prune_timestamp_literal_domain():
                                 "2024-01-05T23:59:59")
     # plain strings keep the exact total-order compare
     assert _env_provably_gt("applesauce", "apple")
+    # mixed-form IN list: no single [lo, hi] covers both domains —
+    # the clause bails to no pruning instead of a false envelope
+    assert rp("ts IN ('2024-01-05 12:00:00', '2024-01-05T01:00:00')"
+              " AND v > 2") == [("v", 2, None)]
 
 
 def test_timestamp_column_delete_where_prunes_correctly(
@@ -376,3 +390,64 @@ def test_explicit_prune_normalizes_bounds(spark, tmp_path):
     # cross-type bound: inconclusive, every dir stays open
     kept, _ = txnlog.prune_plan(path, 1, [("ts", 0, 100)])
     assert kept == man["dirs"]
+
+
+def test_point_set_prune_dual_domain(spark, tmp_path):
+    """r12 self-review: prune_point_set must also be exact across
+    the space/'T' separator split — a space-form probe against
+    isoformat envelopes (timestamp column) and a 'T'-form probe
+    against space-form envelopes (string column) both keep the dir
+    that holds the value."""
+    import datetime
+
+    path = str(tmp_path / "tp")
+    rows5 = [(i, datetime.datetime(2024, 1, 5, i, 0, 0))
+             for i in range(0, 10)]
+    rows6 = [(i + 100, datetime.datetime(2024, 1, 6, i, 0, 0))
+             for i in range(0, 10)]
+    mk = lambda r: spark.createDataFrame(r, "id long, ts timestamp")
+    txnlog.commit(mk(rows5), path, "overwrite", stats_cols=["ts"])
+    txnlog.commit(mk(rows6), path, "append", stats_cols=["ts"])
+    man = txnlog._read_manifest(path, 1)
+    # space-form probe vs 'T' envelopes: day-05 dir must be kept
+    kept, _ = txnlog.prune_point_set(
+        spark, path, "ts", ["2024-01-05 03:00:00"])
+    assert man["dirs"][0] in kept
+    assert man["dirs"][1] not in kept  # day-06 provably excluded
+    # string column with space-form values: exact pruning preserved
+    path2 = str(tmp_path / "ts2")
+    mks = lambda r: spark.createDataFrame(r, "id long, s string")
+    txnlog.commit(mks([(1, "2024-01-05 01:00:00"),
+                       (2, "2024-01-05 09:00:00")]),
+                  path2, "overwrite", stats_cols=["s"])
+    txnlog.commit(mks([(3, "2024-01-05 10:00:00"),
+                       (4, "2024-01-05 23:00:00")]),
+                  path2, "append", stats_cols=["s"])
+    man2 = txnlog._read_manifest(path2, 1)
+    kept, _ = txnlog.prune_point_set(
+        spark, path2, "s", ["2024-01-05 05:00:00"])
+    assert kept == [man2["dirs"][0]]
+
+
+def test_string_column_space_envelope_delete_where(spark, tmp_path):
+    """r12 self-review: a STRING column whose values (and therefore
+    envelopes) are space-form timestamps must still delete exactly —
+    one-sided literal normalization would prune the matching dir."""
+    path = str(tmp_path / "tss")
+    mks = lambda r: spark.createDataFrame(r, "id long, s string")
+    txnlog.commit(mks([(i, f"2024-01-05 {i:02d}:00:00")
+                       for i in range(1, 24)]),
+                  path, "overwrite", stats_cols=["s"])
+    txnlog.commit(mks([(100 + i, f"2024-01-06 {i:02d}:00:00")
+                       for i in range(1, 24)]),
+                  path, "append", stats_cols=["s"])
+    from azure_nyctaxi_lambda_elt_spark.operators.txnlog import (
+        _auto_prune_names)
+
+    man = txnlog._read_manifest(path, 1)
+    kept = _auto_prune_names(path, 1, man,
+                             "s >= '2024-01-05 01:00:00'")
+    assert kept == man["dirs"]  # every dir has matching rows
+    v = txnlog.delete_where(spark, path,
+                            "s >= '2024-01-06 01:00:00'")
+    assert txnlog.snapshot(spark, path, v).count() == 23

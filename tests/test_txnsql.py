@@ -244,3 +244,22 @@ def test_restore_timestamp_statement(spark, tmp_path):
         f"RESTORE '{path}' TO TIMESTAMP AS OF '{iso}'").collect()[0]
     assert row["version"] == 3
     assert 7 in _vals(spark, path)
+
+
+def test_update_set_referencing_column_named_key(spark, tmp_path):
+    """r12 self-review: only the two-word `KEY BY (` sequence is the
+    clause — a SET list referencing (or targeting) a column named
+    `key` must parse, not refuse."""
+    path = str(tmp_path / "t")
+    txnlog.commit(
+        spark.createDataFrame([(1, 10.0, 5.0), (2, 20.0, 6.0)],
+                              "id long, key double, v double"),
+        path, "overwrite")
+    row = txn_sql(
+        spark,
+        f"UPDATE '{path}' SET v = key + 1.0, key = 0.0 "
+        "WHERE id = 1").collect()[0]
+    assert row["rows_updated"] == 1
+    got = {r["id"]: (r["key"], r["v"]) for r in
+           txnlog.snapshot(spark, path).collect()}
+    assert got == {1: (0.0, 11.0), 2: (20.0, 6.0)}
