@@ -1368,6 +1368,31 @@ def _validate_constraints(spark: SparkSession, path: str,
         raise ConstraintViolation(path, bad)
 
 
+def _dir_file_stats(path: str, names: list[str]) -> dict:
+    """Walk ONLY the named data dirs and return
+    ``{name: [n_files, n_bytes]}`` over data files (dot/underscore
+    bookkeeping skipped, same filter the stream source's planner
+    uses).  This is the O(new files) commit-time half of
+    metadata-served DESCRIBE DETAIL: the commit walks exactly the
+    dirs it just wrote — the files it already knows — and the totals
+    ride in the manifest forever (Delta records AddFile.size the
+    same way), so describing a 100 TB table later costs zero stat
+    calls instead of one per live file."""
+    base = os.path.abspath(path)
+    out: dict = {}
+    for d in names:
+        full = d if os.path.isabs(d) else os.path.join(base, d)
+        n = b = 0
+        for root, _, files in os.walk(full):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+        out[d] = [n, b]
+    return out
+
+
 def _commit_manifest(path: str, version: int, mode: str,
                      dirs: list[str], meta: dict | None,
                      stats: dict | None = None,
@@ -1381,10 +1406,29 @@ def _commit_manifest(path: str, version: int, mode: str,
                      group: dict | None = None,
                      analyze: dict | None = None,
                      generated: dict[str, str] | None = None,
-                     op: dict | None = None) -> int:
+                     op: dict | None = None,
+                     files: dict | None = None) -> int:
     import time
 
     os.makedirs(_txn_dir(path), exist_ok=True)
+    # per-dir {dir: [n_files, n_bytes]} bookkeeping: ``files`` is a
+    # CARRY MAP of already-known entries (restore/clone pass the
+    # source manifest's); when None it seeds from the parent manifest
+    # so every ordinary commit/merge/maintenance carries untouched
+    # dirs for free.  Dirs still missing after the carry — exactly
+    # the NEW dirs this commit wrote (or a pre-files-era table's
+    # whole dir set, the one-time migration) — are walked here,
+    # O(their files), before the manifest publishes.
+    carry = dict(files or {})
+    if files is None and version > 0:
+        try:
+            carry = _read_manifest(path, version - 1).get("files", {})
+        except (FileNotFoundError, TornManifest):
+            carry = {}
+    fmap = {d: carry[d] for d in dirs if d in carry}
+    missing = [d for d in dirs if d not in fmap]
+    if missing:
+        fmap.update(_dir_file_stats(path, missing))
     # tmp name is unique PER ATTEMPT (pid + sequence), not just per
     # process: two threads of one driver racing to commit the same
     # version must not share a tmp file, or the loser's cleanup races
@@ -1399,6 +1443,7 @@ def _commit_manifest(path: str, version: int, mode: str,
                 "committed_at": time.time(),
                 "meta": meta or {}, "stats": stats or {},
                 "rows": rows or {},
+                "files": fmap,
                 "bloom_cols": bloom_cols or [],
                 "partition_by": partition_by or [],
                 "dv": dv or [],
@@ -1686,6 +1731,336 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
         return commit(upserts, path, "overwrite", group=group)
     return _merge_impl(spark, path, keys_src, upserts, key_cols,
                        read_version=read_version, group=group)
+
+
+def merge_upsert_when(spark: SparkSession, path: str,
+                      updates: DataFrame, key_cols: list[str],
+                      match_cond: str | None = None,
+                      set_exprs: dict[str, str] | None = None,
+                      read_version: int | None = None,
+                      group: dict | None = None) -> int:
+    """Conditional MERGE — Delta's ``WHEN MATCHED [AND <cond>] THEN
+    UPDATE SET <assignments> / WHEN NOT MATCHED THEN INSERT ALL``
+    added to :func:`merge_upsert`'s unconditional form.
+
+    ``match_cond`` is a SQL boolean evaluated per MATCHED
+    (source, target) row pair — reference source columns as
+    ``s.<col>`` and the table's current row as ``t.<col>`` (e.g.
+    ``"s.updated_at > t.updated_at"``, the late-arriving-change
+    guard).  A matched pair where the condition is not literal TRUE
+    (false OR NULL, SQL semantics) leaves the target row UNTOUCHED —
+    its dir is not even rewritten unless another key forces it.
+    ``set_exprs`` maps assigned columns to SQL expressions over the
+    same ``s.``/``t.`` scope (``{"fare_amount": "s.fare_amount",
+    "note": "concat(t.note, ' restated')"}``); None updates ALL
+    columns from the source (merge_upsert's semantics), a subset
+    leaves unassigned target columns at their current values.
+    Assigning a key / identity / GENERATED column refuses (the row's
+    identity must survive the update; generated columns are always
+    recomputed from their declared expression).  Unmatched source
+    rows INSERT whole regardless of the condition.
+
+    Delta refuses a MERGE whose source matches one target row twice
+    (nondeterministic update); this does too, with the same
+    key-uniqueness probe.  Duplicate target rows under one key each
+    evaluate the condition independently: qualifying rows update,
+    their non-qualifying siblings are carried byte-stable through
+    the rewrite.
+
+    Everything downstream of the pair evaluation — candidate-dir
+    pruning, copy-on-write rewrite, schema evolution, constraint /
+    generated validation, identity preservation, conflict
+    descriptors — is :func:`merge_upsert`'s machinery
+    (:func:`_merge_impl`); with ``read_version`` the conflict check
+    additionally covers the FULL source key set (a concurrent write
+    to a matched-but-unqualified key invalidated the condition's
+    inputs, so it must refuse, not silently win).
+
+    Scale shape: one manifest-pruned scan of the candidate dirs for
+    the pair join (broadcast source keys), then the ordinary merge
+    rewrite of only the dirs holding QUALIFYING keys — a
+    mostly-non-qualifying restatement feed touches almost nothing.
+    Reference parity: the sp-wrapped MERGE around
+    sql/batchELT/core/12_trip_clean.dedupe_load.sql restates only
+    rows whose incoming change is newer — exactly this guard."""
+    if updates.groupBy(*key_cols).count() \
+            .where(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            "merge_upsert_when requires a key-unique source: two "
+            "source rows match the same target row, so the update "
+            "is nondeterministic (Delta refuses multi-match MERGE "
+            "the same way) — de-duplicate the source on "
+            f"{key_cols} first")
+    _settle_stale_groups(path)
+    parent = latest_version(path)
+    if parent is None:
+        if read_version is not None:
+            raise ValueError(
+                f"read_version {read_version} on an empty table")
+        # empty table: every source row is WHEN NOT MATCHED INSERT
+        return commit(updates, path, "overwrite", group=group)
+    man = _read_manifest(path, parent)
+    gen = man.get("generated", {})
+    ident = man.get("identity") or {}
+    protected = set(key_cols) | set(gen) | (
+        {ident["col"]} if ident else set())
+    if set_exprs:
+        bad = sorted(set(set_exprs) & protected)
+        if bad:
+            raise ValueError(
+                f"merge_upsert_when cannot assign {bad}: key, "
+                "identity, and GENERATED ALWAYS AS columns are not "
+                "assignable (the engine owns them)")
+    keys = updates.select(*key_cols).distinct()
+    if read_version is not None:
+        # conservative pre-check over the FULL source key set: the
+        # condition READ every matched row, so any concurrent write
+        # overlapping any source key invalidates the decision even
+        # when that key ends up not qualifying.  _merge_impl
+        # re-checks over the written subset at commit time.
+        _check_write_conflict(path, read_version, parent, key_cols,
+                              _key_set_descriptor(keys, key_cols),
+                              "merge")
+    tcols = list(updates.columns)
+    if man.get("schema"):
+        from pyspark.sql.types import StructType
+        tcols = StructType.fromJson(
+            json.loads(man["schema"])).fieldNames()
+    cand = _probe_candidate_dirs(spark, path, man, keys, key_cols,
+                                 parent)
+    if cand:
+        cur = _read_dirs(spark, path, cand, man)
+        if man.get("dv"):
+            cur = _apply_dv(spark, path, cur, man["dv"])
+        matched_t = cur.join(F.broadcast(keys), key_cols,
+                             "left_semi")
+    else:
+        matched_t = None
+    src = updates.alias("s")
+    if matched_t is not None:
+        from functools import reduce
+        from operator import and_
+
+        on = reduce(and_, [F.col(f"s.{k}") == F.col(f"t.{k}")
+                           for k in key_cols])
+        pairs = src.join(matched_t.alias("t"), on, "inner")
+        cond = (F.expr(match_cond) if match_cond is not None
+                else F.lit(True))
+        qual = pairs.where(cond)
+        # per-row split, SQL semantics: NULL condition = clause
+        # does not fire = the row stays
+        nonqual = pairs.where(~F.coalesce(cond, F.lit(False)))
+        if set_exprs is None:
+            updated = qual.select(
+                *[F.col(f"s.{c}").alias(c) for c in updates.columns])
+        else:
+            updated = qual.select(
+                *[F.expr(set_exprs[c]).alias(c) if c in set_exprs
+                  else F.col(f"t.{c}").alias(c) for c in tcols],
+                *[F.expr(e).alias(c) for c, e in set_exprs.items()
+                  if c not in tcols])
+        qual_keys = qual.select(
+            *[F.col(f"s.{k}").alias(k) for k in key_cols]).distinct()
+        # duplicate target rows under a qualifying key: the
+        # non-qualifying siblings ride through the rewrite unchanged
+        # (their dir rewrites because the key qualifies elsewhere)
+        carried = (nonqual
+                   .select(*[F.col(f"t.{c}").alias(c) for c in tcols])
+                   .join(F.broadcast(qual_keys), key_cols,
+                         "left_semi"))
+        mkeys = matched_t.select(*key_cols).distinct()
+        inserts = updates.join(F.broadcast(mkeys), key_cols,
+                               "left_anti")
+        drop = sorted((set(gen) | ({ident["col"]} if ident
+                                   else set())) & set(tcols))
+        if drop:
+            # generated columns recompute deterministically in
+            # _merge_impl; the identity column is engine-assigned
+            # there too (matched keys keep their existing id)
+            updated = updated.drop(*drop)
+            carried = carried.drop(*drop)
+        upserts = updated.unionByName(
+            carried, allowMissingColumns=True).unionByName(
+            inserts, allowMissingColumns=True)
+        keys_src = qual_keys.unionByName(
+            inserts.select(*key_cols)).distinct()
+    else:
+        # no candidate dir can hold a match: pure insert batch
+        upserts = updates
+        keys_src = keys
+    return _merge_impl(spark, path, keys_src, upserts, key_cols,
+                       read_version=read_version, group=group)
+
+
+def merge_delete_when(spark: SparkSession, path: str,
+                      source: DataFrame, key_cols: list[str],
+                      match_cond: str | None = None,
+                      read_version: int | None = None,
+                      group: dict | None = None) -> int:
+    """Conditional MERGE-DELETE — Delta's ``WHEN MATCHED
+    [AND <cond>] THEN DELETE`` clause: a target row dies exactly
+    when a source row matches its key AND the condition is literal
+    TRUE over the (source, target) pair (``s.``/``t.`` scope, same
+    contract as :func:`merge_upsert_when`); non-qualifying matched
+    rows stay, unmatched source rows are IGNORED (no insert branch —
+    this is the delete-feed statement), and a key absent from the
+    table is a no-op.  Unlike merge_upsert_when the source may carry
+    duplicate keys: deletion is a set decision (the row dies if ANY
+    pair qualifies), so multi-match is deterministic — the same rule
+    Delta applies to delete-only MERGEs.
+
+    This differs from :func:`merge_apply`'s DELETE WHEN flag in one
+    load-bearing way: the flag is computed source-side BEFORE the
+    merge, while ``match_cond`` can reference the table's CURRENT
+    row (``t.<col>``) — "delete my keys only where the stored state
+    says so", the guard a CDC reaper needs.
+
+    Copy-on-write through :func:`_merge_impl`: only dirs holding
+    qualifying keys rewrite; duplicate target rows under one key
+    each evaluate independently and non-qualifying siblings carry
+    byte-stable.  With ``read_version`` the conflict pre-check
+    covers the FULL source key set (the condition read every
+    matched row).  Always commits a version (a no-match delete is a
+    recorded operation, Delta-style)."""
+    _settle_stale_groups(path)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, parent)
+    keys = source.select(*key_cols).distinct()
+    if read_version is not None:
+        _check_write_conflict(path, read_version, parent, key_cols,
+                              _key_set_descriptor(keys, key_cols),
+                              "delete")
+    tcols: list[str] | None = None
+    if man.get("schema"):
+        from pyspark.sql.types import StructType
+        tcols = StructType.fromJson(
+            json.loads(man["schema"])).fieldNames()
+    cand = _probe_candidate_dirs(spark, path, man, keys, key_cols,
+                                 parent)
+    if cand:
+        cur = _read_dirs(spark, path, cand, man)
+        if man.get("dv"):
+            cur = _apply_dv(spark, path, cur, man["dv"])
+        matched_t = cur.join(F.broadcast(keys), key_cols,
+                             "left_semi")
+    else:
+        matched_t = None
+    def _noop_delete() -> int:
+        # nothing qualifies: commit a RECORDED no-op delete
+        # (metadata only — dirs/stats/dv carry verbatim, the op
+        # descriptor still rides for conflict adjudication), Delta's
+        # no-files-changed MERGE commit — the common CDC-reaper idle
+        # tick must not write even an empty dir
+        return _commit_manifest(
+            path, parent + 1, "delete", man["dirs"],
+            {"dv_rows_deleted": 0, "merge_delete_noop": True},
+            man.get("stats", {}), man.get("rows", {}),
+            man.get("bloom_cols", []), man.get("schema"),
+            partition_by=man.get("partition_by", []),
+            dv=man.get("dv", []),
+            constraints=man.get("constraints", {}),
+            identity=man.get("identity"),
+            analyze=man.get("analyze", {}),
+            generated=man.get("generated", {}),
+            group=group, files=man.get("files", {}),
+            op={"type": "delete", "key_cols": list(key_cols),
+                "keys": _key_set_descriptor(keys, key_cols)})
+
+    if matched_t is None:
+        return _noop_delete()
+    if tcols is None:
+        tcols = matched_t.columns
+    from functools import reduce
+    from operator import and_
+
+    on = reduce(and_, [F.col(f"s.{k}") == F.col(f"t.{k}")
+                       for k in key_cols])
+    pairs = source.alias("s").join(matched_t.alias("t"), on, "inner")
+    cond = (F.expr(match_cond) if match_cond is not None
+            else F.lit(True))
+    qual = pairs.where(cond)
+    dying = qual.select(
+        *[F.col(f"t.{c}").alias(c) for c in tcols])
+    qual_keys = dying.select(*key_cols).distinct()
+    if not qual_keys.limit(1).count():
+        return _noop_delete()
+    # per-row semantics under duplicate target rows: only rows whose
+    # OWN pair qualified die — siblings of a dying key carry through
+    # the rewrite unchanged.  exceptAll is multiplicity-exact, and a
+    # row matched by several qualifying source rows (dup source
+    # keys) appears that many times in `dying` — subtracting more
+    # copies than exist floors at zero, exactly "the row dies once".
+    carried = (matched_t
+               .join(F.broadcast(qual_keys), key_cols, "left_semi")
+               .exceptAll(dying.select(*matched_t.columns)))
+    return _merge_impl(spark, path, qual_keys, carried, key_cols,
+                       read_version=read_version, group=group)
+
+
+def convert_to_txn(spark: SparkSession, data_dir: str, path: str,
+                   stats_cols: list[str] | None = None,
+                   bloom_cols: list[str] | None = None,
+                   partition_by: list[str] | None = None) -> int:
+    """Delta ``CONVERT TO DELTA`` analog: adopt an EXISTING plain
+    parquet directory as a transaction-log table WITHOUT copying or
+    rewriting a byte — ``path``'s v0 manifest references
+    ``data_dir`` by absolute path (the shallow_clone mechanism), so
+    converting a 100 TB lake directory is one schema read + one
+    O(files) stat walk + one JSON write, and every txnlog capability
+    (snapshot, time travel, MERGE, DELETE, streaming, SQL
+    statements) works over it immediately; later commits land in
+    ``path``'s own claimed dirs, never touching the adopted bytes.
+
+    ``stats_cols`` additionally records the per-dir [min, max]
+    envelopes pruning reads need — ONE aggregation scan over the
+    adopted files (Delta's CONVERT reads footers for the same
+    reason); omit it for a stats-free metadata-only convert.
+    ``partition_by`` / ``bloom_cols`` declare the usual table
+    properties for FUTURE commits (the adopted dir is one manifest
+    dir regardless — converting preserves layout, it does not
+    re-partition).
+
+    Refuses when ``path`` already has commits, when ``data_dir`` has
+    no parquet files, or when the two paths coincide (the table root
+    holds ``_txn`` bookkeeping a self-referencing data scan would
+    read as data).  Shares shallow_clone's retention caveat: the
+    adopted dir lives OUTSIDE the table root, so the table's own
+    vacuum never reclaims it."""
+    src_abs = os.path.abspath(data_dir)
+    dst_abs = os.path.abspath(path)
+    if src_abs == dst_abs or src_abs.startswith(dst_abs + os.sep):
+        raise ValueError(
+            "convert_to_txn adopts the directory BY REFERENCE: "
+            f"data_dir {src_abs} must lie outside the table root "
+            f"{dst_abs} (the root holds _txn bookkeeping)")
+    if latest_version(path) is not None:
+        raise ValueError(f"convert target {path} already has commits")
+    fstats = _dir_file_stats(path, [src_abs])
+    if fstats[src_abs][0] == 0:
+        raise FileNotFoundError(
+            f"no data files under {src_abs} to convert")
+    df = spark.read.parquet(src_abs)
+    stats: dict = {}
+    rows: dict = {}
+    if stats_cols:
+        cstats, n = _col_stats(df, sorted(set(stats_cols)))
+        stats, rows = {src_abs: cstats}, {src_abs: n}
+    os.makedirs(path, exist_ok=True)
+    v = _commit_manifest(
+        path, 0, "overwrite", [src_abs],
+        {"converted_from": src_abs}, stats, rows,
+        sorted(set(bloom_cols or [])), _schema_json(df),
+        partition_by=list(partition_by or []),
+        files=fstats,
+        # adoption seeds fresh content: replace semantics for any
+        # keyed write that somehow declared an older snapshot
+        op={"type": "replace"})
+    if bloom_cols:
+        _maintain_bloom(spark, path, v, sorted(set(bloom_cols)),
+                        [src_abs])
+    return v
 
 
 MERGE_BLOOM_PROBE_CAP = 4096
@@ -2475,6 +2850,10 @@ def restore(path: str, to_version: int | None = None,
         identity=ident,
         analyze=man.get("analyze", {}),
         generated=man.get("generated", {}),
+        # the restored-to manifest already recorded its dirs' file/
+        # byte totals — carry them so the metadata-only contract
+        # holds (the latest manifest may not list these dirs at all)
+        files=man.get("files", {}),
         # content replace: a keyed write reading across this refuses
         op={"type": "replace"})
 
@@ -2525,6 +2904,10 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
         analyze={os.path.join(src_abs, d): a
                  for d, a in man.get("analyze", {}).items()
                  if d in man["dirs"]},
+        # ... and their file/byte totals: zero walks for the clone
+        files={os.path.join(src_abs, d): f
+               for d, f in man.get("files", {}).items()
+               if d in man["dirs"]},
         # a clone's v0 seeds fresh content (replace semantics for
         # any keyed write that somehow declared an older snapshot)
         op={"type": "replace"})
@@ -2619,9 +3002,15 @@ def describe_detail(spark: SparkSession, path: str,
     count (NULL when some dir predates row recording), and the
     declared table properties (partition columns, bloom columns,
     constraint names, GENERATED ALWAYS AS column names, identity
-    column + high-water mark, live deletion-vector stores).  Manifest JSON + file stat calls only —
-    never a data scan, so describing a 100 TB table costs the same
-    as a 100 MB one."""
+    column + high-water mark, live deletion-vector stores).
+
+    File and byte totals come from the MANIFEST's per-dir ``files``
+    records (written at commit time over exactly the new dirs —
+    Delta serves DESCRIBE DETAIL from AddFile.size the same way), so
+    this is manifest JSON only: zero data reads AND zero per-file
+    stat calls — describing a 100 TB table with 10⁶ files costs the
+    same as a 100 MB one.  Only dirs a pre-files-era manifest never
+    recorded fall back to a one-time walk of those dirs."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {path}")
@@ -2629,16 +3018,12 @@ def describe_detail(spark: SparkSession, path: str,
     if version is not None:
         _require_decided(path, v, man)
     base = os.path.abspath(path)
-    n_files = 0
-    n_bytes = 0
-    for d in man["dirs"]:
-        full = d if os.path.isabs(d) else os.path.join(base, d)
-        for root, _, files in os.walk(full):
-            for f in files:
-                if f.startswith((".", "_")):
-                    continue  # _SUCCESS / .crc bookkeeping
-                n_files += 1
-                n_bytes += os.path.getsize(os.path.join(root, f))
+    fmap = man.get("files", {})
+    legacy = [d for d in man["dirs"] if d not in fmap]
+    if legacy:
+        fmap = {**fmap, **_dir_file_stats(path, legacy)}
+    n_files = sum(int(fmap[d][0]) for d in man["dirs"])
+    n_bytes = sum(int(fmap[d][1]) for d in man["dirs"])
     ident = man.get("identity") or {}
     row = {
         "table_path": base,
@@ -3115,8 +3500,9 @@ def describe_detail_sql(spark: SparkSession, path: str,
     """SQL front-end for :func:`describe_detail` — ``DESCRIBE
     DETAIL`` as a one-row TEMP VIEW (table layout, size, row count,
     declared properties), the same T-SQL-consumer contract as
-    :func:`history_sql`.  Metadata + file stat calls at registration
-    only; re-register to refresh.  Returns ``view_name``."""
+    :func:`history_sql`.  Manifest metadata only at registration
+    (file/byte totals come from the manifest's commit-time records);
+    re-register to refresh.  Returns ``view_name``."""
     describe_detail(spark, path, version=version) \
         .createOrReplaceTempView(view_name)
     return view_name
@@ -3499,9 +3885,15 @@ def _env_provably_gt(a, b) -> bool:
     ``'2024-01-05'`` semantically means midnight on a timestamp
     column but sorts BELOW every same-day isoformat bound — prefix
     falls to "can't prove" (the dir stays open; pruning may only
-    widen)."""
+    widen).  A timestamp-shaped side carrying an EXPLICIT UTC offset
+    (``'... 23:00:00+13:00'`` or a trailing ``Z``) is inconclusive
+    outright: the offset text participates in string order while the
+    semantic instant lives up to ±14 h away, so no lexicographic
+    domain can prove disjointness — the dir stays open."""
     if isinstance(a, str) and isinstance(b, str):
         na, nb = _norm_iso_literal(a), _norm_iso_literal(b)
+        if _tz_suffixed(a) or _tz_suffixed(b):
+            return False
         if (len(a) >= 10 and len(b) >= 10
                 and a[:4].isdigit() and b[:4].isdigit()
                 and a[4] == "-" and b[4] == "-"
@@ -3509,6 +3901,27 @@ def _env_provably_gt(a, b) -> bool:
             return False
         return a > b and na > nb
     return a > b
+
+
+_TZ_SUFFIX_RE = None  # compiled lazily in _tz_suffixed
+
+
+def _tz_suffixed(s: str) -> bool:
+    """True for a date/timestamp-shaped string whose tail carries an
+    explicit UTC offset (``+HH:MM`` / ``-HH:MM`` / ``+HH`` /
+    ``+HHMM``) or a trailing ``Z`` — the class of literals
+    :func:`_env_provably_gt` must treat as incomparable.  The check
+    requires the ISO date prefix so ordinary strings that merely end
+    in 'Z' or digits never trip it (a false True only widens
+    pruning; a false False is the under-delete hazard, so the tail
+    patterns are deliberately broad)."""
+    global _TZ_SUFFIX_RE
+    if _TZ_SUFFIX_RE is None:
+        import re as _re
+        _TZ_SUFFIX_RE = _re.compile(
+            r"^\d{4}-\d{2}-\d{2}[ T].*"
+            r"(Z|[+-]\d{2}(:?\d{2})?)$")
+    return bool(_TZ_SUFFIX_RE.match(s))
 
 
 def _ranges_from_predicate(predicate: str) -> list[tuple]:

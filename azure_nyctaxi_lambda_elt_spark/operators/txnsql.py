@@ -28,6 +28,28 @@ path, ``[...]`` optional):
   source rows whose boolean ``<flagcol>`` is true DELETE their keys
   instead (txnlog.merge_apply — Delta's WHEN MATCHED DELETE branch,
   the CDC I/U/D contract; the flag column is dropped from upserts)
+- ``MERGE INTO '<path>' USING <view | (subquery)> KEY BY (c1[, …])
+  WHEN MATCHED [AND <cond>] THEN UPDATE SET * | c = <expr>[, …]``
+  — Delta's conditional-update clause (txnlog.merge_upsert_when):
+  ``<cond>`` and the SET expressions reference the source row as
+  ``s.<col>`` and the table's current row as ``t.<col>``; matched
+  rows failing the condition stay untouched, ``SET *`` updates all
+  columns from the source, a SET subset leaves unassigned columns
+  at their current values, unmatched source rows insert whole.
+  Not combinable with ``DELETE WHEN`` (one action clause per
+  statement)
+- ``MERGE INTO '<path>' USING <view | (subquery)> KEY BY (c1[, …])
+  WHEN MATCHED [AND <cond>] THEN DELETE`` — the conditional-delete
+  branch (txnlog.merge_delete_when): matched rows whose pair passes
+  ``<cond>`` die, non-qualifying matched rows stay, unmatched
+  source rows are ignored (no insert branch — the delete-feed
+  statement; unlike ``DELETE WHEN`` the condition can reference the
+  table's current row as ``t.<col>``)
+- ``CONVERT '<plain-parquet-dir>' TO '<path>' [STATS (c1[, …])]``
+  — adopt an existing parquet directory as a txnlog table by
+  reference, zero bytes copied (txnlog.convert_to_txn — Delta's
+  CONVERT TO DELTA); STATS additionally records pruning envelopes
+  (one aggregation scan)
 - ``DELETE FROM '<path>' [KEY BY (c1[, c2…])] WHERE <pred>``
 - ``UPDATE '<path>' SET c = <expr>[, …] [KEY BY (…)] WHERE <pred>``
 - ``OPTIMIZE '<path>' [ZORDER BY (colA, colB)]``
@@ -68,7 +90,10 @@ _GRAMMAR = (
     "DESCRIBE DETAIL '<path>' [VERSION AS OF n] | "
     "INSERT INTO|OVERWRITE '<path>' <select-query> | "
     "MERGE INTO '<path>' USING <view|(subquery)> KEY BY (cols) "
-    "[DELETE WHEN <flagcol>] | "
+    "[WHEN MATCHED [AND <cond>] THEN UPDATE SET *|c=expr,... | "
+    "WHEN MATCHED [AND <cond>] THEN DELETE | "
+    "DELETE WHEN <flagcol>] | "
+    "CONVERT '<dir>' TO '<path>' [STATS (cols)] | "
     "DELETE FROM '<path>' [KEY BY (cols)] WHERE <pred> | "
     "UPDATE '<path>' SET c = expr[, ...] [KEY BY (cols)] "
     "WHERE <pred> | OPTIMIZE '<path>' [ZORDER BY (colA, colB)] | "
@@ -82,21 +107,50 @@ def _refuse(statement: str) -> ValueError:
         f"txn_sql could not parse: {statement!r}\n{_GRAMMAR}")
 
 
+def _skip_quoted(s: str, i: int) -> int:
+    """``i`` points at an opening quote (``'``, ``"``, or a
+    backtick); return the index just past the closing quote.
+    Understands the full Spark SQL literal syntax the plain
+    find-next-quote scan missed: doubled-quote escapes (``'it''s'``,
+    ``"a""b"``, `` `a``b` ``) and, inside ' / " literals only,
+    backslash escapes (``'it\\'s'``) — backticked identifiers treat
+    backslash as an ordinary character, matching Spark's parser.
+    Raises ValueError on an unbalanced quote (callers refuse)."""
+    q = s[i]
+    esc = q in "'\""
+    j, n = i + 1, len(s)
+    while j < n:
+        c = s[j]
+        if esc and c == "\\":
+            j += 2
+            continue
+        if c == q:
+            if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise ValueError(f"unbalanced quote in {s!r}")
+
+
 def _find_top_keyword(s: str, word: str) -> int:
     """Index of the first occurrence of ``word`` at paren-depth 0
-    outside single-quoted literals (-1 if none) — so a WHERE/KEY
-    inside a string literal or a function call can never split a
-    clause."""
+    outside string literals and backticked identifiers (-1 if none)
+    — so a WHERE/KEY inside a quoted literal or a function call can
+    never split a clause.  Quote handling is the full
+    :func:`_skip_quoted` syntax (double-quoted strings, ``''`` /
+    ``\\'`` escapes), keeping the module contract that literal
+    CONTENT can never confuse the split."""
     depth = 0
     i, n, w = 0, len(s), len(word)
     up = s.upper()
     while i < n:
         c = s[i]
-        if c == "'":
-            j = s.find("'", i + 1)
-            if j < 0:
+        if c in "'\"`":
+            try:
+                i = _skip_quoted(s, i)
+            except ValueError:
                 return -1  # unbalanced quote: caller refuses
-            i = j + 1
             continue
         if c == "(":
             depth += 1
@@ -113,17 +167,16 @@ def _find_top_keyword(s: str, word: str) -> int:
 
 
 def _split_top_commas(s: str) -> list[str]:
-    """Split on commas at depth 0 outside quotes (SET-list items —
-    ``greatest(a, b)`` and ``'x,y'`` stay whole)."""
+    """Split on commas at depth 0 outside quoted literals /
+    identifiers (SET-list items — ``greatest(a, b)``, ``'x,y'``,
+    ``"x,y"``, and ``'it''s, really'`` stay whole)."""
     out, buf, depth, i, n = [], [], 0, 0, len(s)
     while i < n:
         c = s[i]
-        if c == "'":
-            j = s.find("'", i + 1)
-            if j < 0:
-                raise ValueError(f"unbalanced quote in {s!r}")
-            buf.append(s[i:j + 1])
-            i = j + 1
+        if c in "'\"`":
+            j = _skip_quoted(s, i)  # ValueError propagates: refuse
+            buf.append(s[i:j])
+            i = j
             continue
         if c == "(":
             depth += 1
@@ -198,13 +251,95 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
             ("mode", mode, StringType()),
             ("rows_inserted", int(n), LongType())])
 
-    m = re.match(r"MERGE\s+INTO\s+'([^']+)'\s+USING\s+(.+?)\s+"
-                 r"KEY\s+BY\s*\(([^)]*)\)"
-                 r"(?:\s+DELETE\s+WHEN\s+(\w+))?$", s,
+    m = re.match(r"MERGE\s+INTO\s+'([^']+)'\s+USING\s+(.+)$", s,
                  re.IGNORECASE | re.DOTALL)
     if m:
-        path, src, key_cols = m.group(1), m.group(2).strip(), \
-            _cols_list(m.group(3))
+        path, rest = m.group(1), m.group(2)
+        # locate the KEY BY *clause* with the quote- and paren-aware
+        # scanner (not a non-greedy regex): a subquery whose string
+        # literal contains ' KEY BY (' must not mis-split (r12
+        # ADVICE) — same probe loop as the UPDATE branch, because a
+        # subquery may legitimately select a column named `key`
+        ki, probe = -1, 0
+        while True:
+            k = _find_top_keyword(rest[probe:], "KEY")
+            if k < 0:
+                break
+            k += probe
+            if re.match(r"KEY\s+BY\s*\(", rest[k:], re.IGNORECASE):
+                ki = k
+                break
+            probe = k + 3
+        if ki < 0:
+            raise _refuse(statement)
+        src = rest[:ki].strip()
+        km = re.match(r"KEY\s+BY\s*\(([^)]*)\)\s*(.*)$", rest[ki:],
+                      re.IGNORECASE | re.DOTALL)
+        if not km:
+            raise _refuse(statement)
+        key_cols = _cols_list(km.group(1))
+        tail = km.group(2).strip()
+        delete_col = match_cond = None
+        set_exprs: dict[str, str] | None = None
+        conditional = False
+        if tail:
+            dm = re.fullmatch(r"DELETE\s+WHEN\s+(\w+)", tail,
+                              re.IGNORECASE)
+            wm = re.match(r"WHEN\s+MATCHED\b(.*)$", tail,
+                          re.IGNORECASE | re.DOTALL)
+            if dm:
+                delete_col = dm.group(1)
+            elif wm:
+                # WHEN MATCHED [AND <cond>] THEN UPDATE SET
+                # * | col = expr[, ...] — Delta's conditional-update
+                # clause — or THEN DELETE (the conditional-delete
+                # branch); cond/exprs reference s.<col> / t.<col>
+                body = wm.group(1).strip()
+                # the THEN that ends the condition is the top-level
+                # one followed by the action keyword — a CASE ...
+                # THEN ... END inside the condition must not split it
+                ti, probe = -1, 0
+                while True:
+                    t = _find_top_keyword(body[probe:], "THEN")
+                    if t < 0:
+                        break
+                    t += probe
+                    if re.match(r"THEN\s+(UPDATE\s+SET\b|DELETE\b)",
+                                body[t:], re.IGNORECASE):
+                        ti = t
+                        break
+                    probe = t + 4
+                if ti < 0:
+                    raise _refuse(statement)
+                head, act = body[:ti].strip(), body[ti + 4:].strip()
+                if head:
+                    am = re.match(r"AND\s+(.+)$", head,
+                                  re.IGNORECASE | re.DOTALL)
+                    if not am:
+                        raise _refuse(statement)
+                    match_cond = am.group(1).strip()
+                if re.fullmatch(r"DELETE", act, re.IGNORECASE):
+                    conditional = "delete"
+                else:
+                    conditional = "update"
+                    um = re.match(r"UPDATE\s+SET\s+(.+)$", act,
+                                  re.IGNORECASE | re.DOTALL)
+                    if not um:
+                        raise _refuse(statement)
+                    assigns = um.group(1).strip()
+                    if assigns != "*":
+                        set_exprs = {}
+                        for item in _split_top_commas(assigns):
+                            am = re.match(r"\s*(\w+)\s*=\s*(.+)$",
+                                          item, re.DOTALL)
+                            if not am:
+                                raise _refuse(statement)
+                            set_exprs[am.group(1)] = \
+                                am.group(2).strip()
+                        if not set_exprs:
+                            raise _refuse(statement)
+            else:
+                raise _refuse(statement)
         if src.startswith("(") and src.endswith(")"):
             updf = spark.sql(src[1:-1])
         elif re.fullmatch(r"\w+", src):
@@ -214,16 +349,26 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
         updf = updf.persist()
         try:
             n = updf.count()
-            if m.group(4):
+            if delete_col:
                 v = txnlog.merge_apply(spark, path, updf, key_cols,
-                                       delete_col=m.group(4))
+                                       delete_col=delete_col)
+            elif conditional == "delete":
+                v = txnlog.merge_delete_when(
+                    spark, path, updf, key_cols,
+                    match_cond=match_cond)
+            elif conditional:
+                v = txnlog.merge_upsert_when(
+                    spark, path, updf, key_cols,
+                    match_cond=match_cond, set_exprs=set_exprs)
             else:
                 v = txnlog.merge_upsert(spark, path, updf, key_cols)
         finally:
             updf.unpersist()
         meta = txnlog._read_manifest(path, v).get("meta", {})
         # rows_upserted = SOURCE row count (with DELETE WHEN it
-        # includes the delete-flagged rows — the change-set size)
+        # includes the delete-flagged rows — the change-set size;
+        # with WHEN MATCHED it includes non-qualifying rows — the
+        # change-set OFFERED, not the rows written)
         return _one_row(spark, [
             ("version", int(v), IntegerType()),
             ("rows_upserted", int(n), LongType()),
@@ -336,9 +481,33 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
         if m.group(3):
             kw["grace_seconds"] = float(m.group(3))
         removed = txnlog.vacuum(m.group(1), **kw)
+        # the reclaimed-path SET rides along (array column, same
+        # convention as DESCRIBE DETAIL's property arrays): a DRY
+        # RUN's value IS the paths — an operator auditing before
+        # reclaim must see them through the SQL surface, not just
+        # a count
+        from pyspark.sql.types import ArrayType
+
         return _one_row(spark, [
             ("removed_dirs", len(removed), LongType()),
-            ("dry_run", bool(m.group(4)), BooleanType())])
+            ("dry_run", bool(m.group(4)), BooleanType()),
+            ("paths", sorted(removed),
+             ArrayType(StringType()))])
+
+    m = re.match(r"CONVERT\s+'([^']+)'\s+TO\s+'([^']+)'"
+                 r"(?:\s+STATS\s*\(([^)]*)\))?$", s, re.IGNORECASE)
+    if m:
+        stats_cols = _cols_list(m.group(3)) if m.group(3) else None
+        v = txnlog.convert_to_txn(spark, m.group(1), m.group(2),
+                                  stats_cols=stats_cols)
+        man = txnlog._read_manifest(m.group(2), v)
+        fmap = man.get("files", {})
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("num_files",
+             sum(int(fmap[d][0]) for d in man["dirs"]), LongType()),
+            ("size_bytes",
+             sum(int(fmap[d][1]) for d in man["dirs"]), LongType())])
 
     m = re.match(r"RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF"
                  r"\s+(\d+)$", s, re.IGNORECASE)

@@ -2293,7 +2293,195 @@ def q_txn_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("upd_lane", F.lit(upd["lane"]))
         .withColumn("del_lane", F.lit(dele["lane"]))
         .withColumn("vacuum_reported",
-                    F.lit(int(vac["removed_dirs"])).cast("bigint")))
+                    F.lit(int(vac["removed_dirs"])).cast("bigint"))
+        # the SQL surface returns the reclaimed-path SET, not just a
+        # count (a DRY RUN's value IS the paths): pin its class
+        # split — 4 dead data dirs (v0-v3) + 2 dead tombstone stores
+        .withColumn("vacuum_dead_data",
+                    F.lit(sum(1 for p in vac["paths"]
+                              if p.startswith("data-v")))
+                    .cast("bigint"))
+        .withColumn("vacuum_dead_dv",
+                    F.lit(sum(1 for p in vac["paths"]
+                              if p.startswith("_txn/dv/")))
+                    .cast("bigint")))
+
+
+def _txn_merge_when_scenario(spark: SparkSession, sf_dir: str,
+                             name: str):
+    """Shared seed for the conditional-MERGE entries: trip_clean as
+    two day-range commits, then a change feed over day 5 where HALF
+    the rows qualify (even trip_uid restates fare +5.00 — the
+    incoming fare is higher, the WHEN MATCHED AND guard passes) and
+    half do not (odd trip_uid offers fare −5.00 — lower, so the
+    matched row must stay byte-untouched), plus cloned day-2 inserts.
+    Every source row carries payment_type 'RESTATED' so a subset SET
+    proves itself: the column lands on INSERTS (whole-row) but never
+    on updates that assigned only fare/tip.  Returns (table path,
+    source DataFrame)."""
+    import shutil
+
+    from ..operators import txnlog
+
+    out = _out_dir(_WRITE_TMP, name, sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    txnlog.commit(clean.where(day >= 16), out, "append")
+    delta = F.when(F.col("trip_uid") % 2 == 0, F.lit(5.0)) \
+        .otherwise(F.lit(-5.0))
+    updates = (clean.where(day == 5)
+               .withColumn("fare_amount", F.col("fare_amount") + delta)
+               .withColumn("payment_type", F.lit("RESTATED")))
+    inserts = (clean.where(day == 2)
+               .withColumn("trip_uid",
+                           F.col("trip_uid") + F.lit(10_000_000))
+               .withColumn("payment_type", F.lit("RESTATED")))
+    return out, updates.unionByName(inserts)
+
+
+def q_txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE, Python API (operators/txnlog.py
+    merge_upsert_when — Delta's ``WHEN MATCHED AND <cond> THEN
+    UPDATE`` / ``WHEN NOT MATCHED INSERT ALL``): the day-5 change
+    feed restates only rows whose INCOMING fare is higher
+    (``s.fare_amount > t.fare_amount``), update-ALL-columns form —
+    qualifying rows take the whole source row (fare +5.00, payment
+    'RESTATED'), non-qualifying matched rows stay untouched (their
+    −5.00 offer and 'RESTATED' marker never land), unmatched clones
+    insert whole.  Readback = full table snapshot; oracle =
+    trip_clean with the guard applied literally.  The late-arriving-
+    change guard the reference's sp-wrapped MERGE restatements imply
+    (sql/batchELT/core/12_trip_clean.dedupe_load.sql's latest-wins
+    dedupe) expressed as a merge-time condition."""
+    from ..operators import txnlog
+
+    apply_engine_conf(spark)
+    out, src = _txn_merge_when_scenario(spark, sf_dir, "txnmw")
+    txnlog.merge_upsert_when(
+        spark, out, src, ["trip_uid"],
+        match_cond="s.fare_amount > t.fare_amount")
+    return txnlog.snapshot(spark, out)
+
+
+def q_txn_merge_when_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE through the SQL STATEMENT front-end
+    (operators/txnsql.py — ``MERGE INTO ... KEY BY (...) WHEN
+    MATCHED AND <cond> THEN UPDATE SET <subset>``, Delta's
+    conditional-update grammar): same day-5 guard as txn_merge_when
+    but with a SET SUBSET mixing source and target references
+    (``fare_amount = s.fare_amount, tip_amount = t.tip_amount +
+    1.0``) — qualifying rows take the restated fare and a
+    target-derived tip bump while payment_type KEEPS its current
+    value (the source's 'RESTATED' marker lands only on inserts,
+    proving unassigned columns survive), non-qualifying rows stay
+    whole.  The statement's outcome row rides as structural columns
+    (rewrote_dirs = 1: qualifying keys live only in the day≤15
+    commit's dir)."""
+    from ..operators import txnlog, txnsql
+
+    apply_engine_conf(spark)
+    out, src = _txn_merge_when_scenario(spark, sf_dir, "txnmwsql")
+    src.createOrReplaceTempView("mw_src")
+    res = txnsql.txn_sql(
+        spark,
+        f"MERGE INTO '{out}' USING mw_src KEY BY (trip_uid) "
+        "WHEN MATCHED AND s.fare_amount > t.fare_amount "
+        "THEN UPDATE SET fare_amount = s.fare_amount, "
+        "tip_amount = t.tip_amount + 1.0").collect()[0]
+    return (txnlog.snapshot(spark, out)
+            .withColumn("rewrote_dirs",
+                        F.lit(int(res["rewrote_dirs"]))
+                        .cast("bigint")))
+
+
+def q_txn_merge_delete_sql(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Conditional MERGE-DELETE through the SQL dispatcher
+    (txnlog.merge_delete_when via txnsql — Delta's ``WHEN MATCHED
+    [AND <cond>] THEN DELETE`` branch): the day-5 key feed carries a
+    source-side flag (trip_uid % 3 = 0) and the statement's guard
+    ANDs it with a TARGET-side test (``s.flagged = 1 AND
+    t.trip_uid % 2 = 0``), so only day-5 rows with uid % 6 = 0 die —
+    the "delete my keys only where the stored state agrees" shape
+    merge_apply's source-computed flag cannot express.  Unmatched
+    source keys (the +10M clones in the feed) are ignored: no insert
+    branch.  Readback = full snapshot + the statement's rewrote_dirs
+    (1: qualifying keys live only in the day≤15 commit's dir)."""
+    import shutil
+
+    from ..operators import txnlog, txnsql
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnmdel", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    txnlog.commit(clean.where(day >= 16), out, "append")
+    feed = (clean.where(day == 5)
+            .select("trip_uid",
+                    (F.col("trip_uid") % 3 == 0).cast("int")
+                    .alias("flagged"))
+            .unionByName(
+                clean.where(day == 5).select(
+                    (F.col("trip_uid") + F.lit(10_000_000))
+                    .alias("trip_uid"),
+                    F.lit(1).alias("flagged"))))
+    feed.createOrReplaceTempView("mdel_src")
+    res = txnsql.txn_sql(
+        spark,
+        f"MERGE INTO '{out}' USING mdel_src KEY BY (trip_uid) "
+        "WHEN MATCHED AND s.flagged = 1 AND t.trip_uid % 2 = 0 "
+        "THEN DELETE").collect()[0]
+    return (txnlog.snapshot(spark, out)
+            .withColumn("rewrote_dirs",
+                        F.lit(int(res["rewrote_dirs"]))
+                        .cast("bigint")))
+
+
+def q_txn_convert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO txnlog (operators/txnlog.py convert_to_txn —
+    Delta's ``CONVERT TO DELTA``): a PLAIN parquet directory (the
+    day≤20 slice written with a bare df.write) is adopted as a
+    transaction-log table BY REFERENCE — zero bytes copied, v0's
+    manifest points at the directory absolutely, STATS records the
+    trip_uid pruning envelope in the same pass — and the table is
+    immediately live: the day≥21 slice lands as an ordinary append
+    commit.  ``zero_copy`` pins the claim structurally: v0's
+    manifest-recorded file count equals the plain directory's
+    actual file count (nothing was rewritten).  Readback = full
+    snapshot = the whole trip_clean feed.  Reference parity: the
+    reference's curated zone is exactly such pre-existing parquet
+    (infra/batch-bicep's curated container) that a migration to the
+    log layer must adopt in place, not re-copy."""
+    import os as _os
+    import shutil
+
+    from ..operators import txnlog, txnsql
+
+    apply_engine_conf(spark)
+    plain = _out_dir(_WRITE_TMP, "cvtplain", sf_dir)
+    out = _out_dir(_WRITE_TMP, "cvttable", sf_dir)
+    shutil.rmtree(plain, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    clean.where(day <= 20).write.parquet(plain)
+    res = txnsql.txn_sql(
+        spark,
+        f"CONVERT '{plain}' TO '{out}' STATS (trip_uid)").collect()[0]
+    n_plain = sum(
+        1 for root, _, fs in _os.walk(plain) for f in fs
+        if not f.startswith((".", "_")))
+    txnlog.commit(clean.where(day >= 21), out, "append")
+    return (txnlog.snapshot(spark, out)
+            .withColumn("zero_copy",
+                        F.lit(bool(res["num_files"] == n_plain))))
 
 
 def q_txn_stream_backpressure(spark: SparkSession,
@@ -3295,6 +3483,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_detail_sql": q_txn_detail_sql,
     "txn_cdf_sql": q_txn_cdf_sql,
     "txn_dml_sql": q_txn_dml_sql,
+    "txn_merge_when": q_txn_merge_when,
+    "txn_merge_when_sql": q_txn_merge_when_sql,
+    "txn_merge_delete_sql": q_txn_merge_delete_sql,
+    "txn_convert_table": q_txn_convert_table,
     "txn_stream_backpressure": q_txn_stream_backpressure,
     "txn_delete_vector": q_txn_delete_vector,
     "txn_constraint_gate": q_txn_constraint_gate,
@@ -4054,10 +4246,89 @@ ORACLES["txn_dml_sql"] = with_trips("""
            (SELECT CAST(COUNT(*) AS BIGINT) FROM dml_base
             WHERE trip_uid % 103 = 11) AS rows_deleted,
            'dv' AS upd_lane, 'dv' AS del_lane,
-           CAST(6 AS BIGINT) AS vacuum_reported
+           CAST(6 AS BIGINT) AS vacuum_reported,
+           CAST(4 AS BIGINT) AS vacuum_dead_data,
+           CAST(2 AS BIGINT) AS vacuum_dead_dv
     FROM dml_base
     WHERE trip_uid % 103 <> 11
     GROUP BY 1
+""")
+
+# conditional MERGE: day-5 rows qualify only when even-uid (the +5.00
+# offer beats the current fare; the odd-uid −5.00 offer loses and the
+# row stays byte-untouched), day-2 clones insert whole
+_MW_QUAL = ("day(ingest_date) = 5 AND trip_uid % 2 = 0 "
+            "AND fare_amount IS NOT NULL")
+ORACLES["txn_merge_when"] = with_trips(f"""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km,
+           CASE WHEN {_MW_QUAL} THEN fare_amount + 5.0
+                ELSE fare_amount END AS fare_amount,
+           CASE WHEN {_MW_QUAL} THEN 'RESTATED'
+                ELSE payment_type END AS payment_type,
+           rate_code_nk, flag_nk, is_night_ride, tip_amount,
+           pu_loc_id, do_loc_id, passenger_count, ingest_date,
+           source_file_name, loaded_at
+    FROM trip_clean
+    UNION ALL
+    SELECT vendor_code, trip_uid + 10000000, pickup_ts_utc,
+           dropoff_ts_utc, trip_distance_km, fare_amount,
+           'RESTATED' AS payment_type, rate_code_nk, flag_nk,
+           is_night_ride, tip_amount, pu_loc_id, do_loc_id,
+           passenger_count, ingest_date, source_file_name, loaded_at
+    FROM trip_clean WHERE day(ingest_date) = 2
+""")
+
+# subset SET: fare from the source, tip bumped FROM THE TARGET
+# (t.tip_amount + 1.0), payment_type keeps its current value on
+# updates (the 'RESTATED' marker lands only on inserts)
+ORACLES["txn_merge_when_sql"] = with_trips(f"""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km,
+           CASE WHEN {_MW_QUAL} THEN fare_amount + 5.0
+                ELSE fare_amount END AS fare_amount,
+           payment_type,
+           rate_code_nk, flag_nk, is_night_ride,
+           CASE WHEN {_MW_QUAL} THEN tip_amount + 1.0
+                ELSE tip_amount END AS tip_amount,
+           pu_loc_id, do_loc_id, passenger_count, ingest_date,
+           source_file_name, loaded_at,
+           CAST(1 AS BIGINT) AS rewrote_dirs
+    FROM trip_clean
+    UNION ALL
+    SELECT vendor_code, trip_uid + 10000000, pickup_ts_utc,
+           dropoff_ts_utc, trip_distance_km, fare_amount,
+           'RESTATED' AS payment_type, rate_code_nk, flag_nk,
+           is_night_ride, tip_amount, pu_loc_id, do_loc_id,
+           passenger_count, ingest_date, source_file_name, loaded_at,
+           CAST(1 AS BIGINT) AS rewrote_dirs
+    FROM trip_clean WHERE day(ingest_date) = 2
+""")
+
+# conditional MERGE-DELETE: only day-5 rows with uid % 6 = 0 die
+# (source flag uid%3=0 AND target test uid%2=0); the +10M clone keys
+# in the feed are unmatched and ignored (no insert branch)
+ORACLES["txn_merge_delete_sql"] = with_trips("""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km, fare_amount, payment_type,
+           rate_code_nk, flag_nk, is_night_ride, tip_amount,
+           pu_loc_id, do_loc_id, passenger_count, ingest_date,
+           source_file_name, loaded_at,
+           CAST(1 AS BIGINT) AS rewrote_dirs
+    FROM trip_clean
+    WHERE NOT (day(ingest_date) = 5 AND trip_uid % 6 = 0)
+""")
+
+# CONVERT adopts the day<=20 plain dir by reference, then day>=21
+# appends through the log: the snapshot is the whole feed
+ORACLES["txn_convert_table"] = with_trips("""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km, fare_amount, payment_type,
+           rate_code_nk, flag_nk, is_night_ride, tip_amount,
+           pu_loc_id, do_loc_id, passenger_count, ingest_date,
+           source_file_name, loaded_at,
+           TRUE AS zero_copy
+    FROM trip_clean
 """)
 
 # capped drain: same batching-independent rollup; the structural

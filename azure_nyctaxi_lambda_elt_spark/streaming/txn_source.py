@@ -46,12 +46,17 @@ refuses loudly (the consumed-to-latest window must be contiguous
 retained history), exactly Delta's behavior.
 
 **Admission control** (Delta's ``maxFilesPerTrigger`` /
-Delta-streaming's rate limiting): ``maxVersionsPerTrigger`` caps how
-many committed versions ``latestOffset`` admits past the stream's
-position per trigger; ``maxFilesPerTrigger`` admits whole versions
-until their cumulative NEW-file count reaches the cap (always at
-least one version, so a single jumbo commit still flows — Delta's
-soft-cap semantics).  A catch-up consumer against a long backlog
+``maxBytesPerTrigger`` rate limiting): ``maxVersionsPerTrigger``
+caps how many committed versions ``latestOffset`` admits past the
+stream's position per trigger; ``maxFilesPerTrigger`` /
+``maxBytesPerTrigger`` admit whole versions until the cumulative
+NEW-file count / NEW-byte total reaches the cap (always at least
+one version, so a single jumbo commit still flows — Delta's
+soft-cap semantics).  Byte totals come from the manifests' per-dir
+``files`` records written at commit time (txnlog._dir_file_stats),
+so byte-capped admission reads manifest JSON only; dirs a
+pre-files-era manifest never recorded fall back to per-file stat
+calls over exactly those dirs.  A catch-up consumer against a long backlog
 thereby processes bounded micro-batches with checkpoint progress
 between them instead of one giant batch.  The Python DataSource API
 passes no start offset to ``latestOffset``, so the reader tracks its
@@ -61,6 +66,16 @@ restarted query re-plans the WAL's last batch BEFORE its first
 ``latestOffset``, so ``partitions``/``commit`` have already taught
 the reader the checkpointed position — capping can never regress a
 restarted stream's offset (both orders pinned by the tests).
+Should a future Spark stop replaying before the first
+``latestOffset``, a capped restart would compute an offset below
+the checkpoint and ``partitions`` refuses loudly with the
+backwards-batch error — a crash loop, never a silent regression;
+capping from the start version when the position is unknown is
+DELIBERATE (not fixed by returning the uncapped head on the first
+trigger): a fresh capped query's FIRST batch being bounded is the
+feature's main use case — the catch-up consumer against a long
+backlog — and fresh-vs-unreplayed-restart is indistinguishable
+from inside the reader (the DataSource API exposes no checkpoint).
 Note Trigger.AvailableNow falls back to single-batch
 execution for Python sources (Spark logs the fallback), so with a
 cap an AvailableNow run lands ONE bounded batch and stops short of
@@ -128,6 +143,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
             options.get("maxversionspertrigger", 0)) or None
         self.max_files = int(
             options.get("maxfilespertrigger", 0)) or None
+        self.max_bytes = int(
+            options.get("maxbytespertrigger", 0)) or None
         # best-known consumed position (a committed VERSION number):
         # seeded by initialOffset on a fresh query, re-learned from
         # partitions()/commit() on a restarted one — the admission
@@ -145,7 +162,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
         v = txnlog.latest_version(self.path)
         if v is None or v < self.start_v - 1:
             return {"version": self.start_v - 1}
-        if self.max_versions is None and self.max_files is None:
+        if (self.max_versions is None and self.max_files is None
+                and self.max_bytes is None):
             return {"version": v}
         pos = self._pos
         if pos is None:
@@ -165,39 +183,50 @@ class TxnTableStreamReader(DataSourceStreamReader):
     def _admit(self, pos: int, head: int) -> int:
         """The capped batch end: admit whole versions past ``pos``
         until a cap trips — always at least one, so a single commit
-        larger than maxFilesPerTrigger still flows (Delta's soft-cap
-        semantics).  maxVersionsPerTrigger alone is pure arithmetic;
-        maxFilesPerTrigger walks the candidate versions' manifests
-        (JSON KBs) and new-dir file lists, the same metadata the
-        subsequent partitions() call reads anyway."""
+        larger than maxFilesPerTrigger / maxBytesPerTrigger still
+        flows (Delta's soft-cap semantics).  maxVersionsPerTrigger
+        alone is pure arithmetic; the file/byte caps walk the
+        candidate versions' manifests (JSON KBs — byte totals come
+        from the manifests' commit-time ``files`` records), the same
+        metadata the subsequent partitions() call reads anyway."""
         end = head
         if self.max_versions is not None:
             end = min(end, pos + self.max_versions)
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
             return end
-        files = 0
+        files = nbytes = 0
         admitted = pos
         prev_dirs: set | None = None
         for v in range(pos + 1, end + 1):
-            if admitted > pos and files >= self.max_files:
+            if admitted > pos and (
+                    (self.max_files is not None
+                     and files >= self.max_files)
+                    or (self.max_bytes is not None
+                        and nbytes >= self.max_bytes)):
                 break
             try:
-                vfiles, prev_dirs = self._version_files(v, prev_dirs)
+                vfiles, prev_dirs, vbytes = self._version_files(
+                    v, prev_dirs)
             except (RuntimeError, FileNotFoundError):
                 # fell behind retention or a refused commit class:
                 # admit through it and let partitions() raise the
                 # canonical loud error for the planned batch
                 return end
             files += len(vfiles)
+            nbytes += vbytes
             admitted = v
         return admitted
 
     # ------------------------------------------------ planning
     def _version_files(self, v: int,
-                       prev_dirs: set | None) -> tuple[list, set]:
-        """(new parquet files of version ``v``, ``v``'s dir set)
-        under the append-only contract — the single source of truth
-        for both batch planning and file-cap admission."""
+                       prev_dirs: set | None) -> tuple[list, set, int]:
+        """(new parquet files of version ``v``, ``v``'s dir set,
+        new-dir byte total) under the append-only contract — the
+        single source of truth for batch planning and file/byte-cap
+        admission.  Bytes come from the manifest's per-dir ``files``
+        records when present (zero stat calls); only dirs a
+        pre-files-era manifest never recorded stat their walked
+        files."""
         from ..operators import txnlog
 
         try:
@@ -220,7 +249,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             # table creation: the initial content streams whole
             new = list(man["dirs"])
         elif op == "maintenance":
-            return [], set(man["dirs"])  # physical-only rewrite
+            return [], set(man["dirs"]), 0  # physical-only rewrite
         elif op == "append":
             if prev_dirs is None:
                 try:
@@ -235,7 +264,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                         "retention") from e
             new = [d for d in man["dirs"] if d not in prev_dirs]
         elif self.skip_change:
-            return [], set(man["dirs"])  # Delta skipChangeCommits
+            return [], set(man["dirs"]), 0  # Delta skipChangeCommits
         else:
             raise RuntimeError(
                 f"txntable stream on {self.path} hit a "
@@ -245,12 +274,20 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 "skip_change_commits=True to skip "
                 "replace/merge/delete commits, or consume them "
                 "through change_feed()")
+        fmap = man.get("files", {})
         files: list[str] = []
+        nbytes = 0
         for d in new:
             full = d if os.path.isabs(d) \
                 else os.path.join(self.path, d)
-            files.extend(_walk_parquet_files(full))
-        return files, set(man["dirs"])
+            dfiles = _walk_parquet_files(full)
+            files.extend(dfiles)
+            if d in fmap:
+                nbytes += int(fmap[d][1])
+            else:
+                # pre-files-era dir: stat exactly its own files once
+                nbytes += sum(os.path.getsize(f) for f in dfiles)
+        return files, set(man["dirs"]), nbytes
 
     def partitions(self, start: dict, end: dict):
         end_v = int(end["version"])
@@ -271,7 +308,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         parts: list[_TxnFilesPartition] = []
         prev_dirs: set | None = None
         for v in range(int(start["version"]) + 1, end_v + 1):
-            files, prev_dirs = self._version_files(v, prev_dirs)
+            files, prev_dirs, _ = self._version_files(v, prev_dirs)
             for f in files:
                 parts.append(_TxnFilesPartition(f, self.schema_json))
         # Spark requires at least one partition per planned batch;
@@ -362,7 +399,8 @@ def read_stream_txn(spark: SparkSession, path: str,
                     starting_version: int = 0,
                     skip_change_commits: bool = False,
                     max_versions_per_trigger: int | None = None,
-                    max_files_per_trigger: int | None = None
+                    max_files_per_trigger: int | None = None,
+                    max_bytes_per_trigger: int | None = None
                     ) -> DataFrame:
     """Open a txnlog table as a streaming DataFrame: registers the
     Python data source (idempotent per session) and returns
@@ -373,10 +411,13 @@ def read_stream_txn(spark: SparkSession, path: str,
     unconsumed commit (exactly-once with an idempotent sink — e.g.
     lane.run_txn_stream_copy's log-to-log pipeline).
 
-    ``max_versions_per_trigger`` / ``max_files_per_trigger``:
-    admission control for catch-up consumers (module docstring) — a
-    long backlog drains as bounded micro-batches with checkpoint
-    progress between them, Delta's ``maxFilesPerTrigger`` shape."""
+    ``max_versions_per_trigger`` / ``max_files_per_trigger`` /
+    ``max_bytes_per_trigger``: admission control for catch-up
+    consumers (module docstring) — a long backlog drains as bounded
+    micro-batches with checkpoint progress between them, Delta's
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` shape; the byte
+    cap is served from the manifests' commit-time per-dir totals,
+    so it adds no stat calls."""
     spark.dataSource.register(TxnTableStreamDataSource)
     rd = (spark.readStream.format(FORMAT_NAME)
           .option("path", os.path.abspath(path))
@@ -389,4 +430,7 @@ def read_stream_txn(spark: SparkSession, path: str,
     if max_files_per_trigger is not None:
         rd = rd.option("maxFilesPerTrigger",
                        int(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        rd = rd.option("maxBytesPerTrigger",
+                       int(max_bytes_per_trigger))
     return rd.load()

@@ -116,6 +116,11 @@ BENCH_NEW_QUERIES = [
     "txn_cdf_sql",
     "txn_stream_backpressure",
     "txn_dml_sql",
+    # round-13 additions
+    "txn_merge_when",
+    "txn_merge_when_sql",
+    "txn_merge_delete_sql",
+    "txn_convert_table",
 ]
 
 

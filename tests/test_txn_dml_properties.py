@@ -82,3 +82,100 @@ def test_update_where_equals_reference(spark, tmp_path_factory,
     assert _state(spark, path) == want
     # row count is invariant under UPDATE, by metadata alone
     assert txnlog.metadata_count(path) == len(rows)
+
+
+# ------------------------------------------------------------------
+# conditional MERGE (merge_upsert_when) vs a row-at-a-time reference
+# ------------------------------------------------------------------
+# source ids 500..1499: roughly half match the table's 0..999 range
+SRC_ROWS = st.lists(
+    st.tuples(st.integers(500, 1499),
+              st.sampled_from(["a", "b", "z", None]),
+              st.integers(-20, 20)),
+    min_size=1, max_size=12, unique_by=lambda r: r[0])
+
+# (cond-sql, python-evaluator(s, t)) with NULL collapsing to False
+# (WHEN MATCHED AND <cond> fires only on literal TRUE)
+CONDS = st.sampled_from([
+    ("s.v > t.v", lambda s, t: s[2] > t[2]),
+    ("t.grp = 'a'", lambda s, t: t[1] == "a"),
+    ("s.v % 2 = 0", lambda s, t: s[2] % 2 == 0),
+    (None, lambda s, t: True),
+])
+
+# (set_exprs, python-builder(s, t) -> updated row)
+SET_FORMS = st.sampled_from([
+    (None, lambda s, t: s),
+    ({"v": "s.v"}, lambda s, t: (t[0], t[1], s[2])),
+    ({"v": "t.v + s.v", "grp": "s.grp"},
+     lambda s, t: (t[0], s[1], t[2] + s[2])),
+])
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=ROWS, src=SRC_ROWS, cond=CONDS, setf=SET_FORMS,
+       split=SPLIT)
+def test_merge_upsert_when_equals_reference(spark, tmp_path_factory,
+                                            rows, src, cond, setf,
+                                            split):
+    path = str(tmp_path_factory.mktemp("mw") / "t")
+    _commit_rows(spark, path, rows, split)
+    csql, cref = cond
+    sexprs, sbuild = setf
+    sdf = spark.createDataFrame(src, "id long, grp string, v long")
+    v = txnlog.merge_upsert_when(spark, path, sdf, ["id"],
+                                 match_cond=csql, set_exprs=sexprs)
+    table = {r[0]: tuple(r) for r in rows}
+    want = set()
+    for t in rows:
+        s = next((x for x in src if x[0] == t[0]), None)
+        if s is not None and cref(s, t):
+            want.add(sbuild(s, tuple(t)))
+        else:
+            want.add(tuple(t))
+    for s in src:
+        if s[0] not in table:
+            want.add(tuple(s))
+    assert _state(spark, path) == want
+    # the pre-merge version still time-travels whole
+    assert {(r["id"], r["grp"], r["v"]) for r in
+            txnlog.snapshot(spark, path, v - 1).collect()} \
+        == {tuple(r) for r in rows}
+
+
+# hostile literal CONTENT through the WHEN MATCHED grammar: the
+# quoted payload may contain every keyword / quote form the parser
+# splits on — it must land VERBATIM (mis-parse is an error by the
+# module contract, a different action is the bug class under test)
+HOSTILE = [
+    " KEY BY (trap)",
+    "WHEN MATCHED AND x THEN UPDATE SET v = 1",
+    "it's got quotes, 'nested', even",
+    'double "quoted" content',
+    "), (1, 2) THEN",
+    "s.v > t.v AND DELETE WHEN f",
+    "x'); DROP TABLE t; --",
+]
+
+
+@pytest.mark.parametrize("payload", HOSTILE)
+def test_when_matched_hostile_literal_content(spark, tmp_path,
+                                              payload):
+    from azure_nyctaxi_lambda_elt_spark.operators import txnsql
+
+    path = str(tmp_path / "t")
+    txnlog.commit(
+        spark.createDataFrame([(1, "a", 5)],
+                              "id long, grp string, v long"),
+        path, "overwrite")
+    spark.createDataFrame([(1, "b", 6)],
+                          "id long, grp string, v long") \
+        .createOrReplaceTempView("hostile_src")
+    lit = payload.replace("'", "''")
+    txnsql.txn_sql(
+        spark,
+        f"MERGE INTO '{path}' USING hostile_src KEY BY (id) "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET "
+        f"grp = '{lit}', v = s.v")
+    row = txnlog.snapshot(spark, path).collect()[0]
+    assert row["grp"] == payload and row["v"] == 6
