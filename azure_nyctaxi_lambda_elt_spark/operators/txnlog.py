@@ -1733,6 +1733,68 @@ def merge_apply(spark: SparkSession, path: str, changes: DataFrame,
                        read_version=read_version, group=group)
 
 
+def _conditional_merge_ctx(spark: SparkSession, path: str,
+                           source: DataFrame, key_cols: list[str],
+                           read_version: int | None, parent: int,
+                           op_label: str = "merge"):
+    """Shared prologue of the conditional-MERGE pair
+    (merge_upsert_when / merge_delete_when): distinct source keys,
+    the full-source-key-set conflict descriptor (checked here
+    against the declared snapshot AND handed back so the commit-time
+    re-check covers the same set — see _merge_impl's
+    conflict_desc), the table schema's column list, and the matched
+    target rows from a manifest-pruned candidate scan, PERSISTED
+    (the qualify split, fingerprints, and rewrite all reuse them —
+    without the persist each action re-runs the candidate scan).
+    Caller unpersists.  Returns (man, keys, full_desc, tcols,
+    matched_t) with matched_t None when no candidate dir can hold a
+    match."""
+    man = _read_manifest(path, parent)
+    keys = source.select(*key_cols).distinct()
+    full_desc = None
+    if read_version is not None:
+        # conservative pre-check over the FULL source key set: the
+        # condition READS every matched row, so any concurrent write
+        # overlapping any source key invalidates the decision even
+        # when that key ends up not qualifying
+        full_desc = _key_set_descriptor(keys, key_cols)
+        _check_write_conflict(path, read_version, parent, key_cols,
+                              full_desc, op_label)
+    tcols = None
+    if man.get("schema"):
+        from pyspark.sql.types import StructType
+        tcols = StructType.fromJson(
+            json.loads(man["schema"])).fieldNames()
+    cand = _probe_candidate_dirs(spark, path, man, keys, key_cols,
+                                 parent)
+    matched_t = None
+    if cand:
+        cur = _read_dirs(spark, path, cand, man)
+        if man.get("dv"):
+            cur = _apply_dv(spark, path, cur, man["dv"])
+        matched_t = cur.join(F.broadcast(keys), key_cols,
+                             "left_semi").persist()
+    return man, keys, full_desc, tcols, matched_t
+
+
+def _pair_split(source: DataFrame, matched_t: DataFrame,
+                key_cols: list[str], match_cond: str | None):
+    """(qualifying, non-qualifying) (source, target) row pairs under
+    ``match_cond`` with ``s.``/``t.`` scope — SQL WHEN MATCHED
+    semantics: only literal TRUE qualifies, NULL means the clause
+    does not fire (the row stays on the non-qualifying side)."""
+    from functools import reduce
+    from operator import and_
+
+    on = reduce(and_, [F.col(f"s.{k}") == F.col(f"t.{k}")
+                       for k in key_cols])
+    pairs = source.alias("s").join(matched_t.alias("t"), on, "inner")
+    cond = (F.expr(match_cond) if match_cond is not None
+            else F.lit(True))
+    return (pairs.where(cond),
+            pairs.where(~F.coalesce(cond, F.lit(False))))
+
+
 def merge_upsert_when(spark: SparkSession, path: str,
                       updates: DataFrame, key_cols: list[str],
                       match_cond: str | None = None,
@@ -1762,24 +1824,33 @@ def merge_upsert_when(spark: SparkSession, path: str,
 
     Delta refuses a MERGE whose source matches one target row twice
     (nondeterministic update); this does too, with the same
-    key-uniqueness probe.  Duplicate target rows under one key each
-    evaluate the condition independently: qualifying rows update,
-    their non-qualifying siblings are carried byte-stable through
-    the rewrite.
+    key-uniqueness probe.  It also refuses assigning a column the
+    table schema does not declare (Delta's rule — a typo'd SET name
+    must not silently evolve the schema while the real column goes
+    stale).  Duplicate target rows under one key each evaluate the
+    condition independently: qualifying rows update, their
+    non-qualifying siblings are carried byte-stable through the
+    rewrite.
 
     Everything downstream of the pair evaluation — candidate-dir
     pruning, copy-on-write rewrite, schema evolution, constraint /
     generated validation, identity preservation, conflict
     descriptors — is :func:`merge_upsert`'s machinery
     (:func:`_merge_impl`); with ``read_version`` the conflict check
-    additionally covers the FULL source key set (a concurrent write
-    to a matched-but-unqualified key invalidated the condition's
-    inputs, so it must refuse, not silently win).
+    covers the FULL source key set (a concurrent write to a
+    matched-but-unqualified key invalidated the condition's inputs,
+    so it must refuse, not silently win) — the full-set descriptor
+    is checked both here AND threaded into _merge_impl's commit-time
+    re-check, so a writer landing between the two is caught; the
+    manifest op record still describes the WRITTEN keys (what later
+    writers must adjudicate against).
 
     Scale shape: one manifest-pruned scan of the candidate dirs for
-    the pair join (broadcast source keys), then the ordinary merge
-    rewrite of only the dirs holding QUALIFYING keys — a
-    mostly-non-qualifying restatement feed touches almost nothing.
+    the pair join (broadcast source keys, matched rows persisted —
+    the qualify split, key-set fingerprint, and rewrite all reuse
+    them), then the ordinary merge rewrite of only the dirs holding
+    QUALIFYING keys — a mostly-non-qualifying restatement feed
+    touches almost nothing.
     Reference parity: the sp-wrapped MERGE around
     sql/batchELT/core/12_trip_clean.dedupe_load.sql restates only
     rows whose incoming change is newer — exactly this guard."""
@@ -1799,7 +1870,9 @@ def merge_upsert_when(spark: SparkSession, path: str,
                 f"read_version {read_version} on an empty table")
         # empty table: every source row is WHEN NOT MATCHED INSERT
         return commit(updates, path, "overwrite", group=group)
-    man = _read_manifest(path, parent)
+    ctx = _conditional_merge_ctx(spark, path, updates, key_cols,
+                                 read_version, parent)
+    man, keys, full_desc, tcols, matched_t = ctx
     gen = man.get("generated", {})
     ident = man.get("identity") or {}
     protected = set(key_cols) | set(gen) | (
@@ -1807,89 +1880,75 @@ def merge_upsert_when(spark: SparkSession, path: str,
     if set_exprs:
         bad = sorted(set(set_exprs) & protected)
         if bad:
+            if matched_t is not None:
+                matched_t.unpersist()
             raise ValueError(
                 f"merge_upsert_when cannot assign {bad}: key, "
                 "identity, and GENERATED ALWAYS AS columns are not "
                 "assignable (the engine owns them)")
-    keys = updates.select(*key_cols).distinct()
-    if read_version is not None:
-        # conservative pre-check over the FULL source key set: the
-        # condition READ every matched row, so any concurrent write
-        # overlapping any source key invalidates the decision even
-        # when that key ends up not qualifying.  _merge_impl
-        # re-checks over the written subset at commit time.
-        _check_write_conflict(path, read_version, parent, key_cols,
-                              _key_set_descriptor(keys, key_cols),
-                              "merge")
-    tcols = list(updates.columns)
-    if man.get("schema"):
-        from pyspark.sql.types import StructType
-        tcols = StructType.fromJson(
-            json.loads(man["schema"])).fieldNames()
-    cand = _probe_candidate_dirs(spark, path, man, keys, key_cols,
-                                 parent)
-    if cand:
-        cur = _read_dirs(spark, path, cand, man)
-        if man.get("dv"):
-            cur = _apply_dv(spark, path, cur, man["dv"])
-        matched_t = cur.join(F.broadcast(keys), key_cols,
-                             "left_semi")
-    else:
-        matched_t = None
-    src = updates.alias("s")
-    if matched_t is not None:
-        from functools import reduce
-        from operator import and_
-
-        on = reduce(and_, [F.col(f"s.{k}") == F.col(f"t.{k}")
-                           for k in key_cols])
-        pairs = src.join(matched_t.alias("t"), on, "inner")
-        cond = (F.expr(match_cond) if match_cond is not None
-                else F.lit(True))
-        qual = pairs.where(cond)
-        # per-row split, SQL semantics: NULL condition = clause
-        # does not fire = the row stays
-        nonqual = pairs.where(~F.coalesce(cond, F.lit(False)))
-        if set_exprs is None:
-            updated = qual.select(
-                *[F.col(f"s.{c}").alias(c) for c in updates.columns])
+        if tcols is not None:
+            unknown = sorted(set(set_exprs) - set(tcols))
+            if unknown:
+                if matched_t is not None:
+                    matched_t.unpersist()
+                raise ValueError(
+                    f"merge_upsert_when cannot assign {unknown}: "
+                    "not columns of the table schema (a typo'd SET "
+                    "name must refuse, not silently add a column — "
+                    "Delta's rule; evolve the schema through the "
+                    "source frame instead)")
+    if tcols is None:
+        tcols = list(updates.columns)
+    try:
+        if matched_t is not None:
+            qual, nonqual = _pair_split(updates, matched_t,
+                                        key_cols, match_cond)
+            if set_exprs is None:
+                updated = qual.select(
+                    *[F.col(f"s.{c}").alias(c)
+                      for c in updates.columns])
+            else:
+                updated = qual.select(
+                    *[F.expr(set_exprs[c]).alias(c) if c in set_exprs
+                      else F.col(f"t.{c}").alias(c) for c in tcols])
+            qual_keys = qual.select(
+                *[F.col(f"s.{k}").alias(k)
+                  for k in key_cols]).distinct()
+            # duplicate target rows under a qualifying key: the
+            # non-qualifying siblings ride through the rewrite
+            # unchanged (their dir rewrites because the key
+            # qualifies elsewhere)
+            carried = (nonqual
+                       .select(*[F.col(f"t.{c}").alias(c)
+                                 for c in tcols])
+                       .join(F.broadcast(qual_keys), key_cols,
+                             "left_semi"))
+            mkeys = matched_t.select(*key_cols).distinct()
+            inserts = updates.join(F.broadcast(mkeys), key_cols,
+                                   "left_anti")
+            drop = sorted((set(gen) | ({ident["col"]} if ident
+                                       else set())) & set(tcols))
+            if drop:
+                # generated columns recompute deterministically in
+                # _merge_impl; the identity column is engine-assigned
+                # there too (matched keys keep their existing id)
+                updated = updated.drop(*drop)
+                carried = carried.drop(*drop)
+            upserts = updated.unionByName(
+                carried, allowMissingColumns=True).unionByName(
+                inserts, allowMissingColumns=True)
+            keys_src = qual_keys.unionByName(
+                inserts.select(*key_cols)).distinct()
         else:
-            updated = qual.select(
-                *[F.expr(set_exprs[c]).alias(c) if c in set_exprs
-                  else F.col(f"t.{c}").alias(c) for c in tcols],
-                *[F.expr(e).alias(c) for c, e in set_exprs.items()
-                  if c not in tcols])
-        qual_keys = qual.select(
-            *[F.col(f"s.{k}").alias(k) for k in key_cols]).distinct()
-        # duplicate target rows under a qualifying key: the
-        # non-qualifying siblings ride through the rewrite unchanged
-        # (their dir rewrites because the key qualifies elsewhere)
-        carried = (nonqual
-                   .select(*[F.col(f"t.{c}").alias(c) for c in tcols])
-                   .join(F.broadcast(qual_keys), key_cols,
-                         "left_semi"))
-        mkeys = matched_t.select(*key_cols).distinct()
-        inserts = updates.join(F.broadcast(mkeys), key_cols,
-                               "left_anti")
-        drop = sorted((set(gen) | ({ident["col"]} if ident
-                                   else set())) & set(tcols))
-        if drop:
-            # generated columns recompute deterministically in
-            # _merge_impl; the identity column is engine-assigned
-            # there too (matched keys keep their existing id)
-            updated = updated.drop(*drop)
-            carried = carried.drop(*drop)
-        upserts = updated.unionByName(
-            carried, allowMissingColumns=True).unionByName(
-            inserts, allowMissingColumns=True)
-        keys_src = qual_keys.unionByName(
-            inserts.select(*key_cols)).distinct()
-    else:
-        # no candidate dir can hold a match: pure insert batch
-        upserts = updates
-        keys_src = keys
-    return _merge_impl(spark, path, keys_src, upserts, key_cols,
-                       read_version=read_version, group=group)
+            # no candidate dir can hold a match: pure insert batch
+            upserts = updates
+            keys_src = keys
+        return _merge_impl(spark, path, keys_src, upserts, key_cols,
+                           read_version=read_version, group=group,
+                           conflict_desc=full_desc)
+    finally:
+        if matched_t is not None:
+            matched_t.unpersist()
 
 
 def merge_delete_when(spark: SparkSession, path: str,
@@ -1918,41 +1977,36 @@ def merge_delete_when(spark: SparkSession, path: str,
     Copy-on-write through :func:`_merge_impl`: only dirs holding
     qualifying keys rewrite; duplicate target rows under one key
     each evaluate independently and non-qualifying siblings carry
-    byte-stable.  With ``read_version`` the conflict pre-check
-    covers the FULL source key set (the condition read every
-    matched row).  Always commits a version (a no-match delete is a
-    recorded operation, Delta-style)."""
+    byte-stable (on an IDENTITY table those siblings keep their ids
+    through the engine's matched-id restoration — exact when keys
+    are unique, the table's normal state).  With ``read_version``
+    the full-source-key-set conflict descriptor is checked against
+    the declared snapshot AND threaded into the commit-time re-check
+    (a concurrent write to a matched-but-unqualified key refuses,
+    never silently wins).  Always commits a version (a no-match
+    delete is a recorded operation, Delta-style) — but a
+    nothing-qualifies run commits METADATA-ONLY with op class
+    ``maintenance`` (no dir written, no logical row changed), so a
+    downstream txntable stream flows past the idle tick instead of
+    refusing a phantom content change."""
     _settle_stale_groups(path)
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no committed version under {path}")
-    man = _read_manifest(path, parent)
-    keys = source.select(*key_cols).distinct()
-    if read_version is not None:
-        _check_write_conflict(path, read_version, parent, key_cols,
-                              _key_set_descriptor(keys, key_cols),
-                              "delete")
-    tcols: list[str] | None = None
-    if man.get("schema"):
-        from pyspark.sql.types import StructType
-        tcols = StructType.fromJson(
-            json.loads(man["schema"])).fieldNames()
-    cand = _probe_candidate_dirs(spark, path, man, keys, key_cols,
-                                 parent)
-    if cand:
-        cur = _read_dirs(spark, path, cand, man)
-        if man.get("dv"):
-            cur = _apply_dv(spark, path, cur, man["dv"])
-        matched_t = cur.join(F.broadcast(keys), key_cols,
-                             "left_semi")
-    else:
-        matched_t = None
+    ctx = _conditional_merge_ctx(spark, path, source, key_cols,
+                                 read_version, parent,
+                                 op_label="delete")
+    man, keys, full_desc, tcols, matched_t = ctx
+
     def _noop_delete() -> int:
-        # nothing qualifies: commit a RECORDED no-op delete
-        # (metadata only — dirs/stats/dv carry verbatim, the op
-        # descriptor still rides for conflict adjudication), Delta's
-        # no-files-changed MERGE commit — the common CDC-reaper idle
-        # tick must not write even an empty dir
+        # nothing qualifies: commit a RECORDED no-op (metadata only —
+        # dirs/stats/dv carry verbatim).  Op class is MAINTENANCE,
+        # not delete: no logical row changed, so the append-only
+        # stream contract is intact and later writers need no
+        # conflict adjudication against an empty write set — a
+        # `delete` op here would crash-loop every non-skip-change
+        # txntable stream on a commit that changed nothing.  The
+        # meta markers keep the audit trail honest.
         return _commit_manifest(
             path, parent + 1, "delete", man["dirs"],
             {"dv_rows_deleted": 0, "merge_delete_noop": True},
@@ -1965,38 +2019,47 @@ def merge_delete_when(spark: SparkSession, path: str,
             analyze=man.get("analyze", {}),
             generated=man.get("generated", {}),
             group=group, files=man.get("files", {}),
-            op={"type": "delete", "key_cols": list(key_cols),
-                "keys": _key_set_descriptor(keys, key_cols)})
+            op={"type": "maintenance"})
 
     if matched_t is None:
         return _noop_delete()
     if tcols is None:
         tcols = matched_t.columns
-    from functools import reduce
-    from operator import and_
-
-    on = reduce(and_, [F.col(f"s.{k}") == F.col(f"t.{k}")
-                       for k in key_cols])
-    pairs = source.alias("s").join(matched_t.alias("t"), on, "inner")
-    cond = (F.expr(match_cond) if match_cond is not None
-            else F.lit(True))
-    qual = pairs.where(cond)
-    dying = qual.select(
-        *[F.col(f"t.{c}").alias(c) for c in tcols])
-    qual_keys = dying.select(*key_cols).distinct()
-    if not qual_keys.limit(1).count():
-        return _noop_delete()
-    # per-row semantics under duplicate target rows: only rows whose
-    # OWN pair qualified die — siblings of a dying key carry through
-    # the rewrite unchanged.  exceptAll is multiplicity-exact, and a
-    # row matched by several qualifying source rows (dup source
-    # keys) appears that many times in `dying` — subtracting more
-    # copies than exist floors at zero, exactly "the row dies once".
-    carried = (matched_t
-               .join(F.broadcast(qual_keys), key_cols, "left_semi")
-               .exceptAll(dying.select(*matched_t.columns)))
-    return _merge_impl(spark, path, qual_keys, carried, key_cols,
-                       read_version=read_version, group=group)
+    try:
+        qual, _ = _pair_split(source, matched_t, key_cols,
+                              match_cond)
+        dying = qual.select(
+            *[F.col(f"t.{c}").alias(c) for c in tcols])
+        qual_keys = dying.select(*key_cols).distinct()
+        if not qual_keys.limit(1).count():
+            return _noop_delete()
+        # per-row semantics under duplicate target rows: only rows
+        # whose OWN pair qualified die — siblings of a dying key
+        # carry through the rewrite unchanged.  exceptAll is
+        # multiplicity-exact, and a row matched by several
+        # qualifying source rows (dup source keys) appears that many
+        # times in `dying` — subtracting more copies than exist
+        # floors at zero, exactly "the row dies once".
+        carried = (matched_t
+                   .join(F.broadcast(qual_keys), key_cols,
+                         "left_semi")
+                   .exceptAll(dying.select(*matched_t.columns)))
+        gen = man.get("generated", {})
+        ident = man.get("identity") or {}
+        drop = sorted((set(gen) | ({ident["col"]} if ident
+                                   else set()))
+                      & set(carried.columns))
+        if drop:
+            # same rule as merge_upsert_when: _merge_impl refuses
+            # upserts carrying the identity column and recomputes
+            # generated columns — carried siblings get their id back
+            # through the matched-id restoration
+            carried = carried.drop(*drop)
+        return _merge_impl(spark, path, qual_keys, carried,
+                           key_cols, read_version=read_version,
+                           group=group, conflict_desc=full_desc)
+    finally:
+        matched_t.unpersist()
 
 
 def convert_to_txn(spark: SparkSession, data_dir: str, path: str,
@@ -2030,11 +2093,18 @@ def convert_to_txn(spark: SparkSession, data_dir: str, path: str,
     vacuum never reclaims it."""
     src_abs = os.path.abspath(data_dir)
     dst_abs = os.path.abspath(path)
-    if src_abs == dst_abs or src_abs.startswith(dst_abs + os.sep):
+    if src_abs == dst_abs or src_abs.startswith(dst_abs + os.sep) \
+            or dst_abs.startswith(src_abs + os.sep):
+        # both nestings are fatal: a data_dir under the root would
+        # scan _txn bookkeeping as data, and a root under the
+        # data_dir would put the table's own future data-v* dirs
+        # (and manifests) INSIDE the adopted dir — every later walk
+        # or raw read of it double-counts them
         raise ValueError(
             "convert_to_txn adopts the directory BY REFERENCE: "
-            f"data_dir {src_abs} must lie outside the table root "
-            f"{dst_abs} (the root holds _txn bookkeeping)")
+            f"data_dir {src_abs} and table root {dst_abs} must be "
+            "disjoint (neither inside the other — the root holds "
+            "_txn bookkeeping and claims its own data dirs)")
     if latest_version(path) is not None:
         raise ValueError(f"convert target {path} already has commits")
     fstats = _dir_file_stats(path, [src_abs])
@@ -2132,12 +2202,20 @@ def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
 def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                 upserts: DataFrame, key_cols: list[str],
                 read_version: int | None = None,
-                group: dict | None = None) -> int:
+                group: dict | None = None,
+                conflict_desc: dict | None = None) -> int:
     """Shared copy-on-write merge core: remove ``keys_src``'s keys
     from the affected dirs, land ``upserts`` in the fresh dir.
     ``group`` marks the commit as a multi-table transaction member
     (invisible until the coordinator decides — commit_group supplies
-    it); read_version inside a group refuses exactly like commit()."""
+    it); read_version inside a group refuses exactly like commit().
+    ``conflict_desc`` widens the read_version conflict CHECK to a
+    caller-supplied key-set descriptor (the conditional merges pass
+    their FULL source key set — the condition read rows the write
+    set excludes, and a concurrent writer touching those must
+    refuse); the manifest's op record still fingerprints
+    ``keys_src`` — the keys this commit actually WROTE, which is
+    what later writers adjudicate against."""
     if group is not None and read_version is not None:
         raise ValueError(
             "read_version inside a transaction group is not "
@@ -2172,7 +2250,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     op_desc = _key_set_descriptor(keys, key_cols)
     if read_version is not None:
         _check_write_conflict(path, read_version, parent, key_cols,
-                              op_desc, "merge")
+                              conflict_desc or op_desc, "merge")
     bkeys = F.broadcast(keys)
     candidates = _probe_candidate_dirs(
         spark, path, man, keys, key_cols, parent)

@@ -273,6 +273,11 @@ class TestMergeUpsertWhen:
             txnlog.merge_upsert_when(
                 spark, path, _df(spark, [(1, "a", 1.0)]), ["id"],
                 set_exprs={"id": "s.id + 1"})
+        # a typo'd SET name must refuse, not silently add a column
+        with pytest.raises(ValueError, match="not columns of"):
+            txnlog.merge_upsert_when(
+                spark, path, _df(spark, [(1, "a", 1.0)]), ["id"],
+                set_exprs={"amtt": "s.amt"})
 
     def test_empty_table_inserts_all(self, spark, tmp_path):
         path = str(tmp_path / "t")
@@ -508,8 +513,49 @@ class TestMergeDeleteWhen:
         man = txnlog._read_manifest(path, v)
         assert man["dirs"] == m0["dirs"]  # no dir written
         assert man["meta"].get("merge_delete_noop") is True
-        assert (man.get("op") or {}).get("type") == "delete"
+        # maintenance, not delete: no logical row changed, so a
+        # downstream txntable stream must flow past the idle tick
+        assert (man.get("op") or {}).get("type") == "maintenance"
         assert txnlog.snapshot(spark, path).count() == 10
+
+    def test_noop_does_not_break_streams(self, spark, tmp_path):
+        """A CDC reaper's idle tick (nothing qualifies) must be
+        transparent to a non-skip-change txntable stream — the
+        crash-loop class the review flagged."""
+        from azure_nyctaxi_lambda_elt_spark.streaming.txn_source \
+            import TxnTableStreamReader
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        v = txnlog.merge_delete_when(
+            spark, path,
+            spark.createDataFrame([(777,)], "id long"), ["id"])
+        rdr = TxnTableStreamReader({"path": path})
+        rdr.initialOffset()
+        parts = rdr.partitions({"version": -1}, {"version": v})
+        # v0's files plan; the no-op version contributes nothing and
+        # raises nothing
+        assert all(p.file_path for p in parts) or len(parts) == 1
+
+    def test_identity_table_delete(self, spark, tmp_path):
+        """merge_delete_when on an IDENTITY table: carried rows drop
+        the engine-owned column and dying rows take their ids with
+        them (the review's crash finding)."""
+        path = str(tmp_path / "t")
+        txnlog.commit(_df(spark, [(1, "a", 1.0), (2, "b", 2.0),
+                                  (3, "c", 3.0)]),
+                      path, "overwrite", identity="rid")
+        before = {r["id"]: r["rid"]
+                  for r in txnlog.snapshot(spark, path).collect()}
+        txnlog.merge_delete_when(
+            spark, path,
+            spark.createDataFrame([(1,), (2,)], "id long"), ["id"],
+            match_cond="t.amt >= 2")
+        after = {r["id"]: r["rid"]
+                 for r in txnlog.snapshot(spark, path).collect()}
+        assert sorted(after) == [1, 3]
+        assert after[1] == before[1]  # survivor keeps its id
+        assert after[3] == before[3]
 
     def test_dup_source_keys_deterministic(self, spark, tmp_path):
         """Delete is a set decision: the row dies if ANY pair
@@ -605,8 +651,13 @@ class TestConvertToTxn:
         txnlog.convert_to_txn(spark, plain, path)
         with pytest.raises(ValueError, match="already has commits"):
             txnlog.convert_to_txn(spark, plain, path)
-        with pytest.raises(ValueError, match="outside the table"):
+        with pytest.raises(ValueError, match="disjoint"):
             txnlog.convert_to_txn(spark, plain, plain)
+        # table root INSIDE the adopted dir: future data-v* commits
+        # would land inside the referenced data (review finding)
+        with pytest.raises(ValueError, match="disjoint"):
+            txnlog.convert_to_txn(spark, plain,
+                                  os.path.join(plain, "tbl"))
         with pytest.raises(FileNotFoundError):
             txnlog.convert_to_txn(spark, str(tmp_path / "empty"),
                                   str(tmp_path / "t2"))
