@@ -2062,6 +2062,58 @@ def merge_delete_when(spark: SparkSession, path: str,
         matched_t.unpersist()
 
 
+def merge_sync_delete(spark: SparkSession, path: str,
+                      source: DataFrame, key_cols: list[str],
+                      match_cond: str | None = None,
+                      read_version: int | None = None,
+                      group: dict | None = None) -> int:
+    """Full-sync MERGE-DELETE — Delta's ``WHEN NOT MATCHED BY
+    SOURCE [AND <cond>] THEN DELETE`` clause, the third leg of the
+    MERGE triangle: target rows whose key has NO source match die
+    (optionally gated by ``match_cond`` over the TARGET row,
+    ``t.<col>`` scope only — there is no source row to reference).
+    With the source as the desired key universe this is dimension
+    full-sync: "make the table contain only what the feed still
+    contains", the reaper half the reference's full-refresh dims get
+    from TRUNCATE+reload (sql/batchELT/core dims) without losing
+    history or rewriting matched rows.
+
+    Two-phase: (1) ONE distinct-keys scan of the current snapshot
+    anti-joined against the source's keys — no broadcast on the
+    source side (a full-sync source carries nearly the whole key
+    universe; Catalyst/AQE pick the join strategy) — yields the
+    dead-key set, typically the small sync DELTA; (2) that set
+    drives :func:`merge_delete_when` verbatim, inheriting the
+    manifest-pruned candidate probe, per-row sibling carry, identity
+    handling, the metadata-only no-op commit when nothing died, and
+    the conflict-descriptor threading.  Deleting 0.1% of keys costs
+    the key scan + a 0.1% rewrite, never a table rewrite.
+
+    ``read_version``: the dead-key descriptor is checked and
+    threaded; note the sync decision also READ the source-matched
+    keys (a concurrent insert could shrink the dead set) — a
+    full-sync under concurrency should pin its feed version
+    upstream like any latest-wins load.
+
+    NULL-key target rows are KEPT (this engine's keyed operations
+    are null-unsafe equality throughout, so a NULL key can neither
+    match a source row nor be addressed as a deletable key) —
+    Delta's ON-clause would delete them as never-matched; reap them
+    explicitly with ``delete_where("k IS NULL")`` if that is the
+    intent.  Pinned by tests."""
+    _settle_stale_groups(path)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    skeys = source.select(*key_cols).distinct()
+    dead_keys = (snapshot(spark, path, parent)
+                 .select(*key_cols).distinct()
+                 .join(skeys, key_cols, "left_anti"))
+    return merge_delete_when(spark, path, dead_keys, key_cols,
+                             match_cond=match_cond,
+                             read_version=read_version, group=group)
+
+
 def convert_to_txn(spark: SparkSession, data_dir: str, path: str,
                    stats_cols: list[str] | None = None,
                    bloom_cols: list[str] | None = None,

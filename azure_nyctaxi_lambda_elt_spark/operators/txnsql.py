@@ -45,6 +45,12 @@ path, ``[...]`` optional):
   source rows are ignored (no insert branch — the delete-feed
   statement; unlike ``DELETE WHEN`` the condition can reference the
   table's current row as ``t.<col>``)
+- ``MERGE INTO '<path>' USING <view | (subquery)> KEY BY (c1[, …])
+  WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE`` — the
+  full-sync branch (txnlog.merge_sync_delete): target rows whose
+  key has NO source match die (cond over the target row only),
+  matched rows are untouched — "make the table contain only what
+  the feed still contains" without a TRUNCATE+reload
 - ``CONVERT '<plain-parquet-dir>' TO '<path>' [STATS (c1[, …])]``
   — adopt an existing parquet directory as a txnlog table by
   reference, zero bytes copied (txnlog.convert_to_txn — Delta's
@@ -92,6 +98,7 @@ _GRAMMAR = (
     "MERGE INTO '<path>' USING <view|(subquery)> KEY BY (cols) "
     "[WHEN MATCHED [AND <cond>] THEN UPDATE SET *|c=expr,... | "
     "WHEN MATCHED [AND <cond>] THEN DELETE | "
+    "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | "
     "DELETE WHEN <flagcol>] | "
     "CONVERT '<dir>' TO '<path>' [STATS (cols)] | "
     "DELETE FROM '<path>' [KEY BY (cols)] WHERE <pred> | "
@@ -285,10 +292,40 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
         if tail:
             dm = re.fullmatch(r"DELETE\s+WHEN\s+(\w+)", tail,
                               re.IGNORECASE)
+            sm = re.match(r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\b"
+                          r"(.*)$", tail, re.IGNORECASE | re.DOTALL)
             wm = re.match(r"WHEN\s+MATCHED\b(.*)$", tail,
                           re.IGNORECASE | re.DOTALL)
             if dm:
                 delete_col = dm.group(1)
+            elif sm:
+                # WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+                # DELETE — the full-sync clause (merge_sync_delete);
+                # cond references the TARGET row only (t.<col>)
+                conditional = "sync"
+                body = sm.group(1).strip()
+                ti, probe = -1, 0
+                while True:
+                    t = _find_top_keyword(body[probe:], "THEN")
+                    if t < 0:
+                        break
+                    t += probe
+                    if re.match(r"THEN\s+DELETE\b", body[t:],
+                                re.IGNORECASE):
+                        ti = t
+                        break
+                    probe = t + 4
+                if ti < 0:
+                    raise _refuse(statement)
+                head, act = body[:ti].strip(), body[ti + 4:].strip()
+                if head:
+                    am = re.match(r"AND\s+(.+)$", head,
+                                  re.IGNORECASE | re.DOTALL)
+                    if not am:
+                        raise _refuse(statement)
+                    match_cond = am.group(1).strip()
+                if not re.fullmatch(r"DELETE", act, re.IGNORECASE):
+                    raise _refuse(statement)
             elif wm:
                 # WHEN MATCHED [AND <cond>] THEN UPDATE SET
                 # * | col = expr[, ...] — Delta's conditional-update
@@ -352,6 +389,10 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
             if delete_col:
                 v = txnlog.merge_apply(spark, path, updf, key_cols,
                                        delete_col=delete_col)
+            elif conditional == "sync":
+                v = txnlog.merge_sync_delete(
+                    spark, path, updf, key_cols,
+                    match_cond=match_cond)
             elif conditional == "delete":
                 v = txnlog.merge_delete_when(
                     spark, path, updf, key_cols,

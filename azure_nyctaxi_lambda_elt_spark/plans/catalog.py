@@ -2443,6 +2443,45 @@ def q_txn_merge_delete_sql(spark: SparkSession,
                         .cast("bigint")))
 
 
+def q_txn_merge_sync_sql(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Full-sync MERGE through the SQL dispatcher
+    (txnlog.merge_sync_delete — Delta's ``WHEN NOT MATCHED BY
+    SOURCE [AND <cond>] THEN DELETE``, the third MERGE clause): the
+    source view is the DESIRED key universe (days 1-20), so target
+    rows outside it die — gated here by a target-side condition
+    (``t.trip_uid % 2 = 0``), so only the even-uid day≥21 rows go
+    and the odd-uid ones prove the gate.  Matched rows are untouched
+    (their dirs never rewrite — rewrote_dirs=1 pins that only the
+    day≥16 commit's dir, the one holding dead keys, was copied).
+    Reference parity: the reference full-refreshes its dims by
+    TRUNCATE+reload (sql/batchELT/core dims); this is that sync
+    without losing history or touching surviving rows."""
+    import shutil
+
+    from ..operators import txnlog, txnsql
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnmsync", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    txnlog.commit(clean.where(day >= 16), out, "append")
+    (clean.where(day <= 20).select("trip_uid")
+     .createOrReplaceTempView("msync_src"))
+    res = txnsql.txn_sql(
+        spark,
+        f"MERGE INTO '{out}' USING msync_src KEY BY (trip_uid) "
+        "WHEN NOT MATCHED BY SOURCE AND t.trip_uid % 2 = 0 "
+        "THEN DELETE").collect()[0]
+    return (txnlog.snapshot(spark, out)
+            .withColumn("rewrote_dirs",
+                        F.lit(int(res["rewrote_dirs"]))
+                        .cast("bigint")))
+
+
 def q_txn_convert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERT TO txnlog (operators/txnlog.py convert_to_txn —
     Delta's ``CONVERT TO DELTA``): a PLAIN parquet directory (the
@@ -3486,6 +3525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_merge_when": q_txn_merge_when,
     "txn_merge_when_sql": q_txn_merge_when_sql,
     "txn_merge_delete_sql": q_txn_merge_delete_sql,
+    "txn_merge_sync_sql": q_txn_merge_sync_sql,
     "txn_convert_table": q_txn_convert_table,
     "txn_stream_backpressure": q_txn_stream_backpressure,
     "txn_delete_vector": q_txn_delete_vector,
@@ -4317,6 +4357,19 @@ ORACLES["txn_merge_delete_sql"] = with_trips("""
            CAST(1 AS BIGINT) AS rewrote_dirs
     FROM trip_clean
     WHERE NOT (day(ingest_date) = 5 AND trip_uid % 6 = 0)
+""")
+
+# full-sync: the desired universe is days 1-20, the target-side gate
+# keeps odd-uid strays — only even-uid day>=21 rows die
+ORACLES["txn_merge_sync_sql"] = with_trips("""
+    SELECT vendor_code, trip_uid, pickup_ts_utc, dropoff_ts_utc,
+           trip_distance_km, fare_amount, payment_type,
+           rate_code_nk, flag_nk, is_night_ride, tip_amount,
+           pu_loc_id, do_loc_id, passenger_count, ingest_date,
+           source_file_name, loaded_at,
+           CAST(1 AS BIGINT) AS rewrote_dirs
+    FROM trip_clean
+    WHERE NOT (day(ingest_date) >= 21 AND trip_uid % 2 = 0)
 """)
 
 # CONVERT adopts the day<=20 plain dir by reference, then day>=21

@@ -608,6 +608,75 @@ class TestMergeDeleteWhen:
                 "WHEN MATCHED THEN DELETE trailing")
 
 
+class TestMergeSyncDelete:
+    def test_full_sync(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        keep = spark.createDataFrame(
+            [(i, "junk") for i in range(6)], "id long, j string")
+        txnlog.merge_sync_delete(spark, path, keep, ["id"])
+        ids = sorted(r["id"] for r in
+                     txnlog.snapshot(spark, path).collect())
+        assert ids == list(range(6))
+
+    def test_target_side_gate(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        keep = spark.createDataFrame([(i,) for i in range(6)],
+                                     "id long")
+        txnlog.merge_sync_delete(spark, path, keep, ["id"],
+                                 match_cond="t.amt < 8")
+        ids = sorted(r["id"] for r in
+                     txnlog.snapshot(spark, path).collect())
+        assert ids == [0, 1, 2, 3, 4, 5, 8, 9]
+
+    def test_covering_source_is_metadata_noop(self, spark,
+                                              tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        keep = spark.createDataFrame([(i,) for i in range(10)],
+                                     "id long")
+        v = txnlog.merge_sync_delete(spark, path, keep, ["id"])
+        man = txnlog._read_manifest(path, v)
+        assert man["meta"].get("merge_delete_noop") is True
+        assert man["op"]["type"] == "maintenance"
+
+    def test_null_key_rows_kept(self, spark, tmp_path):
+        """Documented divergence from Delta: NULL-key target rows
+        survive a sync (keyed ops are null-unsafe equality
+        throughout this engine)."""
+        path = str(tmp_path / "t")
+        txnlog.commit(
+            spark.createDataFrame(
+                [(None, "nk", 0.0), (1, "a", 1.0), (2, "b", 2.0)],
+                "id long, name string, amt double"),
+            path, "overwrite")
+        txnlog.merge_sync_delete(
+            spark, path,
+            spark.createDataFrame([(1,)], "id long"), ["id"])
+        names = {r["name"] for r in
+                 txnlog.snapshot(spark, path).collect()}
+        assert names == {"nk", "a"}
+
+    def test_sql_branch_and_refusal(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        spark.createDataFrame([(i,) for i in range(6)], "id long") \
+            .createOrReplaceTempView("r13_sync")
+        txnsql.txn_sql(
+            spark,
+            f"MERGE INTO '{path}' USING r13_sync KEY BY (id) "
+            "WHEN NOT MATCHED BY SOURCE AND t.amt < 8 THEN DELETE")
+        ids = sorted(r["id"] for r in
+                     txnlog.snapshot(spark, path).collect())
+        assert ids == [0, 1, 2, 3, 4, 5, 8, 9]
+        with pytest.raises(ValueError, match="txn_sql could not"):
+            txnsql.txn_sql(
+                spark,
+                f"MERGE INTO '{path}' USING r13_sync KEY BY (id) "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+
+
 class TestConvertToTxn:
     def _plain(self, spark, tmp_path, n=10):
         plain = str(tmp_path / "plain")
