@@ -1674,6 +1674,46 @@ def _check_commit_conflict(path: str, read_version: int, parent: int,
             "table content — recompute against the current snapshot")
 
 
+def _check_full_read_conflict(path: str, read_version: int,
+                              parent: int, op_name: str) -> None:
+    """Conflict rule for FULL-TABLE-READ writers (merge_sync_delete:
+    the dead-key decision read every target key, so ANY logical
+    content change after ``read_version`` invalidates it — a
+    concurrent insert of a key outside the source universe would
+    silently survive a "full sync" otherwise).  Only physical-only
+    ``maintenance`` commits are compatible (they change no logical
+    row, hence no key universe); everything else — appends, keyed
+    writes regardless of key disjointness, replaces, pre-op-era or
+    vacuumed manifests — refuses with ConcurrentModification.
+    Strictly stronger than :func:`_check_write_conflict`."""
+    if read_version > parent:
+        raise ValueError(
+            f"read_version {read_version} is ahead of the table "
+            f"(latest committed version is {parent})")
+    for v in range(read_version + 1, parent + 1):
+        try:
+            man = _read_manifest(path, v)
+        except FileNotFoundError as e:
+            raise ConcurrentModification(
+                f"{op_name} on {path} derives from a full-table "
+                f"read at version {read_version}, but version {v}'s "
+                "manifest was vacuumed away — whether it changed "
+                "content is undecidable; recompute against the "
+                "current snapshot") from e
+        op = man.get("op") or {}
+        typ = op.get("type") or (
+            "append" if man.get("mode") == "append" else None)
+        if typ == "maintenance":
+            continue
+        raise ConcurrentModification(
+            f"{op_name} on {path} derives from a full-table read at "
+            f"version {read_version}, but version {v} "
+            f"({typ or 'pre-conflict-tracking commit'}) changed "
+            "table content — the decision read every key, so any "
+            "logical change invalidates it; recompute against the "
+            "current snapshot")
+
+
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                  key_cols: list[str],
                  read_version: int | None = None,
@@ -1875,31 +1915,44 @@ def merge_upsert_when(spark: SparkSession, path: str,
     man, keys, full_desc, tcols, matched_t = ctx
     gen = man.get("generated", {})
     ident = man.get("identity") or {}
-    protected = set(key_cols) | set(gen) | (
-        {ident["col"]} if ident else set())
-    if set_exprs:
-        bad = sorted(set(set_exprs) & protected)
-        if bad:
-            if matched_t is not None:
-                matched_t.unpersist()
-            raise ValueError(
-                f"merge_upsert_when cannot assign {bad}: key, "
-                "identity, and GENERATED ALWAYS AS columns are not "
-                "assignable (the engine owns them)")
-        if tcols is not None:
-            unknown = sorted(set(set_exprs) - set(tcols))
+    if tcols is None:
+        tcols = list(updates.columns)
+    try:
+        # SET-name resolution is CASE-INSENSITIVE like Spark's
+        # default column resolution (Delta accepts `SET
+        # FARE_AMOUNT = ...` against fare_amount); two SET names
+        # colliding case-insensitively, an engine-owned target, or a
+        # name outside the table schema all refuse — a typo'd SET
+        # must never silently add a column while the real one goes
+        # stale (the schema check runs against the SOURCE columns
+        # when the manifest predates schema recording, so it is
+        # never skipped)
+        se_lookup: dict[str, str] = {}
+        if set_exprs:
+            for c, e in set_exprs.items():
+                if c.lower() in se_lookup:
+                    raise ValueError(
+                        f"merge_upsert_when SET names collide "
+                        f"case-insensitively on {c!r}")
+                se_lookup[c.lower()] = e
+            protected = {c.lower() for c in key_cols} \
+                | {c.lower() for c in gen} \
+                | ({ident["col"].lower()} if ident else set())
+            bad = sorted(set(se_lookup) & protected)
+            if bad:
+                raise ValueError(
+                    f"merge_upsert_when cannot assign {bad}: key, "
+                    "identity, and GENERATED ALWAYS AS columns are "
+                    "not assignable (the engine owns them)")
+            unknown = sorted(
+                set(se_lookup) - {c.lower() for c in tcols})
             if unknown:
-                if matched_t is not None:
-                    matched_t.unpersist()
                 raise ValueError(
                     f"merge_upsert_when cannot assign {unknown}: "
                     "not columns of the table schema (a typo'd SET "
                     "name must refuse, not silently add a column — "
                     "Delta's rule; evolve the schema through the "
                     "source frame instead)")
-    if tcols is None:
-        tcols = list(updates.columns)
-    try:
         if matched_t is not None:
             qual, nonqual = _pair_split(updates, matched_t,
                                         key_cols, match_cond)
@@ -1909,7 +1962,8 @@ def merge_upsert_when(spark: SparkSession, path: str,
                       for c in updates.columns])
             else:
                 updated = qual.select(
-                    *[F.expr(set_exprs[c]).alias(c) if c in set_exprs
+                    *[F.expr(se_lookup[c.lower()]).alias(c)
+                      if c.lower() in se_lookup
                       else F.col(f"t.{c}").alias(c) for c in tcols])
             qual_keys = qual.select(
                 *[F.col(f"s.{k}").alias(k)
@@ -1923,6 +1977,18 @@ def merge_upsert_when(spark: SparkSession, path: str,
                                  for c in tcols])
                        .join(F.broadcast(qual_keys), key_cols,
                              "left_semi"))
+            if ident and carried.limit(1).count():
+                # same refusal as merge_delete_when: a surviving
+                # duplicate-key sibling cannot keep its own id
+                # through the rewrite (one restored id per key would
+                # collide with the updated row's) — refuse loudly
+                # instead of silently duplicating surrogate keys
+                raise ValueError(
+                    f"merge_upsert_when on {path}: a qualifying key "
+                    "has duplicate target rows, and the IDENTITY "
+                    f"column '{ident['col']}' cannot be preserved "
+                    "per-row through the rewrite — de-duplicate the "
+                    "table on the merge keys first")
             mkeys = matched_t.select(*key_cols).distinct()
             inserts = updates.join(F.broadcast(mkeys), key_cols,
                                    "left_anti")
@@ -1955,7 +2021,8 @@ def merge_delete_when(spark: SparkSession, path: str,
                       source: DataFrame, key_cols: list[str],
                       match_cond: str | None = None,
                       read_version: int | None = None,
-                      group: dict | None = None) -> int:
+                      group: dict | None = None,
+                      _full_read: bool = False) -> int:
     """Conditional MERGE-DELETE — Delta's ``WHEN MATCHED
     [AND <cond>] THEN DELETE`` clause: a target row dies exactly
     when a source row matches its key AND the condition is literal
@@ -2046,18 +2113,33 @@ def merge_delete_when(spark: SparkSession, path: str,
                    .exceptAll(dying.select(*matched_t.columns)))
         gen = man.get("generated", {})
         ident = man.get("identity") or {}
+        if ident and carried.limit(1).count():
+            # a surviving duplicate-key sibling cannot keep its id
+            # through the rewrite (the engine restores ONE id per
+            # key — min over the key's existing rows, which includes
+            # the DYING row's): silently resurrecting a deleted
+            # surrogate key on different data is corruption, so
+            # refuse loudly.  Unique-key identity tables (the normal
+            # state) never reach here — their carried set is empty.
+            raise ValueError(
+                f"merge_delete_when on {path}: a qualifying key has "
+                "surviving duplicate-key sibling rows, and the "
+                f"IDENTITY column '{ident['col']}' cannot be "
+                "preserved per-row through the rewrite — "
+                "de-duplicate the table on the merge keys first")
         drop = sorted((set(gen) | ({ident["col"]} if ident
                                    else set()))
                       & set(carried.columns))
         if drop:
             # same rule as merge_upsert_when: _merge_impl refuses
             # upserts carrying the identity column and recomputes
-            # generated columns — carried siblings get their id back
-            # through the matched-id restoration
+            # generated columns — carried (here: none, the refusal
+            # above) and unique-key rows are unaffected
             carried = carried.drop(*drop)
         return _merge_impl(spark, path, qual_keys, carried,
                            key_cols, read_version=read_version,
-                           group=group, conflict_desc=full_desc)
+                           group=group, conflict_desc=full_desc,
+                           full_read=_full_read)
     finally:
         matched_t.unpersist()
 
@@ -2089,11 +2171,14 @@ def merge_sync_delete(spark: SparkSession, path: str,
     the conflict-descriptor threading.  Deleting 0.1% of keys costs
     the key scan + a 0.1% rewrite, never a table rewrite.
 
-    ``read_version``: the dead-key descriptor is checked and
-    threaded; note the sync decision also READ the source-matched
-    keys (a concurrent insert could shrink the dead set) — a
-    full-sync under concurrency should pin its feed version
-    upstream like any latest-wins load.
+    ``read_version``: the sync decision read EVERY target key, so
+    the conflict rule is the strict full-read one
+    (:func:`_check_full_read_conflict`) — ANY logical content commit
+    after the declared snapshot refuses, including a disjoint-key
+    append (its new key would silently survive the "full sync"
+    otherwise); only physical maintenance is compatible.  Checked
+    here before the scan AND again inside the merge against the
+    parent the publish races on, so the coverage is gap-free.
 
     NULL-key target rows are KEPT (this engine's keyed operations
     are null-unsafe equality throughout, so a NULL key can neither
@@ -2105,13 +2190,26 @@ def merge_sync_delete(spark: SparkSession, path: str,
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no committed version under {path}")
+    if read_version is not None:
+        # fail fast BEFORE the key scan; the authoritative re-check
+        # runs inside the merge against its own publish parent
+        _check_full_read_conflict(path, read_version, parent,
+                                  "merge_sync_delete")
     skeys = source.select(*key_cols).distinct()
+    # persisted: the dead-key set feeds the candidate probe, the
+    # broadcast, every pair-split evaluation, and the conflict
+    # fingerprint downstream — without the persist each one re-runs
+    # the full-table key scan
     dead_keys = (snapshot(spark, path, parent)
                  .select(*key_cols).distinct()
-                 .join(skeys, key_cols, "left_anti"))
-    return merge_delete_when(spark, path, dead_keys, key_cols,
-                             match_cond=match_cond,
-                             read_version=read_version, group=group)
+                 .join(skeys, key_cols, "left_anti").persist())
+    try:
+        return merge_delete_when(spark, path, dead_keys, key_cols,
+                                 match_cond=match_cond,
+                                 read_version=read_version,
+                                 group=group, _full_read=True)
+    finally:
+        dead_keys.unpersist()
 
 
 def convert_to_txn(spark: SparkSession, data_dir: str, path: str,
@@ -2255,7 +2353,8 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                 upserts: DataFrame, key_cols: list[str],
                 read_version: int | None = None,
                 group: dict | None = None,
-                conflict_desc: dict | None = None) -> int:
+                conflict_desc: dict | None = None,
+                full_read: bool = False) -> int:
     """Shared copy-on-write merge core: remove ``keys_src``'s keys
     from the affected dirs, land ``upserts`` in the fresh dir.
     ``group`` marks the commit as a multi-table transaction member
@@ -2267,7 +2366,13 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     set excludes, and a concurrent writer touching those must
     refuse); the manifest's op record still fingerprints
     ``keys_src`` — the keys this commit actually WROTE, which is
-    what later writers adjudicate against."""
+    what later writers adjudicate against.  ``full_read`` escalates
+    the check to :func:`_check_full_read_conflict` (the sync-delete
+    contract: the decision read EVERY key, so any content commit —
+    even a disjoint-key append — refuses); running it HERE, against
+    the parent this commit's test-and-set publish races on, makes
+    the coverage gap-free: a commit landing after this check loses
+    the version race and surfaces as TxnConflict."""
     if group is not None and read_version is not None:
         raise ValueError(
             "read_version inside a transaction group is not "
@@ -2301,8 +2406,13 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     # our own declared snapshot (before any rewrite work runs)
     op_desc = _key_set_descriptor(keys, key_cols)
     if read_version is not None:
-        _check_write_conflict(path, read_version, parent, key_cols,
-                              conflict_desc or op_desc, "merge")
+        if full_read:
+            _check_full_read_conflict(path, read_version, parent,
+                                      "merge_sync_delete")
+        else:
+            _check_write_conflict(path, read_version, parent,
+                                  key_cols, conflict_desc or op_desc,
+                                  "merge")
     bkeys = F.broadcast(keys)
     candidates = _probe_candidate_dirs(
         spark, path, man, keys, key_cols, parent)

@@ -278,6 +278,44 @@ class TestMergeUpsertWhen:
             txnlog.merge_upsert_when(
                 spark, path, _df(spark, [(1, "a", 1.0)]), ["id"],
                 set_exprs={"amtt": "s.amt"})
+        # case-insensitively colliding SET names refuse
+        with pytest.raises(ValueError, match="collide"):
+            txnlog.merge_upsert_when(
+                spark, path, _df(spark, [(1, "a", 1.0)]), ["id"],
+                set_exprs={"amt": "s.amt", "AMT": "s.amt"})
+
+    def test_set_names_case_insensitive(self, spark, tmp_path):
+        """SET AMT against column amt resolves like Spark's default
+        case-insensitive column resolution (Delta accepts it too)."""
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        txnlog.merge_upsert_when(
+            spark, path, _df(spark, [(1, "u", 42.0)]), ["id"],
+            set_exprs={"AMT": "s.amt"})
+        row = [r for r in txnlog.snapshot(spark, path).collect()
+               if r["id"] == 1][0]
+        assert row["amt"] == 42.0 and row["name"] == "n1"
+        assert "AMT" not in txnlog.snapshot(spark, path).columns
+
+    def test_identity_dup_sibling_refuses(self, spark, tmp_path):
+        """A qualifying key with duplicate target rows on an
+        IDENTITY table refuses (one restored id per key would
+        collide / resurrect a deleted id) — both conditional paths."""
+        path = str(tmp_path / "t")
+        txnlog.commit(_df(spark, [(1, "a", 1.0), (1, "b", 9.0),
+                                  (2, "c", 2.0)]),
+                      path, "overwrite", identity="rid")
+        # 5.0 beats the amt=1.0 sibling but not the amt=9.0 one —
+        # exactly one qualifying row + one surviving sibling
+        src = _df(spark, [(1, "upd", 5.0)])
+        with pytest.raises(ValueError, match="de-duplicate"):
+            txnlog.merge_upsert_when(spark, path, src, ["id"],
+                                     match_cond="s.amt > t.amt")
+        with pytest.raises(ValueError, match="de-duplicate"):
+            txnlog.merge_delete_when(
+                spark, path,
+                spark.createDataFrame([(1,)], "id long"), ["id"],
+                match_cond="t.amt < 5")
 
     def test_empty_table_inserts_all(self, spark, tmp_path):
         path = str(tmp_path / "t")
@@ -532,10 +570,14 @@ class TestMergeDeleteWhen:
             spark.createDataFrame([(777,)], "id long"), ["id"])
         rdr = TxnTableStreamReader({"path": path})
         rdr.initialOffset()
-        parts = rdr.partitions({"version": -1}, {"version": v})
-        # v0's files plan; the no-op version contributes nothing and
-        # raises nothing
-        assert all(p.file_path for p in parts) or len(parts) == 1
+        # v0 alone plans exactly its parquet files; planning through
+        # the no-op version must raise nothing AND add nothing
+        v0_parts = [p.file_path for p in
+                    rdr.partitions({"version": -1}, {"version": 0})]
+        assert v0_parts and all(v0_parts)
+        parts = [p.file_path for p in
+                 rdr.partitions({"version": -1}, {"version": v})]
+        assert parts == v0_parts
 
     def test_identity_table_delete(self, spark, tmp_path):
         """merge_delete_when on an IDENTITY table: carried rows drop
@@ -657,6 +699,40 @@ class TestMergeSyncDelete:
         names = {r["name"] for r in
                  txnlog.snapshot(spark, path).collect()}
         assert names == {"nk", "a"}
+
+    def test_full_read_conflict_refuses_disjoint_append(self, spark,
+                                                        tmp_path):
+        """The sync decision read every key: a concurrent append of
+        a key OUTSIDE the source universe must refuse (it would
+        silently survive the 'full sync'), even though the keyed
+        conflict matrix would call it disjoint-compatible."""
+        path = str(tmp_path / "t")
+        _seed(spark, path)  # v0
+        rv = 0
+        # concurrent writer lands an append of key 50 (not in source)
+        txnlog.commit(_df(spark, [(50, "late", 5.0)]), path,
+                      "append")
+        keep = spark.createDataFrame([(i,) for i in range(10)],
+                                     "id long")
+        with pytest.raises(txnlog.ConcurrentModification,
+                           match="full-table read"):
+            txnlog.merge_sync_delete(spark, path, keep, ["id"],
+                                     read_version=rv)
+        # maintenance interleaving stays compatible
+        path2 = str(tmp_path / "t2")
+        _seed(spark, path2)
+        txnlog.commit(_df(spark, [(50, "x", 5.0)]), path2, "append")
+        rv2 = txnlog.latest_version(path2)
+        txnlog.compact(spark, path2)
+        v = txnlog.merge_sync_delete(
+            spark, path2,
+            spark.createDataFrame([(i,) for i in range(10)],
+                                  "id long"),
+            ["id"], read_version=rv2)
+        assert sorted(r["id"] for r in
+                      txnlog.snapshot(spark, path2).collect()) \
+            == list(range(10))
+        assert v == rv2 + 2
 
     def test_sql_branch_and_refusal(self, spark, tmp_path):
         path = str(tmp_path / "t")
