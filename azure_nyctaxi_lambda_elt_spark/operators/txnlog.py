@@ -2212,6 +2212,77 @@ def merge_sync_delete(spark: SparkSession, path: str,
         dead_keys.unpersist()
 
 
+def alter_constraints(spark: SparkSession, path: str,
+                      add: dict[str, str] | None = None,
+                      drop: list[str] | None = None) -> int:
+    """Delta ``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)``
+    / ``DROP CONSTRAINT <name>`` on a live table: change the
+    declared CHECK set WITHOUT a data write — constraints are a
+    table property carried by every commit, but until now (re)
+    declaring one required riding a data commit; this is the
+    standalone METADATA-ONLY statement.
+
+    ``add`` names→SQL-boolean (NOT NULL is ``"col IS NOT NULL"``);
+    adding validates the table's CURRENT visible rows first, one agg
+    job over all live dirs with tombstones applied (Delta's ADD
+    CONSTRAINT scans existing data the same way) — a violation
+    refuses with ConstraintViolation and the table is unchanged.
+    Re-declaring an existing name with a DIFFERENT expression
+    refuses (Delta errors on duplicate names; drop it first);
+    re-declaring the identical expression is an idempotent no-op
+    entry.  ``drop`` removes by name; an unknown name refuses
+    loudly (a typo'd DROP must not silently leave the constraint
+    enforced).
+
+    The commit carries dirs/stats/dv/files verbatim with op class
+    ``maintenance`` — no logical row changed, so txntable streams
+    flow past it and concurrent keyed writers need no adjudication
+    against it.  Enforcement from the NEXT write on is the ordinary
+    commit/MERGE validation path.  Returns the committed version."""
+    _settle_stale_groups(path)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version under {path}")
+    man = _read_manifest(path, parent)
+    cons = dict(man.get("constraints", {}))
+    for name in (drop or []):
+        if name not in cons:
+            raise ValueError(
+                f"DROP CONSTRAINT {name!r}: no such constraint on "
+                f"{path} (declared: {sorted(cons) or 'none'})")
+        del cons[name]
+    added: dict[str, str] = {}
+    for name, sql in (add or {}).items():
+        if name in cons and cons[name] != sql:
+            raise ValueError(
+                f"ADD CONSTRAINT {name!r}: already declared with a "
+                f"different expression ({cons[name]!r}); DROP it "
+                "first (Delta refuses duplicate constraint names "
+                "the same way)")
+        if cons.get(name) != sql:
+            added[name] = sql
+        cons[name] = sql
+    if added and man["dirs"]:
+        # the new constraints must hold over the CURRENT visible
+        # rows — validate before publishing, tombstones applied
+        _validate_constraints(spark, path, man["dirs"], added,
+                              man=man)
+    return _commit_manifest(
+        path, parent + 1, man.get("mode", "overwrite"), man["dirs"],
+        {"alter_constraints": {"added": sorted(added),
+                               "dropped": sorted(drop or [])}},
+        man.get("stats", {}), man.get("rows", {}),
+        man.get("bloom_cols", []), man.get("schema"),
+        partition_by=man.get("partition_by", []),
+        dv=man.get("dv", []),
+        constraints=cons,
+        identity=man.get("identity"),
+        analyze=man.get("analyze", {}),
+        generated=man.get("generated", {}),
+        files=man.get("files", {}),
+        op={"type": "maintenance"})
+
+
 def convert_to_txn(spark: SparkSession, data_dir: str, path: str,
                    stats_cols: list[str] | None = None,
                    bloom_cols: list[str] | None = None,

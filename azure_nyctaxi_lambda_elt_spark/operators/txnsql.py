@@ -51,6 +51,13 @@ path, ``[...]`` optional):
   key has NO source match die (cond over the target row only),
   matched rows are untouched — "make the table contain only what
   the feed still contains" without a TRUNCATE+reload
+- ``ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)`` /
+  ``ALTER '<path>' DROP CONSTRAINT <name>`` — change the declared
+  CHECK set on a live table WITHOUT a data write
+  (txnlog.alter_constraints, metadata-only maintenance commit);
+  ADD validates the current visible rows first and refuses with
+  ConstraintViolation on a violation, DROP of an unknown name
+  refuses
 - ``CONVERT '<plain-parquet-dir>' TO '<path>' [STATS (c1[, …])]``
   — adopt an existing parquet directory as a txnlog table by
   reference, zero bytes copied (txnlog.convert_to_txn — Delta's
@@ -100,6 +107,8 @@ _GRAMMAR = (
     "WHEN MATCHED [AND <cond>] THEN DELETE | "
     "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | "
     "DELETE WHEN <flagcol>] | "
+    "ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>) | "
+    "ALTER '<path>' DROP CONSTRAINT <name> | "
     "CONVERT '<dir>' TO '<path>' [STATS (cols)] | "
     "DELETE FROM '<path>' [KEY BY (cols)] WHERE <pred> | "
     "UPDATE '<path>' SET c = expr[, ...] [KEY BY (cols)] "
@@ -534,6 +543,30 @@ def txn_sql(spark: SparkSession, statement: str) -> DataFrame:
             ("dry_run", bool(m.group(4)), BooleanType()),
             ("paths", sorted(removed),
              ArrayType(StringType()))])
+
+    m = re.match(r"ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)"
+                 r"\s+CHECK\s*\((.+)\)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        # the CHECK body is everything inside the OUTERMOST parens —
+        # the anchored .+ with the trailing )$ keeps nested parens
+        # and quoted content whole; the expression passes through
+        # VERBATIM to the validation agg (Spark SQL semantics)
+        v = txnlog.alter_constraints(
+            spark, m.group(1), add={m.group(2): m.group(3).strip()})
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("action", "add_constraint", StringType()),
+            ("name", m.group(2), StringType())])
+    m = re.match(r"ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)$",
+                 s, re.IGNORECASE)
+    if m:
+        v = txnlog.alter_constraints(spark, m.group(1),
+                                     drop=[m.group(2)])
+        return _one_row(spark, [
+            ("version", int(v), IntegerType()),
+            ("action", "drop_constraint", StringType()),
+            ("name", m.group(2), StringType())])
 
     m = re.match(r"CONVERT\s+'([^']+)'\s+TO\s+'([^']+)'"
                  r"(?:\s+STATS\s*\(([^)]*)\))?$", s, re.IGNORECASE)

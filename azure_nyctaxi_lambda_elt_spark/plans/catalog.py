@@ -2482,6 +2482,92 @@ def q_txn_merge_sync_sql(spark: SparkSession,
                         .cast("bigint")))
 
 
+def q_txn_alter_constraint_sql(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ALTER CONSTRAINT lifecycle through the SQL dispatcher
+    (txnlog.alter_constraints — Delta's ``ALTER TABLE ADD/DROP
+    CONSTRAINT``, metadata-only): declare ``CHECK (fare_amount >=
+    0)`` on the live table (one validation agg over current rows, no
+    data write), prove it GATES — a negative-fare INSERT refuses
+    with ConstraintViolation and the table is unchanged — and prove
+    ADD itself validates: declaring a CHECK the existing data
+    violates refuses too.  Then DROP and land the previously-refused
+    rows, pinning that enforcement follows the declared set, not
+    history.  Structural columns carry the whole lifecycle: the
+    metadata commit versions, both refusal flags, and the final
+    declared-constraint count.  Reference parity: the reference's DQ
+    gate is a named-check layer bolted before load
+    (sql/batchELT/dq/50_dq_modeling.sql); this is that gate
+    declared ON the table and enforced by the commit protocol."""
+    import shutil
+
+    from ..operators import txnlog, txnsql
+
+    apply_engine_conf(spark)
+    out = _out_dir(_WRITE_TMP, "txnalter", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    clean = tf.trip_clean(
+        tf.typed_trips(tf.raw_trips(spark, sf_dir))).transform(pin)
+    day = F.dayofmonth("ingest_date")
+    txnlog.commit(clean.where(day <= 15), out, "overwrite")
+    txnlog.commit(clean.where(day >= 16), out, "append")
+    clean.createOrReplaceTempView("alter_src")
+    addv = int(txnsql.txn_sql(
+        spark,
+        f"ALTER '{out}' ADD CONSTRAINT fare_nonneg "
+        "CHECK (fare_amount >= 0)").collect()[0]["version"])
+    neg_cols = ", ".join(
+        "trip_uid + 20000000 AS trip_uid" if c == "trip_uid"
+        else "-5.0 - fare_amount AS fare_amount" if c == "fare_amount"
+        else c for c in clean.columns)
+    refused_insert = False
+    try:
+        txnsql.txn_sql(
+            spark,
+            f"INSERT INTO '{out}' SELECT {neg_cols} FROM alter_src "
+            "WHERE day(ingest_date) = 2")
+    except txnlog.ConstraintViolation:
+        refused_insert = True
+    clone_cols = ", ".join(
+        "trip_uid + 10000000 AS trip_uid" if c == "trip_uid" else c
+        for c in clean.columns)
+    txnsql.txn_sql(
+        spark,
+        f"INSERT INTO '{out}' SELECT {clone_cols} FROM alter_src "
+        "WHERE day(ingest_date) = 1")
+    refused_add = False
+    try:
+        txnsql.txn_sql(
+            spark,
+            f"ALTER '{out}' ADD CONSTRAINT impossible "
+            "CHECK (fare_amount < 0)")
+    except txnlog.ConstraintViolation:
+        refused_add = True
+    dropv = int(txnsql.txn_sql(
+        spark,
+        f"ALTER '{out}' DROP CONSTRAINT fare_nonneg"
+    ).collect()[0]["version"])
+    txnsql.txn_sql(
+        spark,
+        f"INSERT INTO '{out}' SELECT {neg_cols} FROM alter_src "
+        "WHERE day(ingest_date) = 2")
+    n_cons = len(txnlog._read_manifest(
+        out, txnlog.latest_version(out)).get("constraints", {}))
+    snap = txnlog.snapshot(spark, out)
+    return (snap.groupBy("ingest_date").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("fare_amount").cast("decimal(18,2)"))
+        .cast("double").alias("fare_sum"))
+        .withColumn("add_version",
+                    F.lit(addv).cast("bigint"))
+        .withColumn("refused_insert", F.lit(refused_insert))
+        .withColumn("refused_add", F.lit(refused_add))
+        .withColumn("drop_version",
+                    F.lit(dropv).cast("bigint"))
+        .withColumn("n_constraints_final",
+                    F.lit(n_cons).cast("bigint")))
+
+
 def q_txn_convert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERT TO txnlog (operators/txnlog.py convert_to_txn —
     Delta's ``CONVERT TO DELTA``): a PLAIN parquet directory (the
@@ -3526,6 +3612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txn_merge_when_sql": q_txn_merge_when_sql,
     "txn_merge_delete_sql": q_txn_merge_delete_sql,
     "txn_merge_sync_sql": q_txn_merge_sync_sql,
+    "txn_alter_constraint_sql": q_txn_alter_constraint_sql,
     "txn_convert_table": q_txn_convert_table,
     "txn_stream_backpressure": q_txn_stream_backpressure,
     "txn_delete_vector": q_txn_delete_vector,
@@ -4357,6 +4444,30 @@ ORACLES["txn_merge_delete_sql"] = with_trips("""
            CAST(1 AS BIGINT) AS rewrote_dirs
     FROM trip_clean
     WHERE NOT (day(ingest_date) = 5 AND trip_uid % 6 = 0)
+""")
+
+# ALTER CONSTRAINT lifecycle: the gated negative INSERT never lands,
+# the post-DROP one does (day-2 clones at uid+20M with fare -5-x);
+# day-1 clones at uid+10M land while the constraint is live
+ORACLES["txn_alter_constraint_sql"] = with_trips("""
+    , alter_rows AS (
+      SELECT ingest_date, fare_amount FROM trip_clean
+      UNION ALL
+      SELECT ingest_date, fare_amount FROM trip_clean
+      WHERE day(ingest_date) = 1
+      UNION ALL
+      SELECT ingest_date, -5.0 - fare_amount AS fare_amount
+      FROM trip_clean WHERE day(ingest_date) = 2)
+    SELECT ingest_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS fare_sum,
+           CAST(2 AS BIGINT) AS add_version,
+           TRUE AS refused_insert,
+           TRUE AS refused_add,
+           CAST(4 AS BIGINT) AS drop_version,
+           CAST(0 AS BIGINT) AS n_constraints_final
+    FROM alter_rows GROUP BY 1
 """)
 
 # full-sync: the desired universe is days 1-20, the target-side gate

@@ -121,6 +121,7 @@ BENCH_NEW_QUERIES = [
     "txn_merge_when_sql",
     "txn_merge_delete_sql",
     "txn_merge_sync_sql",
+    "txn_alter_constraint_sql",
     "txn_convert_table",
 ]
 

@@ -753,6 +753,104 @@ class TestMergeSyncDelete:
                 "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
 
 
+class TestAlterConstraints:
+    def test_lifecycle(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        m0 = txnlog._read_manifest(path, 0)
+        v = txnlog.alter_constraints(
+            spark, path, add={"amt_nonneg": "amt >= 0"})
+        man = txnlog._read_manifest(path, v)
+        assert man["dirs"] == m0["dirs"]  # metadata-only
+        assert man["op"]["type"] == "maintenance"
+        assert man["constraints"] == {"amt_nonneg": "amt >= 0"}
+        # the declared set now GATES commits
+        with pytest.raises(txnlog.ConstraintViolation):
+            txnlog.commit(_df(spark, [(100, "bad", -1.0)]), path,
+                          "append")
+        assert txnlog.snapshot(spark, path).count() == 10
+        # drop, then the same row lands
+        v2 = txnlog.alter_constraints(spark, path,
+                                      drop=["amt_nonneg"])
+        assert txnlog._read_manifest(path, v2)["constraints"] == {}
+        txnlog.commit(_df(spark, [(100, "bad", -1.0)]), path,
+                      "append")
+        assert txnlog.snapshot(spark, path).count() == 11
+
+    def test_add_validates_existing_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)  # amts 0..9
+        with pytest.raises(txnlog.ConstraintViolation):
+            txnlog.alter_constraints(spark, path,
+                                     add={"impossible": "amt > 100"})
+        # refusal left no version behind
+        assert txnlog.latest_version(path) == 0
+
+    def test_add_respects_tombstones(self, spark, tmp_path):
+        """Rows a DV delete made invisible must not fail a new
+        constraint (same rule as commit-time ADD)."""
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        txnlog.delete_keys(
+            spark, path,
+            spark.createDataFrame([(i,) for i in range(5)],
+                                  "id long"), ["id"])
+        v = txnlog.alter_constraints(spark, path,
+                                     add={"big": "amt >= 5"})
+        assert "big" in txnlog._read_manifest(path, v)["constraints"]
+
+    def test_redeclare_and_unknown_drop(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        txnlog.alter_constraints(spark, path,
+                                 add={"c1": "amt >= 0"})
+        # identical re-declare: idempotent, no validation re-run
+        txnlog.alter_constraints(spark, path, add={"c1": "amt >= 0"})
+        with pytest.raises(ValueError, match="different expression"):
+            txnlog.alter_constraints(spark, path,
+                                     add={"c1": "amt > 1"})
+        with pytest.raises(ValueError, match="no such constraint"):
+            txnlog.alter_constraints(spark, path, drop=["typo"])
+
+    def test_sql_surface(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        row = txnsql.txn_sql(
+            spark,
+            f"ALTER '{path}' ADD CONSTRAINT nn "
+            "CHECK (amt >= 0 AND (name IS NOT NULL))").collect()[0]
+        assert row["action"] == "add_constraint"
+        assert row["name"] == "nn"
+        cons = txnlog._read_manifest(
+            path, row["version"])["constraints"]
+        assert cons["nn"] == "amt >= 0 AND (name IS NOT NULL)"
+        row2 = txnsql.txn_sql(
+            spark,
+            f"ALTER '{path}' DROP CONSTRAINT nn").collect()[0]
+        assert row2["action"] == "drop_constraint"
+        assert txnlog._read_manifest(
+            path, row2["version"])["constraints"] == {}
+        with pytest.raises(ValueError, match="txn_sql could not"):
+            txnsql.txn_sql(
+                spark, f"ALTER '{path}' ADD CONSTRAINT x y")
+
+    def test_stream_flows_past_alter(self, spark, tmp_path):
+        from azure_nyctaxi_lambda_elt_spark.streaming.txn_source \
+            import TxnTableStreamReader
+
+        path = str(tmp_path / "t")
+        _seed(spark, path)
+        v = txnlog.alter_constraints(spark, path,
+                                     add={"c": "amt >= 0"})
+        rdr = TxnTableStreamReader({"path": path})
+        rdr.initialOffset()
+        v0 = [p.file_path for p in
+              rdr.partitions({"version": -1}, {"version": 0})]
+        through = [p.file_path for p in
+                   rdr.partitions({"version": -1}, {"version": v})]
+        assert through == v0  # the ALTER adds nothing, raises nothing
+
+
 class TestConvertToTxn:
     def _plain(self, spark, tmp_path, n=10):
         plain = str(tmp_path / "plain")
