@@ -123,6 +123,66 @@ def _pack_bits(positions: list[int], m: int) -> str:
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
+def bitmap_agg_sql(col: str, m: int = BLOOM_M, k: int = BLOOM_K
+                   ) -> list[str]:
+    """The k bitmap-aggregate SQL expressions whose OR is this
+    module's bitmap — the form that rides INSIDE another job
+    (DataFrame.observe on the commit's write, or the per-dir groupBy
+    of a partitioned commit) instead of a separate read-back job per
+    (dir, column).  ``bitmap_bit_position(p + 1)`` maps position
+    p ∈ [0, m) into bucket 1 of Spark's 32768-bit bitmap, and
+    ``bitmap_construct_agg`` packs bits in exactly ``_pack_bits``'s
+    byte/bit order (pinned byte-identical by
+    tests/test_r13_opt_equivalence.py), so the merged result is THE
+    sidecar bitmap, not an approximation of it.  Requires m <= 32768
+    (one Spark bitmap bucket) — true for the module default; larger
+    m falls back to the legacy build."""
+    if m > (1 << 15):
+        raise ValueError(f"bitmap_agg_sql caps at m=32768, got {m}")
+    return [
+        f"bitmap_construct_agg(bitmap_bit_position("
+        f"pmod(xxhash64({i}, `{col}`), {m}) + 1))"
+        for i in range(k)
+    ]
+
+
+def merge_bitmap_parts(parts: list, m: int = BLOOM_M) -> str:
+    """OR the k bitmap-agg results (bytes, or None for a zero-row
+    aggregate) into the sidecar's base64 bitmap."""
+    buf = bytearray(m // 8)
+    for b in parts:
+        if b is None:
+            continue
+        for j, byte in enumerate(bytes(b)[: m // 8]):
+            buf[j] |= byte
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def sidecar_body(col: str, dtype: str, bits_b64: str,
+                 m: int = BLOOM_M, k: int = BLOOM_K) -> dict:
+    """The sidecar JSON body — single shape shared by the legacy
+    read-back build and the in-write-job builds."""
+    return {"col": col, "m": m, "k": k, "dtype": dtype,
+            "bits": bits_b64}
+
+
+def write_sidecar(path: str, dirname: str, col: str,
+                  body: dict) -> bool:
+    """Publish a precomputed sidecar for (``dirname``, ``col``) under
+    table ``path`` — same write-once semantics as build_bloom_index
+    (skip when any sidecar already describes these immutable bytes;
+    tmp + atomic replace).  Returns True when written."""
+    if _resolve_sidecar(path, dirname, col) is not None:
+        return False
+    os.makedirs(_bloom_root(path), exist_ok=True)
+    side = _sidecar_path(path, dirname, col)
+    tmp = f"{side}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+    os.replace(tmp, side)
+    return True
+
+
 def _bit_set(packed: bytes, p: int) -> bool:
     return bool(packed[p >> 3] & (1 << (p & 7)))
 

@@ -569,6 +569,113 @@ def _col_stats(df: DataFrame, cols: list[str]) -> tuple[dict, int]:
              for c in cols}, int(row["__n"]))
 
 
+_PARQUET_EXACT_RE = None
+
+
+def _parquet_exact_type(simple: str) -> bool:
+    """Spark types whose parquet write→read round-trip is value- and
+    type-exact, so metrics computed ON THE WRITE JOB'S OWN ROWS
+    (DataFrame.observe) equal a read-back aggregation over the
+    written files bit for bit.  Anything else (nested types, void,
+    interval) falls back to the legacy read-back jobs — correctness
+    first, the optimization only claims the cases it can prove."""
+    global _PARQUET_EXACT_RE
+    if _PARQUET_EXACT_RE is None:
+        import re
+        _PARQUET_EXACT_RE = re.compile(
+            r"^(tinyint|smallint|int|bigint|float|double|boolean|"
+            r"date|timestamp|timestamp_ntz|string|binary|"
+            r"decimal\(\d+,\d+\))$")
+    return bool(_PARQUET_EXACT_RE.match(simple))
+
+
+def _observed_write(spark: SparkSession, path: str, data_dir: str,
+                    df: DataFrame, stat_cols: list[str],
+                    bloom_cols: list[str]
+                    ) -> tuple[dict, dict, dict]:
+    """Plain (unpartitioned) data-dir write with the commit's per-dir
+    metadata computed INSIDE the write job: ``DataFrame.observe``
+    rides the [min, max]/count stats and the declared bloom columns'
+    bitmap aggregates (bloomindex.bitmap_agg_sql) on the same pass
+    that persists the rows — ONE job where the previous shape paid
+    the write plus a stats read-back agg plus one read-back build per
+    bloom column (guide §1.2: fix the pass count before anything
+    else; measured ~0.8-1.4 s of read-back jobs per commit at bench
+    scale, a full extra scan of new data per commit at any scale).
+
+    The nondeterministic-lineage rule the read-back formulation
+    existed for HOLDS by construction: observe metrics are computed
+    on the rows of the SAME evaluation the writer persisted, never a
+    re-execution.  Equality with read-back needs the parquet
+    round-trip to be value- and type-exact, so any stat/bloom column
+    whose dtype is outside _parquet_exact_type falls back to the old
+    read-back path for exactly that artifact
+    (tests/test_r13_opt_equivalence.py pins byte-equality of both
+    stats and sidecars).
+
+    Returns ``(stats, rows, sidecar_bodies)``: stats/rows are
+    ``{dir_name: ...}`` maps (empty when ``stat_cols`` is empty, same
+    as the callers recorded before) and sidecar_bodies maps each
+    bloom column to its ready-to-publish body for THIS dir
+    (_maintain_bloom writes them without any further job; columns
+    absent from the frame record the all-zero 'absent' body exactly
+    like the legacy build)."""
+    from pyspark.sql import Observation
+
+    from . import bloomindex  # function-scoped: bloomindex imports us
+
+    name = os.path.basename(data_dir)
+    dtypes = dict(df.dtypes)
+    ok_stats = bool(stat_cols) and all(
+        _parquet_exact_type(dtypes.get(c, "")) for c in stat_cols)
+    bcols_obs = [c for c in bloom_cols
+                 if c in dtypes and _parquet_exact_type(dtypes[c])]
+    aggs = []
+    if ok_stats:
+        aggs.append(F.count(F.lit(1)).alias("__obs_n"))
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"__obs_lo_{c}"),
+                     F.max(c).alias(f"__obs_hi_{c}")]
+    for c in bcols_obs:
+        for i, sql in enumerate(bloomindex.bitmap_agg_sql(c)):
+            aggs.append(F.expr(sql).alias(f"__obs_bm_{c}_{i}"))
+    if aggs:
+        obs = Observation()
+        df.observe(obs, *aggs).write.mode("overwrite") \
+            .parquet(data_dir)
+        row = obs.get
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
+        row = {}
+    stats: dict = {}
+    rows: dict = {}
+    if ok_stats:
+        stats = {name: {c: [_json_safe(row[f"__obs_lo_{c}"]),
+                            _json_safe(row[f"__obs_hi_{c}"])]
+                        for c in stat_cols}}
+        rows = {name: int(row["__obs_n"])}
+    elif stat_cols:
+        # non-round-trip-exact stat dtype: envelopes from the WRITTEN
+        # files, the pre-optimization formulation
+        cstats, n = _col_stats(
+            spark.read.parquet(data_dir), list(stat_cols))
+        stats, rows = {name: cstats}, {name: n}
+    bodies: dict = {}
+    for c in bcols_obs:
+        bits = bloomindex.merge_bitmap_parts(
+            [row[f"__obs_bm_{c}_{i}"]
+             for i in range(bloomindex.BLOOM_K)])
+        bodies[c] = bloomindex.sidecar_body(c, dtypes[c], bits)
+    for c in bloom_cols:
+        if c not in dtypes:
+            # written dir cannot hold the column: all-zero 'absent'
+            # sidecar, no scan needed (legacy build reads the dir's
+            # schema to conclude the same)
+            bodies[c] = bloomindex.sidecar_body(
+                c, "absent", bloomindex.merge_bitmap_parts([]))
+    return stats, rows, bodies
+
+
 def _compute_generated(df: DataFrame,
                        gen: dict[str, str]) -> DataFrame:
     """GENERATED ALWAYS AS columns (Delta generated-column shape):
@@ -937,31 +1044,42 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
             df, ident["col"], ident["hwm"])
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
-    # the data write is invisible until the manifest rename lands
+    # bloom_cols is a TABLE PROPERTY, not per-version data state: it
+    # survives overwrites like Delta's bloom index config — otherwise
+    # one routine full-refresh silently stops indexing and the
+    # point-lookup index is missing exactly when needed.  Resolved
+    # BEFORE the write so the write job can compute the sidecar
+    # bitmaps on its own pass (_observed_write).
+    bcols = sorted(set(bloom_cols or []))
+    if parent is not None:
+        bcols = sorted(set(bcols) | set(pman.get("bloom_cols", [])))
+    # the data write is invisible until the manifest rename lands.
+    # Stats come from the WRITE JOB'S OWN ROWS (observe), never a
+    # re-aggregation of df's lineage: a nondeterministic lineage
+    # (rand/sample/range-sample) could evaluate differently a second
+    # time and record an envelope that excludes rows actually in the
+    # dir — pruning would then silently drop them.  observe keeps
+    # that guarantee at one job instead of write + read-back(s)
+    # (_observed_write docstring; byte-equality pinned by
+    # tests/test_r13_opt_equivalence.py).
+    bloom_pre: dict = {}
     if partition_by:
-        dirs, stats, rows = _write_partitioned(
+        dirs, stats, rows, bloom_pre = _write_partitioned(
             df.sparkSession, path, data_dir, df, partition_by,
-            stats_cols or [])
+            stats_cols or [], bloom_cols=bcols)
     else:
-        df.write.mode("overwrite").parquet(data_dir)
+        stats, rows, bodies = _observed_write(
+            df.sparkSession, path, data_dir, df, stats_cols or [],
+            bcols)
         dirs = [name]
-        stats, rows = {}, {}
-        if stats_cols:
-            # stats come from the WRITTEN files, not a re-aggregation
-            # of df: a nondeterministic lineage (rand/sample/
-            # range-sample) could evaluate differently the second
-            # time and record an envelope that excludes rows actually
-            # in the dir — pruning would then silently drop them
-            cstats, n = _col_stats(
-                df.sparkSession.read.parquet(data_dir), stats_cols)
-            stats, rows = {name: cstats}, {name: n}
+        if bodies:
+            bloom_pre = {name: bodies}
     new_dirs = list(dirs)
     analyze: dict = {}
     if analyze_cols:
         analyze = _analyze_per_dir(
             df.sparkSession, path, new_dirs,
             sorted(set(analyze_cols)))
-    bcols = sorted(set(bloom_cols or []))
     # the table schema rides in the manifest (Delta-style): snapshot
     # reads apply it explicitly, so columns added by later commits
     # null-backfill over old dirs instead of being silently dropped
@@ -971,12 +1089,6 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     written = _schema_json(df.sparkSession.read.parquet(
         os.path.join(path, dirs[0])))
     schema = written
-    if parent is not None:
-        # bloom_cols is a TABLE PROPERTY, not per-version data state:
-        # it survives overwrites like Delta's bloom index config —
-        # otherwise one routine full-refresh silently stops indexing
-        # and the point-lookup index is missing exactly when needed
-        bcols = sorted(set(bcols) | set(pman.get("bloom_cols", [])))
     dv: list[dict] = []
     if mode == "append" and parent is not None:
         dirs = pman["dirs"] + dirs
@@ -1032,7 +1144,8 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
                          constraints=cons, identity=ident,
                          group=group, analyze=analyze, generated=gen,
                          op={"type": mode})
-    _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs)
+    _maintain_bloom(df.sparkSession, path, v, bcols, new_dirs,
+                    precomputed=bloom_pre)
     return v
 
 
@@ -1216,8 +1329,9 @@ def commit_group(writes: list[tuple[DataFrame, str]],
 def _write_partitioned(spark: SparkSession, path: str, data_dir: str,
                        df: DataFrame, pby: list[str],
                        stat_cols: list[str],
-                       layout_cols: list[str] | None = None
-                       ) -> tuple[list[str], dict, dict]:
+                       layout_cols: list[str] | None = None,
+                       bloom_cols: tuple | list = ()
+                       ) -> tuple[list[str], dict, dict, dict]:
     """THE place the dir-per-value invariant is written (shared by
     commit / MERGE / compact / optimize_zorder): duplicate the
     partition columns under layout-only shadow names (partitionBy
@@ -1236,39 +1350,58 @@ def _write_partitioned(spark: SparkSession, path: str, data_dir: str,
         out = out.withColumn(s, F.col(c))
     out.write.mode("overwrite") \
         .partitionBy(*shadow, *(layout_cols or [])).parquet(data_dir)
-    dirs, stats, rows = _partition_dir_stats(
-        spark, path, data_dir, sorted(set(stat_cols) | set(pby)))
+    dirs, stats, rows, blooms = _partition_dir_stats(
+        spark, path, data_dir, sorted(set(stat_cols) | set(pby)),
+        bloom_cols)
     if not dirs:
         # empty frame: a partitioned write leaves no leaf dirs (just
         # _SUCCESS) — rewrite plain so the dir carries the schema
         df.drop(*(layout_cols or [])).limit(0) \
             .write.mode("overwrite").parquet(data_dir)
         dirs = [os.path.basename(data_dir)]
-        stats, rows = {}, {}
-    return dirs, stats, rows
+        stats, rows, blooms = {}, {}, {}
+    return dirs, stats, rows, blooms
 
 
 def _partition_dir_stats(spark: SparkSession, path: str,
-                         data_dir: str, stat_cols: list[str]
-                         ) -> tuple[list[str], dict, dict]:
+                         data_dir: str, stat_cols: list[str],
+                         bloom_cols: tuple | list = ()
+                         ) -> tuple[list[str], dict, dict, dict]:
     """Per-leaf-partition-dir manifest entries for a partitioned
     commit: ONE job over the written tree (rows tagged with their
     owning dir via input_file_name — never a job per partition),
     yielding dir names relative to the table root plus each dir's
     [min, max] stats and row count.  Stats aggregate the REAL data
-    columns (the shadow partition columns are layout only)."""
+    columns (the shadow partition columns are layout only).
+
+    ``bloom_cols``: the declared bloom columns' bitmap aggregates
+    (bloomindex.bitmap_agg_sql) ride the SAME groupBy job — the
+    previous shape paid one read-back build job PER LEAF DIR per
+    column on top of this job (31 extra jobs in the partitioned-
+    by-date scenario; guide §2.4: operations keyed the same way
+    share one pass).  Returns (dirs, stats, rows, sidecar_bodies)
+    with sidecar_bodies = {rel_dir: {col: body}}, dtypes taken from
+    the written tree's read-back schema exactly like the legacy
+    per-dir build."""
+    from . import bloomindex  # function-scoped: bloomindex imports us
+
     if not any(f.endswith(".parquet")
                for _, _, files in os.walk(data_dir) for f in files):
-        return [], {}, {}  # empty frame wrote no leaves (just _SUCCESS)
-    tagged = (
-        spark.read.parquet(data_dir)
-        .withColumn("__dir", _dir_col()))
+        return [], {}, {}, {}  # empty frame wrote no leaves
+    scan = spark.read.parquet(data_dir)
+    tagged = scan.withColumn("__dir", _dir_col())
+    dtypes = dict(scan.dtypes)
     aggs = [F.count("*").alias("__n")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"__lo_{c}"),
                  F.max(c).alias(f"__hi_{c}")]
+    bcols_present = [c for c in bloom_cols if c in dtypes]
+    for c in bcols_present:
+        for i, sql in enumerate(bloomindex.bitmap_agg_sql(c)):
+            aggs.append(F.expr(sql).alias(f"__bm_{c}_{i}"))
     base = os.path.abspath(path)
     dirs, stats, rows = [], {}, {}
+    blooms: dict = {}
     for r in tagged.groupBy("__dir").agg(*aggs).collect():
         # input_file_name is a URI: percent-decode before relpath
         # (unquote, not unquote_plus — a literal '+' must survive)
@@ -1279,27 +1412,52 @@ def _partition_dir_stats(spark: SparkSession, path: str,
                           _json_safe(r[f"__hi_{c}"])]
                       for c in stat_cols}
         rows[rel] = int(r["__n"])
+        bodies = {}
+        for c in bcols_present:
+            bits = bloomindex.merge_bitmap_parts(
+                [r[f"__bm_{c}_{i}"]
+                 for i in range(bloomindex.BLOOM_K)])
+            bodies[c] = bloomindex.sidecar_body(c, dtypes[c], bits)
+        for c in bloom_cols:
+            if c not in dtypes:
+                bodies[c] = bloomindex.sidecar_body(
+                    c, "absent", bloomindex.merge_bitmap_parts([]))
+        if bodies:
+            blooms[rel] = bodies
     dirs.sort()
-    return dirs, stats, rows
+    return dirs, stats, rows, blooms
 
 
 def _maintain_bloom(spark: SparkSession, path: str, version: int,
                     bloom_cols: list[str],
-                    new_dirs: list[str]) -> None:
-    """Build the declared Bloom sidecars for a commit's NEW dirs —
-    called by the publish WINNER after its manifest lands.  One
-    narrow agg job per (new dir, column); old dirs' sidecars are
-    write-once and never rescanned.  Running after publish keeps the
-    commit's atomicity untouched: a crash here leaves the dir
-    unindexed, which pruning treats conservatively (full scan), never
-    incorrectly."""
+                    new_dirs: list[str],
+                    precomputed: dict | None = None) -> None:
+    """Publish the declared Bloom sidecars for a commit's NEW dirs —
+    called by the publish WINNER after its manifest lands.  Dirs
+    whose bitmaps were already computed inside the write job
+    (``precomputed`` = {dir: {col: body}} from _observed_write /
+    _partition_dir_stats) publish as plain file writes with NO Spark
+    job; anything not covered (non-round-trip-exact dtype, the
+    empty-partitioned-frame fallback dir) takes the legacy one-agg-
+    job-per-dir build.  Old dirs' sidecars are write-once and never
+    rescanned.  Running after publish keeps the commit's atomicity
+    untouched: a crash here leaves the dir unindexed, which pruning
+    treats conservatively (full scan), never incorrectly."""
     if not bloom_cols:
         return
     from . import bloomindex  # function-scoped: bloomindex imports us
 
     for c in bloom_cols:
-        bloomindex.build_bloom_index(
-            spark, path, c, version=version, only_dirs=new_dirs)
+        rest = []
+        for d in new_dirs:
+            body = (precomputed or {}).get(d, {}).get(c)
+            if body is None:
+                rest.append(d)
+            else:
+                bloomindex.write_sidecar(path, d, c, body)
+        if rest:
+            bloomindex.build_bloom_index(
+                spark, path, c, version=version, only_dirs=rest)
 
 
 def _claim_data_dir(path: str, version: int) -> str:
@@ -2569,35 +2727,36 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
     pby = man.get("partition_by", [])
+    bcols = man.get("bloom_cols", [])
     stat_cols = sorted({c for s in stats.values() for c in s})
     new_stats, new_rows = {}, {}
+    bloom_pre: dict = {}
     if pby:
         # partition-aware rewrite: the copy-on-write dir splits per
         # partition value like every commit on this table, so
         # dir-per-value stays an INVARIANT through MERGE (a date-
         # scoped read after an upsert still opens only that date's
         # leaves) instead of an eventual state compact() restores
-        new_names, new_stats, new_rows = _write_partitioned(
-            spark, path, data_dir, rewritten, pby, stat_cols)
+        new_names, new_stats, new_rows, bloom_pre = _write_partitioned(
+            spark, path, data_dir, rewritten, pby, stat_cols,
+            bloom_cols=bcols)
     else:
-        rewritten.write.mode("overwrite").parquet(data_dir)
+        # one pass: the write job itself carries the restated stats
+        # and bloom bitmaps (observe — see commit(); this keeps the
+        # envelope pinned to the rows actually on disk WITHOUT
+        # re-executing the anti-join ∪ upserts, which is exactly what
+        # the old read-back existed to avoid)
+        new_stats, new_rows, bodies = _observed_write(
+            spark, path, data_dir, rewritten, stat_cols, bcols)
         new_names = [name]
-        # carry surviving dirs' stats/rows; restate the rewritten
-        # dir's over the same column set so pruning keeps working
-        if stat_cols:
-            # from the WRITTEN dir, not the rewritten lineage: avoids
-            # re-executing the anti-join ∪ upserts and pins the
-            # envelope to the rows actually on disk (see commit())
-            cstats, n = _col_stats(
-                spark.read.parquet(data_dir), stat_cols)
-            new_stats, new_rows = {name: cstats}, {name: n}
+        if bodies:
+            bloom_pre = {name: bodies}
     dirs = [d for d in man["dirs"] if d not in affected] + new_names
     kept_stats = {d: s for d, s in stats.items() if d in dirs}
     kept_stats.update(new_stats)
     prows = man.get("rows", {})
     kept_rows = {d: n for d, n in prows.items() if d in dirs}
     kept_rows.update(new_rows)
-    bcols = man.get("bloom_cols", [])
     schema = _merge_schema_json(
         man.get("schema"),
         _schema_json(spark.read.parquet(
@@ -2644,7 +2803,8 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
                              "keys": op_desc})
     # surviving dirs keep their write-once sidecars; only the fresh
     # leaves need indexing, so the index stays always-on through MERGE
-    _maintain_bloom(spark, path, v, bcols, new_names)
+    _maintain_bloom(spark, path, v, bcols, new_names,
+                    precomputed=bloom_pre)
     return v
 
 
@@ -2920,20 +3080,22 @@ def compact(spark: SparkSession, path: str,
     data_dir = _claim_data_dir(path, version)
     name = os.path.basename(data_dir)
     pby = man.get("partition_by", [])
+    bcols = man.get("bloom_cols", [])
     stat_cols = sorted({c for s in man.get("stats", {}).values()
                         for c in s})
     stats, rows = {}, {}
+    bloom_pre: dict = {}
     if pby:
-        new_dirs, stats, rows = _write_partitioned(
-            spark, path, data_dir, snap, pby, stat_cols)
+        new_dirs, stats, rows, bloom_pre = _write_partitioned(
+            spark, path, data_dir, snap, pby, stat_cols,
+            bloom_cols=bcols)
     else:
-        snap.write.mode("overwrite").parquet(data_dir)
+        # stats + bloom bitmaps ride the rewrite job (see commit())
+        stats, rows, bodies = _observed_write(
+            spark, path, data_dir, snap, stat_cols, bcols)
         new_dirs = [name]
-        if stat_cols:
-            cstats, n = _col_stats(
-                spark.read.parquet(data_dir), stat_cols)
-            stats, rows = {name: cstats}, {name: n}
-    bcols = man.get("bloom_cols", [])
+        if bodies:
+            bloom_pre = {name: bodies}
     out = _commit_manifest(
         path, version, "overwrite", new_dirs,
         {"compacted_from": len(man["dirs"])}, stats, rows, bcols,
@@ -2944,7 +3106,8 @@ def compact(spark: SparkSession, path: str,
         # physical-only rewrite: no logical row changes, compatible
         # with any concurrent keyed write (conflict matrix)
         op={"type": "maintenance"})
-    _maintain_bloom(spark, path, out, bcols, new_dirs)
+    _maintain_bloom(spark, path, out, bcols, new_dirs,
+                    precomputed=bloom_pre)
     return out
 
 
@@ -3090,16 +3253,16 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
     # artifact, not a data column); per-leaf envelopes + row counts
     # come from the shared input_file_name-tagged job, and the
     # empty-frame fallback keeps an empty table's manifest readable
-    new_dirs, stats, rows = _write_partitioned(
+    bcols = man.get("bloom_cols", [])
+    new_dirs, stats, rows, bloom_pre = _write_partitioned(
         spark, path, data_dir,
         clustered.repartitionByRange(shuffle_partitions, *pby, "__zb"),
-        pby, stat_cols, layout_cols=["__zb"])
+        pby, stat_cols, layout_cols=["__zb"], bloom_cols=bcols)
     dirs = list(carried) + new_dirs
     stats = {**{d: s for d, s in man.get("stats", {}).items()
                 if d in carried}, **stats}
     rows = {**{d: n for d, n in man.get("rows", {}).items()
                if d in carried}, **rows}
-    bcols = man.get("bloom_cols", [])
     out = _commit_manifest(
         path, version, "overwrite", dirs,
         {"zorder_by": [col_a, col_b],
@@ -3114,7 +3277,8 @@ def optimize_zorder(spark: SparkSession, path: str, col_a: str,
         # physical-only recluster: compatible with concurrent keyed
         # writes (conflict matrix)
         op={"type": "maintenance"})
-    _maintain_bloom(spark, path, out, bcols, new_dirs)
+    _maintain_bloom(spark, path, out, bcols, new_dirs,
+                    precomputed=bloom_pre)
     return out
 
 
@@ -4527,9 +4691,13 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
                 op=op, **carry)
         use_dv, pairs = False, None
         if key_cols:
-            ksample = (matched.select(*key_cols).distinct()
-                       .limit(DV_MAX_KEYS + 1).collect())
-            if len(ksample) <= DV_MAX_KEYS:
+            # cardinality gate only — count the capped distinct set
+            # instead of collecting 100k+1 key ROWS to the driver
+            # just to take len() (guide §5: the driver does no data
+            # work; matched is persisted so this is a cheap pass)
+            n_keys = (matched.select(*key_cols).distinct()
+                      .limit(DV_MAX_KEYS + 1).count())
+            if n_keys <= DV_MAX_KEYS:
                 pairs = matched.select(
                     rel.alias("__dv_dir"), *key_cols).distinct()
                 # SAFETY PROBE: a key tombstone kills EVERY row
@@ -4584,20 +4752,22 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
         name = os.path.basename(data_dir)
         pby = man.get("partition_by", [])
         stats = man.get("stats", {})
+        bcols = man.get("bloom_cols", [])
         stat_cols = sorted({c for s in stats.values() for c in s})
         new_stats, new_rows_map = {}, {}
+        bloom_pre: dict = {}
         if pby:
-            new_names, new_stats, new_rows_map = _write_partitioned(
-                spark, path, data_dir, kept, pby, stat_cols)
+            new_names, new_stats, new_rows_map, bloom_pre = \
+                _write_partitioned(spark, path, data_dir, kept, pby,
+                                   stat_cols, bloom_cols=bcols)
         else:
-            kept.write.mode("overwrite").parquet(data_dir)
+            # envelopes + bloom bitmaps ride the write job itself
+            # (same one-pass rule as commit/merge; _observed_write)
+            new_stats, new_rows_map, bodies = _observed_write(
+                spark, path, data_dir, kept, stat_cols, bcols)
             new_names = [name]
-            if stat_cols:
-                # envelopes from the WRITTEN files (same
-                # nondeterministic-lineage rule as commit/merge)
-                cstats, n = _col_stats(
-                    spark.read.parquet(data_dir), stat_cols)
-                new_stats, new_rows_map = {name: cstats}, {name: n}
+            if bodies:
+                bloom_pre = {name: bodies}
         gone = set(affected)
         dirs = [d for d in man["dirs"] if d not in gone] + new_names
         kept_stats = {d: s for d, s in stats.items() if d in dirs}
@@ -4605,7 +4775,6 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
         kept_rows = {d: n for d, n in man.get("rows", {}).items()
                      if d in dirs}
         kept_rows.update(new_rows_map)
-        bcols = man.get("bloom_cols", [])
         v = _commit_manifest(
             path, version, "delete", dirs,
             {"predicate": predicate, "rewrote": affected,
@@ -4615,7 +4784,8 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
             analyze={d: a for d, a in man.get("analyze", {}).items()
                      if d in dirs},
             op=op, **carry)
-        _maintain_bloom(spark, path, v, bcols, new_names)
+        _maintain_bloom(spark, path, v, bcols, new_names,
+                        precomputed=bloom_pre)
         return v
     finally:
         if matched is not None:
@@ -4808,9 +4978,11 @@ def update_where(spark: SparkSession, path: str, predicate: str,
                 op=op, **carry)
         use_dv, pairs = False, None
         if key_cols:
-            ksample = (matched.select(*key_cols).distinct()
-                       .limit(DV_MAX_KEYS + 1).collect())
-            if len(ksample) <= DV_MAX_KEYS:
+            # cardinality gate only — a count moves zero rows to the
+            # driver where the collect moved up to 100k+1 (guide §5)
+            n_keys = (matched.select(*key_cols).distinct()
+                      .limit(DV_MAX_KEYS + 1).count())
+            if n_keys <= DV_MAX_KEYS:
                 pairs = matched.select(
                     rel.alias("__dv_dir"), *key_cols).distinct()
                 # same safety probe as delete_where: the tombstones
@@ -4837,6 +5009,7 @@ def update_where(spark: SparkSession, path: str, predicate: str,
         name = os.path.basename(data_dir)
         pby = man.get("partition_by", [])
         stats = man.get("stats", {})
+        bcols = man.get("bloom_cols", [])
         stat_cols = sorted({c for s in stats.values() for c in s})
         if use_dv:
             # DV update lane: tombstone the old row versions, land
@@ -4854,16 +5027,19 @@ def update_where(spark: SparkSession, path: str, predicate: str,
             payload = _apply_set(existing, everywhere=False)
             rewrote = affected
         new_stats, new_rows_map = {}, {}
+        bloom_pre: dict = {}
         if pby:
-            new_names, new_stats, new_rows_map = _write_partitioned(
-                spark, path, data_dir, payload, pby, stat_cols)
+            new_names, new_stats, new_rows_map, bloom_pre = \
+                _write_partitioned(spark, path, data_dir, payload,
+                                   pby, stat_cols, bloom_cols=bcols)
         else:
-            payload.write.mode("overwrite").parquet(data_dir)
+            # envelopes + bloom bitmaps ride the write job (see
+            # commit(); one job instead of write + read-backs)
+            new_stats, new_rows_map, bodies = _observed_write(
+                spark, path, data_dir, payload, stat_cols, bcols)
             new_names = [name]
-            if stat_cols:
-                cstats, n = _col_stats(
-                    spark.read.parquet(data_dir), stat_cols)
-                new_stats, new_rows_map = {name: cstats}, {name: n}
+            if bodies:
+                bloom_pre = {name: bodies}
         if cons:
             # only the updated rows can newly violate — but the
             # written dir is the validation unit, same as MERGE
@@ -4895,14 +5071,14 @@ def update_where(spark: SparkSession, path: str, predicate: str,
         kept_rows = {d: n for d, n in man.get("rows", {}).items()
                      if d in dirs}
         kept_rows.update(new_rows_map)
-        bcols = man.get("bloom_cols", [])
         v = _commit_manifest(
             path, version, "update", dirs,
             {"predicate": predicate, "rewrote": rewrote,
              "rows_updated": int(n_rows), "lane": lane},
             kept_stats, kept_rows, bcols, man.get("schema"),
             dv=dv, analyze=kept_analyze, op=op, **carry)
-        _maintain_bloom(spark, path, v, bcols, new_names)
+        _maintain_bloom(spark, path, v, bcols, new_names,
+                        precomputed=bloom_pre)
         return v
     finally:
         if matched is not None:

@@ -1008,9 +1008,17 @@ def cdc_apply_changes(events: DataFrame) -> DataFrame:
 # catalog wrappers
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = False) -> DataFrame:
+    """``spread=True``: see plans/llm_catalog.py _docs — opt-in
+    single-file-scan redistribution for per-row-heavy entries."""
     apply_engine_conf(spark)
-    return load_table(spark, sf_dir, "documents")
+    df = load_table(spark, sf_dir, "documents")
+    if spread:
+        from ..sources.tables import spread_small_scan
+
+        return spread_small_scan(df)
+    return df
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,7 +1038,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return longest_dup_span(_docs(spark, sf_dir))
+    return longest_dup_span(_docs(spark, sf_dir, spread=True))
 
 
 def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:

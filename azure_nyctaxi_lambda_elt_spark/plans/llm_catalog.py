@@ -27,8 +27,20 @@ ANN_K = 5
 ANN_QUERY_MOD = 50  # queries = vec_id % 50 == 0
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = False) -> DataFrame:
+    """``spread=True`` redistributes the single-file documents scan
+    before per-row-heavy work (tokenization/shingling/hashing) —
+    sources/tables.py spread_small_scan; a no-op above one scan
+    split.  Opt-in per entry: the r13 A/B showed tokenization-heavy
+    consumers win 0.4-2.8 s each at sf0.1 while light/join-shaped
+    ones lose to the extra exchange (OPTIMIZATION_r13.md)."""
+    df = load_table(spark, sf_dir, "documents")
+    if spread:
+        from ..sources.tables import spread_small_scan
+
+        return spread_small_scan(df)
+    return df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +69,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return lt.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_N, JACCARD_TAU)
+    return lt.ngram_jaccard_pairs(_docs(spark, sf_dir, spread=True), JACCARD_N, JACCARD_TAU)
 
 
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,12 +85,12 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return lt.minhash_lsh_candidates(_docs(spark, sf_dir), JACCARD_N)
+    return lt.minhash_lsh_candidates(_docs(spark, sf_dir, spread=True), JACCARD_N)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return lt.simhash_pairs(_docs(spark, sf_dir))
+    return lt.simhash_pairs(_docs(spark, sf_dir, spread=True))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +225,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row, min-md5 via array_min — no explode, no shuffle at all
     (min over duplicates equals min over distinct)."""
     apply_engine_conf(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     staged = docs.select(
         "doc_id", F.array_distinct(lt.char_shingles(F.col("text"), 8)).alias("__sgs"))
     return staged.select(
@@ -251,7 +263,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of verified near-dup pairs → one canonical
     doc per duplicate cluster (operators/graph.py)."""
     apply_engine_conf(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     pairs = lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU)
     return dedup_clusters(docs, pairs)
 
@@ -262,7 +274,7 @@ def q_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     output contract (and oracle) is identical to dedup_clusters, so the
     driver row attests the two engines agree on real pairs."""
     apply_engine_conf(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     pairs = lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU)
     return dedup_clusters_bigstar(docs, pairs)
 
@@ -307,12 +319,12 @@ def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verify ON CANDIDATES ONLY
     (the production composition — operators/llm_text.py)."""
     apply_engine_conf(spark)
-    return lt.lsh_jaccard_verified(_docs(spark, sf_dir), JACCARD_N, JACCARD_TAU)
+    return lt.lsh_jaccard_verified(_docs(spark, sf_dir, spread=True), JACCARD_N, JACCARD_TAU)
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return cp.doc_repetition(_docs(spark, sf_dir))
+    return cp.doc_repetition(_docs(spark, sf_dir, spread=True))
 
 
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,7 +349,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return cp.bigram_topk(_docs(spark, sf_dir))
+    return cp.bigram_topk(_docs(spark, sf_dir, spread=True))
 
 
 def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,8 +100,20 @@ def events_ts_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dirty trip feed from events (+ late duplicates)."""
-    return raw_trips_from_events(events_ts_fixed(spark, sf_dir))
+    """Deterministic dirty trip feed from events (+ late duplicates).
+
+    The events scan is spread across the session's parallelism first
+    (sources/tables.py spread_small_scan — no-op above one scan
+    split): the feed derivation is ~1.6 s of single-core expression
+    work at sf0.1 (string↔timestamp/double round-trips by design)
+    that otherwise runs entirely inside the single-task scan stage of
+    a 1-row-group input file.  Batch path only — the streaming lane
+    derives from its own micro-batch frames via
+    raw_trips_from_events."""
+    from ..sources.tables import spread_small_scan
+
+    return raw_trips_from_events(
+        spread_small_scan(events_ts_fixed(spark, sf_dir)))
 
 
 def raw_trips_from_events(e: DataFrame) -> DataFrame:
