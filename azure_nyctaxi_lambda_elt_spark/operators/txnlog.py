@@ -589,10 +589,30 @@ def _parquet_exact_type(simple: str) -> bool:
     return bool(_PARQUET_EXACT_RE.match(simple))
 
 
+def _checks_resolvable(df: DataFrame, checks: dict) -> dict:
+    """The subset of CHECK expressions that RESOLVE against ``df``'s
+    own columns (driver-only analysis, no job).  A resolvable check
+    evaluated on the write job's rows is exactly the read-back
+    validation of the written dir — the files hold df's columns and
+    values.  Unresolvable ones (expression referencing a column this
+    write lacks, legal under schema evolution) keep the legacy
+    read-back path, where the missing column reads NULL under the
+    table schema."""
+    out = {}
+    for name, sql in checks.items():
+        try:
+            df.select(F.expr(sql)).schema  # forces analysis only
+            out[name] = sql
+        except Exception:
+            pass
+    return out
+
+
 def _observed_write(spark: SparkSession, path: str, data_dir: str,
                     df: DataFrame, stat_cols: list[str],
-                    bloom_cols: list[str]
-                    ) -> tuple[dict, dict, dict]:
+                    bloom_cols: list[str],
+                    checks: dict | None = None
+                    ) -> tuple[dict, dict, dict, dict]:
     """Plain (unpartitioned) data-dir write with the commit's per-dir
     metadata computed INSIDE the write job: ``DataFrame.observe``
     rides the [min, max]/count stats and the declared bloom columns'
@@ -613,13 +633,22 @@ def _observed_write(spark: SparkSession, path: str, data_dir: str,
     (tests/test_r13_opt_equivalence.py pins byte-equality of both
     stats and sidecars).
 
-    Returns ``(stats, rows, sidecar_bodies)``: stats/rows are
-    ``{dir_name: ...}`` maps (empty when ``stat_cols`` is empty, same
-    as the callers recorded before) and sidecar_bodies maps each
-    bloom column to its ready-to-publish body for THIS dir
-    (_maintain_bloom writes them without any further job; columns
-    absent from the frame record the all-zero 'absent' body exactly
-    like the legacy build)."""
+    ``checks`` ({name: sql-boolean}, pre-filtered by
+    _checks_resolvable) additionally rides the per-constraint
+    violating-row counts on the same job — SQL CHECK semantics
+    (NULL passes), the identical aggregate _validate_constraints
+    computes by read-back.  The caller raises ConstraintViolation
+    from the returned counts BEFORE publishing, so the refusal
+    contract (claimed dir orphaned, table unchanged) is untouched.
+
+    Returns ``(stats, rows, sidecar_bodies, violations)``:
+    stats/rows are ``{dir_name: ...}`` maps (empty when
+    ``stat_cols`` is empty, same as the callers recorded before),
+    sidecar_bodies maps each bloom column to its ready-to-publish
+    body for THIS dir (_maintain_bloom writes them without any
+    further job; columns absent from the frame record the all-zero
+    'absent' body exactly like the legacy build), and violations
+    maps each ``checks`` name to its violating-row count."""
     from pyspark.sql import Observation
 
     from . import bloomindex  # function-scoped: bloomindex imports us
@@ -639,6 +668,12 @@ def _observed_write(spark: SparkSession, path: str, data_dir: str,
     for c in bcols_obs:
         for i, sql in enumerate(bloomindex.bitmap_agg_sql(c)):
             aggs.append(F.expr(sql).alias(f"__obs_bm_{c}_{i}"))
+    check_names = sorted(checks or {})
+    for i, cname in enumerate(check_names):
+        aggs.append(
+            F.sum(F.when(~F.coalesce(F.expr(checks[cname]),
+                                     F.lit(True)), 1).otherwise(0))
+            .cast("long").alias(f"__obs_ck_{i}"))
     if aggs:
         obs = Observation()
         df.observe(obs, *aggs).write.mode("overwrite") \
@@ -673,7 +708,9 @@ def _observed_write(spark: SparkSession, path: str, data_dir: str,
             # schema to conclude the same)
             bodies[c] = bloomindex.sidecar_body(
                 c, "absent", bloomindex.merge_bitmap_parts([]))
-    return stats, rows, bodies
+    violations = {cname: int(row[f"__obs_ck_{i}"] or 0)
+                  for i, cname in enumerate(check_names)}
+    return stats, rows, bodies, violations
 
 
 def _compute_generated(df: DataFrame,
@@ -1063,14 +1100,29 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # (_observed_write docstring; byte-equality pinned by
     # tests/test_r13_opt_equivalence.py).
     bloom_pre: dict = {}
+    obs_cons: dict = {}
+    obs_gchecks: dict = {}
+    obs_viol: dict = {}
     if partition_by:
         dirs, stats, rows, bloom_pre = _write_partitioned(
             df.sparkSession, path, data_dir, df, partition_by,
             stats_cols or [], bloom_cols=bcols)
     else:
-        stats, rows, bodies = _observed_write(
+        # CHECK constraints (and provided-generated-column checks)
+        # that resolve against the written frame ride the write job
+        # too — the read-back validation job below only runs for
+        # expressions referencing columns this write lacks (schema
+        # evolution) and for carried-dir ADD validation
+        if cons:
+            obs_cons = _checks_resolvable(df, cons)
+        gprov = {c: sql for c, sql in gen.items()
+                 if c in provided_gen_cols}
+        if gprov:
+            obs_gchecks = _checks_resolvable(
+                df, _generated_checks(gprov))
+        stats, rows, bodies, obs_viol = _observed_write(
             df.sparkSession, path, data_dir, df, stats_cols or [],
-            bcols)
+            bcols, checks={**obs_cons, **obs_gchecks})
         dirs = [name]
         if bodies:
             bloom_pre = {name: bodies}
@@ -1106,7 +1158,15 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
     # leaves the claimed dir orphaned (vacuumed) and the table
     # unchanged.
     if cons:
-        _validate_constraints(df.sparkSession, path, new_dirs, cons)
+        bad = {k: obs_viol[k] for k in sorted(cons)
+               if obs_viol.get(k)}
+        if bad:
+            raise ConstraintViolation(path, bad)
+        pending = {k: sql for k, sql in cons.items()
+                   if k not in obs_cons}
+        if pending:
+            _validate_constraints(df.sparkSession, path, new_dirs,
+                                  pending)
         added = {k: sql for k, sql in cons.items()
                  if pcons.get(k) != sql}
         carried = [d for d in dirs if d not in new_dirs]
@@ -1128,9 +1188,17 @@ def commit(df: DataFrame, path: str, mode: str = "overwrite",
         gprovided = {c: sql for c, sql in gen.items()
                      if c in provided_gen_cols}
         if gprovided:
-            _validate_constraints(df.sparkSession, path, new_dirs,
-                                  _generated_checks(gprovided),
-                                  man={"schema": schema})
+            gchecks = _generated_checks(gprovided)
+            gbad = {k: obs_viol[k] for k in sorted(gchecks)
+                    if obs_viol.get(k)}
+            if gbad:
+                raise ConstraintViolation(path, gbad)
+            gpending = {k: sql for k, sql in gchecks.items()
+                        if k not in obs_gchecks}
+            if gpending:
+                _validate_constraints(df.sparkSession, path, new_dirs,
+                                      gpending,
+                                      man={"schema": schema})
         gadded = {c: sql for c, sql in gen.items()
                   if pgen.get(c) != sql}
         gcarried = [d for d in dirs if d not in new_dirs]
@@ -2746,7 +2814,7 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
         # envelope pinned to the rows actually on disk WITHOUT
         # re-executing the anti-join ∪ upserts, which is exactly what
         # the old read-back existed to avoid)
-        new_stats, new_rows, bodies = _observed_write(
+        new_stats, new_rows, bodies, _ = _observed_write(
             spark, path, data_dir, rewritten, stat_cols, bcols)
         new_names = [name]
         if bodies:
@@ -3091,7 +3159,7 @@ def compact(spark: SparkSession, path: str,
             bloom_cols=bcols)
     else:
         # stats + bloom bitmaps ride the rewrite job (see commit())
-        stats, rows, bodies = _observed_write(
+        stats, rows, bodies, _ = _observed_write(
             spark, path, data_dir, snap, stat_cols, bcols)
         new_dirs = [name]
         if bodies:
@@ -4763,7 +4831,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
         else:
             # envelopes + bloom bitmaps ride the write job itself
             # (same one-pass rule as commit/merge; _observed_write)
-            new_stats, new_rows_map, bodies = _observed_write(
+            new_stats, new_rows_map, bodies, _ = _observed_write(
                 spark, path, data_dir, kept, stat_cols, bcols)
             new_names = [name]
             if bodies:
@@ -5028,27 +5096,49 @@ def update_where(spark: SparkSession, path: str, predicate: str,
             rewrote = affected
         new_stats, new_rows_map = {}, {}
         bloom_pre: dict = {}
+        obs_checks: dict = {}
+        obs_viol: dict = {}
+        gchecks = _generated_checks(gen) if gen else {}
         if pby:
             new_names, new_stats, new_rows_map, bloom_pre = \
                 _write_partitioned(spark, path, data_dir, payload,
                                    pby, stat_cols, bloom_cols=bcols)
         else:
-            # envelopes + bloom bitmaps ride the write job (see
-            # commit(); one job instead of write + read-backs)
-            new_stats, new_rows_map, bodies = _observed_write(
-                spark, path, data_dir, payload, stat_cols, bcols)
+            # envelopes + bloom bitmaps + CHECK/generated validation
+            # ride the write job (see commit(); one job instead of
+            # write + read-backs)
+            obs_checks = _checks_resolvable(
+                payload, {**cons, **gchecks})
+            new_stats, new_rows_map, bodies, obs_viol = \
+                _observed_write(spark, path, data_dir, payload,
+                                stat_cols, bcols, checks=obs_checks)
             new_names = [name]
             if bodies:
                 bloom_pre = {name: bodies}
         if cons:
             # only the updated rows can newly violate — but the
             # written dir is the validation unit, same as MERGE
-            _validate_constraints(spark, path, new_names, cons,
-                                  man={"schema": man.get("schema")})
+            bad = {k: obs_viol[k] for k in sorted(cons)
+                   if obs_viol.get(k)}
+            if bad:
+                raise ConstraintViolation(path, bad)
+            pending = {k: sql for k, sql in cons.items()
+                       if k not in obs_checks}
+            if pending:
+                _validate_constraints(
+                    spark, path, new_names, pending,
+                    man={"schema": man.get("schema")})
         if gen:
-            gchecks = _generated_checks(gen)
-            _validate_constraints(spark, path, new_names, gchecks,
-                                  man={"schema": man.get("schema")})
+            gbad = {k: obs_viol[k] for k in sorted(gchecks)
+                    if obs_viol.get(k)}
+            if gbad:
+                raise ConstraintViolation(path, gbad)
+            gpending = {k: sql for k, sql in gchecks.items()
+                        if k not in obs_checks}
+            if gpending:
+                _validate_constraints(
+                    spark, path, new_names, gpending,
+                    man={"schema": man.get("schema")})
         if use_dv:
             dv, per_dir_m = _append_dv_entry(
                 spark, path, version, dv, pairs, key_cols, per_dir)
