@@ -2611,28 +2611,35 @@ def _probe_candidate_dirs(spark: SparkSession, path: str, man: dict,
     if not (has_stats or has_bloom):
         return candidates
     kc = key_cols[0]
-    krow = keys.agg(
-        F.count(F.lit(1)).alias("__n"), F.count(kc).alias("__nk"),
-        F.min(kc).alias("lo"), F.max(kc).alias("hi")).collect()[0]
-    if int(krow["__n"]) == 0:
-        return []  # empty key set: nothing can match any dir
-    if int(krow["__nk"]) < int(krow["__n"]):
-        # NULL keys present: stats envelopes ignore NULLs (an
-        # all-NULL-key dir has no envelope to overlap) and bloom
-        # sidecars only record non-null values, so NEITHER fast
-        # path may prune — the null-safe semi-join probe over all
-        # dirs is what finds the NULL rows (delete_keys' null-
-        # safe contract; the r7 advice repro'd NULL rows
-        # surviving a delete on a stats/bloom table)
-        return candidates
+    # limit-probe FIRST: a small key set (the common point-op case)
+    # is fully in hand after one job — its min/max/null facts are
+    # driver arithmetic, so the separate agg job only runs for bulk
+    # sets (was: agg always + limit for small sets = 2 jobs where 1
+    # does; same decisions in every case)
     sample = keys.limit(MERGE_BLOOM_PROBE_CAP + 1).collect()
+    if not sample:
+        return []  # empty key set: nothing can match any dir
     if len(sample) <= MERGE_BLOOM_PROBE_CAP:
+        vals = [r[0] for r in sample]
+        if any(v is None for v in vals):
+            # NULL keys present: stats envelopes ignore NULLs (an
+            # all-NULL-key dir has no envelope to overlap) and bloom
+            # sidecars only record non-null values, so NEITHER fast
+            # path may prune — the null-safe semi-join probe over
+            # all dirs is what finds the NULL rows (delete_keys'
+            # null-safe contract; the r7 advice repro'd NULL rows
+            # surviving a delete on a stats/bloom table)
+            return candidates
         # small key set: per-value envelope + bloom conjunction
         # through the shared point-set seam (prune_point_set)
         kept, _ = prune_point_set(
-            spark, path, kc, [r[0] for r in sample],
-            version=parent, null_safe=True)
+            spark, path, kc, vals, version=parent, null_safe=True)
         return kept
+    krow = keys.agg(
+        F.count(F.lit(1)).alias("__n"), F.count(kc).alias("__nk"),
+        F.min(kc).alias("lo"), F.max(kc).alias("hi")).collect()[0]
+    if int(krow["__nk"]) < int(krow["__n"]):
+        return candidates  # NULL keys in a bulk set: same rule
     if has_stats:
         # bulk key set (no driver-side value list): range-envelope
         # pruning only — the distributed semi-join probe downstream
@@ -2696,184 +2703,191 @@ def _merge_impl(spark: SparkSession, path: str, keys_src: DataFrame,
     if man.get("schema"):
         _merge_schema_json(man["schema"], _schema_json(upserts))
     stats = man.get("stats", {})
-    keys = keys_src.select(*key_cols).distinct()
-    # fingerprint the key set ONCE: recorded in the manifest so later
-    # read_version-declaring writers can adjudicate against THIS
-    # commit, and checked HERE against the commits that landed since
-    # our own declared snapshot (before any rewrite work runs)
-    op_desc = _key_set_descriptor(keys, key_cols)
-    if read_version is not None:
-        if full_read:
-            _check_full_read_conflict(path, read_version, parent,
-                                      "merge_sync_delete")
+    # the distinct key set drives FOUR separate consumers (op-desc
+    # fingerprint, candidate probe, broadcast build, anti-join) —
+    # persist it so the distinct shuffle computes once, not per
+    # consumer (guide §5: cache only what is reused and cheap)
+    keys = keys_src.select(*key_cols).distinct().persist()
+    try:
+        # fingerprint the key set ONCE: recorded in the manifest so later
+        # read_version-declaring writers can adjudicate against THIS
+        # commit, and checked HERE against the commits that landed since
+        # our own declared snapshot (before any rewrite work runs)
+        op_desc = _key_set_descriptor(keys, key_cols)
+        if read_version is not None:
+            if full_read:
+                _check_full_read_conflict(path, read_version, parent,
+                                          "merge_sync_delete")
+            else:
+                _check_write_conflict(path, read_version, parent,
+                                      key_cols, conflict_desc or op_desc,
+                                      "merge")
+        bkeys = F.broadcast(keys)
+        candidates = _probe_candidate_dirs(
+            spark, path, man, keys, key_cols, parent)
+        # ONE probe job over all candidate dirs (not one job per dir — a
+        # long-appended table would otherwise pay thousands of serial tiny
+        # jobs): multi-path scan tagged with the owning dir via
+        # input_file_name(), broadcast semi-join, distinct surviving dirs.
+        if candidates:
+            # tag rows with their owning dir's full path (scheme stripped,
+            # final /part-file component dropped): manifest dir entries may
+            # be bare names OR absolute paths (shallow clones reference the
+            # source's dirs absolutely), and two tables' dirs can share a
+            # basename — only the full path identifies the dir
+            # manifest-schema read (_read_dirs), NOT a raw multipath scan:
+            # after a schema-evolving append the raw read takes the FIRST
+            # dir's column set, so a probe on an evolution-added key would
+            # miss rows and the rewrite below would silently drop evolved
+            # columns from kept rows (repro'd: a post-evolution merge
+            # nulled the added column table-wide)
+            tagged = (
+                _read_dirs(spark, path, candidates, man)
+                .withColumn("__dir", _dir_col())
+                .join(bkeys, key_cols, "left_semi"))
+            # input_file_name is a URI: percent-decode so paths with
+            # spaces/non-ASCII compare equal to os.path.abspath (unquote,
+            # not unquote_plus — a literal '+' must survive)
+            hit = {urllib.parse.unquote(r["__dir"])
+                   for r in tagged.select("__dir").distinct().collect()}
+            affected = [
+                d for d in candidates
+                if os.path.abspath(os.path.join(path, d)) in hit]
         else:
-            _check_write_conflict(path, read_version, parent,
-                                  key_cols, conflict_desc or op_desc,
-                                  "merge")
-    bkeys = F.broadcast(keys)
-    candidates = _probe_candidate_dirs(
-        spark, path, man, keys, key_cols, parent)
-    # ONE probe job over all candidate dirs (not one job per dir — a
-    # long-appended table would otherwise pay thousands of serial tiny
-    # jobs): multi-path scan tagged with the owning dir via
-    # input_file_name(), broadcast semi-join, distinct surviving dirs.
-    if candidates:
-        # tag rows with their owning dir's full path (scheme stripped,
-        # final /part-file component dropped): manifest dir entries may
-        # be bare names OR absolute paths (shallow clones reference the
-        # source's dirs absolutely), and two tables' dirs can share a
-        # basename — only the full path identifies the dir
-        # manifest-schema read (_read_dirs), NOT a raw multipath scan:
-        # after a schema-evolving append the raw read takes the FIRST
-        # dir's column set, so a probe on an evolution-added key would
-        # miss rows and the rewrite below would silently drop evolved
-        # columns from kept rows (repro'd: a post-evolution merge
-        # nulled the added column table-wide)
-        tagged = (
-            _read_dirs(spark, path, candidates, man)
-            .withColumn("__dir", _dir_col())
-            .join(bkeys, key_cols, "left_semi"))
-        # input_file_name is a URI: percent-decode so paths with
-        # spaces/non-ASCII compare equal to os.path.abspath (unquote,
-        # not unquote_plus — a literal '+' must survive)
-        hit = {urllib.parse.unquote(r["__dir"])
-               for r in tagged.select("__dir").distinct().collect()}
-        affected = [
-            d for d in candidates
-            if os.path.abspath(os.path.join(path, d)) in hit]
-    else:
-        affected = []
-    existing = None
-    if affected:
-        existing = _read_dirs(spark, path, affected, man)
-        if man.get("dv"):
-            # rows an earlier DELETE tombstoned must not be
-            # resurrected by the rewrite
-            existing = _apply_dv(spark, path, existing, man["dv"])
-    gen = man.get("generated", {})
-    provided_gen_cols = set(gen) & set(upserts.columns)
-    if gen:
-        # upserts written without the generated columns get them
-        # computed here, BEFORE the identity split and the union —
-        # otherwise the rewrite would null-backfill them and the
-        # post-write validation below would refuse the merge
-        upserts = _compute_generated(upserts, gen)
-    ident = man.get("identity")
-    if ident:
-        icol = ident["col"]
-        if icol in upserts.columns:
-            raise ValueError(
-                f"identity column '{icol}' is GENERATED ALWAYS: "
-                "the engine assigns it; drop it from the upserts")
+            affected = []
+        existing = None
+        if affected:
+            existing = _read_dirs(spark, path, affected, man)
+            if man.get("dv"):
+                # rows an earlier DELETE tombstoned must not be
+                # resurrected by the rewrite
+                existing = _apply_dv(spark, path, existing, man["dv"])
+        gen = man.get("generated", {})
+        provided_gen_cols = set(gen) & set(upserts.columns)
+        if gen:
+            # upserts written without the generated columns get them
+            # computed here, BEFORE the identity split and the union —
+            # otherwise the rewrite would null-backfill them and the
+            # post-write validation below would refuse the merge
+            upserts = _compute_generated(upserts, gen)
+        ident = man.get("identity")
+        if ident:
+            icol = ident["col"]
+            if icol in upserts.columns:
+                raise ValueError(
+                    f"identity column '{icol}' is GENERATED ALWAYS: "
+                    "the engine assigns it; drop it from the upserts")
+            if existing is not None:
+                # updates KEEP the matched row's id (IDENTITY is the
+                # stable surrogate key — a merge must not reassign it);
+                # every key present anywhere in the table lives in an
+                # affected dir, so `existing` covers all matches
+                matched = (existing.join(bkeys, key_cols, "left_semi")
+                           .groupBy(*key_cols).agg(F.min(icol).alias(icol)))
+                joined = upserts.join(matched, key_cols, "left")
+                inserts = joined.where(F.col(icol).isNull()).drop(icol)
+                updates = joined.where(F.col(icol).isNotNull())
+            else:
+                inserts, updates = upserts, None
+            assigned, new_hwm = _assign_identity(
+                inserts, icol, ident["hwm"])
+            ident = {"col": icol, "hwm": new_hwm}
+            upserts = assigned if updates is None \
+                else updates.unionByName(assigned)
         if existing is not None:
-            # updates KEEP the matched row's id (IDENTITY is the
-            # stable surrogate key — a merge must not reassign it);
-            # every key present anywhere in the table lives in an
-            # affected dir, so `existing` covers all matches
-            matched = (existing.join(bkeys, key_cols, "left_semi")
-                       .groupBy(*key_cols).agg(F.min(icol).alias(icol)))
-            joined = upserts.join(matched, key_cols, "left")
-            inserts = joined.where(F.col(icol).isNull()).drop(icol)
-            updates = joined.where(F.col(icol).isNotNull())
+            # allowMissingColumns = MERGE schema evolution, both ways
+            # (Delta mergeSchema-on-MERGE): upserts carrying a NEW column
+            # null-backfill the kept rows; upserts written against an
+            # OLDER schema null-fill the evolved columns on their own
+            # rows while kept rows keep their values
+            rewritten = existing.join(bkeys, key_cols, "left_anti") \
+                .unionByName(upserts, allowMissingColumns=True)
         else:
-            inserts, updates = upserts, None
-        assigned, new_hwm = _assign_identity(
-            inserts, icol, ident["hwm"])
-        ident = {"col": icol, "hwm": new_hwm}
-        upserts = assigned if updates is None \
-            else updates.unionByName(assigned)
-    if existing is not None:
-        # allowMissingColumns = MERGE schema evolution, both ways
-        # (Delta mergeSchema-on-MERGE): upserts carrying a NEW column
-        # null-backfill the kept rows; upserts written against an
-        # OLDER schema null-fill the evolved columns on their own
-        # rows while kept rows keep their values
-        rewritten = existing.join(bkeys, key_cols, "left_anti") \
-            .unionByName(upserts, allowMissingColumns=True)
-    else:
-        rewritten = upserts
-    data_dir = _claim_data_dir(path, version)
-    name = os.path.basename(data_dir)
-    pby = man.get("partition_by", [])
-    bcols = man.get("bloom_cols", [])
-    stat_cols = sorted({c for s in stats.values() for c in s})
-    new_stats, new_rows = {}, {}
-    bloom_pre: dict = {}
-    if pby:
-        # partition-aware rewrite: the copy-on-write dir splits per
-        # partition value like every commit on this table, so
-        # dir-per-value stays an INVARIANT through MERGE (a date-
-        # scoped read after an upsert still opens only that date's
-        # leaves) instead of an eventual state compact() restores
-        new_names, new_stats, new_rows, bloom_pre = _write_partitioned(
-            spark, path, data_dir, rewritten, pby, stat_cols,
-            bloom_cols=bcols)
-    else:
-        # one pass: the write job itself carries the restated stats
-        # and bloom bitmaps (observe — see commit(); this keeps the
-        # envelope pinned to the rows actually on disk WITHOUT
-        # re-executing the anti-join ∪ upserts, which is exactly what
-        # the old read-back existed to avoid)
-        new_stats, new_rows, bodies, _ = _observed_write(
-            spark, path, data_dir, rewritten, stat_cols, bcols)
-        new_names = [name]
-        if bodies:
-            bloom_pre = {name: bodies}
-    dirs = [d for d in man["dirs"] if d not in affected] + new_names
-    kept_stats = {d: s for d, s in stats.items() if d in dirs}
-    kept_stats.update(new_stats)
-    prows = man.get("rows", {})
-    kept_rows = {d: n for d, n in prows.items() if d in dirs}
-    kept_rows.update(new_rows)
-    schema = _merge_schema_json(
-        man.get("schema"),
-        _schema_json(spark.read.parquet(
-            os.path.join(path, new_names[0]))))
-    # carry tombstones ONLY for dirs still in the manifest (a
-    # rewritten dir's replacement already excludes its tombstoned
-    # rows, so keeping its contribution would double-count deletes
-    # in metadata_count); entries drained of dirs drop entirely
-    dv = _filter_dv(man.get("dv", []), dirs)
-    cons = man.get("constraints", {})
-    if cons:
-        # MERGE validates the rewritten dirs (kept rows satisfied the
-        # constraints already — the upserts are what can violate),
-        # under the MERGED table schema so a constraint referencing
-        # an evolved column resolves even when this rewrite's dir was
-        # written against an older column set (NULL there → passes,
-        # SQL CHECK semantics)
-        _validate_constraints(spark, path, new_names, cons,
-                              man={"schema": schema})
-    gprovided = {c: sql for c, sql in gen.items()
-                 if c in provided_gen_cols}
-    if gprovided:
-        # a provided-but-mismatched generated value in the upserts
-        # refuses the whole merge, same contract as the commit path;
-        # engine-computed columns skip the scan (match by
-        # construction, same rule as commit)
-        _validate_constraints(spark, path, new_names,
-                              _generated_checks(gprovided),
-                              man={"schema": schema})
-    # ANALYZE records for SURVIVING dirs carry (their bytes are
-    # untouched); only the rewritten dirs' records drop — the
-    # documented contract on commit(analyze_cols=...)
-    kept_analyze = {d: a for d, a in man.get("analyze", {}).items()
-                    if d in dirs}
-    v = _commit_manifest(path, version, "merge", dirs,
-                         {"rewrote": affected}, kept_stats,
-                         kept_rows, bcols, schema,
-                         partition_by=pby, dv=dv,
-                         constraints=cons, identity=ident,
-                         generated=gen, analyze=kept_analyze,
-                         group=group,
-                         op={"type": "merge",
-                             "key_cols": list(key_cols),
-                             "keys": op_desc})
-    # surviving dirs keep their write-once sidecars; only the fresh
-    # leaves need indexing, so the index stays always-on through MERGE
-    _maintain_bloom(spark, path, v, bcols, new_names,
-                    precomputed=bloom_pre)
-    return v
+            rewritten = upserts
+        data_dir = _claim_data_dir(path, version)
+        name = os.path.basename(data_dir)
+        pby = man.get("partition_by", [])
+        bcols = man.get("bloom_cols", [])
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        new_stats, new_rows = {}, {}
+        bloom_pre: dict = {}
+        if pby:
+            # partition-aware rewrite: the copy-on-write dir splits per
+            # partition value like every commit on this table, so
+            # dir-per-value stays an INVARIANT through MERGE (a date-
+            # scoped read after an upsert still opens only that date's
+            # leaves) instead of an eventual state compact() restores
+            new_names, new_stats, new_rows, bloom_pre = _write_partitioned(
+                spark, path, data_dir, rewritten, pby, stat_cols,
+                bloom_cols=bcols)
+        else:
+            # one pass: the write job itself carries the restated stats
+            # and bloom bitmaps (observe — see commit(); this keeps the
+            # envelope pinned to the rows actually on disk WITHOUT
+            # re-executing the anti-join ∪ upserts, which is exactly what
+            # the old read-back existed to avoid)
+            new_stats, new_rows, bodies, _ = _observed_write(
+                spark, path, data_dir, rewritten, stat_cols, bcols)
+            new_names = [name]
+            if bodies:
+                bloom_pre = {name: bodies}
+        dirs = [d for d in man["dirs"] if d not in affected] + new_names
+        kept_stats = {d: s for d, s in stats.items() if d in dirs}
+        kept_stats.update(new_stats)
+        prows = man.get("rows", {})
+        kept_rows = {d: n for d, n in prows.items() if d in dirs}
+        kept_rows.update(new_rows)
+        schema = _merge_schema_json(
+            man.get("schema"),
+            _schema_json(spark.read.parquet(
+                os.path.join(path, new_names[0]))))
+        # carry tombstones ONLY for dirs still in the manifest (a
+        # rewritten dir's replacement already excludes its tombstoned
+        # rows, so keeping its contribution would double-count deletes
+        # in metadata_count); entries drained of dirs drop entirely
+        dv = _filter_dv(man.get("dv", []), dirs)
+        cons = man.get("constraints", {})
+        if cons:
+            # MERGE validates the rewritten dirs (kept rows satisfied the
+            # constraints already — the upserts are what can violate),
+            # under the MERGED table schema so a constraint referencing
+            # an evolved column resolves even when this rewrite's dir was
+            # written against an older column set (NULL there → passes,
+            # SQL CHECK semantics)
+            _validate_constraints(spark, path, new_names, cons,
+                                  man={"schema": schema})
+        gprovided = {c: sql for c, sql in gen.items()
+                     if c in provided_gen_cols}
+        if gprovided:
+            # a provided-but-mismatched generated value in the upserts
+            # refuses the whole merge, same contract as the commit path;
+            # engine-computed columns skip the scan (match by
+            # construction, same rule as commit)
+            _validate_constraints(spark, path, new_names,
+                                  _generated_checks(gprovided),
+                                  man={"schema": schema})
+        # ANALYZE records for SURVIVING dirs carry (their bytes are
+        # untouched); only the rewritten dirs' records drop — the
+        # documented contract on commit(analyze_cols=...)
+        kept_analyze = {d: a for d, a in man.get("analyze", {}).items()
+                        if d in dirs}
+        v = _commit_manifest(path, version, "merge", dirs,
+                             {"rewrote": affected}, kept_stats,
+                             kept_rows, bcols, schema,
+                             partition_by=pby, dv=dv,
+                             constraints=cons, identity=ident,
+                             generated=gen, analyze=kept_analyze,
+                             group=group,
+                             op={"type": "merge",
+                                 "key_cols": list(key_cols),
+                                 "keys": op_desc})
+        # surviving dirs keep their write-once sidecars; only the fresh
+        # leaves need indexing, so the index stays always-on through MERGE
+        _maintain_bloom(spark, path, v, bcols, new_names,
+                        precomputed=bloom_pre)
+        return v
+    finally:
+        keys.unpersist()
 
 
 def _dv_delta_rows(spark: SparkSession, path: str, man_a: dict,
