@@ -319,8 +319,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups (core/12_trip_clean.dedupe_load.sql's role for
     embeddings)."""
     apply_engine_conf(spark)
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
-                          tau=SEMDEDUP_TAU)
+    from ..sources.tables import spread_small_scan
+
+    return semantic_dedup(
+        spread_small_scan(load_table(spark, sf_dir, "embeddings")),
+        tau=SEMDEDUP_TAU)
 
 
 def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:

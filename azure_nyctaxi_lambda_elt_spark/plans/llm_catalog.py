@@ -43,8 +43,16 @@ def _docs(spark: SparkSession, sf_dir: str,
     return df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+def _emb(spark: SparkSession, sf_dir: str,
+         spread: bool = False) -> DataFrame:
+    """``spread=True``: see _docs — opt-in single-file-scan
+    redistribution where brute per-row vector math dominates."""
+    df = load_table(spark, sf_dir, "embeddings")
+    if spread:
+        from ..sources.tables import spread_small_scan
+
+        return spread_small_scan(df)
+    return df
 
 
 def _emb_key(sf_dir: str) -> str:
@@ -132,12 +140,12 @@ COS_TAU = 0.45
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return cosine_pairs(_emb(spark, sf_dir), COS_TAU)
+    return cosine_pairs(_emb(spark, sf_dir, spread=True), COS_TAU)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     toks = docs.select(
         "doc_id", "lang", lt.ws_tokens(F.lower(F.col("text"))).alias("__t"))
     scores = lt.lang_scores(F.col("__t"))
@@ -307,7 +315,7 @@ def _augmented_pii_text(docs: DataFrame) -> DataFrame:
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return cp.pii_redact(_augmented_pii_text(_docs(spark, sf_dir)))
+    return cp.pii_redact(_augmented_pii_text(_docs(spark, sf_dir, spread=True)))
 
 
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +372,7 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    return cp.ngram_decontam(_docs(spark, sf_dir))
+    return cp.ngram_decontam(_docs(spark, sf_dir, spread=True))
 
 
 def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
