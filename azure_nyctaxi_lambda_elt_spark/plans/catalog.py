@@ -272,7 +272,10 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
-    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir))
+    # spread=False: light typed-only hourly rollup — the scan-spread
+    # exchange costs more than the parallel derivation buys here
+    # (min-of-3 A/B in OPTIMIZATION_r13.md)
+    typed = tf.typed_trips(tf.raw_trips(spark, sf_dir, spread=False))
     missing = F.col("pickup_ts").isNull() | F.col("dropoff_ts").isNull()
     negative = (
         (F.coalesce(F.col("trip_distance"), F.lit(0.0)) < 0)

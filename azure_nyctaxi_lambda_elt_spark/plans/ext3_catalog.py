@@ -1479,7 +1479,7 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_catalog import JACCARD_N, JACCARD_TAU
 
     apply_engine_conf(spark)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     return pagerank(lt.ngram_jaccard_pairs(docs, JACCARD_N, JACCARD_TAU))
 
 

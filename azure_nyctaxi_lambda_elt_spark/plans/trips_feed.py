@@ -99,7 +99,8 @@ def events_ts_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+def raw_trips(spark: SparkSession, sf_dir: str,
+              spread: bool = True) -> DataFrame:
     """Deterministic dirty trip feed from events (+ late duplicates).
 
     The events scan is spread across the session's parallelism first
@@ -107,13 +108,23 @@ def raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     split): the feed derivation is ~1.6 s of single-core expression
     work at sf0.1 (string↔timestamp/double round-trips by design)
     that otherwise runs entirely inside the single-task scan stage of
-    a 1-row-group input file.  Batch path only — the streaming lane
-    derives from its own micro-batch frames via
-    raw_trips_from_events."""
+    a 1-row-group input file.  Spread BY event_id: trip_uid IS
+    event_id, so the keyed spread already satisfies the latest-wins
+    window's required distribution through alias propagation and the
+    chain keeps ONE exchange total (plan audited; round-robin would
+    add a second).  Batch path only — the streaming lane derives
+    from its own micro-batch frames via raw_trips_from_events.
+
+    ``spread=False`` opts a consumer out: measured for the light
+    typed-only aggregations (quality_audit) where the derivation is
+    cheap enough that the spread exchange costs more than the
+    parallelism buys (+0.3 s at sf0.1, min-of-3 A/B)."""
     from ..sources.tables import spread_small_scan
 
-    return raw_trips_from_events(
-        spread_small_scan(events_ts_fixed(spark, sf_dir)))
+    ev = events_ts_fixed(spark, sf_dir)
+    if spread:
+        ev = spread_small_scan(ev, by=["event_id"])
+    return raw_trips_from_events(ev)
 
 
 def raw_trips_from_events(e: DataFrame) -> DataFrame:

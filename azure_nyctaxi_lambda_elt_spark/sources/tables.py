@@ -38,7 +38,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread_small_scan(df: DataFrame,
-                      threshold_bytes: int = 64 << 20) -> DataFrame:
+                      threshold_bytes: int = 64 << 20,
+                      by: list[str] | None = None) -> DataFrame:
     """Redistribute a sub-split-size scan across the session's shuffle
     parallelism BEFORE per-row-expensive derivation (guide §2.5 "input
     skew: one huge unsplittable file → repartition immediately after
@@ -65,7 +66,15 @@ def spread_small_scan(df: DataFrame,
     Apply selectively where the scan feeds heavy per-row work: the
     A/B in OPTIMIZATION_r13.md shows join-shaped/light consumers LOSE
     (the extra exchange buys nothing), so this is opt-in per feed,
-    never blanket."""
+    never blanket.
+
+    ``by``: hash-repartition on these columns instead of round-robin.
+    When the downstream plan's first shuffle is keyed by (an alias
+    of) the same columns, Catalyst's alias-aware output partitioning
+    recognizes the distribution as already satisfied and the spread
+    exchange REPLACES the downstream one instead of adding to it
+    (trips feed: spreading events by event_id serves the
+    trip_uid-keyed dedupe window — plan audited 2 Exchanges → 1)."""
     spark = df.sparkSession
     try:
         files = df.inputFiles()
@@ -83,6 +92,8 @@ def spread_small_scan(df: DataFrame,
     if total >= threshold_bytes:
         return df
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if by:
+        return df.repartition(n, *[df[c] for c in by])
     return df.repartition(n)
 
 

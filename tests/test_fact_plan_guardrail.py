@@ -35,14 +35,21 @@ def _hash_keys(plan: str) -> set[str]:
 
 
 def test_fact_star_single_big_side_shuffle(spark):
-    """≤ 1 shuffle of the big side: trip_uid (the dedupe window) must
-    be the only fact-width hash key; dims broadcast, never sort-merge."""
+    """≤ 1 shuffle of the big side; dims broadcast, never sort-merge.
+
+    Since the r13 keyed small-scan spread, the one fact-width
+    exchange is the spread's hashpartitioning(event_id) at the
+    events scan — trip_uid IS event_id, so alias-aware output
+    partitioning satisfies the dedupe window from it and the window
+    adds NO second exchange.  Accept either key name but never both:
+    both present would mean the spread stopped covering the window
+    and the chain regressed to two fact-width shuffles."""
     from azure_nyctaxi_lambda_elt_spark.plans import trips_feed as tf
 
     plan = _plan(tf.fact_trip(spark, SF_SMOKE))
     keys = _hash_keys(plan)
-    assert "trip_uid" in keys, keys
-    assert keys - _DIM_NK_KEYS == {"trip_uid"}, keys
+    fact_keys = keys - _DIM_NK_KEYS
+    assert fact_keys in ({"trip_uid"}, {"event_id"}), keys
     assert plan.count("BroadcastHashJoin") == 6, plan
     assert "SortMergeJoin" not in plan, plan
 
